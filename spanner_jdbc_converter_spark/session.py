@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+config here is chosen to also be the right default on a large cluster:
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion are exactly the knobs that keep a
+  100 TB shuffle healthy without hand-tuning per query.
+* ``spark.sql.shuffle.partitions`` — a *starting* value; AQE coalesces
+  down.  On a real cluster this would be ~2-3× total cores.
+* Arrow enabled — every pandas UDF / toPandas crossing is Arrow-batched.
+* ``parquet.nanosAsLong`` — the ``events`` fixture carries
+  TIMESTAMP(NANOS) which Spark has no native type for; we read the raw
+  int64 and convert with integer division (never float — ns-epoch values
+  exceed double's 53-bit mantissa).
+* Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive timestamps) regardless of machine TZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "spanner-jdbc-converter-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or _default_master())
+        # -- scale-oriented defaults ------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- fixture/oracle compatibility -------------------------------
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        # -- keep local runs quiet/fast ---------------------------------
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
