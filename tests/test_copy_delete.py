@@ -1,0 +1,192 @@
+"""Copy + delete pipeline tests (SURVEY.md §5.1 items 3-4): ConvertMode ×
+existence matrix on real writes, cost-model formulas vs cited constants,
+partition-boundary math, round-trip and delete-completeness properties."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spanner_jdbc_converter_spark import copy as cp
+from spanner_jdbc_converter_spark import delete as dl
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.modes import ConvertMode
+
+
+# -- pure cost-model math (X4/X6 vs BASELINE.md constants) ------------------
+
+
+def test_spanner_batch_rows_formula():
+    # bytes-bound: 1_500_000 / 150 = 10000, mutation bound 20000/(6+0)=3333
+    assert cp.spanner_batch_rows(row_bytes=150, num_columns=6) == 3333
+    # bytes-bound smaller: huge rows -> floor at 100
+    assert cp.spanner_batch_rows(row_bytes=1_000_000, num_columns=6) == 100
+    # few columns: bytes bound wins
+    assert cp.spanner_batch_rows(row_bytes=1500, num_columns=2) == 1000
+
+
+def test_plan_num_workers():
+    assert cp.plan_num_workers(0, 1000) == 1
+    assert cp.plan_num_workers(999, 1000) == 1
+    assert cp.plan_num_workers(10_000, 1000) == 10
+    assert cp.plan_num_workers(10**9, 1000) == 10  # capped at maxWorkers
+
+
+@given(total=st.integers(0, 10**6), workers=st.integers(1, 64))
+@settings(max_examples=200, deadline=None)
+def test_uniform_ranges_partition_sum_invariant(total, workers):
+    ranges = cp.uniform_ranges(total, workers)
+    assert sum(hi - lo for lo, hi in ranges) == total
+    # contiguous, non-overlapping, within bounds
+    pos = 0
+    for lo, hi in ranges:
+        assert lo == pos and hi > lo
+        pos = hi
+    assert pos == total
+
+
+def test_uniform_ranges_last_worker_remainder():
+    # the reference's max/min bug (SURVEY.md §5.2) would give the last
+    # worker count=total-offset > per; intended semantics: remainder only
+    assert cp.uniform_ranges(10, 3) == [(0, 4), (4, 8), (8, 10)]
+    assert cp.uniform_ranges(3, 10) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_estimate_row_bytes_orders_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    est = cp.estimate_row_bytes(df.schema, string_len=10)
+    # 6 cols * 8 overhead + 8 + 8 + 2*10 + 8 + 12 + 2*10 = 124
+    assert est == 124
+
+
+def test_jdbc_options():
+    ropts = cp.jdbc_read_options("jdbc:postgresql://h/db", "orders", "o_orderkey", 0, 10**6, 8)
+    assert ropts["partitionColumn"] == "o_orderkey"
+    assert ropts["numPartitions"] == "8"
+    wopts = cp.jdbc_write_options("jdbc:postgresql://h/db", "orders", batch_rows=3333)
+    assert wopts["batchsize"] == "3333"
+
+
+# -- copy orchestration on real parquet -------------------------------------
+
+
+@pytest.fixture()
+def tmp_dest():
+    with tempfile.TemporaryDirectory() as d:
+        yield f"{d}/dest.parquet"
+
+
+def test_copy_round_trip(spark, sf_dir, tmp_dest):
+    src = load_table(spark, sf_dir, "orders")
+    res = cp.copy_table(spark, src, tmp_dest, ConvertMode.SKIP_EXISTING)
+    assert res.record_count == src.count()
+    assert res.byte_count > res.record_count * 48  # 6 cols × 8B overhead min
+    back = spark.read.parquet(tmp_dest)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    assert back.subtract(src).isEmpty() and src.subtract(back).isEmpty()
+
+
+def test_copy_skip_existing_is_noop_on_nonempty(spark, sf_dir, tmp_dest):
+    src = load_table(spark, sf_dir, "orders")
+    cp.copy_table(spark, src, tmp_dest, ConvertMode.SKIP_EXISTING)
+    res2 = cp.copy_table(spark, src.limit(5), tmp_dest, ConvertMode.SKIP_EXISTING)
+    assert res2.record_count == 0  # skipped
+    assert spark.read.parquet(tmp_dest).count() == src.count()
+
+
+def test_copy_drop_and_recreate_overwrites(spark, sf_dir, tmp_dest):
+    src = load_table(spark, sf_dir, "orders")
+    cp.copy_table(spark, src, tmp_dest, ConvertMode.SKIP_EXISTING)
+    res = cp.copy_table(spark, src.limit(7), tmp_dest, ConvertMode.DROP_AND_RECREATE)
+    assert res.record_count == 7
+    assert spark.read.parquet(tmp_dest).count() == 7
+
+
+def test_copy_throw_if_exists(spark, sf_dir, tmp_dest):
+    src = load_table(spark, sf_dir, "orders")
+    cp.copy_table(spark, src, tmp_dest, ConvertMode.SKIP_EXISTING)
+    with pytest.raises(cp.TableExistsError):
+        cp.copy_table(spark, src, tmp_dest, ConvertMode.THROW_IF_EXISTS)
+
+
+def test_copy_skip_all_never_writes(spark, sf_dir, tmp_dest):
+    src = load_table(spark, sf_dir, "orders")
+    res = cp.copy_table(spark, src, tmp_dest, ConvertMode.SKIP_ALL)
+    assert res.record_count == 0
+    with pytest.raises(Exception):
+        spark.read.parquet(tmp_dest)
+
+
+# -- delete pipeline --------------------------------------------------------
+
+
+def test_lexicographic_range_sql_matches_spark_predicate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    lo, hi = (1000, 2), (3000, 1)
+    via_sql = li.filter(dl.lexicographic_range_sql(pk, lo, hi)).count()
+    via_col = li.filter(dl.lexicographic_range_predicate(pk, lo, hi)).count()
+    assert via_sql == via_col > 0
+
+
+def test_plan_delete_ranges_cover_all_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    ranges = dl.plan_delete_ranges(li, pk, 4)
+    assert len(ranges) == 4
+    # union of ranges covers every row exactly (no gaps)
+    union_covered = dl.delete_by_range(li, pk, ranges)  # survivors of delete-all-ranges
+    assert union_covered.count() == 0
+    # the fixture's (l_orderkey, l_linenumber) is NOT unique (duplicate key
+    # pairs exist), so adjacent inclusive ranges may share a boundary key:
+    # per-range counts can exceed the total but never undershoot it
+    covered = sum(
+        li.filter(dl.lexicographic_range_predicate(pk, r.begin_key, r.end_key)).count()
+        for r in ranges
+    )
+    assert covered >= li.count()
+    # boundaries are ordered
+    assert all(ranges[i].end_key <= ranges[i + 1].begin_key for i in range(3))
+
+
+def test_delete_by_keys_completeness(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    doomed = li.filter("l_orderkey % 7 = 0").select(*pk)
+    survivors = dl.delete_by_keys(li, doomed, pk)
+    assert survivors.count() == li.count() - doomed.count()
+    assert survivors.join(doomed, on=pk, how="left_semi").isEmpty()
+
+
+def test_delete_pipeline_small_set_single_statement(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    doomed = li.filter("l_orderkey % 100 = 0").select(*pk)
+    n_doomed = doomed.count()
+    assert 0 < n_doomed < dl.SINGLE_DELETE_THRESHOLD
+    survivors = dl.delete_pipeline(li, pk, doomed)
+    assert survivors.count() == li.count() - n_doomed
+
+
+def test_delete_pipeline_ranged_path(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    doomed = li.filter("l_orderkey % 2 = 0").select(*pk)
+    # force the ranged path regardless of fixture scale
+    orig = dl.SINGLE_DELETE_THRESHOLD
+    dl.SINGLE_DELETE_THRESHOLD = 1
+    try:
+        survivors = dl.delete_pipeline(li, pk, doomed, num_workers=4)
+        assert survivors.count() == li.count() - doomed.count()
+        assert survivors.join(doomed, on=pk, how="left_semi").isEmpty()
+    finally:
+        dl.SINGLE_DELETE_THRESHOLD = orig
+
+
+def test_delete_strategy_threshold():
+    assert dl.delete_strategy(9_999) == "single_statement"
+    assert dl.delete_strategy(10_000) == "ranged"
