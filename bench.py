@@ -12,7 +12,7 @@ import os
 import sys
 import time
 
-from spanner_jdbc_converter_spark.plans.queries import QUERIES
+from spanner_jdbc_converter_spark.plans import QUERIES
 from spanner_jdbc_converter_spark.session import get_spark
 
 

@@ -1,0 +1,116 @@
+"""Multimodal column handling (SURVEY.md §2.11): image/audio/video as
+opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
+``mapInPandas`` UDFs.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake features / NotImplementedError for real codecs) —
+but the Spark-side plumbing is real and tested: schema contracts,
+binary payload handling, batch iteration shape, partition-preserving
+metadata extraction.
+
+At 100 TB the pattern is: keep payloads in their own column (parquet
+stores them row-group-columnar, scans that don't touch them never read
+the bytes), push metadata predicates first, and run decode UDFs only on
+the filtered remainder with ``spark.sql.execution.arrow.maxRecordsPerBatch``
+tuned down so a batch of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Metadata struct carried next to every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: synthesize a binary payload column from text
+    (UTF-8 bytes) + typed metadata struct — the storage shape real media
+    would use."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+            F.md5(payload).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """Real codec hook — image/audio decode is NOT available in this
+    container (no PIL/libav).  Plug a codec here in production."""
+    raise NotImplementedError(
+        f"no codec for {media_type}: decode libraries not present in this environment"
+    )
+
+
+def _fake_features(payload: bytes, n: int = 4) -> list[float]:
+    """Deterministic stand-in for decoded features: byte-level statistics
+    (mean, min, max, len-scaled) — stable across runs/partitions."""
+    if not payload:
+        return [0.0] * n
+    return [
+        sum(payload) / len(payload),
+        float(min(payload)),
+        float(max(payload)),
+        float(len(payload) % 997),
+    ]
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches through Python — constant
+    memory per task regardless of table size.  The decode call is the
+    stubbed deterministic fake (see decode_media for the real hook).
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "feature": pdf["payload"].map(_fake_features),
+                }
+            )
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never touches payload bytes (column
+    pruning keeps the binary column out of the scan entirely)."""
+    return df.groupBy(F.col("media_meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("media_meta.byte_len").cast("long").alias("total_bytes"),
+        F.max("media_meta.byte_len").cast("long").alias("max_bytes"),
+    )

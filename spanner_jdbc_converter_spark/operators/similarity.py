@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two paths, checked against each other in tests:
+* ``cosine_topk`` — brute-force exact top-k: query⨯corpus join, cosine,
+  per-query window top-k.  Correctness oracle; O(|Q|·|C|) — fine when
+  the query set is small/broadcastable, which is the common "probe"
+  shape even at 100 TB corpus scale.
+* ``lsh_ann_topk`` — random-hyperplane LSH: 60-bit-hash-derived
+  deterministic hyperplanes bucket the corpus; each query searches only
+  its bucket (multi-probe over bands).  Sub-linear candidate sets; the
+  scale path when the query set is itself huge.
+
+Ranking determinism: scores rounded to 6 digits, ties broken by id —
+rank order is reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded
+from spanner_jdbc_converter_spark.functions.vector import cosine_rounded, dot
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus is never shuffled — each partition scores its rows against
+    all queries and the window top-k reduces partial results.
+    Output: query_id, match_id, cosine, rank (match ≠ query)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_rounded(F.col("query_vec"), F.col("match_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sign_key(vec_col, planes: int, dim: int, seed_tag: str = "hp") -> "F.Column":
+    """LSH bucket key: sign pattern of <vec, H_j> for j in 0..planes-1.
+
+    Hyperplane coefficients are deterministic pseudo-randoms derived from
+    the portable md5 hash — H_j[i] = (md5int('hp:<j>:<i>') % 2001 - 1000)/1000
+    — reproducible in any engine, no stored model."""
+    signs = []
+    for j in range(planes):
+        coeffs = F.array(
+            *[
+                (md5_long_seeded(F.lit(f"{seed_tag}:{j}"), i) % 2001 - 1000) / 1000.0
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*signs)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``tables`` independent hash tables of ``planes`` hyperplanes each;
+    a corpus vector is a candidate if it shares a bucket with the query
+    in ANY table (standard L-table construction — single-table sign-LSH
+    has ~(1-θ/π)^planes recall, far too low for near-orthogonal data).
+    Candidates are scored exactly, deduped, window top-k'ed.
+
+    Cost: corpus exploded ×tables (key strings only — vectors are not
+    duplicated until the bucket join matches), candidate set per query
+    ≈ tables × |corpus| / 2^planes.
+    """
+
+    def keyed(df: DataFrame, role: str) -> DataFrame:
+        keys = [
+            F.concat(F.lit(f"t{t}:"), hyperplane_sign_key(F.col(vec_col), planes, dim, seed_tag=f"hp{t}"))
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(F.array(*keys)).alias("bucket"),
+        )
+
+    q = keyed(queries, "query")
+    c = keyed(corpus, "match")
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "query_vec", "match_vec")
+        .dropDuplicates(["query_id", "match_id"])
+        .select(
+            "query_id",
+            "match_id",
+            cosine_rounded(F.col("query_vec"), F.col("match_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pairwise_dot_matrix(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """All-pairs dot products (id_a < id_b) — building block for
+    embedding dedup / clustering diagnostics; brute force by design."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 6).alias("dot"))
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.11):
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting.  All pure Catalyst expressions — the whole pipeline is
+one WholeStageCodegen pass per document, embarrassingly parallel at any
+scale (no shuffle until an aggregation is requested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic.  Chosen from common function words; scored by *distinct*
+#: overlap with the document's token set (deterministic in both engines).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4", "you3", "he2", "ren2"),
+}
+
+_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty strings dropped (split produces
+    a trailing '' on trailing whitespace in both engines — filtered)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the lowercased text (SimHash unit)."""
+    col = F.col(col) if isinstance(col, str) else col
+    low = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(low, i, F.lit(n)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) — the MinHash/Jaccard unit."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    parts = [F.lit(" ")] * 0
+
+    def gram(i):
+        g = F.element_at(toks, i)
+        for j in range(1, n):
+            g = F.concat(g, F.lit(" "), F.element_at(toks, i + j))
+        return g
+
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def punct_count(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(col, F.lit(r"[^\w\s]")).cast("long")
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = _STOPWORDS) -> Column:
+    """Number of token *occurrences* that are stopwords."""
+    in_set = F.array([F.lit(s) for s in stopwords])
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(F.array_contains(in_set, x), 1).otherwise(0),
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence −
+    punctuation density.  Deterministic rational arithmetic, rounded to
+    6 digits for cross-engine hashing."""
+    col = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(col)
+    n_chars = F.length(col).cast("long")
+    punct = punct_count(col)
+    stop = stopword_count(col)
+    len_score = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ratio = stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    score = 0.4 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0)) + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    return F.round(score, 6)
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    """Distinct-overlap score against each language profile."""
+    toks = tokens(col)
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array([F.lit(w) for w in words])
+        out.append((lang, F.size(F.array_intersect(toks, profile)).cast("long")))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over profiles with deterministic alphabetical tiebreak,
+    'und' (undetermined) when every score is 0."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # iterate in reverse-alphabetical order so that on ties the
+    # alphabetically-first language wins with strict '>'
+    for lang, score in sorted(scores, key=lambda kv: kv[0], reverse=True):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 hex of the normalized text (hex string —
+    portable across engines)."""
+    return F.md5(normalized_text(col).cast("binary"))
+
+
+def fingerprint_long(col: Column | str) -> Column:
+    """60-bit integer form of the fingerprint (rolling-hash analog)."""
+    return md5_long(normalized_text(col))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document feature frame: token/char/punct/stopword
+    counts, quality, language, fingerprint."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        punct_count(text_col).alias("n_punct"),
+        stopword_count(text_col).alias("n_stopwords"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -90,7 +90,7 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 def check_query(spark, con: duckdb.DuckDBPyConnection, sf_dir: str, name: str) -> CompareResult:
     """Run one corpus entry on both engines and compare."""
-    from spanner_jdbc_converter_spark.plans.queries import ORACLE, QUERIES
+    from spanner_jdbc_converter_spark.plans import ORACLE, QUERIES
 
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLE:

@@ -1,0 +1,352 @@
+"""Extension-operator corpus (SURVEY.md §2.11): text analysis, dedup
+(fingerprint / MinHash-LSH / n-gram Jaccard), similarity search,
+multimodal columns, JSON props.
+
+Oracle strategy: every hash-based operator uses the portable md5
+construction (functions/hashing.py), so even MinHash signatures and LSH
+candidate pairs are *fully* SQL-checkable in DuckDB — the oracle SQL is
+generated from the same constants as the Spark expressions to keep the
+two definitions in lock-step.
+
+Float parity: single divisions of exact integers (Jaccard) are IEEE-
+deterministic and left unrounded; accumulated values (cosine, quality)
+are rounded to 6 digits on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded_sql
+from spanner_jdbc_converter_spark.operators import dedup as dd
+from spanner_jdbc_converter_spark.operators import multimodal as mm
+from spanner_jdbc_converter_spark.operators import similarity as sim
+from spanner_jdbc_converter_spark.operators import text as tx
+from spanner_jdbc_converter_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side), generated from the same constants the
+# Spark operators use.
+# ---------------------------------------------------------------------------
+
+#: tokens: lowercased whitespace split, empties dropped (= operators.text.tokens)
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+#: word 3-gram shingles over t (requires len(t) >= 3)
+_GRAMS_SQL = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in tx.LANG_PROFILES["en"])
+
+
+def _lang_score_sql() -> str:
+    cols = []
+    for lang, words in sorted(tx.LANG_PROFILES.items()):
+        arr = ", ".join(f"'{w}'" for w in words)
+        cols.append(f"len(list_intersect(t, [{arr}])) AS s_{lang}")
+    return ", ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(tx.LANG_PROFILES)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"CASE WHEN {mx} = 0 THEN 'und' {whens} END"
+
+
+def _minhash_sig_sql() -> list[str]:
+    """One expression per MinHash seed (over grams list g)."""
+    return [
+        f"list_min(list_transform(g, s -> {md5_long_seeded_sql('s', k)}))"
+        for k in range(dd.MINHASH_K)
+    ]
+
+
+def _lsh_band_exprs_sql() -> str:
+    """Band-key expressions over sig (matches dedup.lsh_band_keys: one
+    'b<band>'-prefixed key per band so bands never cross-collide)."""
+    bands = []
+    for b in range(dd.LSH_BANDS):
+        elems = ", ".join(f"sig[{b * dd.LSH_ROWS + r + 1}]" for r in range(dd.LSH_ROWS))
+        bands.append(f"concat_ws(',', 'b{b}', {elems})")
+    return ", ".join(bands)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+           CAST(coalesce(list_sum(list_transform({_TOKS_SQL},
+                x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
+             AS n_stopwords
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / punctuation / stopword counting — whole pipeline is one
+    codegen'd projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.punct_count("text").alias("n_punct"),
+        tx.stopword_count("text").alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_SQL},
+                  x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           ROUND(
+             0.4 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+           + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4, 1.0)
+           + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
+           6) AS quality
+    FROM f
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length band + stopword density −
+    punctuation density)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         s AS (SELECT doc_id, {_lang_score_sql()} FROM toks)
+    SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic alphabetical
+    tiebreak ('und' when no profile matches)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_fingerprint_groups",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS group_size,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint (md5 of lowercased,
+    whitespace-collapsed text); keeper = min doc_id.  One uniform-key
+    shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.fingerprint_groups(d)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3)
+    SELECT doc_id,
+           {", ".join(f"{e} AS sig_{k:02d}" for k, e in enumerate(_minhash_sig_sql()))}
+    FROM grams
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 seeded md5 min-hashes over word 3-gram
+    shingles) — flattened to columns; the full signature computation is
+    oracle-checked value-for-value."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    sigs = dd.minhash_signatures(d)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", k + 1).alias(f"sig_{k:02d}") for k in range(dd.MINHASH_K)],
+    )
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         sigs AS (SELECT doc_id,
+                         [{", ".join(_minhash_sig_sql())}] AS sig
+                  FROM grams),
+         bands AS (SELECT doc_id,
+                          unnest([{_lsh_band_exprs_sql()}]) AS band_key
+                   FROM sigs)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidates: 4 bands × 4 rows over the MinHash
+    signature; pairs sharing ≥1 band.  The oracle reproduces the full
+    shingle→hash→band→bucket-join pipeline in SQL — no cross join on
+    either engine."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    return dd.lsh_candidate_pairs(d)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, lang, list_distinct({_GRAMS_SQL}) AS g
+                   FROM toks WHERE len(t) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.2 for same-language pairs (blocked pair
+    space).  Single integer division ⇒ bit-exact across engines,
+    unrounded."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(tx.word_ngrams("text", 3)).alias("grams")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             ROUND({_COS_SQL}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0)
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, match_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the probe query set (vec_id % 50 = 0).
+    Queries broadcast; corpus never shuffles; WindowGroupLimit reduces
+    per-partition before the final merge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.cosine_topk(queries, e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "sim_embedding_near_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL}, 6) >= 0.35
+    """,
+)
+def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35 — fixture embeddings are
+    near-orthogonal random vectors, max pairwise cosine ≈ 0.48, so this
+    threshold yields a small non-trivial pair set)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_near_pairs(e, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + JSON props
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_media_summary",
+    oracle="""
+    SELECT 'text/plain' AS media_type,
+           COUNT(*) AS n_items,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata aggregation — media bytes live in their own
+    column; this plan never reads them (metadata struct only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.media_summary(mm.attach_payload(d))
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON string → typed value → aggregate
+    (multimodal column discipline applied to JSON payloads)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+    )

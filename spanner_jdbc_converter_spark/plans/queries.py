@@ -19,27 +19,13 @@ side broadcasts, where the shuffles are.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.plans.registry import ORACLE, QUERIES, register
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the corpus."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
+__all__ = ["QUERIES", "ORACLE", "register"]
 
 
 def _dec(col):

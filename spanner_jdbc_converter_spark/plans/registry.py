@@ -1,0 +1,27 @@
+"""Shared registry for the driver-checked query corpus.
+
+Modules (queries.py, extensions.py, streaming.py) register entries here;
+__spark_entry__ and the oracle harness read the combined dicts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the corpus.
+    ``oracle=None`` ⇒ the driver records a weaker rows-only check."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,214 @@
+"""Extension-operator tests beyond the oracle corpus: approximate methods
+checked against exact baselines (SURVEY.md §7.4: 'check one against the
+other'), multimodal Arrow plumbing, vector math vs numpy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.functions.vector import cosine, dot, norm
+from spanner_jdbc_converter_spark.operators import dedup as dd
+from spanner_jdbc_converter_spark.operators import multimodal as mm
+from spanner_jdbc_converter_spark.operators import similarity as sim
+from spanner_jdbc_converter_spark.operators import text as tx
+
+
+# -- vector math vs numpy ---------------------------------------------------
+
+
+def test_vector_ops_match_numpy(spark):
+    a = [1.5, -2.0, 3.25, 0.0]
+    b = [0.5, 4.0, -1.0, 2.0]
+    df = spark.createDataFrame([(a, b)], "va array<float>, vb array<float>")
+    row = df.select(
+        dot("va", "vb").alias("d"), norm("va").alias("na"), cosine("va", "vb").alias("c")
+    ).first()
+    na, nb = np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)
+    assert row["d"] == pytest.approx(float(np.dot(na.astype(float), nb.astype(float))), rel=1e-12)
+    assert row["na"] == pytest.approx(float(np.linalg.norm(na.astype(float))), rel=1e-12)
+    expected_c = float(
+        np.dot(na.astype(float), nb.astype(float))
+        / (np.linalg.norm(na.astype(float)) * np.linalg.norm(nb.astype(float)))
+    )
+    assert row["c"] == pytest.approx(expected_c, rel=1e-12)
+
+
+# -- text helpers -----------------------------------------------------------
+
+
+def test_tokens_and_ngrams(spark):
+    df = spark.createDataFrame([("The  quick brown fox ",)], "text string")
+    row = df.select(
+        tx.tokens("text").alias("t"),
+        tx.word_ngrams("text", 3).alias("g3"),
+        tx.char_ngrams("text", 3).alias("c3"),
+        tx.token_count("text").alias("n"),
+    ).first()
+    assert row["t"] == ["the", "quick", "brown", "fox"]
+    assert row["g3"] == ["the quick brown", "quick brown fox"]
+    assert row["n"] == 4
+    assert row["c3"][:3] == ["the", "he ", "e  "]
+
+
+def test_lang_id_tiebreak_und(spark):
+    df = spark.createDataFrame(
+        [("xyzzy plugh",), ("the of and a widget",), ("der die und das ist",)],
+        "text string",
+    )
+    out = [r["lang"] for r in df.select(tx.lang_id("text").alias("lang")).collect()]
+    assert out[0] == "und"
+    assert out[1] == "en"
+    assert out[2] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("  HELLO\tWORLD ",), ("different",)],
+        "text string",
+    )
+    fps = [r["fp"] for r in df.select(tx.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """20 base docs + near-dup variants (1-word edits) + 1 exact dup."""
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30)) + " the a of and common tail words here")
+        for i in range(20)
+    ]
+    rows = list(base)
+    # near dup of doc 0: one token changed
+    rows.append((100, base[0][1].replace("tok0_5", "tokX_5")))
+    # exact dup of doc 1
+    rows.append((101, base[1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_fingerprint_dedup(spark, near_dup_docs):
+    assert dd.exact_dedup(near_dup_docs, ["text"]).count() == 21  # one exact dup
+    kept = dd.fingerprint_dedup(near_dup_docs)
+    assert kept.count() == 21
+    # deterministic keeper: doc 1 survives, 101 dropped
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 101 not in ids
+
+
+def test_lsh_finds_near_dups(spark, near_dup_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(near_dup_docs).collect()}
+    assert (0, 100) in pairs  # near dup caught
+    assert (1, 101) in pairs  # exact dup caught
+    # unrelated docs (disjoint shingles) don't flood the candidate set
+    assert len(pairs) < 30
+
+
+def test_jaccard_verifies_lsh_candidates(spark, near_dup_docs):
+    jac = dd.jaccard_pairs(near_dup_docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert pairs[(1, 101)] == 1.0
+    assert 0.5 <= pairs[(0, 100)] < 1.0
+
+
+def test_simhash_near_pairs(spark, near_dup_docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_docs).collect()}
+    assert sigs[1] == sigs[101]  # identical text -> identical signature
+    ham = bin(sigs[0] ^ sigs[100]).count("1")
+    assert ham <= 6  # near-dup -> few bits differ
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.simhash_near_pairs(near_dup_docs, max_hamming=6, bands=8).collect()}
+    assert (1, 101) in pairs
+    assert (0, 100) in pairs
+
+
+def test_embedding_near_pairs_blocked_matches_unblocked(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    un = dd.embedding_near_pairs(e, threshold=0.3)
+    assert un.count() >= 0  # smoke: plan executes
+    bl = dd.embedding_near_pairs(e.withColumn("label", F.lit(1)), threshold=0.3, block_col="label")
+    assert sorted(map(tuple, un.collect())) == sorted(map(tuple, bl.collect()))
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, e, k=5).collect()
+    approx = sim.lsh_ann_topk(queries, e, k=5, planes=4, tables=8).collect()
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["match_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random near-orthogonal vectors are LSH's worst case; 8 tables × 4
+    # planes must still recover most of the true top-5
+    assert recall >= 0.3, f"ANN recall {recall:.2f}"
+    # every approx result's cosine must be <= the exact top-1 for that query
+    exact_best = {}
+    for r in exact:
+        if r["rank"] == 1:
+            exact_best[r["query_id"]] = r["cosine"]
+    for r in approx:
+        assert r["cosine"] <= exact_best[r["query_id"]] + 1e-9
+
+
+def test_topk_rank_determinism(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    r1 = sim.cosine_topk(q, e, k=3).collect()
+    r2 = sim.cosine_topk(q, e.repartition(7), k=3).collect()
+    assert [(r["match_id"], r["cosine"]) for r in r1] == [(r["match_id"], r["cosine"]) for r in r2]
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_attach_payload_and_summary(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_payload(d)
+    row = media.first()
+    assert row["media_meta"]["media_type"] == "text/plain"
+    assert row["media_meta"]["byte_len"] == len(row["payload"])
+    summary = mm.media_summary(media).first()
+    assert summary["n_items"] == d.count()
+
+
+def test_extract_features_mapinpandas(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.attach_payload(d)
+    feats = mm.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 4
+        assert r["byte_len"] > 0
+        assert 0 <= r["feature"][1] <= r["feature"][0] <= r["feature"][2] <= 255
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["feature"] for r in mm.extract_features(media.repartition(5)).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feature"]
+
+
+def test_decode_media_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG", "image/png")
+
+
+# -- portable hashing -------------------------------------------------------
+
+
+def test_md5_long_matches_duckdb(spark, duck):
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long, md5_long_sql
+
+    vals = ["", "a", "hello world", "Ünïcødé", "123"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    srow = [r["h"] for r in df.select(md5_long(F.col("s")).alias("h")).collect()]
+    for v, sh in zip(vals, srow):
+        dh = duck.sql(f"select {md5_long_sql(repr(v))} as h").fetchone()[0]
+        assert sh == dh, v

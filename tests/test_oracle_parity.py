@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from spanner_jdbc_converter_spark.oracle import check_query
-from spanner_jdbc_converter_spark.plans.queries import ORACLE, QUERIES
+from spanner_jdbc_converter_spark.plans import ORACLE, QUERIES
 
 
 def test_every_oracle_has_a_query():
