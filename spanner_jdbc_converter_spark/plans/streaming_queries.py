@@ -1,0 +1,81 @@
+"""Batch-equivalent corpus entries for the streaming operators
+(SURVEY.md §2.10).
+
+Structured Streaming's contract is that a streaming query equals the
+batch query on the same input — so the oracle-checkable surface of each
+streaming operator is its batch twin, registered here.  The *streaming*
+execution of the same function bodies (watermarks, memory sinks,
+availableNow triggers, stateful ops) is exercised in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.plans.registry import register
+from spanner_jdbc_converter_spark.streaming import ops
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — F.window ≡ time_bucket
+    (both align to the epoch-hour grid)."""
+    return ops.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL 30 minute, ts) AS tb FROM events),
+         w AS (SELECT unnest([tb, tb - INTERVAL 30 minute]) AS window_start FROM b)
+    SELECT window_start, COUNT(*) AS n_events
+    FROM w
+    GROUP BY 1
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: every event lands in
+    exactly two windows (the oracle unnests the two window starts)."""
+    return ops.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+         m AS (SELECT user_id, ts,
+                      CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 2 hour
+                           THEN 1 ELSE 0 END AS new_s
+               FROM o),
+         i AS (SELECT user_id, ts,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS island
+               FROM m)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 2 hour AS session_end,
+           COUNT(*) AS n_events
+    FROM i
+    GROUP BY user_id, island
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 2-hour gap.  F.session_window's
+    semantics (end = last event + gap; an event exactly gap after the
+    previous one starts a NEW session) are reproduced by the oracle's
+    gaps-and-islands form with ``>= INTERVAL``."""
+    return ops.session_counts(load_table(spark, sf_dir, "events"), gap="2 hours")

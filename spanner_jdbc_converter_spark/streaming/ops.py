@@ -1,0 +1,192 @@
+"""Streaming transformations + their batch equivalents.
+
+Every operator is written against a plain DataFrame, so the same function
+body serves both ``spark.read`` (batch / oracle check) and
+``spark.readStream`` (incremental) inputs — the Structured Streaming
+guarantee that a streaming query computes the same answer as the batch
+query on the same data is exactly what the tests assert.
+
+Scale notes: watermarks bound state (late events beyond the watermark are
+dropped, windows are finalized and evicted); grouped state in
+``running_user_counts`` is per-user and O(users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spanner_jdbc_converter_spark.catalog import load_table
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events fixture: same ns→µs conversion
+    as the batch loader (nanosAsLong → timestamp_micros(ts div 1000))."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; pathGlobFilter selects the table
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+# -- windowed aggregations (same body for batch + streaming) ----------------
+
+
+def tumbling_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in size/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-user session windows (gap-merged); end = last event + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming exact dedup on event_id; the watermark bounds the dedup
+    state (ids older than the watermark are evicted — at 100 TB/day this
+    is the only dedup that doesn't grow without bound)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# -- custom stateful operator ----------------------------------------------
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-user event count +
+    value sum via applyInPandasWithState (the reference has no analog —
+    SURVEY.md §2.10 parity addition).
+
+    State is one (count, sum) pair per user — O(users) memory regardless
+    of stream length."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [s]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- harness ----------------------------------------------------------------
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming query on a bounded source to completion and
+    return the materialized result from the memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
