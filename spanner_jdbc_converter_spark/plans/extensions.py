@@ -328,6 +328,67 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _hp_coeffs(tag: str, j: int, dim: int = 64) -> list[float]:
+    """Hyperplane coefficients exactly as similarity.hyperplane_sign_key
+    derives them on the Spark side: (md5int('<i>:<tag>:<j>') % 2001
+    - 1000) / 1000 — md5 of a literal is constant-folded there, computed
+    with hashlib here; both are IEEE double divisions of the same int."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{i}:{tag}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000)
+    return out
+
+
+def _ann_bucket_sql(tables: int = 8, planes: int = 4) -> str:
+    """The 8 per-table LSH bucket-key expressions over `embedding`."""
+    buckets = []
+    for t in range(tables):
+        signs = []
+        for j in range(planes):
+            coeffs = ", ".join(repr(c) for c in _hp_coeffs(f"hp{t}", j))
+            proj = (
+                "list_sum(list_transform(range(1, 65),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * [{coeffs}][i]))"
+            )
+            signs.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        buckets.append(f"concat('t{t}:', {', '.join(signs)})")
+    return ", ".join(buckets)
+
+
+@register(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+    WITH keyed AS (SELECT vec_id, unnest([{_ann_bucket_sql()}]) AS bucket
+                   FROM embeddings),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+                  FROM keyed q JOIN keyed c USING (bucket)
+                  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         scored AS (SELECT query_id, match_id, ROUND({_COS_SQL}, 6) AS cosine
+                    FROM cand
+                    JOIN embeddings a ON a.vec_id = query_id
+                    JOIN embeddings b ON b.vec_id = match_id)
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, match_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by random-hyperplane LSH (8 tables × 4 planes) —
+    the sub-linear scale path for similarity search; candidates only from
+    shared buckets, scored exactly.  The oracle reproduces the md5-seeded
+    hyperplanes, bucketing, and ranking in SQL, so even the approximate
+    result set is hash-checked value-for-value."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.lsh_ann_topk(queries, e, k=5, planes=4, tables=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "sim_embedding_near_pairs",
     oracle=f"""
@@ -364,6 +425,45 @@ def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     column; this plan never reads them (metadata struct only)."""
     d = load_table(spark, sf_dir, "documents")
     return mm.media_summary(mm.attach_payload(d))
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH b AS (SELECT doc_id, length(text) AS n,
+                      list_transform(range(1, length(text) + 1),
+                                     i -> ascii(text[i])) AS bytes
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS byte_len,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS f_mean,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_min(bytes) AS DOUBLE) END AS f_min,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_max(bytes) AS DOUBLE) END AS f_max,
+           CAST(n % 997 AS DOUBLE) AS f_lenmod
+    FROM b
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (the deterministic stand-in for a media decode — byte statistics).
+    The oracle recomputes the byte stats from the UTF-8 payload in SQL
+    (fixture text is ASCII, so byte i == ascii(char i)); exact integer
+    sums/divisions keep the doubles bit-equal.  This checks the whole
+    Python/Arrow crossing: schema contract, batch iteration, payload
+    handling."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_payload(d))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.element_at("feature", 1).alias("f_mean"),
+        F.element_at("feature", 2).alias("f_min"),
+        F.element_at("feature", 3).alias("f_max"),
+        F.element_at("feature", 4).alias("f_lenmod"),
+    )
 
 
 @register(

@@ -608,3 +608,152 @@ def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000).cast("double").alias("price_bucket"),
         F.round(_dec(F.col("o_totalprice")) * 2, 2).cast("double").alias("doubled_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped parity queries (SURVEY.md §2.3-2.5 capability additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_unshipped_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): top-10 highest-revenue orders
+    taken before a date but not yet shipped by it, for one market
+    segment (fixtures carry no o_shippriority — grouped on
+    (l_orderkey, o_orderdate) instead).
+
+    Scale: the segment filter prunes ~4/5 of customer BEFORE its join;
+    both date filters are pushed into the parquet scans (row-group
+    min/max skipping); orders⋈lineitem shuffles on orderkey; the final
+    TopK is a TakeOrderedAndProject — no global sort materialization.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_returned_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one year.
+
+    Scale: returnflag + date predicates push to the scans; nation (25
+    rows) broadcasts; the heavy shuffle pair is orders⋈lineitem on
+    orderkey, then one agg shuffle on custkey.  TopK via
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), "revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (SELECT l_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                       COUNT(*) AS n_lines
+                FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           COUNT(*) AS n_small_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS small_qty_revenue
+    FROM lineitem
+    JOIN pq   ON lineitem.l_partkey = pq.l_partkey
+    JOIN part ON lineitem.l_partkey = p_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,4)) * n_lines * 5 < sum_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of the part's average, by
+    brand.  The avg comparison is algebraically rearranged to
+    ``qty · n · 5 < Σqty`` over exact decimals/ints — no double division
+    on either engine, so the predicate is bit-deterministic.
+
+    Scale: the per-part aggregate and the fact join share the same
+    l_partkey shuffle key (one exchange is reused); part is dimension-
+    sized per key group.  No correlated subquery — the decorrelated form
+    IS the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(pq, li.l_partkey == pq.pq_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(_dec(F.col("l_quantity")) * F.col("n_lines") * 5 < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            _money(F.sum(_dec(F.col("l_extendedprice"))), "small_qty_revenue"),
+        )
+        .orderBy("p_brand")
+    )
