@@ -216,12 +216,17 @@ def jaccard_pairs(
     """Exact n-gram Jaccard ≥ threshold for document pairs via an
     inverted index — never materializes the all-pairs space.
 
-    Plan shape: explode distinct shingles → self-join postings on the
-    shingle (+ optional block columns) → count shared shingles per pair
-    (= |A∩B|) → join per-doc shingle counts → J = i / (|A|+|B|-i).
-    Cost is Σ_shingle df(shingle)² — proportional to actual overlap, not
+    Plan shape: explode distinct shingles, each posting row carrying its
+    doc's distinct-shingle count as a window COUNT (the shingle window,
+    the dedup aggregate, and the count window all share the hash(id)
+    partitioning — ONE exchange produces the posting list) → self-join
+    postings on the shingle (+ optional block columns); the two sides
+    are identical subplans shuffled on the same key, so the exchange is
+    computed once and reused → count shared shingles per pair (= |A∩B|)
+    → J = i / (|A|+|B|-i) with the sizes already on the row.  Cost is
+    Σ_shingle df(shingle)² — proportional to actual overlap, not
     |docs|²; rare shingles (the common case) contribute ~nothing.  This
-    is the 100 TB shape: three key-partitioned shuffles, no cross join.
+    is the 100 TB shape: no cross join, no second scan of the corpus.
 
     Requires threshold > 0: pairs sharing zero shingles never surface
     (their Jaccard is 0 by definition, so the result set is identical).
@@ -231,10 +236,11 @@ def jaccard_pairs(
     if threshold <= 0:
         raise ValueError("jaccard_pairs needs threshold > 0 (zero-overlap pairs never surface)")
     blocks = list(block_cols or [])
-    posts = shingle_rows(
-        df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False
-    ).dropDuplicates([id_col, "__s"])
-    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    posts = (
+        shingle_rows(df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False)
+        .dropDuplicates([id_col, "__s"])
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in blocks:
@@ -244,17 +250,16 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("__i").cast("double") / (
-        F.col("sa.__n") + F.col("sb.__n") - F.col("__i")
+        F.col("__na") + F.col("__nb") - F.col("__i")
     ).cast("double")
     return (
-        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

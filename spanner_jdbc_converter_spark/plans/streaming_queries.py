@@ -12,6 +12,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
 from spanner_jdbc_converter_spark.plans.registry import register
@@ -79,3 +80,29 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous one starts a NEW session) are reproduced by the oracle's
     gaps-and-islands form with ``>= INTERVAL``."""
     return ops.session_counts(load_table(spark, sf_dir, "events"), gap="2 hours")
+
+
+@register(
+    "events_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (ops.running_user_counts / applyInPandasWithState): final per-user
+    event count + value sum.  The streaming execution — state updates
+    per micro-batch, O(users) state — is exercised in
+    tests/test_streaming.py; this entry pins the end-of-stream answer
+    (value routed through DECIMAL for order-independent summation)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
