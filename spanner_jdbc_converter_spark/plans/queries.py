@@ -757,3 +757,51 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog scans as corpus entries (SURVEY.md §2.1 S1-S3)
+# ---------------------------------------------------------------------------
+
+
+def _catalog_oracle_sql() -> str:
+    from spanner_jdbc_converter_spark.catalog import FIXTURE_TABLES, PRIMARY_KEYS
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name,"
+        f" (SELECT COUNT(*) FROM (DESCRIBE {t})) AS n_columns,"
+        f" '{', '.join(PRIMARY_KEYS[t])}' AS pk"
+        for t in FIXTURE_TABLES
+    )
+    return f"SELECT table_name, CAST(n_columns AS BIGINT) AS n_columns, pk FROM ({rows})"
+
+
+@register("s1_catalog_column_scan", oracle=_catalog_oracle_sql())
+def s1_catalog_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3 catalog scan (REF/ddl/TableConverter.java:131-154,
+    REF/util/ConverterUtils.java:166-191): enumerate user tables through
+    the session catalog (system schemas filtered, P6), then read column
+    counts from the self-describing parquet schema and the primary key
+    from carried metadata.  The oracle recomputes the column counts from
+    DuckDB's DESCRIBE over the same files — both sides are true metadata
+    scans; no data is read."""
+    from spanner_jdbc_converter_spark.catalog import (
+        FIXTURE_TABLES,
+        get_columns,
+        is_system_schema,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    listed = {
+        t.name
+        for t in spark.catalog.listTables()
+        if not is_system_schema(t.database or "")
+    }
+    rows = []
+    for name in FIXTURE_TABLES:
+        if name not in listed:
+            continue
+        meta = get_columns(load_table(spark, sf_dir, name), name)
+        rows.append((name, len(meta.names), meta.pk_list))
+    return spark.createDataFrame(rows, "table_name string, n_columns long, pk string")

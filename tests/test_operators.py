@@ -212,3 +212,25 @@ def test_md5_long_matches_duckdb(spark, duck):
     for v, sh in zip(vals, srow):
         dh = duck.sql(f"select {md5_long_sql(repr(v))} as h").fetchone()[0]
         assert sh == dh, v
+
+
+# -- catalog scans (SURVEY.md §2.1 S1/S7, P6) -------------------------------
+
+
+def test_list_user_tables_filters_system_schemas(spark, sf_dir):
+    from spanner_jdbc_converter_spark import catalog as cat
+
+    cat.register_views(spark, sf_dir)
+    tables = cat.list_user_tables(spark)
+    assert set(cat.FIXTURE_TABLES) <= set(tables)
+    assert cat.is_system_schema("information_schema")
+    assert cat.is_system_schema("PG_CATALOG")
+    assert not cat.is_system_schema("main")
+
+
+def test_table_exists_in_source_semi_join():
+    from spanner_jdbc_converter_spark.catalog import table_exists_in_source
+
+    # keeps destination order, case-insensitive match, drops missing
+    out = table_exists_in_source(["ORDERS", "lineitem"], ["lineitem", "orders", "ghost"])
+    assert out == ["lineitem", "orders"]
