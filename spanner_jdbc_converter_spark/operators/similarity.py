@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spanner_jdbc_converter_spark.functions.hashing import md5_long_seeded
 from spanner_jdbc_converter_spark.functions.vector import dot, norm
 
 
@@ -65,20 +64,32 @@ def cosine_topk(
     )
 
 
+def hyperplane_coefficients(seed_tag: str, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane H_j: coefficient i =
+    (md5int('<i>:<seed_tag>:<j>') % 2001 - 1000) / 1000 — the same value
+    the expression form md5_long_seeded(lit(f'{seed_tag}:{j}'), i) folds
+    to, computed with hashlib so the PLAN carries plain double literals.
+    (The expression form put 64 md5 subtrees per plane into the plan;
+    constant-folding 2×32×64 of them cost ~45 s of driver time per
+    query at 8 tables × 4 planes.)  Reproducible in any engine, no
+    stored model."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{i}:{seed_tag}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000)
+    return out
+
+
 def hyperplane_sign_key(vec_col, planes: int, dim: int, seed_tag: str = "hp") -> "F.Column":
     """LSH bucket key: sign pattern of <vec, H_j> for j in 0..planes-1.
 
-    Hyperplane coefficients are deterministic pseudo-randoms derived from
-    the portable md5 hash — H_j[i] = (md5int('hp:<j>:<i>') % 2001 - 1000)/1000
-    — reproducible in any engine, no stored model."""
+    The projection is the same left-to-right fold as functions.vector.dot
+    so the sign is bit-reproducible against the SQL oracle."""
     signs = []
     for j in range(planes):
-        coeffs = F.array(
-            *[
-                (md5_long_seeded(F.lit(f"{seed_tag}:{j}"), i) % 2001 - 1000) / 1000.0
-                for i in range(dim)
-            ]
-        )
+        coeffs = F.array(*[F.lit(c) for c in hyperplane_coefficients(seed_tag, j, dim)])
         proj = F.aggregate(
             F.zip_with(vec_col, coeffs, lambda x, h: x.cast("double") * h),
             F.lit(0.0),

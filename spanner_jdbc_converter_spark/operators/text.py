@@ -84,6 +84,20 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.flatten(bound)
 
 
+#: GPT-2-style tokenizer approximation: contractions, letter runs, digit
+#: runs, punctuation runs — each optionally absorbing one leading space.
+#: Uses only regex constructs with identical leftmost-first alternation
+#: semantics in Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count over lowercased text (the 'BPE-ish regex'
+    counting path; whitespace token counting is :func:`token_count`)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(col), F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
 def punct_count(col: Column | str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(col, F.lit(r"[^\w\s]")).cast("long")

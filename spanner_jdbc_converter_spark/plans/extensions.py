@@ -153,6 +153,35 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
 
 
+_BPE_PATTERN_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")
+_FP64_SQL = md5_long_sql(r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))")
+
+
+@register(
+    "text_bpe_tokens_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '{_BPE_PATTERN_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+           {_FP64_SQL} AS fp64
+    FROM documents
+    """,
+)
+def text_bpe_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish (BPE-style regex) vs whitespace token counts, plus the
+    60-bit rolling-hash-analog content fingerprint.  The regex uses only
+    constructs whose leftmost-first alternation behaves identically in
+    Java regex and RE2, so counts match engine-for-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        tx.token_count("text").alias("n_ws_tokens"),
+        tx.fingerprint_long("text").alias("fp64"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -328,27 +357,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _hp_coeffs(tag: str, j: int, dim: int = 64) -> list[float]:
-    """Hyperplane coefficients exactly as similarity.hyperplane_sign_key
-    derives them on the Spark side: (md5int('<i>:<tag>:<j>') % 2001
-    - 1000) / 1000 — md5 of a literal is constant-folded there, computed
-    with hashlib here; both are IEEE double divisions of the same int."""
-    import hashlib
-
-    out = []
-    for i in range(dim):
-        h = int(hashlib.md5(f"{i}:{tag}:{j}".encode()).hexdigest()[:15], 16)
-        out.append((h % 2001 - 1000) / 1000)
-    return out
-
-
 def _ann_bucket_sql(tables: int = 8, planes: int = 4) -> str:
-    """The 8 per-table LSH bucket-key expressions over `embedding`."""
+    """The 8 per-table LSH bucket-key expressions over `embedding`
+    (coefficients from the single shared derivation in similarity.py)."""
     buckets = []
     for t in range(tables):
         signs = []
         for j in range(planes):
-            coeffs = ", ".join(repr(c) for c in _hp_coeffs(f"hp{t}", j))
+            coeffs = ", ".join(repr(c) for c in sim.hyperplane_coefficients(f"hp{t}", j, 64))
             proj = (
                 "list_sum(list_transform(range(1, 65),"
                 f" i -> CAST(embedding[i] AS DOUBLE) * [{coeffs}][i]))"
