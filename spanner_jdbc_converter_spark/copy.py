@@ -244,3 +244,28 @@ def copy_table(
     result.byte_count = metrics["bytes"] or 0
     result.end_time = time.time()
     return result
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table write — the co-located-join layout.
+
+    Two tables bucketed on the same join key with the same bucket count
+    join WITHOUT any exchange: each task reads matching buckets from
+    both sides.  At 100 TB this converts the biggest recurring fact⋈fact
+    shuffle into a scan-local join; ``sort_cols`` additionally
+    pre-sorts within buckets so the sort-merge join skips its sort.
+    (tests/test_copy_delete.py asserts the exchange-free plan.)"""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

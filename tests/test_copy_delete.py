@@ -9,6 +9,7 @@ import tempfile
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark import copy as cp
 from spanner_jdbc_converter_spark import delete as dl
@@ -190,3 +191,56 @@ def test_delete_pipeline_ranged_path(spark, sf_dir):
 def test_delete_strategy_threshold():
     assert dl.delete_strategy(9_999) == "single_statement"
     assert dl.delete_strategy(10_000) == "ranged"
+
+
+# -- bucketed co-located join (scale toolkit) -------------------------------
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.copy import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "ob"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"], path=str(tmp_path / "lb"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(jmode).split("\n\n")[0]
+        assert "Exchange" not in plan, plan
+        # and it actually computes the right thing
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, on=["o_custkey"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    salted = salted_join(o, c, on=["o_custkey"], salt=8).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+    # left join keeps unmatched big-side rows exactly once
+    o_extra = o.union(spark.createDataFrame([(999999, -1)], o.schema))
+    left = salted_join(o_extra, c, on=["o_custkey"], how="left", salt=8)
+    assert left.filter(F.col("o_custkey") == -1).count() == 1
