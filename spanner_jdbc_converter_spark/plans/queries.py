@@ -789,10 +789,11 @@ def s1_catalog_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         FIXTURE_TABLES,
         get_columns,
         is_system_schema,
-        register_views,
     )
 
-    register_views(spark, sf_dir)
+    frames = {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+    for name, df in frames.items():
+        df.createOrReplaceTempView(name)
     listed = {
         t.name
         for t in spark.catalog.listTables()
@@ -802,6 +803,6 @@ def s1_catalog_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in FIXTURE_TABLES:
         if name not in listed:
             continue
-        meta = get_columns(load_table(spark, sf_dir, name), name)
+        meta = get_columns(frames[name], name)
         rows.append((name, len(meta.names), meta.pk_list))
     return spark.createDataFrame(rows, "table_name string, n_columns long, pk string")
