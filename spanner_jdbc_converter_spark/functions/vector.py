@@ -38,6 +38,39 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 # slower: per-element element_at beats zip_with's one-shot array walk).
 # zip_with+aggregate is the fastest expression-only form; values are a
 # left-to-right fold, bit-reproducible in DuckDB's list_sum order.
+# For O(N²) pair scoring the Arrow-batched form below wins another ~2×.
+
+
+def dot_seq_pandas():
+    """Arrow-batched dot product with the SAME left-to-right summation
+    order as :func:`dot` (and DuckDB's list_sum) — the accumulator loop
+    runs over vector positions, vectorized numpy across the batch, so
+    each row's adds happen in index order and results are BIT-IDENTICAL
+    to the expression form (verified value-for-value at sf0.1).
+
+    Array lambdas are evaluated interpreted on the JVM; for pair joins
+    that score millions of rows the Arrow crossing + 64 vectorized ops
+    is ~2× faster.  Returned as a factory so importing this module
+    doesn't require an active SparkSession."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (resolves the stringified hints)
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: hints must be real types, not strings — this module has
+    # `from __future__ import annotations`, so build the signature
+    # explicitly instead of relying on annotation resolution.
+    def _dot_impl(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(A))
+        for k in range(A.shape[1]):
+            acc = acc + A[:, k] * B[:, k]
+        return pd.Series(acc)
+
+    _dot_impl.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot_impl, "double")
 
 
 def cosine_rounded(a: Column | str, b: Column | str, digits: int = 6) -> Column:

@@ -364,9 +364,10 @@ def embedding_near_pairs(
     the scalable path is similarity.lsh_ann over hyperplane buckets.
 
     Norms are computed once per vector BEFORE the pair join (N sqrt-sums
-    instead of 2·N² — the values are bit-identical to inline cosine, so
-    oracle hashing is unaffected)."""
-    from spanner_jdbc_converter_spark.functions.vector import dot, norm
+    instead of 2·N²), and the per-pair dot runs through the Arrow-batched
+    sequential-fold UDF — both bit-identical to inline cosine, so oracle
+    hashing is unaffected (see functions.vector notes)."""
+    from spanner_jdbc_converter_spark.functions.vector import dot_seq_pandas, norm
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     base = df.select(*cols, norm(F.col(vec_col)).alias("__nrm"))
@@ -376,7 +377,7 @@ def embedding_near_pairs(
     a, b = base.repartition(F.col(id_col)).alias("a"), base.alias("b")
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
     cos = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        dot_seq_pandas()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
         / (F.col("a.__nrm") * F.col("b.__nrm")),
         6,
     )
