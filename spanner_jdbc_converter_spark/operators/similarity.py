@@ -152,6 +152,74 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF-style coarse quantizer.
+
+    Centroids are a deterministic data sample (id % stride == 1 — no
+    trained model to store or ship); every corpus vector joins the
+    inverted list of its single nearest centroid (by rounded cosine,
+    ties to the smallest centroid id), and each query probes its
+    ``nprobe`` nearest lists.  Candidates are scored exactly and
+    window-top-k'ed — same re-ranking discipline as lsh_ann_topk.
+
+    Scale shape: assignment is corpus × broadcast(centroids) — linear
+    in |corpus|·K with no corpus shuffle; the candidate join shuffles
+    on cluster id (list-sized buckets, K ≈ |corpus|/stride keeps them
+    balanced for uniformly distributed ids)."""
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_nrm"),
+    )
+
+    def assign(df: DataFrame, role: str, rank_limit: int) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+        )
+        cos = F.round(
+            dot(F.col(f"{role}_vec"), F.col("cent_vec"))
+            / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
+            6,
+        )
+        w = Window.partitionBy(f"{role}_id").orderBy(
+            F.desc("__ccos"), F.asc("cent_id")
+        )
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .select(f"{role}_id", f"{role}_vec", f"{role}_nrm", "cent_id", cos.alias("__ccos"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= rank_limit)
+            .drop("__ccos", "__r")
+        )
+
+    corp = assign(corpus, "match", 1)
+    probes = assign(queries, "query", nprobe)
+    cos = F.round(
+        dot(F.col("query_vec"), F.col("match_vec"))
+        / (F.col("query_nrm") * F.col("match_nrm")),
+        6,
+    )
+    scored = (
+        probes.join(corp, on="cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "query_vec", "match_vec", "query_nrm", "match_nrm")
+        .dropDuplicates(["query_id", "match_id"])
+        .select("query_id", "match_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pairwise_dot_matrix(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """All-pairs dot products (id_a < id_b) — building block for
     embedding dedup / clustering diagnostics; brute force by design."""

@@ -322,14 +322,20 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_COS_SQL = (
-    "list_sum(list_transform(range(1, len(a.embedding) + 1),"
-    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),"
-    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),"
-    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
-)
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine between two list expressions, same fold order as
+    functions.vector.dot/norm (bit-identical doubles)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+_COS_SQL = _cos_sql("a.embedding", "b.embedding")
 
 
 @register(
@@ -402,6 +408,46 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.lsh_ann_topk(queries, e, k=5, planes=4, tables=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id % 100 = 1),
+         assign AS (SELECT e.vec_id, c.cent_id,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ROUND({_cos_sql("e.embedding", "c.cvec")}, 6) DESC,
+                                      c.cent_id) AS r
+                    FROM embeddings e CROSS JOIN cents c),
+         corp AS (SELECT vec_id AS match_id, cent_id FROM assign WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id FROM assign
+                    WHERE r <= 3 AND vec_id % 50 = 0),
+         cand AS (SELECT DISTINCT query_id, match_id
+                  FROM probes JOIN corp USING (cent_id)
+                  WHERE query_id <> match_id),
+         scored AS (SELECT query_id, match_id, ROUND({_COS_SQL}, 6) AS cosine
+                    FROM cand
+                    JOIN embeddings a ON a.vec_id = query_id
+                    JOIN embeddings b ON b.vec_id = match_id)
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, match_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF-style coarse quantizer (sampled
+    centroids, nearest-list assignment, nprobe=3) — the second scale
+    path for similarity search next to hyperplane LSH.  Assignment,
+    probing, and re-ranking are all reproduced in the oracle SQL, so the
+    approximate result is hash-checked value-for-value."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.ivf_topk(queries, e, k=5, nprobe=3, centroid_stride=100)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -234,3 +234,15 @@ def test_table_exists_in_source_semi_join():
     # keeps destination order, case-insensitive match, drops missing
     out = table_exists_in_source(["ORDERS", "lineitem"], ["lineitem", "orders", "ghost"])
     assert out == ["lineitem", "orders"]
+
+
+def test_ivf_topk_results_bounded_by_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, e, k=1).collect()
+    best = {r["query_id"]: r["cosine"] for r in exact}
+    approx = sim.ivf_topk(queries, e, k=5, nprobe=3, centroid_stride=100).collect()
+    assert approx, "ivf returned no candidates"
+    for r in approx:
+        # approximate scores can never beat the exact best
+        assert r["cosine"] <= best[r["query_id"]] + 1e-9
