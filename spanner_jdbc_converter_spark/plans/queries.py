@@ -806,3 +806,39 @@ def s1_catalog_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = get_columns(frames[name], name)
         rows.append((name, len(meta.names), meta.pk_list))
     return spark.createDataFrame(rows, "table_name string, n_columns long, pk string")
+
+
+@register(
+    "window_event_interarrival",
+    oracle="""
+    WITH g AS (SELECT user_id,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id)) AS gap_us
+               FROM events)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def window_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival gaps via lag() — the lead/lag window
+    surface over the stream-shaped table.  Gaps in exact integer
+    microseconds (unix_micros ≡ epoch_us) so sums hash bit-equal.
+
+    Scale: one hash(user_id) exchange feeds both the window sort and the
+    final per-user aggregation — no second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+    )
