@@ -549,3 +549,38 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_sum"),
         F.max(k).cast("long").alias("k_max"),
     )
+
+
+@register(
+    "vector_column_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           ROUND(CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE))) AS DOUBLE) / len(embedding), 6) AS vmean
+    FROM embeddings
+    """,
+)
+def vector_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics (multimodal array<float> column
+    discipline): dimension, L2 norm, max element, mean element — the
+    array-function surface (size/array_max/aggregate) with fold orders
+    matching the oracle bit-for-bit."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vsum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm(F.col("embedding")), 6).alias("l2"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(vsum / F.size("embedding"), 6).alias("vmean"),
+    )

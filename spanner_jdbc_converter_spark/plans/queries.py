@@ -842,3 +842,48 @@ def window_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").cast("long").alias("max_gap_us"),
         )
     )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (SURVEY.md §2.4 parity addition beyond rollup).  Spark expands
+    the sets map-side before the single agg shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _money(F.sum(_dec(F.col("l_quantity"))), "sum_qty"),
+    )
+
+
+@register(
+    "exists_suppliers_of_large_orders",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+    ORDER BY s_suppkey
+    """,
+)
+def exists_suppliers_of_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS, decorrelated to a left-semi join (what Catalyst
+    does to the SQL form too — RewriteCorrelatedScalarSubquery /
+    RewritePredicateSubquery).  The quantity filter pushes into the
+    lineitem scan; the semi join never duplicates supplier rows."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
