@@ -23,6 +23,7 @@ from spanner_jdbc_converter_spark.functions.hashing import (
     md5_long_sql,
     seeded_rehash_sql,
 )
+from spanner_jdbc_converter_spark.functions.vector import norm
 from spanner_jdbc_converter_spark.operators import dedup as dd
 from spanner_jdbc_converter_spark.operators import multimodal as mm
 from spanner_jdbc_converter_spark.operators import similarity as sim
@@ -562,16 +563,23 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(list_sum(list_transform(range(1, len(embedding) + 1),
                  i -> CAST(embedding[i] AS DOUBLE))) AS DOUBLE) / len(embedding), 6) AS vmean
     FROM embeddings
+    WHERE len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     """,
 )
 def vector_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector array statistics (multimodal array<float> column
     discipline): dimension, L2 norm, max element, mean element — the
     array-function surface (size/array_max/aggregate) with fold orders
-    matching the oracle bit-for-bit."""
-    from spanner_jdbc_converter_spark.functions.vector import norm
+    matching the oracle bit-for-bit.
 
-    e = load_table(spark, sf_dir, "embeddings")
+    Degenerate rows (empty vector / NULL elements) are filtered on BOTH
+    sides: Spark's fold and DuckDB's list_sum disagree on them (NULL
+    poisons the fold; list_sum skips it and returns NULL for []), so the
+    stats are defined only over well-formed vectors."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") > 0)
+        & (F.size(F.filter("embedding", lambda x: x.isNull())) == 0)
+    )
     vsum = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double")),
         F.lit(0.0),
