@@ -90,25 +90,32 @@ def plan_delete_ranges(
 
     The reference probes ``SELECT pk ORDER BY pk LIMIT 1 OFFSET k·per``
     per boundary (REF/data/TableDeleter.java:50-110) — O(workers) full
-    scans.  We take *one* distributed pass: ``ntile(num_workers)`` over
-    the PK order, then min/max per tile.  Exact boundaries, one shuffle.
-    """
+    scans.  Here: ``repartitionByRange`` (Spark samples the key
+    distribution, same spirit as the reference's probes) assigns every
+    key to one contiguous range, then a per-partition min/max struct
+    yields the boundaries.  Fully distributed — an ``ntile`` over a
+    global window would funnel every row through ONE task's sort, the
+    classic 100 TB bottleneck; the map-side partial aggregation here
+    leaves each range task emitting a single row instead."""
     if num_workers <= 0:
         return []
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*[F.col(c) for c in pk_cols])
-    tiled = df.select(*pk_cols).withColumn("__tile", F.ntile(num_workers).over(w))
-    bounds = (
-        tiled.groupBy("__tile")
+    parts = (
+        df.select(*pk_cols)
+        .repartitionByRange(num_workers, *[F.col(c) for c in pk_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
         .agg(
             F.min(F.struct(*pk_cols)).alias("lo"),
             F.max(F.struct(*pk_cols)).alias("hi"),
         )
-        .orderBy("__tile")
+        .orderBy("__pid")
         .collect()
     )
-    return [DeleteRange(tuple(r.lo), tuple(r.hi)) for r in bounds]
+    return [
+        DeleteRange(tuple(r.lo), tuple(r.hi))
+        for r in parts
+        if r.lo is not None and r.hi is not None
+    ]
 
 
 def delete_by_range(df: DataFrame, pk_cols: list[str], ranges: list[DeleteRange]) -> DataFrame:
