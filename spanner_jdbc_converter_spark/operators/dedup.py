@@ -136,13 +136,15 @@ def minhash_signature(text_col: Column | str, k: int = MINHASH_K, ngram: int = 3
 
     NB: the inner lambda must take exactly ONE parameter — PySpark's
     transform passes the element index as a second argument when the
-    callable's arity is 2, which would silently corrupt the value."""
+    callable's arity is 2 (a ``lambda h, i=i:`` default does NOT protect
+    against this: the index Column overrides the default)."""
     base = _shingle_base(text_col, ngram)
     hashes = F.transform(base, lambda s: md5_long(s))
-    mins = [
-        F.array_min(F.transform(hashes, lambda h, i=i: seeded_rehash(h, i)))
-        for i in range(k)
-    ]
+
+    def _rehash(seed: int):
+        return lambda h: seeded_rehash(h, seed)
+
+    mins = [F.array_min(F.transform(hashes, _rehash(i))) for i in range(k)]
     return F.array(*mins)
 
 

@@ -592,3 +592,32 @@ def vector_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
         F.round(vsum / F.size("embedding"), 6).alias("vmean"),
     )
+
+
+@register(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT lang, quality_tier, COUNT(*) AS n_distinct_docs
+    FROM (SELECT DISTINCT lang,
+                 CASE WHEN length(text) >= 300 THEN 'long' ELSE 'short' END AS quality_tier,
+                 text
+          FROM documents)
+    GROUP BY lang, quality_tier
+    """,
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as dropDuplicates (hash aggregate on the full value
+    tuple — SURVEY.md §2.11 row 1), summarized per (lang, length tier)
+    so the corpus entry has a stable small result.  One uniform-key
+    shuffle; at scale identical to the fingerprint path minus the
+    normalization."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.length("text") >= 300, F.lit("long")).otherwise(F.lit("short")).alias("quality_tier"),
+        "text",
+    )
+    return (
+        dd.exact_dedup(d, ["lang", "quality_tier", "text"])
+        .groupBy("lang", "quality_tier")
+        .agg(F.count(F.lit(1)).alias("n_distinct_docs"))
+    )

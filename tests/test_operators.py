@@ -246,3 +246,20 @@ def test_ivf_topk_results_bounded_by_exact(spark, sf_dir):
     for r in approx:
         # approximate scores can never beat the exact best
         assert r["cosine"] <= best[r["query_id"]] + 1e-9
+
+
+def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
+    """The one-off Column expressions (minhash_signature / simhash) must
+    agree with the hot-path DataFrame pipelines value-for-value."""
+    frame_sigs = {r["doc_id"]: list(r["sig"]) for r in dd.minhash_signatures(near_dup_docs).collect()}
+    col_sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in near_dup_docs.select("doc_id", dd.minhash_signature("text").alias("sig")).collect()
+    }
+    assert frame_sigs == col_sigs
+    frame_sh = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(near_dup_docs).collect()}
+    col_sh = {
+        r["doc_id"]: r["sh"]
+        for r in near_dup_docs.select("doc_id", dd.simhash("text").alias("sh")).collect()
+    }
+    assert frame_sh == col_sh
