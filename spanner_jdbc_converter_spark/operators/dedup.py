@@ -366,29 +366,103 @@ def embedding_near_pairs(
     the scalable path is similarity.lsh_ann over hyperplane buckets.
 
     Norms are computed once per vector BEFORE the pair join (N sqrt-sums
-    instead of 2·N²), and the per-pair dot runs through the Arrow-batched
-    sequential-fold UDF — both bit-identical to inline cosine, so oracle
-    hashing is unaffected (see functions.vector notes)."""
-    from spanner_jdbc_converter_spark.functions.vector import dot_seq_pandas, norm
+    instead of 2·N²).  Pair scoring is BLOCKED: vectors are packed into
+    id-range blocks, the (upper-triangular) block-pair frame is tiny,
+    and one Arrow batch scores a whole block pair in numpy — so Arrow
+    carries 2·B vectors per B² scores instead of two vectors per score
+    (~B×/2 less serialization than a pair-level cross join).  The numpy
+    accumulator loops over vector positions, preserving the exact
+    left-to-right fold of aggregate(zip_with(...)) / DuckDB list_sum;
+    the kernel emits raw cosines above (threshold − 1e-6) and the FINAL
+    round + threshold runs as Spark expressions — bit-identical to the
+    oracle.
 
-    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols, norm(F.col(vec_col)).alias("__nrm"))
-    # The streamed (left) side sets the output parallelism of the
-    # nested-loop join — repartition it so the O(N²) cosine projection
-    # uses every core even when the input is a single small split.
-    a, b = base.repartition(F.col(id_col)).alias("a"), base.alias("b")
-    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
-    cos = F.round(
-        dot_seq_pandas()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a.__nrm") * F.col("b.__nrm")),
-        6,
-    )
-    return (
-        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
+    Scale: block pairs are independent tasks (B²-cost each, 2·B·dim
+    input), so a 1000-executor cluster spreads the O(N²) work evenly;
+    at real corpus sizes the LSH/IVF paths in similarity.py replace
+    this exact kernel entirely."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+
+    import numpy as np
+    import pandas as pd
+
+    if block_col is not None:
+        # Semantic blocking: pairs only within equal block_col values —
+        # fall back to the pairwise join (pair space is already small).
+        from spanner_jdbc_converter_spark.functions.vector import dot_seq_pandas
+
+        base = df.select(
+            F.col(id_col), F.col(vec_col), F.col(block_col), norm(F.col(vec_col)).alias("__nrm")
         )
+        a, b = base.repartition(F.col(id_col)).alias("a"), base.alias("b")
+        cos = F.round(
+            dot_seq_pandas()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a.__nrm") * F.col("b.__nrm")),
+            6,
+        )
+        return (
+            a.join(b, on=block_col)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    block_size = 256
+    slack = threshold - 1e-6  # covers the ≤5e-7 lift ROUND can apply
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
+        F.floor(F.col(id_col) / block_size).alias("__blk"),
+    )
+    packed = base.groupBy("__blk").agg(
+        F.collect_list(F.struct("__id", "__vec", "__nrm")).alias("rows")
+    )
+    a = packed.select(F.col("__blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("__blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(F.col("blk_a"), F.col("blk_b"))
+    )
+
+    def _unpack(rows):
+        ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+        vecs = np.stack([np.asarray(r["__vec"], dtype=np.float64) for r in rows])
+        nrms = np.array([r["__nrm"] for r in rows], dtype=np.float64)
+        return ids, vecs, nrms
+
+    def _score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a, A, na = _unpack(row["rows_a"])
+                ids_b, B, nb = _unpack(row["rows_b"])
+                acc = np.zeros((len(A), len(B)))
+                for k in range(A.shape[1]):  # position-sequential fold
+                    acc = acc + A[:, k : k + 1] * B[:, k]
+                cos = acc / (na[:, None] * nb[None, :])
+                keep = (cos >= slack) & (ids_a[:, None] < ids_b[None, :])
+                ia, ib = np.nonzero(keep)
+                out_a.append(ids_a[ia])
+                out_b.append(ids_b[ib])
+                out_c.append(cos[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "__raw": np.concatenate(out_c),
+                    }
+                )
+
+    scored = pairs.mapInPandas(_score, "id_a long, id_b long, __raw double")
+    return (
+        scored.select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -99,6 +99,53 @@ def hyperplane_sign_key(vec_col, planes: int, dim: int, seed_tag: str = "hp") ->
     return F.concat(*signs)
 
 
+def lsh_bucket_keys_pandas(tables: int, planes: int, dim: int, seed_prefix: str = "hp"):
+    """Arrow-batched computation of ALL per-table LSH bucket keys in one
+    pass: returns a pandas UDF mapping an embedding to the array of
+    ``tables`` bucket-key strings (``t<i>:<sign bits>``).
+
+    Bit-identical to the expression form :func:`hyperplane_sign_key`:
+    the accumulator loop runs over vector positions (numpy vectorized
+    across rows × planes), so every (row, plane) projection folds
+    left-to-right exactly like ``aggregate(zip_with(...))`` and
+    DuckDB's ``list_sum`` — the sign decisions can't drift.
+
+    Why: array HOFs run interpreted (~1-2 µs/element); tables×planes
+    sign projections cost tables·planes·dim interpreted ops per row.
+    One Arrow crossing + ``dim`` vectorized ops replaces all of it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = [
+        hyperplane_coefficients(f"{seed_prefix}{t}", j, dim)
+        for t in range(tables)
+        for j in range(planes)
+    ]
+    H = np.array(coeffs, dtype=np.float64).T  # (dim, tables*planes)
+    prefixes = [f"t{t}:" for t in range(tables)]
+
+    def _impl(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((len(V), H.shape[1]))
+        for k in range(V.shape[1]):  # position-sequential: exact fold order
+            acc = acc + V[:, k : k + 1] * H[k, :]
+        bits = np.where(acc >= 0, "1", "0")
+        out = [
+            [
+                prefixes[t] + "".join(row[t * planes : (t + 1) * planes])
+                for t in range(len(prefixes))
+            ]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    _impl.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_impl, "array<string>")
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -122,16 +169,14 @@ def lsh_ann_topk(
     ≈ tables × |corpus| / 2^planes.
     """
 
+    keys_udf = lsh_bucket_keys_pandas(tables, planes, dim)
+
     def keyed(df: DataFrame, role: str) -> DataFrame:
-        keys = [
-            F.concat(F.lit(f"t{t}:"), hyperplane_sign_key(F.col(vec_col), planes, dim, seed_tag=f"hp{t}"))
-            for t in range(tables)
-        ]
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
             norm(F.col(vec_col)).alias(f"{role}_nrm"),
-            F.explode(F.array(*keys)).alias("bucket"),
+            F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
         )
 
     q = keyed(queries, "query")
