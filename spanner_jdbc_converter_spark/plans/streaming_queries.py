@@ -83,6 +83,32 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join",
+    oracle="""
+    SELECT a.event_id AS l_event_id,
+           a.user_id AS user_id,
+           a.ts AS l_ts,
+           b.event_id AS r_event_id,
+           b.ts AS r_ts,
+           epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 2 hour
+     AND b.ts <= a.ts
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (ops.interval_join):
+    purchases matched to the same user's clicks within the preceding two
+    hours, with the exact microsecond lag.  Streaming execution with
+    watermarked state on both sides is exercised in
+    tests/test_streaming.py."""
+    return ops.interval_join(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_user_totals",
     oracle="""
     SELECT user_id,

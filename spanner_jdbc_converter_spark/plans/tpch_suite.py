@@ -605,3 +605,205 @@ def q22_prospect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_DISC_PRICE_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue — the scalar-MAX-subquery-over-a-derived-view shape.  The
+    revenue aggregate is exact decimal, so the MAX equality cannot
+    float-drift.
+
+    Scale: one groupBy(suppkey) shuffle over a date-pruned scan; the
+    one-row MAX broadcasts back against the same aggregate (reused
+    exchange), and supplier is a broadcast dimension."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_counts_excluding",
+    oracle="""
+    SELECT p_brand, p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+      AND p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q16_supplier_counts_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per brand × type over selected sizes, excluding a NOT IN
+    supplier set (complaint suppliers → negative-balance suppliers in
+    the fixture schema; partsupp → observed lineitem pairs).
+
+    Scale: the NOT IN set is a broadcast anti join (safe here: s_suppkey
+    is non-null by construction — NULL-semantics of NOT IN would
+    otherwise need a null-aware anti join, which Spark plans as
+    BroadcastNestedLoopJoin); part is broadcast; distinct-count shuffles
+    once on (brand, type)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 14, 23, 45) & (F.col("p_brand") != "Brand#5")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+@register(
+    "q20_significant_suppliers",
+    oracle="""
+    WITH ship AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    part_tot AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS part_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_significant_parts
+    FROM ship
+    JOIN part_tot USING (l_partkey)
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_name LIKE '%blue%'
+      AND supp_qty * 2 > part_qty
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+)
+def q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than half of a blue part's total volume, with how many such
+    parts each dominates.  The original's nested agg-subquery chain
+    (availqty > 0.5·Σqty) is the two-level aggregate + fraction
+    comparison kept here, rearranged to exact decimal (qty·2 > total).
+
+    Scale: both aggregates group on l_partkey-prefixed keys, so the
+    second reuses the first's shuffle partitioning; part filters before
+    its broadcast join; supplier is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = load_table(spark, sf_dir, "supplier")
+    ship = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("supp_qty")
+    )
+    part_tot = li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("part_qty")
+    )
+    return (
+        ship.join(part_tot, ship.l_partkey == part_tot.pt_partkey)
+        .join(F.broadcast(p), ship.l_partkey == p.p_partkey)
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(s), ship.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_significant_parts"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_sole_returned_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): lines whose
+    supplier is the ONLY one with a returned line on a multi-supplier
+    finalized order — the double-correlated EXISTS + NOT EXISTS pattern
+    with a non-equi (suppkey <>) correlation on both subqueries
+    (fixtures have no receipt/commit dates; 'late' → returnflag='R').
+
+    Scale: both correlated subqueries decorrelate to semi/anti joins on
+    l_orderkey with a suppkey-inequality residual; all three lineitem
+    legs shuffle on the same orderkey, so the exchanges line up;
+    supplier broadcasts and the orders leg prunes on status first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )

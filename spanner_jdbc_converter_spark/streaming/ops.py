@@ -114,6 +114,51 @@ def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each ``left_type`` event matched to
+    the same user's ``right_type`` events in the preceding ``lookback``
+    — the attribution shape (purchase ← recent clicks).
+
+    In streaming execution both sides carry watermarks and the join
+    condition bounds event time on both sides, so Spark can size the
+    join state and evict rows older than watermark + lookback — without
+    the time bounds a stream-stream join would buffer both streams
+    forever.  The same body is the batch twin (plain self-join with a
+    range predicate) checked by the oracle corpus."""
+    l = events.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = events.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond).select(
+        "l_event_id",
+        F.col("l_user_id").alias("user_id"),
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+        (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias("lag_us"),
+    )
+
+
 # -- custom stateful operator ----------------------------------------------
 
 _RUNNING_SCHEMA = T.StructType(

@@ -87,9 +87,20 @@ def test_watermark_is_noop_on_batch(spark, sf_dir):
     assert n_with == n_without
 
 
-@pytest.mark.parametrize("name", ["events_tumbling_hourly", "events_sliding_windows", "events_session_windows"])
+@pytest.mark.parametrize("name", ["events_tumbling_hourly", "events_sliding_windows", "events_session_windows", "events_interval_join"])
 def test_streaming_corpus_parity(spark, duck, sf_dir, name):
     from spanner_jdbc_converter_spark.oracle import check_query
 
     result = check_query(spark, duck, sf_dir, name)
     assert result.ok, str(result)
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.interval_join(stream), "ivjoin_mem", output_mode="append"
+    )
+    batch = ops.interval_join(ops.load_events_batch(spark, sf_dir))
+    cols = ["l_event_id", "user_id", "r_event_id", "lag_us"]
+    assert _rows(batch, *cols)  # non-trivial fixture selectivity
+    assert _rows(result, *cols) == _rows(batch, *cols)
