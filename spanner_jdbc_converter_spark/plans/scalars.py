@@ -160,3 +160,70 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").cast("long").alias("k_value"),
     )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF shape: explode the token array into rows, then
+    corpus-wide term statistics with a deterministic top-20 (count
+    DESC, token tiebreak) — the inverted-index build step of the text
+    pipeline as a corpus entry.
+
+    Scale: explode is pipelined inside the scan stage (no shuffle until
+    the groupBy); partial aggregation collapses each partition to its
+    distinct tokens before the exchange, and the final top-20 is a
+    TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "notin_null_semantics",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_kept
+    FROM customer
+    WHERE NULLIF(c_nationkey, 7) NOT IN
+          (SELECT s_nationkey FROM supplier WHERE s_acctbal < -800)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN with a nullable probe: customers whose (NULLified)
+    nation key is not among poor suppliers' nations.  A NULL probe makes
+    the predicate UNKNOWN — nation-7 customers are excluded even though
+    they match nothing, which a naive anti join would get wrong; Spark
+    plans the null-aware anti join form.  Kept in SQL so the plan shows
+    the true NOT IN translation rather than a hand-decorrelated shape."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_nin")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_kept
+        FROM customer_nin
+        WHERE NULLIF(c_nationkey, 7) NOT IN
+              (SELECT s_nationkey FROM supplier_nin WHERE s_acctbal < -800)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

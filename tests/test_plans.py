@@ -76,7 +76,64 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q10_returned_revenue", "q17_small_quantity_revenue", "join_order_counts_per_customer"],
+    [
+        "q10_returned_revenue",
+        "q17_small_quantity_revenue",
+        "join_order_counts_per_customer",
+        "q2_min_acctbal_supplier_per_part",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q15_top_supplier",
+        "q16_supplier_counts_excluding",
+        "q18_large_volume_customers",
+        "q20_significant_suppliers",
+        "text_top_tokens",
+    ],
 )
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     assert "CartesianProduct" not in _plan(spark, name, sf_dir)
+
+
+def test_q5_broadcasts_dims_and_pushes_dates(spark, sf_dir):
+    plan = _plan(spark, "q5_regional_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # range reaches orders scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_whole_predicate_pushed(spark, sf_dir):
+    plan = _plan(spark, "q6_revenue_forecast", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q19_disjunction_still_hash_join(spark, sf_dir):
+    # the OR-of-ANDs must not demote the p_partkey equi-join to a
+    # nested-loop — Catalyst extracts the common key, residual post-join
+    plan = _plan(spark, "q19_disjunctive_predicate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    plan = _plan(spark, "q21_sole_returned_supplier", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_keeps_equi_key(spark, sf_dir):
+    # user_id equi-condition must anchor a hash/merge join; the time
+    # bounds are residual predicates, not a nested-loop driver
+    plan = _plan(spark, "events_interval_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_kernels_are_arrow_batched(spark, sf_dir):
+    # regression gates for the measured 3-10x interpreted-HOF cliffs:
+    # bucket keys via one pandas UDF, pair scoring via mapInPandas
+    assert "ArrowEvalPython" in _plan(spark, "sim_lsh_ann_topk", sf_dir)
+    assert "MapInPandas" in _plan(spark, "sim_embedding_near_pairs", sf_dir)
