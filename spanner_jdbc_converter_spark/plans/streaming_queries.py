@@ -132,3 +132,48 @@ def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 0 AS side, event_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, event_id FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_ts
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS staleness_us
+    FROM w WHERE side = 1
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase matched to the
+    same user's most recent click at-or-before it, with exact-µs
+    staleness; purchases with no prior click keep NULLs (left-outer
+    as-of).  Both engines run the identical union + last_value(ignore
+    nulls) window program — one key shuffle, no range explosion."""
+    from spanner_jdbc_converter_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="user_id")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("match_event_id").alias("click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("match_ts"))).alias(
+            "staleness_us"
+        ),
+    )

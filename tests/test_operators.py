@@ -263,3 +263,39 @@ def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
         for r in near_dup_docs.select("doc_id", dd.simhash("text").alias("sh")).collect()
     }
     assert frame_sh == col_sh
+
+
+def test_asof_join_matches_naive_range_join(spark, sf_dir):
+    """asof_join (union+window) must equal the naive semantics: the
+    max-ts right row with ts <= left ts per key, largest id on ties."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+
+    got = asof_join(purchases, clicks, on="user_id").select(
+        "event_id", "match_event_id"
+    )
+
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = clicks.select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
+    naive = (
+        p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("p_id").alias("event_id"), F.col("c_id").alias("match_event_id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
