@@ -280,3 +280,81 @@ def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY gid, o_orderpriority, o_orderstatus
         """
     )
+
+
+@register(
+    "events_banded_range_join",
+    oracle="""
+    SELECT band_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+    FROM events
+    JOIN (VALUES (0, 0.0, 10.0), (1, 10.0, 50.0), (2, 50.0, 150.0),
+                 (3, 150.0, 500.0)) AS bands(band_id, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def events_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events matched to [lo, hi) value bands through the
+    bucket-expansion equi-join (operators/ranges.py) — a hash join plus
+    residual filter instead of the O(|fact|×|bands|) nested loop the
+    plain theta predicate would plan.  The oracle states the naive
+    range join; results are identical by construction."""
+    from spanner_jdbc_converter_spark.operators.ranges import banded_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 50.0), (2, 50.0, 150.0), (3, 150.0, 500.0)],
+        "band_id long, lo double, hi double",
+    )
+    return (
+        banded_range_join(e, bands, "value", step=10.0)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value"))), "value_sum"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH b AS (SELECT date_trunc('day', ts) AS day_b,
+                      date_trunc('hour', ts) AS hour_b,
+                      value
+               FROM events)
+    SELECT day_b, hour_b,
+           CAST(GROUPING(day_b) * 2 + GROUPING(hour_b) AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+    FROM b
+    GROUP BY GROUPING SETS ((day_b, hour_b), (day_b), ())
+    ORDER BY gid, day_b, hour_b
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly, daily, and
+    grand-total aggregates of the event stream in ONE pass — grouping
+    sets over derived time buckets (the TimescaleDB/Druid rollup shape).
+    Spark expands the three granularities map-side into a single
+    shuffle; at 100 TB this replaces three separate scans with one."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        F.date_trunc("day", F.col("ts")).alias("day_b"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_b"),
+        "value",
+    ).createOrReplaceTempView("events_rollup_base")
+    return spark.sql(
+        """
+        SELECT day_b, hour_b,
+               CAST(grouping(day_b) * 2 + grouping(hour_b) AS BIGINT) AS gid,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+        FROM events_rollup_base
+        GROUP BY GROUPING SETS ((day_b, hour_b), (day_b), ())
+        ORDER BY gid, day_b, hour_b
+        """
+    )

@@ -299,3 +299,23 @@ def test_asof_join_matches_naive_range_join(spark, sf_dir):
         .select(F.col("p_id").alias("event_id"), F.col("c_id").alias("match_event_id"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_banded_range_join_matches_theta_join(spark, sf_dir):
+    """Bucket-expansion range join must equal the naive theta join,
+    including a band that straddles bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.ranges import banded_range_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 7.5), (1, 7.5, 33.3), (2, 33.3, 500.0)],
+        "band_id long, lo double, hi double",
+    )
+    got = banded_range_join(e, bands, "value", step=10.0).select("event_id", "band_id")
+    naive = e.join(
+        bands, (e.value >= bands.lo) & (e.value < bands.hi)
+    ).select("event_id", "band_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
