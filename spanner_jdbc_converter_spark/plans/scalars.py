@@ -227,3 +227,48 @@ def notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "date_functions_surface",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+             AS days_to_epoch_end,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_quarter,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) AS dow,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def date_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval surface: day and month interval arithmetic,
+    day-difference, last_day, and the dow/doy/quarter extraction family.
+    Cross-engine notes: Spark date_add/add_months on a DATE ≡ DuckDB
+    ``+ INTERVAL``; Spark datediff(end, start) ≡ DuckDB
+    date_diff('day', start, end) (argument order flips); Spark
+    dayofweek is 1=Sunday..7 while DuckDB DOW is 0=Sunday..6 — aligned
+    via the explicit ``-1``.  DATE outputs are emitted as ISO strings:
+    the drivers' pandas bridges disagree on the Python type of a DATE
+    (datetime.date vs Timestamp), which would fail the value compare
+    even when the dates are equal."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("order_date"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias(
+            "days_to_epoch_end"
+        ),
+        F.add_months(d, 3).cast("string").alias("plus_quarter"),
+        F.last_day(d).cast("string").alias("month_end"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )

@@ -319,3 +319,22 @@ def test_banded_range_join_matches_theta_join(spark, sf_dir):
         bands, (e.value >= bands.lo) & (e.value < bands.hi)
     ).select("event_id", "band_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """The scale-path aggregates (HLL distinct, t-digest percentile)
+    can't hash-match an oracle — pin them against their exact twins
+    instead.  These are what a 100 TB dashboard actually runs."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) <= 0.05 * row.exact_d
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.02 * row.exact_p50
