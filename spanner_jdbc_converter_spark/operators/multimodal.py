@@ -106,6 +106,64 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_text", T.StringType()),
+        T.StructField("thumb", T.StringType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 32, stride: int = 3, thumb_step: int = 4
+) -> DataFrame:
+    """Frame sampling + resize plumbing over binary payloads: every
+    ``stride``-th fixed-size frame is cut from the byte stream, and a
+    "thumbnail" keeps every ``thumb_step``-th byte (the deterministic
+    stand-in for a real resize — no codecs in this container, see
+    decode_media).  One input row explodes to one row per sampled
+    frame — the generator shape a video pipeline needs.
+
+    The fixture payloads are UTF-8 of pure-ASCII text, so frames decode
+    to strings and the DuckDB oracle can recompute them with substring
+    arithmetic — the plumbing (mapInPandas batch iteration, row
+    explosion, schema contract) is exactly what real media would use.
+
+    Scale: payload columns stream through Arrow a batch at a time
+    (constant task memory); sampled frames are a ``1/stride`` subset so
+    the output is strictly smaller than a full decode."""
+    hop = frame_size * stride
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, texts, thumbs, lens = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for k, off in enumerate(range(0, len(data), hop)):
+                    frame = data[off : off + frame_size]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    texts.append(frame.decode("utf-8"))
+                    thumbs.append(frame[::thumb_step].decode("utf-8"))
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "frame_text": texts,
+                    "thumb": thumbs,
+                    "frame_len": lens,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never touches payload bytes (column
     pruning keeps the binary column out of the scan entirely)."""

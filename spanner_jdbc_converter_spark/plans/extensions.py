@@ -621,3 +621,36 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "quality_tier")
         .agg(F.count(F.lit(1)).alias("n_distinct_docs"))
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      -- static series (max doc 577 chars << 96*1000) + offset filter:
+      -- this DuckDB build rejects lateral column params in generate_series
+      SELECT doc_id, gs AS frame_index,
+             substring(text, CAST(gs * 96 + 1 AS BIGINT), 32) AS frame_text
+      FROM documents, generate_series(0, 999) t(gs)
+      WHERE gs * 96 < length(text)
+    )
+    SELECT doc_id,
+           CAST(frame_index AS BIGINT) AS frame_index,
+           frame_text,
+           array_to_string(list_transform(range(1, len(frame_text) + 1, 4),
+                                          i -> frame_text[i]), '') AS thumb,
+           CAST(length(frame_text) AS BIGINT) AS frame_len
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize stand-in (multimodal.sample_frames): every
+    3rd 32-byte frame of each payload, with an every-4th-byte thumbnail
+    — one row per sampled frame via mapInPandas.  Payloads are UTF-8 of
+    the ASCII fixture text, so the oracle recomputes frames with pure
+    substring arithmetic; with real media only the codec call changes,
+    not the Spark plumbing."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.attach_payload(d), frame_size=32, stride=3, thumb_step=4)
