@@ -358,3 +358,40 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, day_b, hour_b
         """
     )
+
+
+@register(
+    "skew_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation under the correctness gate: revenue
+    by returnflag (3 keys — a worst-case skew shape: a plain groupBy
+    sends ~1/3 of a 100 TB table to each of three reducers).  Phase 1
+    aggregates on (key, salt) with a deterministic 16-way salt from the
+    PK — 48 balanced partial groups; phase 2 re-aggregates per key.
+    Decimal partials re-sum exactly, so the oracle is the PLAIN group
+    by — the rewrite is provably semantics-preserving.  (The join-side
+    analog lives in operators/skew.py::salted_join.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("__rev"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("__n").cast("long").alias("n_lines"),
+            _money(F.sum("__rev"), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
