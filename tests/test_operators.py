@@ -338,3 +338,42 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) <= 0.05 * row.exact_d
     assert abs(row.approx_p50 - row.exact_p50) <= 0.02 * row.exact_p50
+
+
+def test_asof_join_empty_right_keeps_left_with_nulls(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    none = e.filter(F.lit(False))
+    out = asof_join(purchases, none, on="user_id")
+    assert out.count() == purchases.count()
+    assert out.filter(F.col("match_event_id").isNotNull()).count() == 0
+
+
+def test_embedding_near_pairs_empty_input(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.lit(False))
+    assert dd.embedding_near_pairs(e, threshold=0.0).count() == 0
+
+
+def test_not_in_with_null_in_set_is_empty(spark, sf_dir):
+    """ANSI: x NOT IN (set containing NULL) is never TRUE — the whole
+    probe side vanishes.  Pins the null-aware anti join semantics."""
+    from spanner_jdbc_converter_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ninn")
+    n = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM cust_ninn
+        WHERE c_nationkey NOT IN (SELECT CAST(NULL AS INT))
+        """
+    ).collect()[0].n
+    assert n == 0
