@@ -377,3 +377,86 @@ def test_not_in_with_null_in_set_is_empty(spark, sf_dir):
         """
     ).collect()[0].n
     assert n == 0
+
+
+# -- property-based: time-keyed joins on generated data ----------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 50),       # ts (seconds)
+        st.booleans(),            # side: True -> left
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=_event_lists)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_property(spark, rows):
+    """asof_join == naive max-earlier-right on arbitrary small inputs,
+    including same-timestamp ties (right row at equal ts IS visible)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.operators.asof import asof_join
+
+    data = [
+        (i, int(k), float(ts), bool(is_left))
+        for i, (k, ts, is_left) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, sec double, is_left boolean"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    left = df.filter("is_left").drop("is_left", "sec")
+    right = df.filter("NOT is_left").drop("is_left", "sec")
+
+    got = asof_join(left, right, on="user_id").select("event_id", "match_event_id")
+
+    l = left.select(F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("l_ts"))
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    w = Window.partitionBy("l_id").orderBy(F.desc("r_ts"), F.desc("r_id"))
+    naive = (
+        l.join(r, (l.user_id == r.r_user) & (r.r_ts <= l.l_ts), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(F.col("l_id").alias("event_id"), F.col("r_id").alias("match_event_id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@given(
+    vals=st.lists(st.floats(0, 499, allow_nan=False, width=32), min_size=0, max_size=25),
+    bounds=st.lists(st.floats(0, 500, allow_nan=False, width=32), min_size=2, max_size=8),
+)
+@settings(max_examples=15, deadline=None)
+def test_banded_range_join_property(spark, vals, bounds):
+    """Bucket-expansion range join == theta join for arbitrary band
+    edges (overlapping/degenerate bands included)."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.operators.ranges import banded_range_join
+
+    edges = sorted(set(round(b, 3) for b in bounds))
+    bands = [
+        (i, float(lo), float(hi)) for i, (lo, hi) in enumerate(zip(edges, edges[1:]))
+    ]
+    if not bands:
+        return
+    fact = spark.createDataFrame(
+        [(i, float(round(v, 3))) for i, v in enumerate(vals)], "row_id long, value double"
+    )
+    bdf = spark.createDataFrame(bands, "band_id long, lo double, hi double")
+    got = banded_range_join(fact, bdf, "value", step=10.0).select("row_id", "band_id")
+    naive = fact.join(bdf, (fact.value >= bdf.lo) & (fact.value < bdf.hi)).select(
+        "row_id", "band_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
