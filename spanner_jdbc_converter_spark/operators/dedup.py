@@ -266,6 +266,66 @@ def jaccard_pairs(
     )
 
 
+def connected_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: every node of
+    the pair set labeled with the smallest id reachable from it — the
+    grouping step that turns near-dup PAIRS into dedup GROUPS (keep one
+    doc per group).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels) until a fixpoint.  Rounds
+    needed = graph diameter; near-dup components are tiny clusters, so
+    this converges in a handful of DataFrame joins (the standard
+    large-graph approach when components are shallow — no driver-side
+    graph materialization, every step is a shuffle-partitioned join).
+    Deterministic: min over ids, no floats.
+
+    Output: (doc_id, group_id) for every node appearing in ``pairs``."""
+    # both directions from ONE scan of the (possibly expensive) pair
+    # pipeline — a union of two selects would evaluate it twice
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="u", how="left")
+            .select("u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("group_id"))
+
+
 # -- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -293,6 +293,44 @@ _SIMHASH_BANDS_SQL = ", ".join(
 
 
 @register(
+    "dedup_connected_groups",
+    oracle=f"""
+    WITH RECURSIVE
+         toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
+         sigs AS (SELECT doc_id,
+                         [{", ".join(_minhash_sig_sql())}] AS sig
+                  FROM hs),
+         bands AS (SELECT doc_id,
+                          unnest([{_lsh_band_exprs_sql()}]) AS band_key
+                   FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_key)
+                  WHERE a.doc_id < b.doc_id),
+         sym AS (SELECT id_a AS u, id_b AS v FROM cand
+                 UNION SELECT id_b, id_a FROM cand),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+         )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from LSH candidate PAIRS: connected components by
+    iterative min-label propagation (dd.connected_groups) — the step
+    that picks one keeper per duplicate cluster.  The oracle computes
+    the exact transitive closure with a recursive CTE; the Spark side
+    converges to the same min-reachable-id fixpoint, so even this
+    iterative algorithm is value-hash-checked."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    return dd.connected_groups(dd.lsh_candidate_pairs(d))
+
+
+@register(
     "dedup_simhash_near_pairs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
