@@ -301,7 +301,13 @@ def connected_groups(
         .distinct()
         .persist()
     )
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    # convergence probe: labels only ever decrease, so the label sum is
+    # strictly monotone until the fixpoint — one map-side aggregation
+    # per round instead of a join-and-count.  decimal(38,0) keeps the
+    # sum exact for billions of 64-bit ids (long sum would overflow)
+    _probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_probe).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
@@ -313,15 +319,12 @@ def connected_groups(
             .select("u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(_probe).collect()[0][0]
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("group_id"))
 
