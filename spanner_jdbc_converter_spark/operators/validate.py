@@ -1,0 +1,185 @@
+"""Copy-validation / migration-fidelity operators.
+
+The reference validates a copy only by comparing row counts between
+source and destination (S8, REF/util/ConverterUtils.java:193-216 —
+``getSourceRecordCount`` vs ``getDestinationRecordCount`` is its entire
+verification story).  A migration tool at 100 TB needs stronger checks;
+this module adds the natural extensions, each expressed so the work
+stays distributed and the bytes that move are hashes, not rows:
+
+* :func:`table_checksum` — order-independent full-content checksum
+  (count + modular sum of per-row 60-bit md5 hashes).  Comparing two
+  checksums validates a copy without ever co-locating the two tables.
+* :func:`snapshot_diff` — CDC-style diff of two snapshots of the same
+  table into insert/update/delete rows (the reference's
+  ``DropAndRecreate`` mode re-copies everything, REF/data/DataCopier.java:57-71;
+  a diff is what you'd ship instead at scale).
+* :func:`merge_upsert` — apply a changeset to a target (MERGE semantics:
+  source wins on key match, unmatched target rows survive).
+* :func:`fk_orphans` — referential-integrity probe: child rows whose
+  foreign key has no parent.
+* :func:`profile_table` — one-pass per-column profile (nulls, distinct,
+  min/max) — the metadata the reference reads from ``DatabaseMetaData``
+  (REF/ddl/TableConverter.java:205) but computed from the data itself.
+
+Checksum portability: per-row hash is the md5 60-bit prefix
+(functions/hashing.py) over a caller-supplied canonical string; the sum
+runs in ``decimal(38,0)`` (exact, order-independent) and folds to 60
+bits so the result is a plain BIGINT on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.functions.hashing import md5_long, md5_long_sql
+
+#: Checksum modulus — 60 bits, always fits a signed 64-bit integer.
+CHECKSUM_MOD = 1 << 60
+
+
+def cents(col: Column) -> Column:
+    """Canonical integer rendering of a money/measure double.
+
+    ``floor(x * 100)`` evaluates identically on any IEEE-754 engine
+    (one multiply + one floor of the same double), unlike casting a
+    double to a string, whose formatting is engine-specific.
+    """
+    return F.floor(col * 100).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`cents` (DuckDB CAST rounds, so the
+    explicit FLOOR is load-bearing)."""
+    return f"CAST(FLOOR({expr} * 100) AS BIGINT)"
+
+
+def table_checksum(df: DataFrame, canonical: Column, label: str) -> DataFrame:
+    """Order-independent content checksum of one table.
+
+    Returns one row ``(table_name, row_count, content_checksum)``.
+    Each row contributes ``md5_long(canonical)``; the modular decimal
+    sum is commutative, so the checksum is independent of row order,
+    partitioning, and parallelism — two independently-computed
+    checksums of source and destination compare with zero data
+    movement.  Scale: one scan, map-side partial sums, a single-row
+    shuffle; nothing wider than 16 bytes leaves the scan stage.
+    """
+    h = md5_long(canonical).cast("decimal(38,0)")
+    return (
+        df.agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.coalesce(
+                (F.sum(h) % F.lit(CHECKSUM_MOD).cast("decimal(38,0)")).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("content_checksum"),
+        )
+        .select(F.lit(label).alias("table_name"), "row_count", "content_checksum")
+    )
+
+
+def checksum_sql(table: str, canonical_expr: str) -> str:
+    """DuckDB twin of :func:`table_checksum` (same md5/mod construction;
+    DuckDB SUM(BIGINT) is exact HUGEINT, so no overflow either side)."""
+    return f"""
+    SELECT '{table}' AS table_name,
+           COUNT(*) AS row_count,
+           COALESCE(CAST(SUM({md5_long_sql(canonical_expr)}) % {CHECKSUM_MOD} AS BIGINT), 0)
+               AS content_checksum
+    FROM {table}
+    """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    content: Column,
+) -> DataFrame:
+    """Diff two snapshots of one table into (keys…, change) rows.
+
+    ``content`` is a canonical-string expression over the non-key
+    columns; it is hashed on each side so the full-outer join compares
+    (and shuffles) only ``keys + 8 bytes`` per row, never whole rows —
+    at 100 TB the diff moves roughly the key space, not the table.
+    ``change`` ∈ {'insert', 'update', 'delete'}; unchanged rows are
+    dropped.  Inserts/deletes are relative to ``old`` → ``new``.
+    """
+    o = old.select(*keys, md5_long(content).alias("_h_old"))
+    n = new.select(*keys, md5_long(content).alias("_h_new"))
+    return (
+        o.join(n, keys, "full_outer")
+        .select(
+            *keys,
+            F.when(F.col("_h_old").isNull(), F.lit("insert"))
+            .when(F.col("_h_new").isNull(), F.lit("delete"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("update"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE: source rows win on key match; unmatched target rows survive.
+
+    Implemented as ``source ∪ (target ⟕̸ source)`` — one anti-join
+    shuffle on the key, then a shuffle-free union.  Idempotent: merging
+    the same source twice equals merging it once.  Columns are aligned
+    by name (``unionByName``), so projection order differences between
+    the two inputs don't corrupt rows.
+    """
+    survivors = target.join(source.select(*keys), keys, "left_anti")
+    return source.unionByName(survivors)
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: list[str],
+    pk: list[str],
+) -> DataFrame:
+    """Child rows whose foreign key has no matching parent row.
+
+    Anti-join on the renamed parent key.  The parent side is projected
+    to its key columns before the join, so even a wide 100 TB parent
+    contributes only its key column to the shuffle (and Catalyst
+    broadcasts it outright when the parent is dimension-sized).
+    """
+    parent_keys = parent.select(
+        *[F.col(p).alias(f) for p, f in zip(pk, fk)]
+    ).dropDuplicates()
+    return child.join(parent_keys, fk, "left_anti")
+
+
+def profile_table(df: DataFrame, columns: dict[str, Column]) -> DataFrame:
+    """One-pass per-column profile: nulls, distinct count, min/max.
+
+    ``columns`` maps output column-name → canonical *typed* expression
+    (min/max are computed on the typed value, then rendered as strings,
+    so numeric columns order numerically, not lexicographically).
+
+    Scale: a single aggregate over one scan — N columns become 4·N
+    aggregate expressions, not N scans.  Multiple exact distinct
+    counts expand the aggregate input N-fold (Spark's Expand operator);
+    for very wide tables swap ``count_distinct`` for
+    ``approx_count_distinct`` — kept exact here because the oracle
+    must match bit-for-bit.
+    """
+    aggs = []
+    for name, expr in columns.items():
+        aggs += [
+            F.sum(F.when(expr.isNull(), 1).otherwise(0)).cast("long").alias(f"_nn_{name}"),
+            F.count_distinct(expr).alias(f"_nd_{name}"),
+            F.min(expr).cast("string").alias(f"_mn_{name}"),
+            F.max(expr).cast("string").alias(f"_mx_{name}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _nn_{name}, _nd_{name}, _mn_{name}, _mx_{name}" for name in columns
+    )
+    n = len(columns)
+    return wide.selectExpr(
+        f"stack({n}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
