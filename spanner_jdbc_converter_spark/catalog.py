@@ -66,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     float path would corrupt microseconds.  DuckDB truncates ns→µs the
     same way, keeping oracle hashes aligned (SURVEY.md §7.4).
     """
+    # Runtime-settable; the driver hands us a bare session without our
+    # session.py builder confs, so pin them here before every scan
+    # (nanos read + the UTC semantics every oracle was validated under).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

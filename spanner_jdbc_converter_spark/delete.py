@@ -54,25 +54,30 @@ def lexicographic_range_predicate(
     return _lex_ge(pk_cols, begin_key) & _lex_le(pk_cols, end_key)
 
 
+def _sql_lit(v) -> str:
+    """Render one key value as a SQL literal — strings single-quoted with
+    embedded quotes doubled, everything else bare.  Applied to EVERY
+    rendered position (head equality/inequality and tail bounds alike)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def lexicographic_range_sql(pk_cols: list[str], begin_key: tuple, end_key: tuple) -> str:
     """The same predicate as portable ANSI SQL text (used by oracle queries
     and JDBC DELETE pushdown, REF/data/DeleteWorker.java:17)."""
 
     def _ge(cols, key):  # pk >= key
-        c, v = cols[0], key[0]
+        c, v = cols[0], _sql_lit(key[0])
         if len(cols) == 1:
-            return f"{c} >= {v!r}" if isinstance(v, str) else f"{c} >= {v}"
-        head_eq = f"{c} = {v}"
-        head_gt = f"{c} > {v}"
-        return f"({head_gt} OR ({head_eq} AND {_ge(cols[1:], key[1:])}))"
+            return f"{c} >= {v}"
+        return f"({c} > {v} OR ({c} = {v} AND {_ge(cols[1:], key[1:])}))"
 
     def _le(cols, key):  # pk <= key
-        c, v = cols[0], key[0]
+        c, v = cols[0], _sql_lit(key[0])
         if len(cols) == 1:
-            return f"{c} <= {v!r}" if isinstance(v, str) else f"{c} <= {v}"
-        head_eq = f"{c} = {v}"
-        head_lt = f"{c} < {v}"
-        return f"({head_lt} OR ({head_eq} AND {_le(cols[1:], key[1:])}))"
+            return f"{c} <= {v}"
+        return f"({c} < {v} OR ({c} = {v} AND {_le(cols[1:], key[1:])}))"
 
     return f"({_ge(pk_cols, begin_key)} AND {_le(pk_cols, end_key)})"
 
@@ -165,6 +170,13 @@ def delete_pipeline(
     # a range that are not doomed must survive, so the precise path is still
     # the anti-join — ranges only narrow the scan (partition pruning).
     pruned = delete_by_range(target, pk_cols, ranges)
-    in_ranges = target.subtract(pruned)
+    # Filter with the OR of range predicates (complement of delete_by_range)
+    # rather than target.subtract(pruned): subtract is EXCEPT DISTINCT and
+    # would collapse duplicate rows inside the ranges.
+    in_pred = None
+    for r in ranges:
+        p = lexicographic_range_predicate(pk_cols, r.begin_key, r.end_key)
+        in_pred = p if in_pred is None else (in_pred | p)
+    in_ranges = target.filter(in_pred)
     survivors_in_ranges = delete_by_keys(in_ranges, doomed_keys, pk_cols)
     return pruned.unionByName(survivors_in_ranges)

@@ -145,9 +145,9 @@ def lang_id(col: Column | str) -> Column:
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
-    # iterate in reverse-alphabetical order so that on ties the
-    # alphabetically-first language wins with strict '>'
-    for lang, score in sorted(scores, key=lambda kv: kv[0], reverse=True):
+    # ascending order + strict '>': the first (alphabetically-first)
+    # max-scoring language sticks, matching the oracle's CASE order
+    for lang, score in sorted(scores, key=lambda kv: kv[0]):
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)

@@ -53,17 +53,32 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        if a == b:
-            return True
-        # decimal-routed aggregates should be bit-equal; tolerate only
-        # sub-ulp noise so real bugs still fail loudly
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        # The driver hashes exact values — mirror it bit-for-bit.  Any
+        # float drift must be fixed by decimal routing, not tolerated.
+        return a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
     except (TypeError, ValueError):
         pass
     return a == b
+
+
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to a hash-relevant kind: the driver's value
+    hash distinguishes 2 (int) from 2.0 (float), so int-vs-float column
+    dtype drift (e.g. DuckDB HUGEINT rendered as float64 by .df()) must
+    fail here even though Python's 2 == 2.0."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
 
 
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
@@ -77,6 +92,12 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return CompareResult(name, False, reasons)
 
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
+    for col in s.columns:
+        sk, ok_ = _kind(s[col].dtype), _kind(o[col].dtype)
+        if sk != ok_ and not (len(s) == 0 and len(o) == 0):
+            reasons.append(f"col {col}: dtype kind spark={sk}({s[col].dtype}) oracle={ok_}({o[col].dtype})")
+    if reasons:
+        return CompareResult(name, False, reasons)
     for col in s.columns:
         sv, ov = list(s[col]), list(o[col])
         bad = [

@@ -295,8 +295,8 @@ def o3_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_row_size_estimate",
     oracle="""
     SELECT COUNT(*) AS row_cnt,
-           SUM(8*6 + 8 + 8 + 2*LENGTH(o_orderstatus) + 8 + 12
-               + 2*LENGTH(o_orderpriority)) AS est_total_bytes
+           CAST(SUM(8*6 + 8 + 8 + 2*LENGTH(o_orderstatus) + 8 + 12
+               + 2*LENGTH(o_orderpriority)) AS BIGINT) AS est_total_bytes
     FROM orders
     """,
 )
@@ -323,9 +323,12 @@ def a4_row_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
                 AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
                 AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
            COUNT(*) AS count_order
@@ -342,15 +345,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
+    # Decimal-route BEFORE multiplying: the fixtures carry 2-decimal money
+    # values, so each factor cast is exact and all products stay exact in
+    # decimal — casting a *double product* instead would hit Spark's
+    # HALF_UP vs DuckDB's half-even on near-halfway doubles.
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    one_p_tax = F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)")
     sum_qty_dec = F.sum(_dec(F.col("l_quantity")))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _money(sum_qty_dec, "sum_qty"),
         _money(F.sum(_dec(F.col("l_extendedprice"))), "sum_base_price"),
-        _money(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))), "sum_disc_price"),
-        _money(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))),
-            "sum_charge",
-        ),
+        _money(F.sum(ext * one_m_disc), "sum_disc_price"),
+        _money(F.sum(ext * one_m_disc * one_p_tax), "sum_charge"),
         F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )

@@ -225,9 +225,9 @@ def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

@@ -193,6 +193,41 @@ def test_delete_strategy_threshold():
     assert dl.delete_strategy(10_000) == "ranged"
 
 
+def test_lexicographic_range_sql_string_composite_pk(spark):
+    # leading STRING pk column, including an embedded single quote —
+    # every rendered position (head = / < / > and tail bounds) must quote
+    rows = [
+        ("ALPHA", 1), ("ALPHA", 2), ("BRAVO", 1), ("O'HARA", 1),
+        ("O'HARA", 2), ("ZULU", 1),
+    ]
+    df = spark.createDataFrame(rows, ["name", "seq"])
+    pk = ["name", "seq"]
+    lo, hi = ("ALPHA", 2), ("O'HARA", 1)
+    sql_pred = dl.lexicographic_range_sql(pk, lo, hi)
+    via_sql = {tuple(r) for r in df.filter(sql_pred).collect()}
+    via_col = {tuple(r) for r in df.filter(dl.lexicographic_range_predicate(pk, lo, hi)).collect()}
+    assert via_sql == via_col == {("ALPHA", 2), ("BRAVO", 1), ("O'HARA", 1)}
+
+
+def test_delete_pipeline_ranged_preserves_duplicate_multiplicity(spark):
+    # duplicate surviving rows inside a delete range must keep their
+    # multiplicity (subtract = EXCEPT DISTINCT would collapse them)
+    rows = [(k, 1, "payload") for k in range(1, 101)]
+    rows += [(50, 1, "payload"), (50, 1, "payload")]  # 3 total copies of key 50
+    target = spark.createDataFrame(rows, ["k", "sub", "v"])
+    pk = ["k", "sub"]
+    doomed = target.filter("k % 2 = 1").select(*pk).distinct()
+    orig = dl.SINGLE_DELETE_THRESHOLD
+    dl.SINGLE_DELETE_THRESHOLD = 1  # force ranged path
+    try:
+        survivors = dl.delete_pipeline(target, pk, doomed, num_workers=4)
+        # 50 even keys survive; key 50 keeps all 3 copies
+        assert survivors.count() == 52
+        assert survivors.filter("k = 50").count() == 3
+    finally:
+        dl.SINGLE_DELETE_THRESHOLD = orig
+
+
 # -- bucketed co-located join (scale toolkit) -------------------------------
 
 
