@@ -78,3 +78,38 @@ def cosine_rounded(a: Column | str, b: Column | str, digits: int = 6) -> Column:
     identical inputs agrees to ~1e-15; rounding to 6 digits removes any
     residual last-bit ambiguity before ranking/comparing."""
     return F.round(cosine(a, b), digits)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the vector-compression path for ANN at scale.
+# float32×64 = 256 B/vector; int8×64 + scale = 72 B/vector, so a 100 TB
+# embedding store shrinks ~3.5× and candidate scoring becomes exact
+# integer arithmetic (SIMD-friendly on a real cluster, and bit-trivially
+# reproducible in the oracle — no float accumulation at all).
+# ---------------------------------------------------------------------------
+
+#: Symmetric int8 range: values quantize to [-127, 127].
+INT8_LEVELS = 127
+
+
+def quantize_scale(a: Column | str) -> Column:
+    """Per-vector symmetric scale max|x| / 127 (0.0 for all-zero vectors)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(
+        float(INT8_LEVELS)
+    )
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Quantized codes via ``floor(x/s + 0.5)`` — round-half-up spelled in
+    floor so both engines agree exactly (their native round() tie rules
+    differ).  Caller must exclude all-zero vectors (scale 0)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.transform(a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long"))
+
+
+def int_dot(qa: Column, qb: Column) -> Column:
+    """Exact integer dot product of two code arrays (≤ 64·127² ≈ 1.03e6
+    for 64-dim int8 — no overflow anywhere near bigint)."""
+    prods = F.zip_with(qa, qb, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)

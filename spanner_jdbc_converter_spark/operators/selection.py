@@ -1,0 +1,95 @@
+"""Training-data selection operators (extension family, SURVEY.md §2.11):
+deterministic stratified sampling and token-budget corpus selection.
+
+Both are the "choose what goes into the training mix" step of an LLM data
+pipeline.  Determinism is load-bearing: selection must be reproducible
+run-to-run and engine-to-engine, so sampling uses the portable md5 hash
+(functions/hashing.py) instead of rand(), and budget selection uses a
+two-phase prefix sum instead of a single-partition global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+#: Quality-band count for the distributed prefix sum (quality ∈ [0, 1]).
+QUALITY_BANDS = 50
+
+
+def sample_bucket(strata_col: Column, id_col: Column) -> Column:
+    """Deterministic 0-99 bucket per row: portable md5 over 'stratum:id'.
+
+    Hash-based sampling (vs ``df.sample``) keeps the selected set stable
+    across runs, partitionings, and engines — at 100 TB, re-runs and
+    backfills must pick the SAME rows or downstream dedup breaks.
+    """
+    return md5_long(F.concat(strata_col.cast("string"), F.lit(":"), id_col.cast("string"))) % 100
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_pct: int,
+) -> DataFrame:
+    """Keep ``rates[stratum]`` percent of each stratum (``default_pct`` for
+    unlisted strata) — pure narrow filter, no shuffle, no sort: the scan
+    evaluates one hash per row and drops rows in place."""
+    rate: Column | None = None
+    for stratum, pct in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate_col = rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
+    return df.filter(sample_bucket(F.col(strata_col), F.col(id_col)) < rate_col)
+
+
+def select_token_budget(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy corpus selection: take documents in (quality DESC, id ASC)
+    order while the running token total stays ≤ ``budget``.
+
+    Semantically a global running sum — but a bare
+    ``Window.orderBy(...)`` with no partitionBy collapses every row into
+    ONE task, which is exactly the plan that dies at 100 TB.  Instead a
+    two-phase prefix sum:
+
+    1. band rows by ``floor(quality × 50)`` (equal qualities always share
+       a band, so band-descending order refines the global order);
+    2. per-band token totals (tiny: ≤ 51 rows) → running offsets via a
+       window over that metadata-scale frame, broadcast back;
+    3. within-band running sum with ``partitionBy(band)`` — distributed —
+       plus the band offset ≡ the global cumulative sum, value-for-value.
+
+    Adds ``_cum`` (cumulative tokens incl. this row) to the output.
+    """
+    band = F.floor(F.col(quality_col) * QUALITY_BANDS).cast("int")
+    t = df.withColumn("_band", band)
+
+    totals = t.groupBy("_band").agg(F.sum(tokens_col).cast("long").alias("_band_tokens"))
+    w_off = (
+        Window.orderBy(F.desc("_band")).rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ QUALITY_BANDS+1 rows: single-partition window over metadata, not data
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_band_tokens").over(w_off), F.lit(0)).cast("long")
+    ).select("_band", "_offset")
+
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(offsets), "_band")
+        .withColumn("_cum", (F.col("_offset") + F.sum(tokens_col).over(w_in)).cast("long"))
+        .filter(F.col("_cum") <= budget)
+        .drop("_band", "_offset")
+    )

@@ -275,3 +275,52 @@ def pairwise_dot_matrix(df: DataFrame, vec_col: str = "embedding", id_col: str =
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 6).alias("dot"))
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine — the compressed-vector scale path.
+
+    Each side is reduced once to (id, int8 codes, scale, float norm);
+    pair scoring is then an exact integer dot product (64 multiply-adds
+    on bigints, zero float accumulation) rescaled by the two per-vector
+    scales: cos ≈ (qdot · s_a · s_b) / (‖a‖·‖b‖).  At 100 TB the code
+    arrays are ~3.5× smaller than float32 vectors — less shuffle, less
+    memory bandwidth — and the integer kernel is SIMD-friendly.  Queries
+    broadcast; the corpus never shuffles.
+
+    Output: query_id, match_id, qdot (exact int), score, rank.
+    All-zero vectors (scale 0) must be excluded by the caller."""
+    from spanner_jdbc_converter_spark.functions.vector import int_dot, quantize_int8, quantize_scale
+
+    def prep(df: DataFrame, role: str) -> DataFrame:
+        s = quantize_scale(vec_col)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            quantize_int8(vec_col, s).alias(f"{role}_q"),
+            s.alias(f"{role}_s"),
+            norm(F.col(vec_col)).alias(f"{role}_l2"),
+        )
+
+    q, c = prep(queries, "query"), prep(corpus, "match")
+    qdot = int_dot(F.col("query_q"), F.col("match_q"))
+    # multiplication order is part of the contract (oracle mirrors it):
+    # double(qdot) * s_q * s_m / (l2_q * l2_m), then round 6
+    score = F.round(
+        qdot.cast("double") * F.col("query_s") * F.col("match_s")
+        / (F.col("query_l2") * F.col("match_l2")),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", qdot.alias("qdot"), score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -9,6 +9,7 @@ from spanner_jdbc_converter_spark.plans import tpch_suite as _tpch_suite  # noqa
 from spanner_jdbc_converter_spark.plans import windows_aggs as _windows_aggs  # noqa: F401,E402
 from spanner_jdbc_converter_spark.plans import scalars as _scalars  # noqa: F401,E402
 from spanner_jdbc_converter_spark.plans import extensions as _extensions  # noqa: F401,E402
+from spanner_jdbc_converter_spark.plans import etl as _etl  # noqa: F401,E402
 from spanner_jdbc_converter_spark.plans import streaming_queries as _streaming  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "register"]

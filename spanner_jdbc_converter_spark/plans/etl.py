@@ -1,0 +1,269 @@
+"""Incremental-ETL + training-data-selection corpus entries.
+
+The reference can only drop-and-reload a destination (ConvertMode,
+SURVEY.md §1.5); resyncing at 100 TB needs change detection and merge
+instead, so the engine adds the CDC pair (``copy.incremental_diff`` /
+``copy.merge_upsert``).  Alongside: deterministic stratified sampling,
+token-budget corpus selection (operators/selection.py), canonical-doc
+dedup survivors, and int8-quantized similarity search — the
+training-data-pipeline selection layer over the same fixtures.
+
+Oracle notes: the diff oracle compares columns directly (IS DISTINCT
+FROM) while Spark compares one portable row hash per side — same
+classification, which is exactly what the hash is for.  The quantized
+search oracle reproduces scale, codes, and integer dot products in SQL;
+ranking uses rounded scores with id tiebreaks on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark import copy as cp
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+from spanner_jdbc_converter_spark.functions.vector import norm
+from spanner_jdbc_converter_spark.operators import dedup as dd
+from spanner_jdbc_converter_spark.operators import selection as sel
+from spanner_jdbc_converter_spark.operators import similarity as sim
+from spanner_jdbc_converter_spark.operators import text as tx
+from spanner_jdbc_converter_spark.plans.extensions import _STOPWORDS_SQL, _TOKS_SQL
+from spanner_jdbc_converter_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Incremental copy: diff + merge
+# ---------------------------------------------------------------------------
+
+_DIFF_COMPARE = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "copy_incremental_diff",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+    dst AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+           CASE WHEN d.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'delete'
+                WHEN s.o_custkey IS DISTINCT FROM d.o_custkey
+                     OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                     OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+                  THEN 'update' END AS change_type
+    FROM src s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+    WHERE (d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+           OR s.o_custkey IS DISTINCT FROM d.o_custkey
+           OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+           OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority)
+    """,
+)
+def copy_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: destination derived from orders by
+    dropping every 97th key (→ insert), restamping every 89th key's
+    status (→ update), and shifting every 101st key out of range
+    (→ delete).  Spark classifies via one portable row hash per side —
+    the (pk, hash) projection is all the full-outer shuffle carries."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", *_DIFF_COMPARE)
+    dst = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    extra = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    dst = dst.unionByName(extra)
+    return cp.incremental_diff(o, dst, ["o_orderkey"], _DIFF_COMPARE)
+
+
+@register(
+    "copy_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 75 = 0)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+    """,
+)
+def copy_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over immutable storage: an update batch (every 50th customer
+    re-priced + re-segmented, every 75th key re-inserted under a new id)
+    wins on key match; everything else survives via keys-only anti join
+    (broadcast — the target is ONE scan, zero shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    upd = (
+        c.filter(F.col("c_custkey") % 50 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    new = c.filter(F.col("c_custkey") % 75 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10000000)
+    )
+    updates = upd.select(*cols).unionByName(new.select(*cols))
+    return cp.merge_upsert(c.select(*cols), updates, ["c_custkey"]).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Training-data selection
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 60, "de": 40}
+_SAMPLE_DEFAULT = 25
+
+_BUCKET_SQL = md5_long_sql("concat(lang, ':', CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+@register(
+    "select_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL} <
+          CASE WHEN lang = 'de' THEN 40 WHEN lang = 'en' THEN 60 ELSE 25 END
+    """,
+)
+def select_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (60% en, 40% de, 25% rest) by
+    portable hash bucket — reproducible across runs/partitionings/
+    engines, unlike rand()-based sample; pure narrow filter in the
+    scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return sel.stratified_sample(d, "lang", "doc_id", _SAMPLE_RATES, _SAMPLE_DEFAULT).select(
+        "doc_id", "lang"
+    )
+
+
+TOKEN_BUDGET = 20_000
+
+
+@register(
+    "select_token_budget",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_SQL},
+                  x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, n_tokens,
+             ROUND(
+               0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+             + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4, 1.0)
+             + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
+             6) AS quality
+      FROM f),
+    w AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM w WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered corpus selection under a 20k-token budget.
+    Semantically a single global running sum; executed as the two-phase
+    banded prefix sum (operators/selection.py) so no stage ever windows
+    the whole corpus in one task — the oracle IS the naive global
+    window, proving the distributed plan computes identical values."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    )
+    out = sel.select_token_budget(d, "quality", "n_tokens", "doc_id", TOKEN_BUDGET)
+    return out.select("doc_id", "n_tokens", "quality", F.col("_cum").alias("cum_tokens"))
+
+
+@register(
+    "dedup_survivor_docs",
+    oracle=r"""
+    WITH f AS (SELECT doc_id, lang, n_chars,
+                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+               FROM documents),
+         k AS (SELECT fp, MIN(doc_id) AS keeper FROM f GROUP BY fp)
+    SELECT doc_id, lang, n_chars
+    FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keeper
+    """,
+)
+def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED: the surviving corpus after fingerprint dedup
+    (deterministic min-id keeper per normalized-content group) — the
+    step downstream training actually consumes, vs the group report of
+    dedup_fingerprint_groups."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.fingerprint_dedup(d).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Quantized similarity search
+# ---------------------------------------------------------------------------
+
+_QCODES_SQL = """
+    prep AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS l2
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id, s, l2,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS q
+      FROM prep WHERE l2 > 0)
+"""
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH {_QCODES_SQL},
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot,
+             a.s AS sa, b.s AS sb, a.l2 AS la, b.l2 AS lb
+      FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, match_id, qdot,
+             ROUND(CAST(qdot AS DOUBLE) * sa * sb / (la * lb), 6) AS score
+      FROM pairs)
+    SELECT query_id, match_id, qdot, score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, match_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 similarity over int8-quantized vectors: exact integer dot
+    products rescaled by per-vector scales — the compressed-vector scale
+    path (~3.5× smaller than float32 ⇒ less shuffle and memory
+    bandwidth at 100 TB).  Codes, scales, integer dots, and ranking are
+    all reproduced in the oracle; qdot is hash-checked as an exact
+    integer, so the whole quantization pipeline is bit-audited."""
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.quantized_topk(queries, e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

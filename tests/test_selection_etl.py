@@ -1,0 +1,128 @@
+"""Unit + plan tests for incremental ETL (diff/merge) and training-data
+selection (stratified sample, token budget, quantized top-k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark import copy as cp
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.functions.vector import norm
+from spanner_jdbc_converter_spark.operators import selection as sel
+from spanner_jdbc_converter_spark.operators import similarity as sim
+from spanner_jdbc_converter_spark.operators import text as tx
+from spanner_jdbc_converter_spark.plans import QUERIES
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+# -- incremental diff / merge ----------------------------------------------
+
+
+def test_incremental_diff_classifies_and_handles_nulls(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+    )
+    dst = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], ["k", "v"]
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in cp.incremental_diff(src, dst, ["k"], ["v"]).collect()
+    }
+    # 1 unchanged (absent), 2 value-changed, 3 NULL→value counts as change,
+    # 4 missing in dst, 5 missing in src
+    assert out == {2: "update", 3: "update", 4: "insert", 5: "delete"}
+
+
+def test_merge_upsert_updates_win_and_inserts_append(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep"), (3, "old")], ["k", "v"])
+    updates = spark.createDataFrame([(1, "new"), (4, "ins")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in cp.merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "old", 4: "ins"}
+
+
+def test_incremental_diff_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "copy_incremental_diff", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+
+
+# -- stratified sample ------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = sel.stratified_sample(d, "lang", "doc_id", {"en": 60}, 25).select("doc_id")
+    b = sel.stratified_sample(d, "lang", "doc_id", {"en": 60}, 25).select("doc_id")
+    ids_a = {r[0] for r in a.collect()}
+    ids_b = {r[0] for r in b.collect()}
+    assert ids_a == ids_b  # hash-based: reproducible, unlike rand()
+    assert ids_a < {r[0] for r in d.select("doc_id").collect()}
+
+
+def test_stratified_sample_rate_zero_and_hundred(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    assert sel.stratified_sample(d, "lang", "doc_id", {}, 100).count() == n
+    assert sel.stratified_sample(d, "lang", "doc_id", {}, 0).count() == 0
+
+
+# -- token-budget selection -------------------------------------------------
+
+
+def test_token_budget_two_phase_equals_global_window(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    )
+    budget = 5_000
+    two_phase = sel.select_token_budget(d, "quality", "n_tokens", "doc_id", budget)
+    # the naive single-task global window — semantic spec, not the plan
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        d.withColumn("_cum", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("_cum") <= budget)
+    )
+    got = {(r["doc_id"], r["_cum"]) for r in two_phase.collect()}
+    want = {(r["doc_id"], r["_cum"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_plan_windows_bands_not_globe(spark, sf_dir):
+    plan = _plan(spark, "select_token_budget", sf_dir)
+    # the data-path window must partition by band; the only
+    # single-partition exchange allowed is the ≤51-row offsets frame
+    assert "_band" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastExchange" in plan  # offsets join back by broadcast
+
+
+# -- quantized similarity ---------------------------------------------------
+
+
+def test_quantized_topk_agrees_with_exact_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, e, k=5)
+    quant = sim.quantized_topk(queries, e, k=5)
+    ex = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    qu = {(r["query_id"], r["match_id"]) for r in quant.collect()}
+    assert len(qu) == len(ex) > 0
+    # int8 quantization on 64-dim vectors preserves most of the top-5
+    overlap = len(ex & qu) / len(ex)
+    assert overlap >= 0.6, f"quantized recall too low: {overlap}"
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "sim_quantized_topk", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
