@@ -277,13 +277,20 @@ def connected_groups(
     grouping step that turns near-dup PAIRS into dedup GROUPS (keep one
     doc per group).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels) until a fixpoint.  Rounds
-    needed = graph diameter; near-dup components are tiny clusters, so
-    this converges in a handful of DataFrame joins (the standard
-    large-graph approach when components are shallow — no driver-side
-    graph materialization, every step is a shuffle-partitioned join).
-    Deterministic: min over ids, no floats.
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes min(own label, neighbors' labels, label-of-label).
+    The label-of-label join doubles the propagation distance per round,
+    so rounds ≈ log2(component diameter) instead of the diameter itself
+    (near-dup clusters are shallow, so 2-3 rounds in practice; at graph
+    scale the log bound is what keeps the job count flat).  Every step
+    is a shuffle-partitioned join — no driver-side graph.  Deterministic:
+    min over ids, no floats.
+
+    Partitioning is size-adaptive: the symmetric edge list is counted
+    once (it is being materialized anyway) and hash-repartitioned on the
+    join key at ~2M edges/partition — a handful of tasks per round
+    locally, thousands on a real cluster — and the per-round joins
+    reuse that partitioning instead of re-exchanging the edges.
 
     Output: (doc_id, group_id) for every node appearing in ``pairs``."""
     # both directions from ONE scan of the (possibly expensive) pair
@@ -299,9 +306,17 @@ def connected_groups(
         )
         .select("e.u", "e.v")
         .distinct()
-        .persist()
+        .persist()  # BEFORE the sizing count — or the pair pipeline runs twice
     )
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    n_edges = sym.count()
+    parts = max(2, min(2000, n_edges // 2_000_000 + 2))
+    sym_p = sym.repartition(parts, "v").persist()  # re-read from cache, not the pipeline
+    sym_p.count()
+    sym.unpersist()
+    sym = sym_p
+    labels = (
+        sym.select("u").distinct().withColumn("lbl", F.col("u")).repartition(parts, "u").persist()
+    )
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one map-side aggregation
     # per round instead of a join-and-count.  decimal(38,0) keeps the
@@ -314,9 +329,19 @@ def connected_groups(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        label_of_label = (
+            labels.alias("x")
+            .join(
+                labels.select(F.col("u").alias("l2"), F.col("lbl").alias("llbl")),
+                F.col("x.lbl") == F.col("l2"),
+            )
+            .select(F.col("x.u").alias("u"), F.col("llbl"))
+        )
         new_labels = (
             labels.join(neighbor_min, on="u", how="left")
-            .select("u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl"))
+            .join(label_of_label, on="u", how="left")
+            .select("u", F.least(F.col("lbl"), F.col("nlbl"), F.col("llbl")).alias("lbl"))
+            .repartition(parts, "u")
             .persist()
         )
         new_sum = new_labels.agg(_probe).collect()[0][0]

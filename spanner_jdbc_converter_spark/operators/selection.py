@@ -93,3 +93,59 @@ def select_token_budget(
         .filter(F.col("_cum") <= budget)
         .drop("_band", "_offset")
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    id_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within each group (the packing
+    shard), walk documents in id order and append to the current bin
+    until it would overflow ``capacity``, then open the next bin.  A doc
+    larger than capacity still gets its own bin (next-fit semantics).
+
+    Packing is inherently sequential *within a shard* — that is true of
+    every production packer, which is why they pack per-shard, never
+    globally.  Here the shard is the group: ``applyInPandas`` runs one
+    Arrow-batched sequential pass per group, groups pack in parallel
+    across the cluster, and nothing is ever globally ordered.
+
+    Output: group, id, tokens, ``bin_idx`` (0-based per group) and
+    ``bin_fill`` (bin total AFTER placing the row).
+    """
+    schema = (
+        f"{group_col} string, {id_col} long, {tokens_col} long, "
+        "bin_idx long, bin_fill long"
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        bins, fills = [], []
+        b, fill = 0, 0
+        first = True
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if first:
+                b, fill, first = 0, n, False
+            elif fill + n > capacity:
+                b, fill = b + 1, n
+            else:
+                fill += n
+            bins.append(b)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].values,
+                id_col: pdf[id_col].values,
+                tokens_col: pdf[tokens_col].values,
+                "bin_idx": bins,
+                "bin_fill": fills,
+            }
+        )
+
+    return df.select(group_col, id_col, tokens_col).groupBy(group_col).applyInPandas(_pack, schema)

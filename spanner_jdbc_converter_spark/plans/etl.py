@@ -215,9 +215,45 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fingerprint_dedup(d).select("doc_id", "lang", "n_chars")
 
 
-# ---------------------------------------------------------------------------
-# Quantized similarity search
-# ---------------------------------------------------------------------------
+PACK_CAPACITY = 512
+
+
+@register(
+    "select_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    t AS (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM f),
+    p(doc_id, lang, n_tokens, rn, bin_idx, bin_fill) AS (
+      SELECT doc_id, lang, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+             CASE WHEN p.bin_fill + t.n_tokens > {PACK_CAPACITY}
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.bin_fill + t.n_tokens > {PACK_CAPACITY}
+                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+      FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+    SELECT doc_id, lang, n_tokens, bin_idx, bin_fill FROM p
+    """,
+)
+def select_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: greedy next-fit of documents into
+    512-token bins, per language shard, in doc_id order.  The Spark side
+    is one Arrow-batched sequential pass per shard (applyInPandas) with
+    shards packing in parallel; the oracle walks the identical
+    recurrence with a recursive CTE, so every bin assignment and fill
+    level is hash-checked."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count("text").alias("n_tokens")
+    )
+    out = sel.pack_token_sequences(d, "lang", "n_tokens", "doc_id", PACK_CAPACITY)
+    return out.select("doc_id", "lang", "n_tokens", "bin_idx", "bin_fill")
 
 _QCODES_SQL = """
     prep AS (

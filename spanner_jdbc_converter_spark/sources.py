@@ -1,0 +1,126 @@
+"""Source/sink format surface beyond parquet (SURVEY.md §2.1/§2.8).
+
+The reference moves rows JDBC→JDBC; its "source" abstraction is any
+tabular ResultSet.  The Spark-native equivalents are the built-in
+DataSource formats — same declarative scan, same pushdown machinery.
+This module pins the engine's conventions for them:
+
+* explicit schemas for text formats (csv/json infer-scans are a full
+  extra pass over 100 TB — never rely on inference in production paths);
+* timestamps serialized with an explicit UTC format so round-trips are
+  lossless;
+* date/hash-partitioned layouts for writes (partition pruning is the
+  single biggest scan reducer at scale);
+* small-file compaction (streaming/incremental sinks accrete files; scan
+  cost is per-file, so periodic compaction keeps reads healthy).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Lossless round-trip format for csv/json timestamps (UTC, µs).
+TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_TEXT_FORMATS = ("csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic table scan.  Text formats REQUIRE a schema —
+    silent inference would re-scan the input and guess types the JDBC
+    metadata (S2) already told us."""
+    if fmt in _TEXT_FORMATS and schema is None:
+        raise ValueError(f"{fmt} scans require an explicit schema (no inference passes)")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("timestampFormat", TIMESTAMP_FORMAT)
+    if fmt == "json":
+        options.setdefault("timestampFormat", TIMESTAMP_FORMAT)
+    return reader.options(**options).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Format-agnostic write with optional hive-style partition layout."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("timestampFormat", TIMESTAMP_FORMAT)
+    if fmt == "json":
+        options.setdefault("timestampFormat", TIMESTAMP_FORMAT)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "error",
+) -> None:
+    """Partition-pruned layout: one directory per partition value.
+
+    A filter on a partition column then skips whole directories at
+    planning time (``PartitionFilters`` in the scan, zero I/O for
+    excluded partitions) — at 100 TB this is the difference between
+    scanning a day and scanning the archive.  Choose low-cardinality
+    columns (date buckets, region); high-cardinality partitioning
+    creates the small-file problem ``compact`` exists to fix."""
+    write_table(df, path, "parquet", mode=mode, partition_by=partition_cols)
+
+
+def dir_bytes(path: str) -> int:
+    """Total data bytes under a local path (cluster deployments swap in
+    the Hadoop FileSystem API — only this size probe changes)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ⌈size/target⌉ files.
+
+    Incremental/streaming sinks accrete many small files; since scan
+    setup cost is per-file, compaction is routine maintenance at scale.
+    Rewrite goes through a temp dir then an atomic-ish swap so a failed
+    compaction never destroys the source.  Returns the new file count."""
+    size = dir_bytes(path)
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # verify before swap — never drop data on a failed rewrite
+    if spark.read.parquet(tmp).count() != df.count():
+        raise RuntimeError("compaction row-count mismatch; source left untouched")
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -122,6 +122,25 @@ def test_quantized_topk_agrees_with_exact_topk(spark, sf_dir):
     assert overlap >= 0.6, f"quantized recall too low: {overlap}"
 
 
+def test_pack_sequences_next_fit_semantics(spark):
+    rows = [
+        ("en", 1, 300), ("en", 2, 200), ("en", 3, 100),   # 300+200=500, +100 overflows
+        ("en", 4, 900),                                   # oversized doc: own bin
+        ("en", 5, 10),
+        ("de", 1, 512), ("de", 2, 1),                     # exact fit closes nothing
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_tokens"])
+    out = sel.pack_token_sequences(df, "lang", "n_tokens", "doc_id", 512)
+    got = {(r["lang"], r["doc_id"]): (r["bin_idx"], r["bin_fill"]) for r in out.collect()}
+    assert got[("en", 1)] == (0, 300)
+    assert got[("en", 2)] == (0, 500)
+    assert got[("en", 3)] == (1, 100)
+    assert got[("en", 4)] == (2, 900)   # > capacity: still its own bin
+    assert got[("en", 5)] == (3, 10)    # bin 2 was over capacity, next doc opens new
+    assert got[("de", 1)] == (0, 512)   # exact capacity fits
+    assert got[("de", 2)] == (1, 1)
+
+
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "sim_quantized_topk", sf_dir)
     assert "BroadcastExchange" in plan

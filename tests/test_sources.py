@@ -1,0 +1,68 @@
+"""Source/sink format surface: csv/json round-trips, partitioned layout
+with pruning, and small-file compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark import sources as src
+from spanner_jdbc_converter_spark.catalog import load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_csv_round_trip_with_timestamps(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_csv")
+    src.write_table(orders, p, "csv")
+    back = src.read_table(spark, p, "csv", schema=orders.schema)
+    cols = orders.columns
+    assert _rows(back, cols) == _rows(orders, cols)
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    p = str(tmp_path / "li_json")
+    src.write_table(li, p, "json")
+    back = src.read_table(spark, p, "json", schema=li.schema)
+    assert _rows(back, li.columns) == _rows(li, li.columns)
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError):
+        src.read_table(spark, str(tmp_path), "csv")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    p = str(tmp_path / "orders_part")
+    src.write_partitioned(orders, p, ["o_month"])
+    # hive-style directories exist
+    assert any(d.startswith("o_month=") for d in os.listdir(p))
+    back = spark.read.parquet(p).filter(F.col("o_month") == "1997-03")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(jmode)
+    # the month filter must prune at planning time, not scan-and-filter
+    assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = orders.filter(F.col("o_month") == "1997-03").count()
+    assert back.count() == expected > 0
+
+
+def test_compact_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_many_files")
+    orders.repartition(32).write.parquet(p)
+    n_before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_before >= 16
+    total = orders.count()
+    src.compact(spark, p, target_file_bytes=1 << 30)  # everything fits one file
+    n_after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n_after < n_before
+    assert spark.read.parquet(p).count() == total
