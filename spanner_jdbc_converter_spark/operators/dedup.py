@@ -277,20 +277,22 @@ def connected_groups(
     grouping step that turns near-dup PAIRS into dedup GROUPS (keep one
     doc per group).
 
-    Algorithm: min-label propagation with POINTER JUMPING — each round
-    every node takes min(own label, neighbors' labels, label-of-label).
-    The label-of-label join doubles the propagation distance per round,
-    so rounds ≈ log2(component diameter) instead of the diameter itself
-    (near-dup clusters are shallow, so 2-3 rounds in practice; at graph
-    scale the log bound is what keeps the job count flat).  Every step
-    is a shuffle-partitioned join — no driver-side graph.  Deterministic:
-    min over ids, no floats.
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels) — with POINTER JUMPING as an
+    adaptive fallback: if the graph has not converged after a few plain
+    rounds (i.e. some component is deep), later rounds also take the
+    label-of-label, doubling propagation distance per round so the tail
+    is log2(diameter) instead of linear.  Near-dup components are tiny
+    star-ish clusters that converge in 2-3 plain rounds, so the common
+    case never pays the extra join; a pathological chain still finishes
+    in a flat number of jobs.  Every step is a shuffle-partitioned join
+    — no driver-side graph.  Deterministic: min over ids, no floats.
 
     Partitioning is size-adaptive: the symmetric edge list is counted
-    once (it is being materialized anyway) and hash-repartitioned on the
-    join key at ~2M edges/partition — a handful of tasks per round
-    locally, thousands on a real cluster — and the per-round joins
-    reuse that partitioning instead of re-exchanging the edges.
+    once (it is being materialized anyway) and, above ~2M edges per
+    default partition, hash-repartitioned on the join key so the
+    per-round joins reuse one sane partitioning on a real cluster; small
+    graphs skip the extra exchange entirely.
 
     Output: (doc_id, group_id) for every node appearing in ``pairs``."""
     # both directions from ONE scan of the (possibly expensive) pair
@@ -309,41 +311,44 @@ def connected_groups(
         .persist()  # BEFORE the sizing count — or the pair pipeline runs twice
     )
     n_edges = sym.count()
-    parts = max(2, min(2000, n_edges // 2_000_000 + 2))
-    sym_p = sym.repartition(parts, "v").persist()  # re-read from cache, not the pipeline
-    sym_p.count()
-    sym.unpersist()
-    sym = sym_p
-    labels = (
-        sym.select("u").distinct().withColumn("lbl", F.col("u")).repartition(parts, "u").persist()
-    )
+    if n_edges > 2_000_000:
+        parts = min(2000, n_edges // 2_000_000 + 2)
+        sym_p = sym.repartition(parts, "v").persist()  # re-read from cache, not the pipeline
+        sym_p.count()
+        sym.unpersist()
+        sym = sym_p
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u")).persist()
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one map-side aggregation
     # per round instead of a join-and-count.  decimal(38,0) keeps the
     # sum exact for billions of 64-bit ids (long sum would overflow)
     _probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(_probe).collect()[0][0]
-    for _ in range(max_iters):
+    _PLAIN_ROUNDS = 3  # shallow clusters converge here; beyond it, jump pointers
+    for i in range(max_iters):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        label_of_label = (
-            labels.alias("x")
-            .join(
-                labels.select(F.col("u").alias("l2"), F.col("lbl").alias("llbl")),
-                F.col("x.lbl") == F.col("l2"),
+        new_labels = labels.join(neighbor_min, on="u", how="left")
+        if i >= _PLAIN_ROUNDS:
+            label_of_label = (
+                labels.alias("x")
+                .join(
+                    labels.select(F.col("u").alias("l2"), F.col("lbl").alias("llbl")),
+                    F.col("x.lbl") == F.col("l2"),
+                )
+                .select(F.col("x.u").alias("u"), F.col("llbl"))
             )
-            .select(F.col("x.u").alias("u"), F.col("llbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="u", how="left")
-            .join(label_of_label, on="u", how="left")
-            .select("u", F.least(F.col("lbl"), F.col("nlbl"), F.col("llbl")).alias("lbl"))
-            .repartition(parts, "u")
-            .persist()
-        )
+            new_labels = new_labels.join(label_of_label, on="u", how="left").select(
+                "u", F.least(F.col("lbl"), F.col("nlbl"), F.col("llbl")).alias("lbl")
+            )
+        else:
+            new_labels = new_labels.select(
+                "u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl")
+            )
+        new_labels = new_labels.persist()
         new_sum = new_labels.agg(_probe).collect()[0][0]
         labels.unpersist()
         labels = new_labels
