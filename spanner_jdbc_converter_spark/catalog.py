@@ -60,20 +60,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     BatchReadOnly partitions (REF/data/CloudSpannerTableWorker.java:44-64)
     both collapse into file splits here.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as raw
-    int64 (``nanosAsLong``) and we convert with *integer* division —
-    ns-epoch magnitudes (~1.7e18) exceed double's 53-bit mantissa, so a
-    float path would corrupt microseconds.  DuckDB truncates ns→µs the
-    same way, keeping oracle hashes aligned (SURVEY.md §7.4).
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark has no
+    native type for.  The shape it arrives in depends on the Spark line:
+
+    * Spark 3.x with ``spark.sql.legacy.parquet.nanosAsLong``: raw int64
+      ns-epoch — convert with *integer* division (ns magnitudes ~1.7e18
+      exceed double's 53-bit mantissa; a float path would corrupt µs).
+    * Spark 4.x: ``nanosAsLong`` is inert and the column reads as
+      TIMESTAMP_NTZ (ns truncated to µs) — cast to TIMESTAMP.  The
+      session TZ is pinned UTC below, so NTZ→LTZ is value-identical to
+      what the DuckDB oracle (naive timestamps) computes.
+
+    Both paths land on the same µs-truncated TIMESTAMP values that every
+    oracle hash was validated under (SURVEY.md §7.4).
     """
     # Runtime-settable; the driver hands us a bare session without our
-    # session.py builder confs, so pin them here before every scan
-    # (nanos read + the UTC semantics every oracle was validated under).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session.py builder confs, so pin UTC here before every scan.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.version.startswith("3."):
+        # Inert (and misleading) on Spark 4 — only set where it works.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = _normalize_event_time(df)
+    return df
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType whatever shape the
+    parquet reader produced (see ``load_table`` docstring).  Downstream
+    ``unix_micros``/``withWatermark`` require TIMESTAMP, not NTZ."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

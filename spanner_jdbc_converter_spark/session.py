@@ -9,10 +9,11 @@ config here is chosen to also be the right default on a large cluster:
 * ``spark.sql.shuffle.partitions`` — a *starting* value; AQE coalesces
   down.  On a real cluster this would be ~2-3× total cores.
 * Arrow enabled — every pandas UDF / toPandas crossing is Arrow-batched.
-* ``parquet.nanosAsLong`` — the ``events`` fixture carries
-  TIMESTAMP(NANOS) which Spark has no native type for; we read the raw
-  int64 and convert with integer division (never float — ns-epoch values
-  exceed double's 53-bit mantissa).
+* ``parquet.nanosAsLong`` — Spark 3.x compat only: the ``events``
+  fixture carries TIMESTAMP(NANOS); on 3.x we read the raw int64 and
+  convert with integer division.  On Spark 4.x the conf is inert and
+  the column reads as TIMESTAMP_NTZ instead — ``catalog.load_table``
+  normalizes both shapes to TIMESTAMP.
 * Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (naive timestamps) regardless of machine TZ.
 """

@@ -30,8 +30,11 @@ DEFAULT_WATERMARK = "10 minutes"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events fixture: same ns→µs conversion
-    as the batch loader (nanosAsLong → timestamp_micros(ts div 1000))."""
+    """File-source stream over the events fixture: same event-time
+    normalization as the batch loader (bigint ns on Spark 3.x /
+    TIMESTAMP_NTZ on Spark 4.x → TIMESTAMP, see catalog.load_table)."""
+    from spanner_jdbc_converter_spark.catalog import _normalize_event_time
+
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; pathGlobFilter selects the table
     stream = (
@@ -40,9 +43,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_event_time(stream)
 
 
 # -- windowed aggregations (same body for batch + streaming) ----------------

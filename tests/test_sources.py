@@ -66,3 +66,19 @@ def test_compact_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
     n_after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
     assert n_after < n_before
     assert spark.read.parquet(p).count() == total
+
+
+def test_event_time_is_timestamp_on_this_spark(spark, sf_dir):
+    """Guard: whatever Spark line is installed (3.x bigint-ns path or
+    4.x TIMESTAMP_NTZ path), load_table must hand downstream operators a
+    proper TimestampType `ts` — unix_micros and withWatermark both
+    reject TIMESTAMP_NTZ.  This would have caught the Spark 3→4
+    environment break in milliseconds (VERDICT r3, What's wrong #1)."""
+    from pyspark.sql.types import TimestampType
+
+    from spanner_jdbc_converter_spark.streaming.ops import read_events_stream
+
+    events = load_table(spark, sf_dir, "events")
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    stream = read_events_stream(spark, sf_dir)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
