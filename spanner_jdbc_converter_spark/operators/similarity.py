@@ -164,9 +164,12 @@ def lsh_ann_topk(
     has ~(1-θ/π)^planes recall, far too low for near-orthogonal data).
     Candidates are scored exactly, deduped, window top-k'ed.
 
-    Cost: corpus exploded ×tables (key strings only — vectors are not
-    duplicated until the bucket join matches), candidate set per query
-    ≈ tables × |corpus| / 2^planes.
+    Cost: corpus exploded ×tables (key strings only — vectors never ride
+    the bucket join), candidate set per query ≈ tables × |corpus| /
+    2^planes.  Candidate generation and dedup run on bare (query_id,
+    match_id) pairs — 16 bytes/row instead of ~1 KB with two 64-float
+    vectors — then the embeddings are joined back by id exactly once for
+    scoring (the same shape the SQL oracle uses).
     """
 
     keys_udf = lsh_bucket_keys_pandas(tables, planes, dim)
@@ -174,23 +177,31 @@ def lsh_ann_topk(
     def keyed(df: DataFrame, role: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_nrm"),
             F.explode(keys_udf(F.col(vec_col))).alias("bucket"),
         )
 
-    q = keyed(queries, "query")
-    c = keyed(corpus, "match")
+    def side(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+        )
+
+    candidates = (
+        F.broadcast(keyed(queries, "query"))
+        .join(keyed(corpus, "match"), on="bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
     cos = F.round(
         dot(F.col("query_vec"), F.col("match_vec"))
         / (F.col("query_nrm") * F.col("match_nrm")),
         6,
     )
     scored = (
-        q.join(c, on="bucket")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "query_vec", "match_vec", "query_nrm", "match_nrm")
-        .dropDuplicates(["query_id", "match_id"])
+        candidates.join(F.broadcast(side(queries, "query")), on="query_id")
+        .join(side(corpus, "match"), on="match_id")
         .select("query_id", "match_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
@@ -217,8 +228,9 @@ def ivf_topk(
 
     Scale shape: assignment is corpus × broadcast(centroids) — linear
     in |corpus|·K with no corpus shuffle; the candidate join shuffles
-    on cluster id (list-sized buckets, K ≈ |corpus|/stride keeps them
-    balanced for uniformly distributed ids)."""
+    only (id, cent_id) pairs (list-sized buckets, K ≈ |corpus|/stride
+    keeps them balanced for uniformly distributed ids); the embeddings
+    are joined back by id once for exact scoring."""
     cents = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
@@ -226,6 +238,8 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, role: str, rank_limit: int) -> DataFrame:
+        """(role_id, cent_id) inverted-list assignment — ids only; the
+        vectors stay out of every downstream shuffle."""
         base = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
@@ -241,24 +255,34 @@ def ivf_topk(
         )
         return (
             base.crossJoin(F.broadcast(cents))
-            .select(f"{role}_id", f"{role}_vec", f"{role}_nrm", "cent_id", cos.alias("__ccos"))
+            .select(f"{role}_id", "cent_id", cos.alias("__ccos"))
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= rank_limit)
-            .drop("__ccos", "__r")
+            .select(f"{role}_id", "cent_id")
         )
 
-    corp = assign(corpus, "match", 1)
-    probes = assign(queries, "query", nprobe)
+    def side(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+        )
+
+    candidates = (
+        F.broadcast(assign(queries, "query", nprobe))
+        .join(assign(corpus, "match", 1), on="cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
     cos = F.round(
         dot(F.col("query_vec"), F.col("match_vec"))
         / (F.col("query_nrm") * F.col("match_nrm")),
         6,
     )
     scored = (
-        probes.join(corp, on="cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "query_vec", "match_vec", "query_nrm", "match_nrm")
-        .dropDuplicates(["query_id", "match_id"])
+        candidates.join(F.broadcast(side(queries, "query")), on="query_id")
+        .join(side(corpus, "match"), on="match_id")
         .select("query_id", "match_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))

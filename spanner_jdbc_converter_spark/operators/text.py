@@ -103,25 +103,39 @@ def punct_count(col: Column | str) -> Column:
     return F.regexp_count(col, F.lit(r"[^\w\s]")).cast("long")
 
 
+def stopword_count_from_tokens(toks: Column, stopwords: tuple[str, ...] = _STOPWORDS) -> Column:
+    """Number of token *occurrences* that are stopwords, from a STAGED
+    token array — pure codegen, no interpreted array-HOF lambda.
+
+    The tokens are joined with a double-space separator (each token then
+    owns both its flanking spaces), so one non-overlapping alternation
+    regex counts every stopword occurrence exactly once.  Alternation of
+    escaped literal words behaves identically in Java regex and RE2, so
+    the count matches the oracle's ``list_transform`` sum."""
+    import re as _re
+
+    pat = " (?:" + "|".join(_re.escape(w) for w in stopwords) + ") "
+    joined = F.concat(F.lit(" "), F.array_join(toks, "  "), F.lit(" "))
+    return F.regexp_count(joined, F.lit(pat)).cast("long")
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = _STOPWORDS) -> Column:
-    """Number of token *occurrences* that are stopwords."""
-    in_set = F.array([F.lit(s) for s in stopwords])
-    return F.aggregate(
-        tokens(col),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.when(F.array_contains(in_set, x), 1).otherwise(0),
-    )
+    """Number of token *occurrences* that are stopwords.
+
+    Convenience single-expression form; hot projections should stage
+    ``tokens(col)`` once and use :func:`stopword_count_from_tokens`."""
+    return stopword_count_from_tokens(tokens(col), stopwords)
 
 
-def quality_score(col: Column | str) -> Column:
-    """Heuristic quality in [0,1]: length band + stopword presence −
-    punctuation density.  Deterministic rational arithmetic, rounded to
-    6 digits for cross-engine hashing."""
+def quality_score_from_tokens(col: Column | str, toks: Column) -> Column:
+    """Heuristic quality in [0,1] from a STAGED token array: length band
+    + stopword presence − punctuation density.  Deterministic rational
+    arithmetic, rounded to 6 digits for cross-engine hashing."""
     col = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(col)
+    n_tok = F.size(toks).cast("long")
     n_chars = F.length(col).cast("long")
     punct = punct_count(col)
-    stop = stopword_count(col)
+    stop = stopword_count_from_tokens(toks)
     len_score = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
     stop_ratio = stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
     punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
@@ -129,9 +143,15 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 6)
 
 
-def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
-    """Distinct-overlap score against each language profile."""
-    toks = tokens(col)
+def quality_score(col: Column | str) -> Column:
+    """Single-expression quality score; hot projections should stage
+    ``tokens(col)`` and use :func:`quality_score_from_tokens`."""
+    return quality_score_from_tokens(col, tokens(col))
+
+
+def lang_scores_from_tokens(toks: Column) -> list[tuple[str, Column]]:
+    """Distinct-overlap score of a STAGED token array against each
+    language profile."""
     out = []
     for lang, words in LANG_PROFILES.items():
         profile = F.array([F.lit(w) for w in words])
@@ -139,10 +159,17 @@ def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
     return out
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    """Distinct-overlap score against each language profile."""
+    return lang_scores_from_tokens(tokens(col))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
     """argmax over profiles with deterministic alphabetical tiebreak,
-    'und' (undetermined) when every score is 0."""
-    scores = lang_scores(col)
+    'und' (undetermined) when every score is 0 — from a STAGED token
+    array (the expression references it 5×; staging keeps the tokenizer
+    subtree out of the plan entirely)."""
+    scores = lang_scores_from_tokens(toks)
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
     # ascending order + strict '>': the first (alphabetically-first)
@@ -152,6 +179,12 @@ def lang_id(col: Column | str) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+def lang_id(col: Column | str) -> Column:
+    """Single-expression language ID; hot projections should stage
+    ``tokens(col)`` and use :func:`lang_id_from_tokens`."""
+    return lang_id_from_tokens(tokens(col))
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -173,13 +206,19 @@ def fingerprint_long(col: Column | str) -> Column:
 
 def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document feature frame: token/char/punct/stopword
-    counts, quality, language, fingerprint."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
+    counts, quality, language, fingerprint.
+
+    The token array is staged in its own projection and every feature
+    derives from the staged column, so the plan carries exactly ONE
+    tokenizer subtree (the staged alias is multiply-referenced and
+    non-cheap, so CollapseProject keeps the projection barrier)."""
+    toks = F.col("__tokens")
+    return df.select("*", tokens(text_col).alias("__tokens")).select(
+        *df.columns,
+        F.size(toks).cast("long").alias("n_tokens"),
         punct_count(text_col).alias("n_punct"),
-        stopword_count(text_col).alias("n_stopwords"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
+        stopword_count_from_tokens(toks).alias("n_stopwords"),
+        quality_score_from_tokens(text_col, toks).alias("quality"),
+        lang_id_from_tokens(toks).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )

@@ -101,13 +101,17 @@ def _lsh_band_exprs_sql() -> str:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token / punctuation / stopword counting — whole pipeline is one
-    codegen'd projection, no shuffle."""
+    codegen'd projection, no shuffle; the token array is staged once and
+    both counts derive from it."""
     d = load_table(spark, sf_dir, "documents")
+    toks = F.col("__toks")
     return d.select(
+        "doc_id", F.col("text"), tx.tokens("text").alias("__toks")
+    ).select(
         "doc_id",
-        tx.token_count("text").alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         tx.punct_count("text").alias("n_punct"),
-        tx.stopword_count("text").alias("n_stopwords"),
+        tx.stopword_count_from_tokens(toks).alias("n_stopwords"),
     )
 
 
@@ -134,9 +138,14 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score (length band + stopword density −
-    punctuation density)."""
+    punctuation density); the token array is staged once."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+    return d.select(
+        "doc_id", F.col("text"), tx.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        tx.quality_score_from_tokens("text", F.col("__toks")).alias("quality"),
+    )
 
 
 @register(
@@ -149,9 +158,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID with deterministic alphabetical
-    tiebreak ('und' when no profile matches)."""
+    tiebreak ('und' when no profile matches); the token array is staged
+    once instead of re-tokenizing per language profile (5×)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+    return d.select("doc_id", tx.tokens("text").alias("__toks")).select(
+        "doc_id", tx.lang_id_from_tokens(F.col("__toks")).alias("lang_pred")
+    )
 
 
 _BPE_PATTERN_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")
