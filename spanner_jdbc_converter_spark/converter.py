@@ -1,0 +1,152 @@
+"""End-to-end conversion orchestrator — the reference's ``Converter``
+main loop restated (REF/Converter.java:69-83, REF/data/DataCopier.java:45-85,
+108-138).
+
+Sequencing per run:
+
+1. **Existence intersection** — only tables present in BOTH the source
+   catalog and the requested set are converted
+   (REF/data/DataCopier.java:128-138 semi-joins destination tables
+   against source metadata).
+2. **DDL phase** per ``ddl_mode`` (REF/ddl/TableConverter.java:176-204):
+   generate CREATE TABLE (dialect PK placement) for missing tables,
+   DROP+CREATE for DropAndRecreate, throw for ThrowExceptionIfExists on
+   a non-empty existing destination, skip everything for SkipAll.
+3. **Delete phase** — when ``data_mode`` is DropAndRecreate and the
+   destination still holds rows after the DDL phase, the reference runs
+   TableDeleter first (REF/Converter.java:76-79); we record the
+   strategy probe (single-statement vs ranged, W6) the deleter would
+   pick.  Over parquet the physical delete IS the overwrite write.
+4. **Copy phase** per ``data_mode`` through the existence/emptiness
+   matrix (:func:`spanner_jdbc_converter_spark.copy.copy_table`).
+
+Destinations are parquet directories ``{dest_root}/{table}.parquet`` —
+the same layout the fixture tables use, so a converted tree is
+immediately loadable by ``catalog.load_table``.  Every phase is a Spark
+job over partitioned data; the orchestration loop itself touches only
+metadata (per-table booleans + DDL strings), exactly like the
+reference's driver thread.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spanner_jdbc_converter_spark.catalog import (
+    PRIMARY_KEYS,
+    load_table,
+    table_exists_in_source,
+)
+from spanner_jdbc_converter_spark.copy import (
+    ConversionResult,
+    TableExistsError,
+    _dest_state,
+    copy_table,
+)
+from spanner_jdbc_converter_spark.ddl import create_table_ddl, drop_table_ddl
+from spanner_jdbc_converter_spark.delete import delete_strategy
+from spanner_jdbc_converter_spark.modes import ConvertMode, should_copy_data
+from spanner_jdbc_converter_spark.types import table_spec_from_schema
+
+
+@dataclass
+class TableConversionReport:
+    """Per-table outcome of one :func:`convert_all` run — the reference's
+    per-table ``ConversionResult`` plus the phase decisions that led to it
+    (REF/data/ConversionResult.java:6-91)."""
+
+    table: str
+    ddl_action: str = "skipped"  # created | dropped_and_recreated | skipped
+    ddl: list[str] = field(default_factory=list)
+    delete_strategy: str | None = None  # single_statement | ranged | None
+    data_action: str = "skipped"  # copied | skipped
+    result: ConversionResult = field(default_factory=ConversionResult)
+
+
+def convert_table(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    dest_path: str,
+    ddl_mode: ConvertMode = ConvertMode.SKIP_EXISTING,
+    data_mode: ConvertMode = ConvertMode.SKIP_EXISTING,
+    dialect: str = "cloudspanner",
+    primary_key: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> TableConversionReport:
+    """One table through DDL → delete-probe → copy (REF/Converter.java:69-83)."""
+    report = TableConversionReport(table=table)
+    pk = primary_key if primary_key is not None else list(PRIMARY_KEYS.get(table, ()))
+    exists, empty = _dest_state(spark, dest_path)
+
+    # -- DDL phase (REF/ddl/TableConverter.java:176-204) --------------------
+    if ddl_mode is not ConvertMode.SKIP_ALL:
+        if exists and ddl_mode is ConvertMode.THROW_IF_EXISTS and not empty:
+            raise TableExistsError(dest_path)
+        spec = table_spec_from_schema(table, source.schema, pk)
+        if not exists:
+            report.ddl_action = "created"
+            report.ddl = [create_table_ddl(spec, dialect)]
+        elif ddl_mode is ConvertMode.DROP_AND_RECREATE:
+            report.ddl_action = "dropped_and_recreated"
+            report.ddl = [drop_table_ddl(table), create_table_ddl(spec, dialect)]
+            exists, empty = False, True  # overwrite write below realizes the drop
+
+    # -- delete phase (REF/Converter.java:76-79) ----------------------------
+    if data_mode is ConvertMode.DROP_AND_RECREATE and exists and not empty:
+        # The reference sizes the deleter off the destination row count
+        # (REF/data/TableDeleter.java:28-40); physically the overwrite
+        # write below performs the delete in the same job.
+        report.delete_strategy = delete_strategy(spark.read.parquet(dest_path).count())
+
+    # -- copy phase (REF/data/DataCopier.java:45-85) ------------------------
+    copy_mode = data_mode
+    if report.ddl_action == "dropped_and_recreated" and data_mode is not ConvertMode.SKIP_ALL:
+        copy_mode = ConvertMode.DROP_AND_RECREATE  # fresh table: always load
+    will_copy = should_copy_data(copy_mode, empty)
+    report.result = copy_table(
+        spark, source, dest_path, mode=copy_mode, target_partitions=target_partitions
+    )
+    report.data_action = "copied" if will_copy else "skipped"
+    return report
+
+
+def convert_all(
+    spark: SparkSession,
+    sf_dir: str,
+    dest_root: str,
+    tables: list[str],
+    source_tables: list[str] | None = None,
+    ddl_mode: ConvertMode = ConvertMode.SKIP_EXISTING,
+    data_mode: ConvertMode = ConvertMode.SKIP_EXISTING,
+    dialect: str = "cloudspanner",
+    target_partitions: int | None = None,
+) -> list[TableConversionReport]:
+    """Convert every requested table that exists in the source catalog.
+
+    ``source_tables`` defaults to the requested list (self-describing
+    parquet source); pass the real source catalog listing to exercise the
+    existence intersection (REF/data/DataCopier.java:128-138).  Tables
+    convert sequentially like the reference's driver loop — each copy is
+    itself a fully parallel Spark job, so at 100 TB the cluster is busy
+    regardless; interleaving tables would only contend for executors.
+    """
+    present = table_exists_in_source(source_tables or tables, tables)
+    reports = []
+    for table in present:
+        source = load_table(spark, sf_dir, table)
+        reports.append(
+            convert_table(
+                spark,
+                source,
+                table,
+                f"{dest_root}/{table}.parquet",
+                ddl_mode=ddl_mode,
+                data_mode=data_mode,
+                dialect=dialect,
+                target_partitions=target_partitions,
+            )
+        )
+    return reports
