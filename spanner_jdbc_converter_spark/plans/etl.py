@@ -28,6 +28,7 @@ from spanner_jdbc_converter_spark.operators import dedup as dd
 from spanner_jdbc_converter_spark.operators import selection as sel
 from spanner_jdbc_converter_spark.operators import similarity as sim
 from spanner_jdbc_converter_spark.operators import text as tx
+from spanner_jdbc_converter_spark.operators import validate as vd
 from spanner_jdbc_converter_spark.plans.extensions import _STOPWORDS_SQL, _TOKS_SQL
 from spanner_jdbc_converter_spark.plans.registry import register
 
@@ -186,10 +187,14 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded prefix sum (operators/selection.py) so no stage ever windows
     the whole corpus in one task — the oracle IS the naive global
     window, proving the distributed plan computes identical values."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.quality_score("text").alias("quality"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text"), tx.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            tx.quality_score_from_tokens("text", F.col("__toks")).alias("quality"),
+        )
     )
     out = sel.select_token_budget(d, "quality", "n_tokens", "doc_id", TOKEN_BUDGET)
     return out.select("doc_id", "n_tokens", "quality", F.col("_cum").alias("cum_tokens"))
@@ -303,3 +308,158 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.quantized_topk(queries, e, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Copy validation (operators/validate.py): migration-fidelity checks the
+# reference lacks (its whole verification story is a row-count compare,
+# REF/util/ConverterUtils.java:193-216).
+# ---------------------------------------------------------------------------
+
+_CANON = {
+    "region": ("concat(CAST(r_regionkey AS VARCHAR), ':', r_name)",),
+    "nation": (
+        "concat(CAST(n_nationkey AS VARCHAR), ':', n_name, ':', CAST(n_regionkey AS VARCHAR))",
+    ),
+    "supplier": (
+        "concat(CAST(s_suppkey AS VARCHAR), ':', s_name, ':', CAST(s_nationkey AS VARCHAR))",
+    ),
+}
+
+
+def _spark_canon(table: str) -> F.Column:
+    cols = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey"],
+    }[table]
+    return F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+
+
+@register(
+    "validate_table_checksums",
+    oracle=" UNION ALL ".join(
+        vd.checksum_sql(t, expr[0]) for t, expr in _CANON.items()
+    ),
+)
+def validate_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums of three tables in one frame —
+    the copy-validation primitive: a source checksum and a destination
+    checksum computed independently (no co-location, one scan each,
+    16-byte partial sums) compare as two rows.  Canonical strings use
+    only int/string columns so the rendering is engine-portable."""
+    out = None
+    for t in _CANON:
+        piece = vd.table_checksum(load_table(spark, sf_dir, t), _spark_canon(t), t)
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@register(
+    "validate_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+    new AS (
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 1) % 25
+                  ELSE s_nationkey END AS s_nationkey
+      FROM supplier WHERE s_suppkey % 13 <> 0
+      UNION ALL
+      SELECT s_suppkey + 500000, s_name, s_nationkey
+      FROM supplier WHERE s_suppkey % 11 = 0)
+    SELECT COALESCE(o.s_suppkey, n.s_suppkey) AS s_suppkey,
+           CASE WHEN o.s_suppkey IS NULL THEN 'insert'
+                WHEN n.s_suppkey IS NULL THEN 'delete'
+                WHEN o.s_name IS DISTINCT FROM n.s_name
+                     OR o.s_nationkey IS DISTINCT FROM n.s_nationkey
+                  THEN 'update' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.s_suppkey = n.s_suppkey
+    WHERE o.s_suppkey IS NULL OR n.s_suppkey IS NULL
+          OR o.s_name IS DISTINCT FROM n.s_name
+          OR o.s_nationkey IS DISTINCT FROM n.s_nationkey
+    """,
+)
+def validate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff as a validation operator: a derived 'later' supplier
+    snapshot (every 13th key dropped → delete, every 7th renationed →
+    update, every 11th re-inserted under a shifted key → insert) diffed
+    against the original.  Spark ships one 60-bit content hash per side
+    through the full-outer join; the oracle compares columns directly —
+    same classification, which is exactly what the hash is for."""
+    old = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    new = old.filter(F.col("s_suppkey") % 13 != 0).withColumn(
+        "s_nationkey",
+        F.when(F.col("s_suppkey") % 7 == 0, (F.col("s_nationkey") + 1) % 25).otherwise(
+            F.col("s_nationkey")
+        ),
+    )
+    new = new.unionByName(
+        old.filter(F.col("s_suppkey") % 11 == 0).withColumn(
+            "s_suppkey", F.col("s_suppkey") + F.lit(500000)
+        )
+    )
+    content = F.concat_ws(":", F.col("s_name"), F.col("s_nationkey").cast("string"))
+    return vd.snapshot_diff(old, new, ["s_suppkey"], content)
+
+
+@register(
+    "validate_fk_orphans",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0)
+    """,
+)
+def validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity probe: orders whose customer is missing from
+    a damaged parent snapshot (every 3rd customer key removed).  The
+    parent side reduces to its distinct key column before the anti join,
+    so a wide parent contributes only keys to the broadcast/shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    parent = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return vd.fk_orphans(orders, parent, ["o_custkey"], ["c_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "validate_column_profile",
+    oracle="""
+    SELECT 'n_name' AS column_name,
+           COUNT(*) FILTER (WHERE n_name IS NULL) AS n_nulls,
+           COUNT(DISTINCT n_name) AS n_distinct,
+           CAST(MIN(n_name) AS VARCHAR) AS min_value,
+           CAST(MAX(n_name) AS VARCHAR) AS max_value
+    FROM nation
+    UNION ALL
+    SELECT 'n_nationkey',
+           COUNT(*) FILTER (WHERE n_nationkey IS NULL),
+           COUNT(DISTINCT n_nationkey),
+           CAST(MIN(n_nationkey) AS VARCHAR),
+           CAST(MAX(n_nationkey) AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'n_regionkey',
+           COUNT(*) FILTER (WHERE n_regionkey IS NULL),
+           COUNT(DISTINCT n_regionkey),
+           CAST(MIN(n_regionkey) AS VARCHAR),
+           CAST(MAX(n_regionkey) AS VARCHAR)
+    FROM nation
+    """,
+)
+def validate_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of nation (nulls / distinct / min /
+    max) — the DatabaseMetaData-style facts computed from the data
+    itself.  N columns become 4·N aggregates over ONE scan, then a
+    stack() unpivot; min/max are computed typed and rendered as strings
+    (int and string columns only, so rendering is engine-portable)."""
+    n = load_table(spark, sf_dir, "nation")
+    return vd.profile_table(
+        n,
+        {
+            "n_name": F.col("n_name"),
+            "n_nationkey": F.col("n_nationkey"),
+            "n_regionkey": F.col("n_regionkey"),
+        },
+    )
