@@ -3,7 +3,13 @@
 JSON line the driver records as BENCH_r{N}.json.
 
 Each query is forced end-to-end with a noop-format write (computes every
-output column/row, no driver collect bottleneck, no disk write)."""
+output column/row, no driver collect bottleneck, no disk write).
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3): the first
+(cold) run is recorded separately under "cold_queries"; "queries" holds
+the median of the remaining warm runs.  Single cold runs proved to be
+half noise round-over-round (VERDICT r3: 7 queries swung >2× with zero
+code change) — medians of warm runs are what regressions are judged on."""
 
 from __future__ import annotations
 
@@ -19,6 +25,16 @@ from spanner_jdbc_converter_spark.session import get_spark
 #: Per-query wall budget — a single regressed/hung query records -1
 #: instead of taking down the whole bench run.
 QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "120"))
+
+#: Runs per query: 1 cold + (N-1) warm; "queries" reports the warm median.
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    mid = n // 2
+    return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
 
 
 def _force(df) -> None:
@@ -66,16 +82,27 @@ def main() -> None:
         print(f"bench: warmup failed (bad SF dir?): {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(QUERIES):
-        start = time.perf_counter()
-        ok, reason = _run_with_timeout(
-            spark, lambda name=name: _force(QUERIES[name](spark, sf_dir)), QUERY_TIMEOUT_S
-        )
-        if ok:
-            timings[name] = round(time.perf_counter() - start, 4)
-        else:  # record the failure, keep benching
+        runs: list[float] = []
+        failed = None
+        for i in range(BENCH_RUNS):
+            start = time.perf_counter()
+            ok, reason = _run_with_timeout(
+                spark, lambda name=name: _force(QUERIES[name](spark, sf_dir)), QUERY_TIMEOUT_S
+            )
+            if not ok:
+                failed = reason
+                break
+            runs.append(time.perf_counter() - start)
+        if failed is not None:  # record the failure, keep benching
             timings[name] = -1.0
-            print(f"bench: {name} failed: {reason}", file=sys.stderr)
+            cold[name] = -1.0
+            print(f"bench: {name} failed: {failed}", file=sys.stderr)
+            continue
+        cold[name] = round(runs[0], 4)
+        # median of warm runs; with BENCH_RUNS=1 fall back to the cold run
+        timings[name] = round(_median(runs[1:]) if len(runs) > 1 else runs[0], 4)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
@@ -85,6 +112,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "runs_per_query": BENCH_RUNS,
                 "sf": sf_val,
             }
         )

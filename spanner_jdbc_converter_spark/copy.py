@@ -278,24 +278,38 @@ def write_bucketed(
 # diff source vs destination snapshot, then merge only the changes.
 # ---------------------------------------------------------------------------
 
-#: Field / null sentinels for the row checksum (unit-separator, NUL).
+#: Field / null sentinels for the row checksum (unit-separator, NUL) and
+#: the escape char (STX) that keeps them unforgeable from data.
 _HASH_FIELD_SEP = "\x1f"
 _HASH_NULL = "\x00"
+_HASH_ESC = "\x02"
 
 
 def row_hash(cols: list[str]):
     """Portable 60-bit row checksum over the given columns: md5 of the
     unit-separator-joined string forms, NULs standing in for NULLs.
 
+    Values are escaped before joining (``\\x02``→``\\x02\\x02``,
+    ``\\x1f``→``\\x02u``, ``\\x00``→``\\x02z``) so a value CONTAINING the
+    separator or null sentinel cannot forge a column boundary — without
+    this, ("a\\x1fb", "c") and ("a", "b\\x1fc") hash identically and the
+    diff misses real changes.
+
     One hash per row replaces a wide all-columns comparison in the diff
     join — the shuffle carries (pk, 8-byte hash) instead of every
     compared column.  String rendering must agree across engines, so
     restrict compared columns to types with identical casts (strings,
-    integers); the DuckDB rendering lives in plans/etl.py."""
+    integers); a DuckDB twin must apply the same three replaces."""
     from spanner_jdbc_converter_spark.functions.hashing import md5_long
 
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit(_HASH_NULL)) for c in cols]
-    return md5_long(F.concat_ws(_HASH_FIELD_SEP, *parts))
+    def canon(c: str):
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit(_HASH_ESC), F.lit(_HASH_ESC + _HASH_ESC))
+        s = F.replace(s, F.lit(_HASH_FIELD_SEP), F.lit(_HASH_ESC + "u"))
+        s = F.replace(s, F.lit(_HASH_NULL), F.lit(_HASH_ESC + "z"))
+        return F.coalesce(s, F.lit(_HASH_NULL))
+
+    return md5_long(F.concat_ws(_HASH_FIELD_SEP, *[canon(c) for c in cols]))
 
 
 def incremental_diff(

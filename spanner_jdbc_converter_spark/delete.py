@@ -125,14 +125,18 @@ def plan_delete_ranges(
 
 def delete_by_range(df: DataFrame, pk_cols: list[str], ranges: list[DeleteRange]) -> DataFrame:
     """W5: survivors after deleting every key range — negated pushed-down
-    predicate, no join, no shuffle."""
+    predicate, no join, no shuffle.
+
+    NULL-pk rows make the range predicate NULL, and a bare ``~pred``
+    filter would silently DROP them; a NULL key is in no range, so such
+    rows must survive — hence the coalesce to true."""
     doomed = None
     for r in ranges:
         pred = lexicographic_range_predicate(pk_cols, r.begin_key, r.end_key)
         doomed = pred if doomed is None else (doomed | pred)
     if doomed is None:
         return df
-    return df.filter(~doomed)
+    return df.filter(F.coalesce(~doomed, F.lit(True)))
 
 
 def delete_by_keys(target: DataFrame, doomed_keys: DataFrame, pk_cols: list[str]) -> DataFrame:

@@ -317,7 +317,15 @@ def connected_groups(
         sym_p.count()
         sym.unpersist()
         sym = sym_p
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    # Each round is checkpointed (localCheckpoint, eager): without the
+    # lineage cut the label frame's logical plan DOUBLES per round (it
+    # self-joins into the next round), and a deep component OOMs the
+    # driver in plan analysis long before any executor sees data.  On a
+    # real cluster prefer setCheckpointDir + checkpoint() for fault
+    # tolerance; executor-local checkpoints are the right local default.
+    labels = (
+        sym.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint(eager=True)
+    )
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one map-side aggregation
     # per round instead of a join-and-count.  decimal(38,0) keeps the
@@ -348,9 +356,8 @@ def connected_groups(
             new_labels = new_labels.select(
                 "u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl")
             )
-        new_labels = new_labels.persist()
+        new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = new_labels.agg(_probe).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

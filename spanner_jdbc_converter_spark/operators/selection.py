@@ -115,10 +115,22 @@ def pack_token_sequences(
 
     Output: group, id, tokens, ``bin_idx`` (0-based per group) and
     ``bin_fill`` (bin total AFTER placing the row).
+
+    The output schema is derived from the INPUT schema (not hardcoded),
+    so an int group key or a decimal token count round-trips with its
+    own type instead of failing Arrow conversion.
     """
-    schema = (
-        f"{group_col} string, {id_col} long, {tokens_col} long, "
-        "bin_idx long, bin_fill long"
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField(group_col, in_fields[group_col]),
+            T.StructField(id_col, in_fields[id_col]),
+            T.StructField(tokens_col, in_fields[tokens_col]),
+            T.StructField("bin_idx", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
     )
 
     def _pack(pdf):

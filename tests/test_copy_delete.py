@@ -279,3 +279,46 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     o_extra = o.union(spark.createDataFrame([(999999, -1)], o.schema))
     left = salted_join(o_extra, c, on=["o_custkey"], how="left", salt=8)
     assert left.filter(F.col("o_custkey") == -1).count() == 1
+
+
+def test_row_hash_rejects_separator_injection(spark):
+    """A value containing the field separator must not forge a column
+    boundary: ('a\\x1fb', 'c') and ('a', 'b\\x1fc') concatenate
+    identically without escaping and would hash equal — the diff would
+    miss the change."""
+    df = spark.createDataFrame(
+        [("a\x1fb", "c"), ("a", "b\x1fc")], "x string, y string"
+    )
+    hashes = [r.h for r in df.select(cp.row_hash(["x", "y"]).alias("h")).collect()]
+    assert hashes[0] != hashes[1]
+    # null sentinel is likewise unforgeable: NULL != the literal '\x00'
+    df2 = spark.createDataFrame([("\x00",), (None,)], "x string")
+    h2 = [r.h for r in df2.select(cp.row_hash(["x"]).alias("h")).collect()]
+    assert h2[0] != h2[1]
+
+
+def test_delete_by_range_keeps_null_pk_rows(spark):
+    """A NULL pk is in no delete range; the negated range filter must not
+    silently drop it (a bare ~pred filter evaluates NULL and would)."""
+    df = spark.createDataFrame([(1,), (5,), (None,)], "k long")
+    ranges = [dl.DeleteRange((2,), (9,))]
+    out = dl.delete_by_range(df, ["k"], ranges)
+    kept = sorted((r.k if r.k is not None else -1) for r in out.collect())
+    assert kept == [-1, 1]
+
+
+def test_pack_token_sequences_derives_schema_from_input(spark):
+    """The packer's output schema follows the input types: an integer
+    group key must round-trip as an integer, not fail Arrow conversion
+    against a hardcoded string field."""
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    df = spark.createDataFrame(
+        [(7, 1, 300), (7, 2, 300), (8, 3, 100)], "g int, i long, n long"
+    )
+    out = sel.pack_token_sequences(df, "g", "n", "i", capacity=512)
+    assert dict(out.dtypes)["g"] == "int"
+    rows = {r.i: (r.g, r.bin_idx, r.bin_fill) for r in out.collect()}
+    assert rows[1] == (7, 0, 300)
+    assert rows[2] == (7, 1, 300)  # 600 > 512 opens a new bin
+    assert rows[3] == (8, 0, 100)

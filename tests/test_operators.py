@@ -460,3 +460,33 @@ def test_banded_range_join_property(spark, vals, bounds):
         "row_id", "band_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+# -- connected components: pathological depth -------------------------------
+
+
+def test_connected_groups_deep_chain(spark):
+    """A 41-node path graph has diameter 40 — far beyond what plain
+    min-label propagation covers in 25 rounds (one hop per round).  The
+    pointer-jumping fallback (label-of-label joins after round 3) must
+    collapse it: distance doubles per round, so the chain converges in
+    O(log diameter) rounds and every node lands in group 0."""
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dd.connected_groups(pairs).collect()
+    assert len(out) == n
+    assert {r.doc_id for r in out} == set(range(n))
+    assert {r.group_id for r in out} == {0}
+
+
+def test_connected_groups_two_deep_chains_stay_separate(spark):
+    """Two disjoint 20-node chains: pointer jumping must not leak labels
+    across components — each chain converges to its own min id."""
+    chain1 = [(i, i + 1) for i in range(19)]
+    chain2 = [(100 + i, 101 + i) for i in range(19)]
+    pairs = spark.createDataFrame(chain1 + chain2, "id_a long, id_b long")
+    groups = {r.doc_id: r.group_id for r in dd.connected_groups(pairs).collect()}
+    assert all(groups[i] == 0 for i in range(20))
+    assert all(groups[100 + i] == 100 for i in range(20))
