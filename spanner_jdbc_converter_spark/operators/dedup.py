@@ -450,6 +450,56 @@ def simhash_near_pairs(
     )
 
 
+# -- benchmark decontamination ---------------------------------------------
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Decontamination probe: for every non-benchmark document, the
+    fraction of its DISTINCT word n-grams that also appear in any
+    benchmark document (``benchmark_pred`` selects the benchmark rows).
+    Training pipelines drop or flag documents above a threshold so eval
+    sets don't leak into the training mix.
+
+    Scale shape: shingles come from the codegen'd window pipeline
+    (:func:`shingle_rows`); the benchmark side reduces to a DISTINCT
+    gram set and is broadcast — eval suites are tiny next to a 100 TB
+    corpus — so the corpus side is one scan + per-doc aggregation with
+    no corpus-sized shuffle beyond the per-doc gram dedup it already
+    needs.  Documents with < n tokens have no grams and drop out.
+
+    Output: id, n_grams (distinct), n_contaminated, overlap_frac."""
+    grams = shingle_rows(
+        df, text_col, id_col, ngram, fallback_to_text=False
+    ).dropDuplicates([id_col, "__s"])
+    bench = (
+        grams.filter(benchmark_pred).select("__s").distinct().withColumn("__hit", F.lit(1))
+    )
+    corpus = grams.filter(~benchmark_pred)
+    n_hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+    return (
+        corpus.join(F.broadcast(bench), on="__s", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_hit.alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 # -- embedding near-dup ----------------------------------------------------
 
 

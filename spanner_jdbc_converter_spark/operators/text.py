@@ -187,6 +187,65 @@ def lang_id(col: Column | str) -> Column:
     return lang_id_from_tokens(tokens(col))
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of word
+    n-gram OCCURRENCES that are duplicates within the document (high →
+    boilerplate/listicle/spam; a standard pre-training filter).
+
+    The token array and the gram array are each staged once; the whole
+    computation is per-row expressions — no shuffle, embarrassingly
+    parallel at any scale.  Output: id, n_grams, n_dup_grams,
+    dup_gram_frac (rounded 6 for cross-engine hashing)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        F.col(id_col), word_ngrams_from_tokens(F.col("__toks"), n).alias("__grams")
+    )
+    n_g = F.size("__grams").cast("long")
+    n_dup = (n_g - F.size(F.array_distinct("__grams")).cast("long"))
+    return grams.select(
+        F.col(id_col),
+        n_g.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        F.round(
+            n_dup.cast("double") / F.greatest(n_g, F.lit(1)).cast("double"), 6
+        ).alias("dup_gram_frac"),
+    )
+
+
+def top_token_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Most-frequent-token concentration per document (top_frac ≈ 1 →
+    the document is one token repeated; another standard repetition
+    filter).  Ties break to the alphabetically-first token so the answer
+    is deterministic on any engine.
+
+    Plan: explode → count per (doc, token) → per-doc top-1 window: two
+    hash exchanges, both keyed by document, partial-aggregated map-side,
+    and carrying only (doc_id, token, count) rows.  Documents with zero
+    tokens drop out (no top token exists)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    ex = toks.select(
+        F.col(id_col), F.size("__toks").alias("__n"), F.explode("__toks").alias("token")
+    )
+    cnt = ex.groupBy(id_col, "__n", "token").agg(F.count(F.lit(1)).alias("top_cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("top_cnt"), F.asc("token"))
+    return (
+        cnt.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("token").alias("top_token"),
+            F.col("top_cnt").cast("long").alias("top_cnt"),
+            F.round(F.col("top_cnt").cast("double") / F.col("__n"), 6).alias("top_frac"),
+        )
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     col = F.col(col) if isinstance(col, str) else col

@@ -26,11 +26,14 @@ _GATE_PRIORITY = [
     "events_asof_join",
     "window_event_interarrival",
     "window_lead_next_event",
-    # (b) new copy-validation surface
+    # (b) new copy-validation + data-quality surface
     "validate_table_checksums",
     "validate_snapshot_diff",
     "validate_fk_orphans",
     "validate_column_profile",
+    "text_repetition_scores",
+    "text_top_token_per_doc",
+    "dedup_benchmark_overlap",
     # (c) relational corpus (driver-gated r01/r02, de-gated in r03)
     "flagship_revenue_by_nation",
     "s8_cardinality_probes",

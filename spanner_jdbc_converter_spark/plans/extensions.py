@@ -195,6 +195,79 @@ def text_bpe_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN {_GRAMS_SQL}
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM tk)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1), 6) AS dup_gram_frac
+    FROM g
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of word-3-gram
+    occurrences that are duplicates within the document (high →
+    boilerplate/spam).  Pure staged per-row expressions, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.repetition_profile(d)
+
+
+@register(
+    "text_top_token_per_doc",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    e AS (SELECT doc_id, len(t) AS n, unnest(t) AS token FROM tk),
+    c AS (SELECT doc_id, n, token, COUNT(*) AS cnt FROM e GROUP BY doc_id, n, token),
+    r AS (SELECT doc_id, token, cnt, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, token) AS rk
+          FROM c)
+    SELECT doc_id, token AS top_token, CAST(cnt AS BIGINT) AS top_cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS top_frac
+    FROM r WHERE rk = 1
+    """,
+)
+def text_top_token_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-token concentration per document (the companion
+    repetition filter: top_frac ≈ 1 means one token repeated).  Two
+    doc-keyed exchanges of narrow (doc, token, count) rows; alphabetical
+    tiebreak keeps the answer deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.top_token_profile(d)
+
+
+@register(
+    "dedup_benchmark_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+          FROM tk WHERE len(t) >= 3),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+    c AS (SELECT doc_id, gram FROM g WHERE doc_id % 101 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.gram) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+    FROM c LEFT JOIN b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: per-document fraction of distinct word
+    3-grams shared with a benchmark set (every 101st doc stands in for
+    an eval suite).  The benchmark gram set is broadcast; the corpus
+    side never shuffles beyond its per-doc gram dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.benchmark_overlap(d, F.col("doc_id") % 101 == 0)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

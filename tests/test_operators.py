@@ -490,3 +490,47 @@ def test_connected_groups_two_deep_chains_stay_separate(spark):
     groups = {r.doc_id: r.group_id for r in dd.connected_groups(pairs).collect()}
     assert all(groups[i] == 0 for i in range(20))
     assert all(groups[100 + i] == 100 for i in range(20))
+
+
+# -- repetition / decontamination -------------------------------------------
+
+
+def test_repetition_profile_counts_duplicate_grams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # grams: aba bab aba bab -> 4 grams, 2 distinct
+            (2, "x y"),           # < 3 tokens -> no grams
+            (3, "p q r s"),       # 2 grams, both distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.repetition_profile(df).collect()}
+    assert (rows[1].n_grams, rows[1].n_dup_grams, rows[1].dup_gram_frac) == (4, 2, 0.5)
+    assert (rows[2].n_grams, rows[2].dup_gram_frac) == (0, 0.0)
+    assert (rows[3].n_grams, rows[3].n_dup_grams) == (2, 0)
+
+
+def test_top_token_profile_tiebreak_and_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b a"), (2, "z z z q")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in tx.top_token_profile(df).collect()}
+    # counts tie 2-2 -> alphabetically first token wins
+    assert (rows[1].top_token, rows[1].top_cnt, rows[1].top_frac) == ("a", 2, 0.5)
+    assert (rows[2].top_token, rows[2].top_cnt, rows[2].top_frac) == ("z", 3, 0.75)
+
+
+def test_benchmark_overlap_flags_contaminated_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),   # benchmark (id % 2 == 0 pred below)
+            (1, "the quick brown fox sleeps"),  # shares 2 of its 3 grams
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.benchmark_overlap(df, F.col("doc_id") % 2 == 0).collect()}
+    assert set(out) == {1, 3}  # benchmark doc itself is excluded
+    assert (out[1].n_grams, out[1].n_contaminated) == (3, 2)
+    assert out[1].overlap_frac == round(2 / 3, 6)
+    assert (out[3].n_contaminated, out[3].overlap_frac) == (0, 0.0)

@@ -82,3 +82,16 @@ def test_event_time_is_timestamp_on_this_spark(spark, sf_dir):
     assert isinstance(events.schema["ts"].dataType, TimestampType)
     stream = read_events_stream(spark, sf_dir)
     assert isinstance(stream.schema["ts"].dataType, TimestampType)
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format a migration source commonly
+    holds; the format-agnostic read/write path must round-trip it with
+    schema intact (self-describing, so no explicit schema needed)."""
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    src.write_table(nation, p, "orc")
+    back = src.read_table(spark, p, "orc")
+    assert back.schema == nation.schema
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    assert _rows(back, cols) == _rows(nation, cols)
