@@ -212,6 +212,56 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+# -- incremental sink -------------------------------------------------------
+
+
+def upsert_stream_to_parquet(
+    stream_df: DataFrame,
+    dest_path: str,
+    pk_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Streaming merge/upsert sink via foreachBatch — the streaming analog
+    of the reference's copy loop (REF/data/DataCopier.java:45-85): each
+    micro-batch is deduped on the key and MERGEd into the destination
+    (batch rows win on key match, older destination rows survive).
+
+    foreachBatch is the standard Structured Streaming pattern for sinks
+    without native streaming support; exactly-once comes from the
+    checkpoint (batch replays re-merge idempotently — merge_upsert of the
+    same batch twice equals once).  The rewrite goes through a temp dir
+    then a swap so a mid-write failure never corrupts the destination
+    (reading and overwriting one parquet path in a single job would).
+    Local-FS path handling; a cluster deployment swaps in a transactional
+    table format (Delta/Iceberg MERGE) and keeps this orchestration.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    import os
+    import shutil
+
+    from spanner_jdbc_converter_spark.copy import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(pk_cols)
+        if os.path.exists(dest_path):
+            merged = merge_upsert(spark.read.parquet(dest_path), batch, pk_cols)
+        else:
+            merged = batch
+        tmp = dest_path.rstrip("/") + f"._upsert_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dest_path):
+            shutil.rmtree(dest_path)
+        os.rename(tmp, dest_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # -- harness ----------------------------------------------------------------
 
 

@@ -104,3 +104,42 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     cols = ["l_event_id", "user_id", "r_event_id", "lag_us"]
     assert _rows(batch, *cols)  # non-trivial fixture selectivity
     assert _rows(result, *cols) == _rows(batch, *cols)
+
+
+def test_upsert_stream_to_parquet_merges_and_is_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch merge sink: streamed events land keyed by
+    event_id; a destination seeded with stale rows keeps its unmatched
+    rows, matched keys are replaced by streamed values, and re-running
+    the same stream (fresh checkpoint) changes nothing — the merge is
+    idempotent, which is what makes checkpoint replays exactly-once."""
+    dest = str(tmp_path / "events_dest")
+    events = ops.load_events_batch(spark, sf_dir)
+    n_events = events.count()
+
+    # seed the destination: one stale row with a known event_id and one
+    # row whose key the stream never produces (must survive the merge)
+    seed = spark.createDataFrame(
+        [(0, None, -1, "stale", -1.0, None), (-999, None, -1, "orphan", -1.0, None)],
+        events.schema,
+    )
+    seed.write.parquet(dest)
+
+    def run(tag):
+        q = ops.upsert_stream_to_parquet(
+            ops.read_events_stream(spark, sf_dir),
+            dest,
+            ["event_id"],
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+
+    run("a")
+    out = spark.read.parquet(dest)
+    assert out.count() == n_events + 1  # all streamed keys + the orphan
+    assert out.filter(F.col("event_type") == "orphan").count() == 1
+    assert out.filter(F.col("event_type") == "stale").count() == 0  # replaced
+
+    run("b")  # same data again: merge must be a no-op
+    again = spark.read.parquet(dest)
+    assert again.count() == n_events + 1
+    assert again.filter(F.col("event_type") == "stale").count() == 0
