@@ -100,21 +100,24 @@ def main() -> None:
             cold[name] = -1.0
             print(f"bench: {name} failed: {failed}", file=sys.stderr)
             continue
-        cold[name] = round(runs[0], 4)
+        cold[name] = round(runs[0], 3)
         # median of warm runs; with BENCH_RUNS=1 fall back to the cold run
-        timings[name] = round(_median(runs[1:]) if len(runs) > 1 else runs[0], 4)
+        timings[name] = round(_median(runs[1:]) if len(runs) > 1 else runs[0], 3)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Key order is deliberate: scalars first, then warm medians, then the
+    # cold runs — recorded BENCH lines have truncated in past rounds, and
+    # this order loses the least-important data first.
     print(
         json.dumps(
             {
                 "metric": "corpus_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "sf": sf_val,
+                "runs_per_query": BENCH_RUNS,
                 "queries": timings,
                 "cold_queries": cold,
-                "runs_per_query": BENCH_RUNS,
-                "sf": sf_val,
             }
         )
     )

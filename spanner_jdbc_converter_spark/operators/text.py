@@ -246,6 +246,51 @@ def top_token_profile(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking step
+    that turns raw documents into fixed-length training sequences (window
+    ``size`` tokens, advancing ``stride``, so consecutive chunks overlap
+    by ``size - stride``).
+
+    Chunk i covers token positions [i·stride+1, i·stride+size], capped at
+    the document end; chunks exist while their start position is within
+    the document, so every token lands in ≥1 chunk.  The token array is
+    staged once, the chunk index explodes from a sequence, and the slice/
+    hash are per-row expressions — one narrow explode, no shuffle, linear
+    in total output tokens at any scale.  Zero-token documents produce no
+    chunks.
+
+    Output: id, chunk_idx, n_chunk_tokens, chunk_fp (60-bit portable hash
+    of the space-joined chunk — the id downstream chunk-level exact dedup
+    keys on)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    last_idx = F.floor((F.size("__toks") - F.lit(1)) / F.lit(stride)).cast("int")
+    ex = toks.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("__chunk"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        md5_long(F.array_join(F.col("__chunk"), " ")).alias("chunk_fp"),
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     col = F.col(col) if isinstance(col, str) else col

@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "text_repetition_scores",
     "text_top_token_per_doc",
     "dedup_benchmark_overlap",
+    "text_chunk_windows",
     # (c) relational corpus (driver-gated r01/r02, de-gated in r03)
     "flagship_revenue_by_nation",
     "s8_cardinality_probes",

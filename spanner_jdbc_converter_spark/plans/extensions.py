@@ -244,6 +244,35 @@ def text_top_token_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    e AS (SELECT doc_id, t,
+                 unnest(range(0, CAST(floor((len(t) - 1) / 48.0) AS BIGINT) + 1))
+                   AS chunk_idx
+          FROM tk WHERE len(t) > 0),
+    c AS (SELECT doc_id, chunk_idx,
+                 list_slice(t, chunk_idx * 48 + 1,
+                            least(chunk_idx * 48 + 64, len(t))) AS ct
+          FROM e)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           {md5_long_sql("array_to_string(ct, ' ')")} AS chunk_fp
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping 64-token windows (stride 48) —
+    the doc→training-sequence step.  One narrow explode, per-row slices,
+    no shuffle; every chunk carries the portable 60-bit fingerprint that
+    chunk-level exact dedup keys on, hash-checked against the oracle's
+    identical slice/hash walk."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.chunk_windows(d)
+
+
+@register(
     "dedup_benchmark_overlap",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

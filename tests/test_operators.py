@@ -534,3 +534,17 @@ def test_benchmark_overlap_flags_contaminated_doc(spark):
     assert (out[1].n_grams, out[1].n_contaminated) == (3, 2)
     assert out[1].overlap_frac == round(2 / 3, 6)
     assert (out[3].n_contaminated, out[3].overlap_frac) == (0, 0.0)
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    """100 tokens at size=64/stride=48: chunk 0 = tokens 1-64, chunk 1 =
+    tokens 49-100 (52 tokens, capped at the end), chunk 2 = tokens
+    97-100 (start 97 <= 100 so it exists).  A 3-token doc yields one
+    3-token chunk; an empty doc yields none."""
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = tx.chunk_windows(df)
+    rows = {(r.doc_id, r.chunk_idx): r.n_chunk_tokens for r in out.collect()}
+    assert rows == {(1, 0): 64, (1, 1): 52, (1, 2): 4, (2, 0): 3}

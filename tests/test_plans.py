@@ -137,3 +137,19 @@ def test_similarity_kernels_are_arrow_batched(spark, sf_dir):
     # bucket keys via one pandas UDF, pair scoring via mapInPandas
     assert "ArrowEvalPython" in _plan(spark, "sim_lsh_ann_topk", sf_dir)
     assert "MapInPandas" in _plan(spark, "sim_embedding_near_pairs", sf_dir)
+
+
+def test_repetition_scores_is_shuffle_free(spark, sf_dir):
+    """The repetition filter is pure per-row expressions — any Exchange
+    appearing here means someone broke the staged-projection shape."""
+    plan = _plan(spark, "text_repetition_scores", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_benchmark_overlap_broadcasts_benchmark_grams(spark, sf_dir):
+    """Decontamination joins the corpus gram stream against the (tiny)
+    benchmark gram set — that side must broadcast; shuffling the corpus
+    on gram value would be the 100 TB mistake."""
+    plan = _plan(spark, "dedup_benchmark_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
