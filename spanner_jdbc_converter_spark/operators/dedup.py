@@ -323,15 +323,24 @@ def connected_groups(
     # driver in plan analysis long before any executor sees data.  On a
     # real cluster prefer setCheckpointDir + checkpoint() for fault
     # tolerance; executor-local checkpoints are the right local default.
-    labels = (
-        sym.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint(eager=True)
+    #
+    # The convergence probe rides the checkpoint job as an observed
+    # metric (labels only ever decrease, so the label sum is strictly
+    # monotone until the fixpoint) — one Spark job per round total, no
+    # separate aggregation pass.  decimal(38,0) keeps the sum exact for
+    # billions of 64-bit ids (a long sum would overflow).
+    from pyspark.sql import Observation
+
+    _probe = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+
+    def _checkpoint_with_sum(df: DataFrame) -> tuple[DataFrame, object]:
+        obs = Observation()
+        out = df.observe(obs, _probe).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
+    labels, prev_sum = _checkpoint_with_sum(
+        sym.select("u").distinct().withColumn("lbl", F.col("u"))
     )
-    # convergence probe: labels only ever decrease, so the label sum is
-    # strictly monotone until the fixpoint — one map-side aggregation
-    # per round instead of a join-and-count.  decimal(38,0) keeps the
-    # sum exact for billions of 64-bit ids (long sum would overflow)
-    _probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_probe).collect()[0][0]
     _PLAIN_ROUNDS = 3  # shallow clusters converge here; beyond it, jump pointers
     for i in range(max_iters):
         neighbor_min = (
@@ -356,9 +365,7 @@ def connected_groups(
             new_labels = new_labels.select(
                 "u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl")
             )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(_probe).collect()[0][0]
-        labels = new_labels
+        labels, new_sum = _checkpoint_with_sum(new_labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
