@@ -35,6 +35,8 @@ _GATE_PRIORITY = [
     "text_top_token_per_doc",
     "dedup_benchmark_overlap",
     "text_chunk_windows",
+    "dedup_chunk_groups",
+    "events_rolling_window_1h",
     # (c) relational corpus (driver-gated r01/r02, de-gated in r03)
     "flagship_revenue_by_nation",
     "s8_cardinality_probes",

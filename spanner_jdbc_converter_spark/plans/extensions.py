@@ -806,3 +806,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mm.sample_frames(mm.attach_payload(d), frame_size=32, stride=3, thumb_step=4)
+
+
+@register(
+    "dedup_chunk_groups",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    e AS (SELECT doc_id, t,
+                 unnest(range(0, CAST(floor((len(t) - 1) / 48.0) AS BIGINT) + 1))
+                   AS chunk_idx
+          FROM tk WHERE len(t) > 0),
+    c AS (SELECT doc_id,
+                 {md5_long_sql("array_to_string(list_slice(t, chunk_idx * 48 + 1, least(chunk_idx * 48 + 64, len(t))), ' ')")}
+                   AS chunk_fp
+          FROM e)
+    SELECT chunk_fp,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM c GROUP BY chunk_fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_chunk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: fingerprint groups of repeated 64-token
+    windows ACROSS documents — the boilerplate detector that document-
+    level dedup misses (shared headers/footers inside otherwise-distinct
+    docs).  One hash groupBy over the chunk stream; the shuffle carries
+    (8-byte fp, doc_id) only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        tx.chunk_windows(d)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_chunks") > 1)
+    )

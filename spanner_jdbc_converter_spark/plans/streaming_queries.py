@@ -177,3 +177,41 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "staleness_us"
         ),
     )
+
+
+@register(
+    "events_rolling_window_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+             AS value_sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity features (count + value sum
+    over the preceding hour, per user) — the time-range window frame
+    (RANGE BETWEEN on event time) that powers session features and rate
+    limits.  Distributed per user; the value-range frame makes the
+    result independent of tie order, and the decimal-routed sum keeps
+    it independent of accumulation order.  At 100 TB the partition key
+    (user) bounds every frame — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("value_sum_1h"),
+    )
