@@ -37,6 +37,9 @@ _GATE_PRIORITY = [
     "text_chunk_windows",
     "dedup_chunk_groups",
     "events_rolling_window_1h",
+    "select_mix_report",
+    "text_vocab_df",
+    "join_doc_embedding_features",
     # (c) relational corpus (driver-gated r01/r02, de-gated in r03)
     "flagship_revenue_by_nation",
     "s8_cardinality_probes",

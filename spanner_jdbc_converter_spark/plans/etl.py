@@ -463,3 +463,118 @@ def validate_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_regionkey": F.col("n_regionkey"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition reporting — the "data mixture" views every training
+# pipeline keeps alongside selection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "select_mix_report",
+    oracle=f"""
+    WITH f AS (SELECT lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
+    p AS (SELECT lang, COUNT(*) AS n_docs, SUM(n) AS n_tokens FROM f GROUP BY lang)
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+             AS doc_share,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+             AS token_share
+    FROM p
+    """,
+)
+def select_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per-language document and token counts plus
+    corpus shares — the composition view that drives sampling-rate
+    decisions.  One groupBy over staged token counts; the global share
+    window runs over the POST-aggregation frame (one row per language —
+    metadata scale), never over the data."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", tx.tokens("text").alias("__toks"))
+        .select("lang", F.size("__toks").cast("long").alias("__n"))
+    )
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__n").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("doc_share"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double"), 6
+        ).alias("token_share"),
+    )
+
+
+@register(
+    "text_vocab_df",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    e AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM tk),
+    c AS (SELECT token, COUNT(*) AS df FROM e GROUP BY token),
+    r AS (SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rk FROM c)
+    SELECT token, CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 50
+    """,
+)
+def text_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency vocabulary: top-50 tokens by the number of
+    documents containing them (df, not term frequency) — the first step
+    of vocab induction and stopword discovery.  Distinct (doc, token)
+    pairs → token groupBy; the final top-50 window runs over the
+    vocab-sized aggregate, not the corpus."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", tx.tokens("text").alias("__toks"))
+        .select("doc_id", F.explode("__toks").alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
+    df_counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("token", F.col("df").cast("long").alias("df"), "rank")
+    )
+
+
+@register(
+    "join_doc_embedding_features",
+    oracle=f"""
+    SELECT d.doc_id, d.lang,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           ROUND(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 6)
+             AS embedding_l2
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def join_doc_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal enrichment: text features joined 1:1 with the
+    document's embedding (norm as the stand-in embedding feature) — the
+    equijoin that stitches the text and vector modalities of one corpus
+    together.  Both sides are keyed by the same id; on a real layout
+    this is the bucketed co-located join, and the norm folds
+    left-to-right bit-identically to the oracle's list_sum."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tx.tokens("text").alias("__toks"))
+        .select("doc_id", "lang", F.size("__toks").cast("long").alias("n_tokens"))
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(norm(F.col("embedding")), 6).alias("embedding_l2"),
+    )
+    return d.join(e, on="doc_id")
