@@ -188,6 +188,60 @@ def jdbc_write_options(
     }
 
 
+#: Embedded JDBC driver that ships inside Spark's own jars (Derby backs
+#: the Hive metastore) — gives the JDBC read/write path a REAL database
+#: to run against even in an offline sandbox.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: ConvertMode = ConvertMode.DROP_AND_RECREATE,
+    driver: str | None = None,
+    num_partitions: int = DEFAULT_MAX_WORKERS,
+) -> int:
+    """W4 live: batched parallel JDBC write — the reference's
+    addBatch/executeBatch upload loop (REF/data/AbstractTablePartWorker.java:84-102)
+    as Spark's JDBC sink.  Each of ``num_partitions`` tasks opens one
+    connection and batches ``batchsize`` rows per executeBatch, with the
+    batch size from the same byte/mutation cost model the reference uses
+    (X6).  Returns the batch size used; ConvertMode maps onto SaveMode
+    exactly as in the parquet path (SKIP_ALL ⇒ no-op)."""
+    save_mode = to_save_mode(mode)
+    if save_mode is None:
+        return 0
+    batch_rows = spanner_batch_rows(estimate_row_bytes(df.schema), len(df.columns))
+    opts = jdbc_write_options(url, table, batch_rows, num_partitions)
+    if driver:
+        opts["driver"] = driver
+    df.write.format("jdbc").options(**opts).mode(save_mode).save()
+    return batch_rows
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = DEFAULT_MAX_WORKERS,
+    driver: str | None = None,
+) -> DataFrame:
+    """S5 live: (optionally range-partitioned) JDBC scan.  With a
+    partition column, Spark issues one bounded-range SELECT per
+    partition — the reference's OFFSET pagination without the O(offset)
+    re-scans (REF/data/UploadWorker.java:50-72)."""
+    opts = jdbc_read_options(
+        url, table, partition_column, lower_bound, upper_bound, num_partitions
+    )
+    if driver:
+        opts["driver"] = driver
+    return spark.read.format("jdbc").options(**opts).load()
+
+
 # -- copy orchestration -----------------------------------------------------
 
 

@@ -1,0 +1,119 @@
+"""Live JDBC round-trips against embedded Derby (ships in Spark's own
+jars) — the reference is a JDBC↔JDBC tool, and these tests run its copy /
+mode / delete semantics against a REAL database rather than dict-level
+option checks: batched parallel writes (W4), range-partitioned scans
+(S5), ConvertMode gating, metadata discovery (S1/S7), and the pushed
+range-DELETE SQL (W5, REF/data/DeleteWorker.java:17)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark import copy as cp
+from spanner_jdbc_converter_spark import delete as dl
+from spanner_jdbc_converter_spark.catalog import load_table, table_exists_in_source
+from spanner_jdbc_converter_spark.modes import ConvertMode
+
+DRV = cp.DERBY_EMBEDDED_DRIVER
+
+
+def _url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_jdbc_round_trip_with_partitioned_read(spark, sf_dir, tmp_path):
+    url = _url(tmp_path)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    batch = cp.write_jdbc(customer, url, "customer", driver=DRV, num_partitions=2)
+    assert batch >= cp.MIN_BATCH_ROWS  # cost model produced a real batch size
+
+    hi = customer.agg(F.max("c_custkey")).first()[0]
+    back = cp.read_jdbc(
+        spark, url, "customer",
+        partition_column="c_custkey", lower_bound=0, upper_bound=int(hi) + 1,
+        num_partitions=4, driver=DRV,
+    )
+    # one bounded-range query per partition, and nothing lost or doubled
+    assert back.rdd.getNumPartitions() == 4
+    cols = ["c_custkey", "c_name", "c_nationkey"]
+    assert _rows(back, cols) == _rows(customer, cols)
+
+
+def test_jdbc_convert_mode_gating(spark, sf_dir, tmp_path):
+    url = _url(tmp_path)
+    nation = load_table(spark, sf_dir, "nation")
+    cp.write_jdbc(nation, url, "nation", driver=DRV)
+
+    # SKIP_EXISTING (SaveMode.ignore): existing table left untouched
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_nationkey"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    )
+    cp.write_jdbc(region, url, "nation", mode=ConvertMode.SKIP_EXISTING, driver=DRV)
+    assert cp.read_jdbc(spark, url, "nation", driver=DRV).count() == nation.count()
+
+    # THROW_IF_EXISTS (SaveMode.error): raises on the existing table
+    with pytest.raises(Exception):
+        cp.write_jdbc(region, url, "nation", mode=ConvertMode.THROW_IF_EXISTS, driver=DRV)
+
+    # SKIP_ALL: whole phase is a no-op (returns without touching JDBC)
+    assert cp.write_jdbc(region, url, "nation", mode=ConvertMode.SKIP_ALL, driver=DRV) == 0
+
+
+def test_jdbc_metadata_discovery_and_existence_probe(spark, sf_dir, tmp_path):
+    """S1/S7 against real DatabaseMetaData — the reference's discovery
+    path (REF/util/ConverterUtils.java:166-216)."""
+    url = _url(tmp_path)
+    cp.write_jdbc(load_table(spark, sf_dir, "region"), url, "region", driver=DRV)
+    cp.write_jdbc(load_table(spark, sf_dir, "nation"), url, "nation", driver=DRV)
+
+    gw = spark.sparkContext._gateway
+    types_arr = gw.new_array(gw.jvm.java.lang.String, 1)
+    types_arr[0] = "TABLE"
+    conn = gw.jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", types_arr)
+        found = []
+        while rs.next():
+            found.append(rs.getString("TABLE_NAME"))
+    finally:
+        conn.close()
+    assert {"REGION", "NATION"} <= set(found)
+    # destination order preserved, case-insensitive intersection
+    assert table_exists_in_source(found, ["nation", "part", "region"]) == ["nation", "region"]
+
+
+def test_jdbc_pushed_range_delete_matches_spark_semantics(spark, sf_dir, tmp_path):
+    """W5 live: the generated lexicographic range-DELETE SQL executes on a
+    real database, and the surviving rows equal the Spark-side
+    delete_by_range of the same frame — the two halves of the ranged
+    delete pipeline agree end-to-end."""
+    url = _url(tmp_path)
+    nation = load_table(spark, sf_dir, "nation")
+    cp.write_jdbc(nation, url, "nation", driver=DRV)
+
+    ranges = [dl.DeleteRange((5,), (9,)), dl.DeleteRange((20,), (23,))]
+    conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for r in ranges:
+            # Spark's JDBC writer creates case-sensitive (quoted) columns,
+            # so the pushed SQL must quote them too
+            sql = dl.lexicographic_range_sql(['"n_nationkey"'], r.begin_key, r.end_key)
+            st.executeUpdate(f"DELETE FROM nation WHERE {sql}")
+        st.close()
+    finally:
+        conn.close()
+
+    jdbc_survivors = cp.read_jdbc(spark, url, "nation", driver=DRV)
+    spark_survivors = dl.delete_by_range(nation, ["n_nationkey"], ranges)
+    assert _rows(jdbc_survivors, ["n_nationkey"]) == _rows(spark_survivors, ["n_nationkey"])
+    assert jdbc_survivors.count() == nation.count() - 9  # 5..9 and 20..23 gone
