@@ -117,3 +117,34 @@ def test_jdbc_pushed_range_delete_matches_spark_semantics(spark, sf_dir, tmp_pat
     spark_survivors = dl.delete_by_range(nation, ["n_nationkey"], ranges)
     assert _rows(jdbc_survivors, ["n_nationkey"]) == _rows(spark_survivors, ["n_nationkey"])
     assert jdbc_survivors.count() == nation.count() - 9  # 5..9 and 20..23 gone
+
+
+def test_convert_table_jdbc_full_cycle(spark, sf_dir, tmp_path):
+    """JDBC→JDBC conversion — the reference's actual shape — through the
+    orchestrator: fresh create+copy, skip-existing no-op, then
+    drop-and-recreate with the delete-strategy probe recorded."""
+    from spanner_jdbc_converter_spark.converter import convert_table_jdbc, list_jdbc_tables
+
+    url = _url(tmp_path)
+    nation = load_table(spark, sf_dir, "nation")
+
+    r1 = convert_table_jdbc(spark, nation, "nation", url, driver=DRV)
+    assert r1.ddl_action == "created"
+    assert r1.ddl[0].endswith("PRIMARY KEY (n_nationkey))")  # postgresql dialect
+    assert r1.data_action == "copied"
+    assert r1.result.record_count == nation.count()
+    assert "NATION" in list_jdbc_tables(spark, url, DRV)
+
+    r2 = convert_table_jdbc(spark, nation, "nation", url, driver=DRV)
+    assert (r2.ddl_action, r2.data_action) == ("skipped", "skipped")
+    assert r2.result.record_count == 0
+
+    r3 = convert_table_jdbc(
+        spark, nation, "nation", url,
+        ddl_mode=ConvertMode.SKIP_EXISTING,
+        data_mode=ConvertMode.DROP_AND_RECREATE,
+        driver=DRV,
+    )
+    assert r3.delete_strategy == "single_statement"
+    assert r3.data_action == "copied"
+    assert cp.read_jdbc(spark, url, "nation", driver=DRV).count() == nation.count()
