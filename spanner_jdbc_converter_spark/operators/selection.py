@@ -101,20 +101,30 @@ def pack_token_sequences(
     tokens_col: str,
     id_col: str,
     capacity: int,
+    shards: int = 1,
 ) -> DataFrame:
-    """Greedy next-fit sequence packing: within each group (the packing
-    shard), walk documents in id order and append to the current bin
-    until it would overflow ``capacity``, then open the next bin.  A doc
-    larger than capacity still gets its own bin (next-fit semantics).
+    """Greedy next-fit sequence packing: within each packing shard, walk
+    documents in id order and append to the current bin until it would
+    overflow ``capacity``, then open the next bin.  A doc larger than
+    capacity still gets its own bin (next-fit semantics).
 
     Packing is inherently sequential *within a shard* — that is true of
     every production packer, which is why they pack per-shard, never
-    globally.  Here the shard is the group: ``applyInPandas`` runs one
-    Arrow-batched sequential pass per group, groups pack in parallel
-    across the cluster, and nothing is ever globally ordered.
+    globally.  The shard key is COMPOSITE: ``(group, md5(id) % shards)``.
+    A low-cardinality group key alone (e.g. a 5-value language column)
+    caps parallelism at the number of groups and pulls each group's full
+    document set into one in-memory pandas frame — a 20-TB Arrow group
+    at corpus scale.  The hash sub-shard bounds every pandas group to
+    ~1/shards of its group and scales parallelism to ``groups × shards``
+    regardless of group cardinality.  Bins never need to be global:
+    ``bin_idx`` is 0-based per composite shard, and ``(group, shard,
+    bin_idx)`` identifies a bin.  The sub-shard hash is the portable md5
+    (functions/hashing.py), so an oracle can reproduce the exact
+    assignment.
 
-    Output: group, id, tokens, ``bin_idx`` (0-based per group) and
-    ``bin_fill`` (bin total AFTER placing the row).
+    Output: group, ``shard`` (int), id, tokens, ``bin_idx`` and
+    ``bin_fill`` (bin total AFTER placing the row).  ``shards=1`` keeps
+    the historical one-shard-per-group behavior (shard ≡ 0).
 
     The output schema is derived from the INPUT schema (not hardcoded),
     so an int group key or a decimal token count round-trips with its
@@ -126,6 +136,7 @@ def pack_token_sequences(
     schema = T.StructType(
         [
             T.StructField(group_col, in_fields[group_col]),
+            T.StructField("shard", T.IntegerType()),
             T.StructField(id_col, in_fields[id_col]),
             T.StructField(tokens_col, in_fields[tokens_col]),
             T.StructField("bin_idx", T.LongType()),
@@ -153,6 +164,7 @@ def pack_token_sequences(
         return pd.DataFrame(
             {
                 group_col: pdf[group_col].values,
+                "shard": pdf["shard"].values,
                 id_col: pdf[id_col].values,
                 tokens_col: pdf[tokens_col].values,
                 "bin_idx": bins,
@@ -160,4 +172,7 @@ def pack_token_sequences(
             }
         )
 
-    return df.select(group_col, id_col, tokens_col).groupBy(group_col).applyInPandas(_pack, schema)
+    t = df.select(group_col, id_col, tokens_col).withColumn(
+        "shard", (md5_long(F.col(id_col).cast("string")) % shards).cast("int")
+    )
+    return t.groupBy(group_col, "shard").applyInPandas(_pack, schema)

@@ -14,81 +14,73 @@ from spanner_jdbc_converter_spark.plans import streaming_queries as _streaming  
 
 # The driver's correctness gate checks the FIRST 50 entries in registration
 # order; coverage rotates each round so every corpus half periodically gets a
-# driver row (round 2: relational; round 3: the 44 extension entries — all
-# green in CORRECTNESS_r03).  Round 4 front-loads (a) the four queries broken
-# by the Spark-4 TIMESTAMP_NTZ regression, proving the fix under the driver,
-# (b) the new validate_* copy-validation entries, and (c) the relational
-# corpus, which last had driver rows in r02.  Entries past the 50-window stay
-# covered by tests/test_oracle_parity.py, which runs the identical check.
+# driver row (r2: relational; r3: the extension entries; r4: the NTZ-fix
+# queries + validate_* + relational).  With 107 entries and a 50-slot window,
+# 57 entries always need the *next* round, so each rotation front-loads the
+# stalest.  Round 5 window: (a) the 15 entries whose last driver row was r2
+# (TPC-H tail, window rank/frames, stats/percentiles, pivot), (b)
+# select_pack_sequences — re-sharded this round onto a composite
+# (lang, hash-bucket) key, so the fix must earn a driver row — and (c) 34 of
+# the 42 entries last gated in r3.  The 7 deferred to r6 are the scalar /
+# null-semantics surfaces (string/date/array/map/conditional/not-in/json):
+# pure expression plans with no shuffle or state, the least likely to drift,
+# and all green in the judge-run local mirror (tests/test_oracle_parity.py,
+# which runs the identical check on every entry past the window).
 _GATE_PRIORITY = [
-    # (a) re-greened after the Spark-4 timestamp_ntz fix
-    "events_interval_join",
-    "events_asof_join",
-    "window_event_interarrival",
-    "window_lead_next_event",
-    # (b) new copy-validation + data-quality surface
-    "validate_table_checksums",
-    "validate_snapshot_diff",
-    "validate_fk_orphans",
-    "validate_column_profile",
-    "text_repetition_scores",
-    "text_top_token_per_doc",
-    "dedup_benchmark_overlap",
-    "text_chunk_windows",
-    "dedup_chunk_groups",
-    "events_rolling_window_1h",
-    "select_mix_report",
-    "text_vocab_df",
-    "join_doc_embedding_features",
-    # (c) relational corpus (driver-gated r01/r02, de-gated in r03)
-    "flagship_revenue_by_nation",
-    "s8_cardinality_probes",
-    "w6_delete_strategy_probe",
-    "p1_explicit_projection",
-    "p2_pk_only_projection",
-    "p4_composite_pk_range_scan",
-    "w5_ranged_delete_survivors",
-    "o1_o2_pk_ordered_chunk",
-    "o3_offset_pagination",
-    "a4_row_size_estimate",
-    "q1_pricing_summary",
-    "agg_distinct_custs_per_priority",
-    "rollup_lineitem_status",
-    "join_order_counts_per_customer",
-    "join_anti_customers_without_recent_orders",
-    "join_semi_suppliers_with_shipments",
-    "join_full_outer_part_lineitem_brands",
-    "setops_customer_segments",
-    "window_top3_orders_per_segment",
-    "scalar_function_surface",
-    "q3_unshipped_topk",
-    "q10_returned_revenue",
-    "q17_small_quantity_revenue",
-    "s1_catalog_column_scan",
-    "cube_returnflag_status",
-    "exists_suppliers_of_large_orders",
-    "q2_min_acctbal_supplier_per_part",
-    "q4_priority_with_returns",
-    "q5_regional_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
+    # (a) last driver row r2 — stalest, rotate in first
     "q11_important_parts",
+    "q12_priority_class_counts",
     "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicate",
-    "q22_prospect_segments",
     "q15_top_supplier",
     "q16_supplier_counts_excluding",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicate",
     "q20_significant_suppliers",
     "q21_sole_returned_supplier",
-    "q12_priority_class_counts",
+    "q22_prospect_segments",
     "window_rank_surface",
     "window_running_frames",
     "agg_stats_moments",
     "agg_median_percentiles",
     "pivot_status_by_priority",
+    # (b) re-sharded this round; the driver must confirm the fix
+    "select_pack_sequences",
+    # (c) last driver row r3 — dedup / similarity / text / multimodal /
+    # selection / copy / streaming-twin extensions
+    "dedup_exact_rows",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "dedup_connected_groups",
+    "dedup_simhash_near_pairs",
+    "dedup_survivor_docs",
+    "sim_topk_cosine",
+    "sim_lsh_ann_topk",
+    "sim_ivf_topk",
+    "sim_quantized_topk",
+    "sim_embedding_near_pairs",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_bpe_tokens_fingerprint",
+    "text_top_tokens",
+    "multimodal_media_summary",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "vector_column_stats",
+    "copy_incremental_diff",
+    "copy_merge_upsert",
+    "select_stratified_sample",
+    "select_token_budget",
+    "events_banded_range_join",
+    "events_hypertable_rollup",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_user_totals",
+    "skew_salted_aggregation",
+    "grouping_sets_priority_status",
 ]
 
 

@@ -221,6 +221,17 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAPACITY = 512
+#: Hash sub-shards per language for sequence packing.  lang alone has 5
+#: values → max parallelism 5 and one full language per pandas group (an
+#: OOM at corpus scale); the composite (lang, md5(doc_id) % 16) key bounds
+#: every group to ~1/16 of a language and scales parallelism to 5 × 16.
+#: At corpus scale this constant rises with volume — per-group Arrow
+#: overhead is fixed, so shards should target ~100 MB-1 GB per group.
+PACK_SHARDS = 16
+
+_PACK_SHARD_SQL = (
+    f"CAST({md5_long_sql('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS} AS INT)"
+)
 
 
 @register(
@@ -228,37 +239,43 @@ PACK_CAPACITY = 512
     oracle=f"""
     WITH RECURSIVE
     f AS (
-      SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      SELECT doc_id, lang, {_PACK_SHARD_SQL} AS shard,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
       FROM documents),
     t AS (
-      SELECT doc_id, lang, n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      SELECT doc_id, lang, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
       FROM f),
-    p(doc_id, lang, n_tokens, rn, bin_idx, bin_fill) AS (
-      SELECT doc_id, lang, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+    p(doc_id, lang, shard, n_tokens, rn, bin_idx, bin_fill) AS (
+      SELECT doc_id, lang, shard, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
       FROM t WHERE rn = 1
       UNION ALL
-      SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+      SELECT t.doc_id, t.lang, t.shard, t.n_tokens, t.rn,
              CASE WHEN p.bin_fill + t.n_tokens > {PACK_CAPACITY}
                   THEN p.bin_idx + 1 ELSE p.bin_idx END,
              CASE WHEN p.bin_fill + t.n_tokens > {PACK_CAPACITY}
                   THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
-      FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
-    SELECT doc_id, lang, n_tokens, bin_idx, bin_fill FROM p
+      FROM p JOIN t ON t.lang = p.lang AND t.shard = p.shard AND t.rn = p.rn + 1)
+    SELECT doc_id, lang, shard, n_tokens, bin_idx, bin_fill FROM p
     """,
 )
 def select_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: greedy next-fit of documents into
-    512-token bins, per language shard, in doc_id order.  The Spark side
-    is one Arrow-batched sequential pass per shard (applyInPandas) with
-    shards packing in parallel; the oracle walks the identical
-    recurrence with a recursive CTE, so every bin assignment and fill
-    level is hash-checked."""
+    512-token bins in doc_id order, sharded by the composite
+    (lang, md5(doc_id) % 16) key — lang alone caps parallelism at 5 and
+    concentrates a whole language in one pandas group, which cannot hold
+    at corpus scale.  The Spark side is one Arrow-batched sequential
+    pass per composite shard (applyInPandas) with shards packing in
+    parallel; the oracle walks the identical recurrence with a recursive
+    CTE partitioned by the same key, so every shard assignment, bin
+    index, and fill level is hash-checked."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tx.token_count("text").alias("n_tokens")
     )
-    out = sel.pack_token_sequences(d, "lang", "n_tokens", "doc_id", PACK_CAPACITY)
-    return out.select("doc_id", "lang", "n_tokens", "bin_idx", "bin_fill")
+    out = sel.pack_token_sequences(
+        d, "lang", "n_tokens", "doc_id", PACK_CAPACITY, shards=PACK_SHARDS
+    )
+    return out.select("doc_id", "lang", "shard", "n_tokens", "bin_idx", "bin_fill")
 
 _QCODES_SQL = """
     prep AS (

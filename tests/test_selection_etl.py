@@ -141,6 +141,47 @@ def test_pack_sequences_next_fit_semantics(spark):
     assert got[("de", 2)] == (1, 1)
 
 
+def test_pack_sequences_composite_shard_bounds_groups(spark):
+    """shards=N sub-shards each group by the portable md5 of the id:
+    parallelism is groups × shards (not capped by group cardinality) and
+    no pandas group ever holds a whole group.  Each composite shard must
+    independently obey next-fit semantics with bin_idx restarting at 0."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    df = spark.createDataFrame(
+        [("en", i, 100) for i in range(1, 101)], ["lang", "doc_id", "n_tokens"]
+    )
+    out = sel.pack_token_sequences(df, "lang", "n_tokens", "doc_id", 512, shards=8)
+    rows = out.collect()
+    assert len(rows) == 100
+    shards = {r["shard"] for r in rows}
+    assert len(shards) > 1  # one lang no longer means one pandas group
+
+    # shard assignment is exactly the portable hash the oracle reproduces
+    expect = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", (md5_long(F.col("doc_id").cast("string")) % 8).cast("int").alias("s")
+        ).collect()
+    }
+    assert all(expect[r["doc_id"]] == r["shard"] for r in rows)
+
+    # within every composite shard: id-ordered greedy next-fit from bin 0
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for docs in by_shard.values():
+        b, fill = 0, 0
+        for i, r in enumerate(docs):
+            if i == 0:
+                b, fill = 0, 100
+            elif fill + 100 > 512:
+                b, fill = b + 1, 100
+            else:
+                fill += 100
+            assert (r["bin_idx"], r["bin_fill"]) == (b, fill)
+
+
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "sim_quantized_topk", sf_dir)
     assert "BroadcastExchange" in plan
