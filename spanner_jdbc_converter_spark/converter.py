@@ -75,8 +75,13 @@ def convert_table(
     dialect: str = "cloudspanner",
     primary_key: list[str] | None = None,
     target_partitions: int | None = None,
+    type_overrides: dict[str, str] | None = None,
 ) -> TableConversionReport:
-    """One table through DDL → delete-probe → copy (REF/Converter.java:69-83)."""
+    """One table through DDL → delete-probe → copy (REF/Converter.java:69-83).
+
+    ``type_overrides`` is the properties file's
+    ``TableConverter.specificColumnMapping.*`` surface (P7): keys are a
+    bare column name or ``table.column`` (qualified wins, types.py)."""
     report = TableConversionReport(table=table)
     pk = primary_key if primary_key is not None else list(PRIMARY_KEYS.get(table, ()))
     exists, empty = _dest_state(spark, dest_path)
@@ -88,10 +93,13 @@ def convert_table(
         spec = table_spec_from_schema(table, source.schema, pk)
         if not exists:
             report.ddl_action = "created"
-            report.ddl = [create_table_ddl(spec, dialect)]
+            report.ddl = [create_table_ddl(spec, dialect, overrides=type_overrides)]
         elif ddl_mode is ConvertMode.DROP_AND_RECREATE:
             report.ddl_action = "dropped_and_recreated"
-            report.ddl = [drop_table_ddl(table), create_table_ddl(spec, dialect)]
+            report.ddl = [
+                drop_table_ddl(table),
+                create_table_ddl(spec, dialect, overrides=type_overrides),
+            ]
             exists, empty = False, True  # overwrite write below realizes the drop
 
     # -- delete phase (REF/Converter.java:76-79) ----------------------------
@@ -113,21 +121,66 @@ def convert_table(
     return report
 
 
+def _jdbc_connection(spark: SparkSession, url: str, driver: str | None = None):
+    """Raw driver-side JDBC connection via py4j — for metadata and
+    one-row probes only; all data movement rides Spark's JDBC source."""
+    gw = spark.sparkContext._gateway
+    if driver:
+        gw.jvm.java.lang.Class.forName(driver)
+    return gw.jvm.java.sql.DriverManager.getConnection(url)
+
+
 def list_jdbc_tables(spark: SparkSession, url: str, driver: str | None = None) -> list[str]:
     """S1 live: table discovery via JDBC ``DatabaseMetaData`` — exactly
     the reference's catalog scan (REF/util/ConverterUtils.java:166-216)."""
     gw = spark.sparkContext._gateway
-    if driver:
-        gw.jvm.java.lang.Class.forName(driver)
-    types_arr = gw.new_array(gw.jvm.java.lang.String, 1)
-    types_arr[0] = "TABLE"
-    conn = gw.jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connection(spark, url, driver)
     try:
+        types_arr = gw.new_array(gw.jvm.java.lang.String, 1)
+        types_arr[0] = "TABLE"
         rs = conn.getMetaData().getTables(None, None, "%", types_arr)
         out = []
         while rs.next():
             out.append(rs.getString("TABLE_NAME"))
         return out
+    finally:
+        conn.close()
+
+
+def jdbc_table_nonempty(
+    spark: SparkSession, url: str, table: str, driver: str | None = None
+) -> bool:
+    """Destination emptiness probe: at most ONE row crosses the wire.
+
+    ``Statement.setMaxRows(1)`` is the JDBC-standard, dialect-free LIMIT:
+    the driver truncates the result at one row, so this is O(1) on a
+    100-GB destination where a Spark-side ``read_jdbc(...).count()``
+    would materialize every row (Spark's JDBC v1 source does not push
+    aggregates).  The reference's equivalent probe is the COUNT(*) at
+    REF/util/ConverterUtils.java:193-216; emptiness is all the
+    SKIP_EXISTING / THROW_IF_EXISTS gates need, so the boolean probe is
+    strictly cheaper than even a pushed COUNT."""
+    conn = _jdbc_connection(spark, url, driver)
+    try:
+        st = conn.createStatement()
+        st.setMaxRows(1)
+        rs = st.executeQuery(f"SELECT 1 FROM {table}")
+        return rs.next()
+    finally:
+        conn.close()
+
+
+def jdbc_count(spark: SparkSession, url: str, table: str, driver: str | None = None) -> int:
+    """A8 live: exact destination cardinality as a pushed ``SELECT
+    COUNT(*)`` — one row over the wire, computed by the database
+    (REF/util/ConverterUtils.java:193-216).  Only the DROP_AND_RECREATE
+    delete-strategy probe needs this; every other mode gate uses the
+    cheaper :func:`jdbc_table_nonempty`."""
+    conn = _jdbc_connection(spark, url, driver)
+    try:
+        rs = conn.createStatement().executeQuery(f"SELECT COUNT(*) FROM {table}")
+        rs.next()
+        return int(rs.getLong(1))
     finally:
         conn.close()
 
@@ -143,6 +196,7 @@ def convert_table_jdbc(
     dialect: str = "postgresql",
     primary_key: list[str] | None = None,
     num_partitions: int = 10,
+    type_overrides: dict[str, str] | None = None,
 ) -> TableConversionReport:
     """One table into a live JDBC destination — the reference's actual
     shape (JDBC→JDBC), same phase sequencing as :func:`convert_table`:
@@ -159,16 +213,14 @@ def convert_table_jdbc(
     REF/data/AbstractTableWorker.java:68-93)."""
     from pyspark.sql import functions as F
 
-    from spanner_jdbc_converter_spark.copy import actual_row_bytes_expr, read_jdbc, write_jdbc
+    from spanner_jdbc_converter_spark.copy import actual_row_bytes_expr, write_jdbc
 
     report = TableConversionReport(table=table)
     pk = primary_key if primary_key is not None else list(PRIMARY_KEYS.get(table, ()))
     existing = {t.upper() for t in list_jdbc_tables(spark, url, driver)}
     exists = table.upper() in existing
-    n_dest = 0
-    if exists:
-        n_dest = read_jdbc(spark, url, table, driver=driver).count()
-    empty = n_dest == 0
+    # one-row probe, never a Spark-side scan (jdbc_table_nonempty docstring)
+    empty = not (exists and jdbc_table_nonempty(spark, url, table, driver))
 
     # -- DDL phase ----------------------------------------------------------
     if ddl_mode is not ConvertMode.SKIP_ALL:
@@ -177,20 +229,29 @@ def convert_table_jdbc(
         spec = table_spec_from_schema(table, source.schema, pk)
         if not exists:
             report.ddl_action = "created"
-            report.ddl = [create_table_ddl(spec, dialect)]
+            report.ddl = [create_table_ddl(spec, dialect, overrides=type_overrides)]
         elif ddl_mode is ConvertMode.DROP_AND_RECREATE:
             report.ddl_action = "dropped_and_recreated"
-            report.ddl = [drop_table_ddl(table), create_table_ddl(spec, dialect)]
+            report.ddl = [
+                drop_table_ddl(table),
+                create_table_ddl(spec, dialect, overrides=type_overrides),
+            ]
             exists, empty = False, True  # the overwrite write realizes the drop
 
     # -- delete phase (REF/Converter.java:76-79) ----------------------------
     if data_mode is ConvertMode.DROP_AND_RECREATE and exists and not empty:
-        report.delete_strategy = delete_strategy(n_dest)
+        # the only consumer of the exact count: sizing the delete strategy
+        # (REF/data/TableDeleter.java:28-40) — pushed COUNT(*), one row back
+        report.delete_strategy = delete_strategy(jdbc_count(spark, url, table, driver))
 
     # -- copy phase ---------------------------------------------------------
     copy_mode = data_mode
     if report.ddl_action == "dropped_and_recreated" and data_mode is not ConvertMode.SKIP_ALL:
         copy_mode = ConvertMode.DROP_AND_RECREATE
+    if copy_mode is ConvertMode.THROW_IF_EXISTS and exists and not empty:
+        # mirror copy_table (copy.py) so the parquet and JDBC orchestrators
+        # agree on every cell of the mode × existence/emptiness matrix
+        raise TableExistsError(f"{url}::{table}")
     will_copy = should_copy_data(copy_mode, empty)
     report.result = ConversionResult(start_time=__import__("time").time())
     if will_copy:
@@ -223,30 +284,57 @@ def convert_all(
     data_mode: ConvertMode = ConvertMode.SKIP_EXISTING,
     dialect: str = "cloudspanner",
     target_partitions: int | None = None,
+    max_table_workers: int = 1,
+    type_overrides: dict[str, str] | None = None,
 ) -> list[TableConversionReport]:
     """Convert every requested table that exists in the source catalog.
 
     ``source_tables`` defaults to the requested list (self-describing
     parquet source); pass the real source catalog listing to exercise the
-    existence intersection (REF/data/DataCopier.java:128-138).  Tables
-    convert sequentially like the reference's driver loop — each copy is
-    itself a fully parallel Spark job, so at 100 TB the cluster is busy
-    regardless; interleaving tables would only contend for executors.
+    existence intersection (REF/data/DataCopier.java:128-138).
+
+    ``max_table_workers`` is the reference's table-level fan-out: a pool
+    of concurrent table workers (REF/data/DataCopier.java:167-190 builds
+    a NUM_TABLE_COPY_THREADS=10 executor).  One big table saturates the
+    cluster on its own, but the reference's actual use case — a catalog
+    of thousands of *small* tables — leaves the cluster idle between
+    per-table job setups when run sequentially.  Each worker thread
+    submits its table's jobs under a per-table Spark scheduler pool
+    (``spark.scheduler.pool`` is a thread-local property), so with
+    ``spark.scheduler.mode=FAIR`` tables share executors fairly and with
+    FIFO their stages still interleave.  Reports return in request
+    order; a worker exception propagates (X7: never swallowed).
     """
     present = table_exists_in_source(source_tables or tables, tables)
-    reports = []
-    for table in present:
+
+    def _one(table: str) -> TableConversionReport:
         source = load_table(spark, sf_dir, table)
-        reports.append(
-            convert_table(
-                spark,
-                source,
-                table,
-                f"{dest_root}/{table}.parquet",
-                ddl_mode=ddl_mode,
-                data_mode=data_mode,
-                dialect=dialect,
-                target_partitions=target_partitions,
-            )
+        return convert_table(
+            spark,
+            source,
+            table,
+            f"{dest_root}/{table}.parquet",
+            ddl_mode=ddl_mode,
+            data_mode=data_mode,
+            dialect=dialect,
+            target_partitions=target_partitions,
+            type_overrides=type_overrides,
         )
-    return reports
+
+    if max_table_workers <= 1 or len(present) <= 1:
+        return [_one(t) for t in present]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _pooled(table: str) -> TableConversionReport:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"convert-{table}")
+        try:
+            return _one(table)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(
+        max_workers=max_table_workers, thread_name_prefix="table-worker"
+    ) as pool:
+        return list(pool.map(_pooled, present))

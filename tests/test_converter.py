@@ -112,6 +112,51 @@ def test_data_drop_and_recreate_records_delete_probe(spark, sf_dir, tmp_path):
     assert r.result.record_count == load_table(spark, sf_dir, "region").count()
 
 
+def test_table_fanout_matches_sequential(spark, sf_dir, tmp_path):
+    """X1 table-level fan-out (REF/data/DataCopier.java:167-190): a pool
+    of concurrent table workers converts ≥3 tables with per-table reports
+    identical in order and content to the sequential loop, and the
+    destination tree loadable either way."""
+    tables = ["region", "nation", "supplier", "part"]
+    seq_dest = str(tmp_path / "seq")
+    par_dest = str(tmp_path / "par")
+    seq = convert_all(spark, sf_dir, seq_dest, tables)
+    par = convert_all(spark, sf_dir, par_dest, tables, max_table_workers=4)
+
+    assert [r.table for r in par] == tables  # request order preserved
+    for s, p in zip(seq, par):
+        assert (s.ddl_action, s.data_action) == (p.ddl_action, p.data_action)
+        assert s.ddl == p.ddl
+        assert (s.result.record_count, s.result.byte_count) == (
+            p.result.record_count,
+            p.result.byte_count,
+        )
+    for t in tables:
+        assert (
+            spark.read.parquet(f"{par_dest}/{t}.parquet").count()
+            == load_table(spark, sf_dir, t).count()
+        )
+    # worker threads must not leak their scheduler pool onto the session
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_table_fanout_propagates_worker_exceptions(spark, sf_dir, tmp_path):
+    """X7: a failing table inside the pool raises out of convert_all
+    instead of being swallowed into a partial report list."""
+    dest = str(tmp_path / "dest")
+    convert_all(spark, sf_dir, dest, ["region", "nation"])
+    with pytest.raises(TableExistsError):
+        convert_all(
+            spark,
+            sf_dir,
+            dest,
+            ["region", "nation"],
+            ddl_mode=ConvertMode.THROW_IF_EXISTS,
+            data_mode=ConvertMode.THROW_IF_EXISTS,
+            max_table_workers=2,
+        )
+
+
 def test_throw_if_exists_raises_on_nonempty_destination(spark, sf_dir, tmp_path):
     dest = str(tmp_path / "dest")
     convert_all(spark, sf_dir, dest, ["region"])

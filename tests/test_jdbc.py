@@ -148,3 +148,60 @@ def test_convert_table_jdbc_full_cycle(spark, sf_dir, tmp_path):
     assert r3.delete_strategy == "single_statement"
     assert r3.data_action == "copied"
     assert cp.read_jdbc(spark, url, "nation", driver=DRV).count() == nation.count()
+
+
+def test_jdbc_probes_push_down_not_scan(spark, sf_dir, tmp_path):
+    """The emptiness/cardinality probes are driver-side pushed queries
+    (one row over the wire) — never a Spark-side read of the destination:
+    a setMaxRows(1) SELECT for emptiness and SELECT COUNT(*) for the
+    exact count (REF/util/ConverterUtils.java:193-216)."""
+    from spanner_jdbc_converter_spark.converter import (
+        _jdbc_connection,
+        jdbc_count,
+        jdbc_table_nonempty,
+    )
+
+    url = _url(tmp_path)
+    # empty table created via raw DDL: exists but holds no rows
+    conn = _jdbc_connection(spark, url, DRV)
+    try:
+        conn.createStatement().executeUpdate(
+            'CREATE TABLE emptytab ("k" INT NOT NULL PRIMARY KEY)'
+        )
+    finally:
+        conn.close()
+    assert jdbc_table_nonempty(spark, url, "emptytab", DRV) is False
+    assert jdbc_count(spark, url, "emptytab", DRV) == 0
+
+    nation = load_table(spark, sf_dir, "nation")
+    cp.write_jdbc(nation, url, "nation", driver=DRV)
+    assert jdbc_table_nonempty(spark, url, "nation", DRV) is True
+    assert jdbc_count(spark, url, "nation", DRV) == nation.count()
+
+
+def test_convert_table_jdbc_throw_if_exists_matches_parquet_path(spark, sf_dir, tmp_path):
+    """ADVICE r4: data_mode=THROW_IF_EXISTS over a non-empty existing
+    destination must RAISE (as copy_table does on the parquet path), not
+    silently skip — and must still copy into an empty destination."""
+    from spanner_jdbc_converter_spark.converter import convert_table_jdbc
+
+    url = _url(tmp_path)
+    region = load_table(spark, sf_dir, "region")
+
+    # fresh destination: THROW_IF_EXISTS behaves like a plain create+copy
+    r1 = convert_table_jdbc(
+        spark, region, "region", url,
+        ddl_mode=ConvertMode.SKIP_EXISTING,
+        data_mode=ConvertMode.THROW_IF_EXISTS,
+        driver=DRV,
+    )
+    assert (r1.ddl_action, r1.data_action) == ("created", "copied")
+
+    # non-empty destination: the copy phase must throw, matching copy.py
+    with pytest.raises(cp.TableExistsError):
+        convert_table_jdbc(
+            spark, region, "region", url,
+            ddl_mode=ConvertMode.SKIP_EXISTING,
+            data_mode=ConvertMode.THROW_IF_EXISTS,
+            driver=DRV,
+        )
