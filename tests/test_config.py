@@ -1,0 +1,150 @@
+"""Properties-file configuration surface (REF/cfg/ConverterConfiguration.java):
+the reference's key names and defaults load into ConverterConfig and map
+end-to-end onto the orchestrators, including specificColumnMapping
+override precedence (types.py:186-200)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spanner_jdbc_converter_spark import config as cfg_mod
+from spanner_jdbc_converter_spark.config import ConverterConfig, database_type
+from spanner_jdbc_converter_spark.converter import convert_all
+from spanner_jdbc_converter_spark.modes import ConvertMode
+
+#: The reference's own converter.properties.example, verbatim
+#: (/root/reference/converter.properties.example:1-9).
+EXAMPLE = """\
+#Table converter properties
+TableConverter.convertMode=SkipExisting
+TableConverter.specificColumnMapping.uuid=BYTES(16)
+
+#Data converter properties
+DataConverter.convertMode=SkipExisting
+DataConverter.batchSize=1000
+DataConverter.maxNumberOfWorkers=100
+DataConverter.uploadWorkerMaxWaitInMinutes=60
+DataConverter.useJdbcBatching=true
+"""
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "converter.properties"
+    p.write_text(text)
+    return p
+
+
+def test_reference_example_loads_with_reference_defaults(tmp_path):
+    cfg = ConverterConfig.from_properties(
+        _write(tmp_path, EXAMPLE),
+        url_source="jdbc:postgresql://localhost/src",
+        url_destination="jdbc:cloudspanner://localhost;Project=p",
+    )
+    assert cfg.table_convert_mode is ConvertMode.SKIP_EXISTING
+    assert cfg.data_convert_mode is ConvertMode.SKIP_EXISTING
+    assert cfg.batch_size == 1000
+    assert cfg.max_number_of_workers == 100
+    assert cfg.upload_worker_max_wait_minutes == 60
+    assert cfg.use_jdbc_batching is True
+    assert cfg.column_overrides == {"uuid": "BYTES(16)"}
+    # unset keys fall back to the reference's defaults
+    # (REF/cfg/ConverterConfiguration.java:188-288)
+    assert cfg.number_of_table_workers == 10
+    assert cfg.table_worker_max_wait_minutes == 60
+    assert cfg.max_statements_in_one_jdbc_batch == 10_000
+    # setDefaults: Spanner destination bounds single-statement deletes by
+    # batchSize (REF/cfg/ConverterConfiguration.java:152-158)
+    assert cfg.max_records_in_single_delete_statement == 1000
+
+
+def test_database_type_url_inference():
+    assert database_type("jdbc:cloudspanner://x") == "cloudspanner"
+    assert database_type("JDBC:PostgreSQL://x") == "postgresql"
+    assert database_type("jdbc:derby:/tmp/db") is None  # like DatabaseType.getType
+    assert database_type(None) is None
+
+
+def test_unknown_convert_mode_throws(tmp_path):
+    p = _write(tmp_path, "TableConverter.convertMode=Nope\n")
+    with pytest.raises(ValueError, match="Nope"):
+        ConverterConfig.from_properties(p)
+
+
+def test_all_modes_parse_by_reference_name():
+    for name, mode in [
+        ("SkipAll", ConvertMode.SKIP_ALL),
+        ("SkipExisting", ConvertMode.SKIP_EXISTING),
+        ("DropAndRecreate", ConvertMode.DROP_AND_RECREATE),
+        ("ThrowExceptionIfExists", ConvertMode.THROW_IF_EXISTS),
+    ]:
+        assert cfg_mod.parse_convert_mode(name) is mode
+
+
+def test_properties_parser_handles_comments_colons_continuations(tmp_path):
+    p = _write(
+        tmp_path,
+        "! bang comment\n"
+        "a.key: with colon\n"
+        "b.key=split\\\nvalue\n"
+        "\n"
+        "c.key = spaced \n",
+    )
+    props = cfg_mod.load_properties(p)
+    assert props == {"a.key": "with colon", "b.key": "splitvalue", "c.key": "spaced"}
+
+
+def test_config_drives_convert_all_with_column_override(spark, sf_dir, tmp_path):
+    """End-to-end: a properties file with DropAndRecreate modes, a table
+    worker pool, and a specificColumnMapping drives convert_all; the
+    override lands in the recorded DDL exactly as the reference applies
+    it (REF/ddl/TableConverter.java:254-262)."""
+    p = _write(
+        tmp_path,
+        "TableConverter.convertMode=DropAndRecreate\n"
+        "DataConverter.convertMode=DropAndRecreate\n"
+        "DataConverter.numberOfTableWorkers=2\n"
+        "TableConverter.specificColumnMapping.n_name=STRING(MAX)\n"
+        "TableConverter.specificColumnMapping.r_name=STRING(77)\n"
+        "TableConverter.specificColumnMapping.region.r_name=STRING(42)\n",
+    )
+    cfg = ConverterConfig.from_properties(p, url_destination="jdbc:cloudspanner://x")
+    kwargs = cfg.convert_all_kwargs()
+    assert kwargs["max_table_workers"] == 2
+    assert kwargs["dialect"] == "cloudspanner"
+
+    dest = str(tmp_path / "dest")
+    reports = convert_all(spark, sf_dir, dest, ["region", "nation"], **kwargs)
+    by_table = {r.table: r for r in reports}
+    assert "n_name STRING(MAX)" in by_table["nation"].ddl[0]
+    # table-qualified override beats the generic mapping
+    assert "r_name STRING(42)" in by_table["region"].ddl[0]
+    assert "STRING(77)" not in by_table["region"].ddl[0]
+    for r in reports:
+        assert r.data_action == "copied"
+
+
+def test_config_drives_convert_table_jdbc(spark, sf_dir, tmp_path):
+    """The JDBC kwargs surface: maxNumberOfWorkers caps writer
+    parallelism, url_destination rides into the call, modes map across."""
+    from spanner_jdbc_converter_spark import copy as cp
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.converter import convert_table_jdbc
+
+    p = _write(
+        tmp_path,
+        "TableConverter.convertMode=SkipExisting\n"
+        "DataConverter.convertMode=SkipExisting\n"
+        "DataConverter.maxNumberOfWorkers=3\n",
+    )
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    cfg = ConverterConfig.from_properties(p, url_destination=url)
+    kwargs = cfg.convert_table_jdbc_kwargs(dialect_default="postgresql")
+    assert kwargs.pop("url") == url
+    assert kwargs["num_partitions"] == 3
+
+    region = load_table(spark, sf_dir, "region")
+    r = convert_table_jdbc(
+        spark, region, "region", url, driver=cp.DERBY_EMBEDDED_DRIVER, **kwargs
+    )
+    assert (r.ddl_action, r.data_action) == ("created", "copied")
+    assert r.result.record_count == region.count()
