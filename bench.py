@@ -108,19 +108,27 @@ def main() -> None:
     # Key order is deliberate: scalars first, then warm medians, then the
     # cold runs — recorded BENCH lines have truncated in past rounds, and
     # this order loses the least-important data first.
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "runs_per_query": BENCH_RUNS,
-                "queries": timings,
-                "cold_queries": cold,
-            }
-        )
-    )
+    payload = {
+        "metric": "corpus_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "runs_per_query": BENCH_RUNS,
+        "queries": timings,
+        "cold_queries": cold,
+    }
+    print(json.dumps(payload))
+    # The driver's recorded line truncates on long corpora; ALSO write the
+    # full timing dict to a committed history file so every entry stays
+    # comparable round-over-round (VERDICT r4 #7).  Overridable so local
+    # experiments don't clobber the round record.
+    hist = os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "bench_history/latest.json")
+    try:
+        os.makedirs(os.path.dirname(hist) or ".", exist_ok=True)
+        with open(hist, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write history file {hist}: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -480,14 +480,24 @@ def benchmark_overlap(
     no corpus-sized shuffle beyond the per-doc gram dedup it already
     needs.  Documents with < n tokens have no grams and drop out.
 
+    ``benchmark_pred`` is evaluated against the FULL input row (any
+    column of ``df``), not the shingle projection: the predicate selects
+    benchmark ids first, and the shingle frame is split by broadcast
+    semi/anti join on those ids — both joins ride the same tiny
+    benchmark side.
+
     Output: id, n_grams (distinct), n_contaminated, overlap_frac."""
+    bench_ids = df.filter(benchmark_pred).select(id_col)
     grams = shingle_rows(
         df, text_col, id_col, ngram, fallback_to_text=False
     ).dropDuplicates([id_col, "__s"])
     bench = (
-        grams.filter(benchmark_pred).select("__s").distinct().withColumn("__hit", F.lit(1))
+        grams.join(F.broadcast(bench_ids), on=id_col, how="semi")
+        .select("__s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    corpus = grams.filter(~benchmark_pred)
+    corpus = grams.join(F.broadcast(bench_ids), on=id_col, how="anti")
     n_hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
     return (
         corpus.join(F.broadcast(bench), on="__s", how="left")

@@ -114,6 +114,10 @@ def stopword_count_from_tokens(toks: Column, stopwords: tuple[str, ...] = _STOPW
     the count matches the oracle's ``list_transform`` sum."""
     import re as _re
 
+    if not stopwords:
+        # '(?:)' would match every double-space token boundary and count
+        # token_count-1 instead of zero
+        return F.lit(0).cast("long")
     pat = " (?:" + "|".join(_re.escape(w) for w in stopwords) + ") "
     joined = F.concat(F.lit(" "), F.array_join(toks, "  "), F.lit(" "))
     return F.regexp_count(joined, F.lit(pat)).cast("long")

@@ -229,11 +229,15 @@ def upsert_stream_to_parquet(
     foreachBatch is the standard Structured Streaming pattern for sinks
     without native streaming support; exactly-once comes from the
     checkpoint (batch replays re-merge idempotently — merge_upsert of the
-    same batch twice equals once).  The rewrite goes through a temp dir
-    then a swap so a mid-write failure never corrupts the destination
-    (reading and overwriting one parquet path in a single job would).
-    Local-FS path handling; a cluster deployment swaps in a transactional
-    table format (Delta/Iceberg MERGE) and keeps this orchestration.
+    same batch twice equals once).  The rewrite goes through a temp dir,
+    then a rename-aside swap: the old destination moves to ``._old``,
+    the fresh tree renames into place, and only then is the old copy
+    deleted — a crash at ANY point leaves a complete tree at a
+    predictable path (``dest`` or ``dest._old``), never a half-written
+    destination.  A leftover ``._old`` from a previous crash is cleared
+    on the next batch.  Local-FS path handling; a cluster deployment
+    swaps in a transactional table format (Delta/Iceberg MERGE) and
+    keeps this orchestration.
 
     Returns the started StreamingQuery (caller awaits termination)."""
     import os
@@ -248,11 +252,18 @@ def upsert_stream_to_parquet(
             merged = merge_upsert(spark.read.parquet(dest_path), batch, pk_cols)
         else:
             merged = batch
-        tmp = dest_path.rstrip("/") + f"._upsert_tmp_{batch_id}"
+        base = dest_path.rstrip("/")
+        tmp = base + f"._upsert_tmp_{batch_id}"
+        old = base + "._old"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(dest_path):
-            shutil.rmtree(dest_path)
+        if os.path.exists(old):  # debris from a crash between the renames
+            shutil.rmtree(old)
+        had_dest = os.path.exists(dest_path)
+        if had_dest:
+            os.rename(dest_path, old)
         os.rename(tmp, dest_path)
+        if had_dest:
+            shutil.rmtree(old)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

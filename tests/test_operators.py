@@ -536,6 +536,27 @@ def test_benchmark_overlap_flags_contaminated_doc(spark):
     assert (out[3].n_contaminated, out[3].overlap_frac) == (0, 0.0)
 
 
+def test_benchmark_overlap_predicate_over_non_shingle_columns(spark):
+    """ADVICE r4: the benchmark predicate may reference ANY input column
+    (e.g. a source tag), not just the id — it is evaluated on the full
+    rows before shingling, then split by broadcast semi/anti id join."""
+    df = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps", "bench"),
+            (11, "the quick brown fox sleeps", "crawl"),
+            (12, "entirely different words here", "crawl"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.benchmark_overlap(df, F.col("source") == "bench").collect()
+    }
+    assert set(out) == {11, 12}
+    assert (out[11].n_grams, out[11].n_contaminated) == (3, 2)
+    assert out[12].n_contaminated == 0
+
+
 def test_chunk_windows_overlap_and_tail(spark):
     """100 tokens at size=64/stride=48: chunk 0 = tokens 1-64, chunk 1 =
     tokens 49-100 (52 tokens, capped at the end), chunk 2 = tokens

@@ -143,3 +143,45 @@ def test_upsert_stream_to_parquet_merges_and_is_idempotent(spark, sf_dir, tmp_pa
     again = spark.read.parquet(dest)
     assert again.count() == n_events + 1
     assert again.filter(F.col("event_type") == "stale").count() == 0
+
+
+def test_upsert_availablenow_backfill_resumes_from_checkpoint(spark, tmp_path):
+    """Production backfill shape (VERDICT r4 #8): an availableNow run
+    drains the source and stops; files appended later are picked up by a
+    SECOND availableNow run on the SAME checkpoint, which merges only
+    the new data — and the rename-aside swap leaves no temp/old debris
+    next to the destination."""
+    import os
+
+    src = tmp_path / "src"
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = ops.upsert_stream_to_parquet(stream, dest, ["k"], ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "a1"), (2, "a2")], schema).write.mode("append").parquet(
+        str(src)
+    )
+    run()
+    assert {(r.k, r.v) for r in spark.read.parquet(dest).collect()} == {
+        (1, "a1"),
+        (2, "a2"),
+    }
+
+    # append a second batch: overlapping key 2 must be replaced, key 3 added
+    spark.createDataFrame([(2, "b2"), (3, "b3")], schema).write.mode("append").parquet(
+        str(src)
+    )
+    run()
+    assert {(r.k, r.v) for r in spark.read.parquet(dest).collect()} == {
+        (1, "a1"),
+        (2, "b2"),
+        (3, "b3"),
+    }
+    # atomic-swap hygiene: no ._old or ._upsert_tmp_* siblings remain
+    siblings = os.listdir(tmp_path)
+    assert not [s for s in siblings if "._old" in s or "_upsert_tmp_" in s]
