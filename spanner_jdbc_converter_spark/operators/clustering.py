@@ -1,0 +1,153 @@
+"""Embedding clustering — fixed-iteration Lloyd's k-means (SURVEY.md §2.11).
+
+The semantic-clustering scale path for near-dedup and corpus mixing:
+MinHash/SimHash (operators/dedup.py) catch lexical duplicates; clustering
+over the embedding column groups *semantic* near-duplicates and powers
+cluster-balanced sampling.  The reference has no analog (it never looks
+inside values — REF/data/AbstractTablePartWorker.java:74-83 copies
+opaque objects); this is a driver-mandated extension operator.
+
+Determinism contract (what makes the DuckDB oracle exact):
+
+* seeds: the K rows with the smallest id — no RNG anywhere;
+* iterations: a FIXED count (no data-dependent convergence test), so
+  the oracle unrolls the same number of assign/update rounds;
+* distances: squared L2 folded left-to-right over doubles
+  (``F.aggregate`` ≡ DuckDB ``list_reduce`` — both start from the first
+  element, IEEE-identical);
+* centroid update: per-dimension mean routed through DECIMAL(28,12)
+  sums (order-independent) before one double division.
+
+Scale design: centroids are K rows (metadata-sized) and are BROADCAST to
+every assignment; each point scores K candidates map-side, and the
+arg-min collapses via ``min(struct(dist, cluster))`` with map-side
+partial aggregation — the shuffle carries one 16-byte row per point.
+The centroid update explodes dimensions but reduces to K×dims rows with
+map-side combine.  No driver collect, no cross join wider than K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Cluster count and Lloyd iteration count — FIXED so the oracle can
+#: unroll the same computation (see module docstring).
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+#: Decimal type for order-independent centroid sums.
+_DEC = "decimal(28,12)"
+
+
+def _sq_dist(vec_col: F.Column, cent_col: F.Column) -> F.Column:
+    """Squared L2 distance, left-to-right double fold (oracle-exact).
+
+    ``t*t`` instead of ``pow(t, 2)`` — pow is not guaranteed to be an
+    exact multiply on every libm; ``*`` is the same IEEE op everywhere.
+    """
+    terms = F.zip_with(
+        vec_col,
+        cent_col,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def seed_centroids(
+    emb: DataFrame, k: int = KMEANS_K, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Initial centroids: the K smallest ids, cluster = seed id.
+
+    Deterministic and rank-free — no sampling, no RNG, no global sort
+    (``id < k`` is a pushed-down filter, not a top-k)."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cluster"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster, sq_dist).
+
+    Broadcast K centroid rows; per-point arg-min via
+    ``min(struct(sq_dist, cluster))`` — lexicographic struct min gives
+    the distance tie to the smaller cluster id, and the groupBy combines
+    map-side so the shuffle is one row per point."""
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            _sq_dist(F.col(vec_col), F.col("cvec")).alias("sq_dist"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("sq_dist", "cluster")).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__b.cluster").alias("cluster"),
+        F.col("__b.sq_dist").alias("sq_dist"),
+    )
+
+
+def update_centroids(
+    emb: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension mean of each cluster's members → new centroid rows.
+
+    DECIMAL(28,12) sums are exact and order-independent (double sums are
+    not), then ONE double division by the exact member count.  Clusters
+    that lose every member simply drop out (inner join) — the oracle's
+    joins behave identically."""
+    pts = (
+        emb.join(assignment.select(id_col, "cluster"), id_col)
+        .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    )
+    dims = pts.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    return dims.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cvec")
+    )
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over an embedding column.
+
+    Returns the FINAL assignment: (id, cluster, sq_dist rounded to 6).
+    ``iters`` assignment rounds with ``iters - 1`` centroid updates in
+    between — exactly the computation the unrolled oracle CTE performs.
+    """
+    cents = seed_centroids(emb, k, id_col, vec_col)
+    asg = assign_clusters(emb, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = update_centroids(emb, asg, id_col, vec_col)
+        asg = assign_clusters(emb, cents, id_col, vec_col)
+    return asg.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )

@@ -1,0 +1,141 @@
+"""Mergeable cardinality sketches — a portable, oracle-exact HyperLogLog.
+
+The reference's only cardinality tool is an exact ``SELECT COUNT(*)``
+probe (REF/util/ConverterUtils.java:193-216); at 100 TB, COUNT(DISTINCT)
+is a full shuffle of every distinct key.  A HyperLogLog sketch reduces
+that to a fixed 64-row state that merges map-side — the canonical
+mergeable-aggregate shape (partial per partition, one tiny combine).
+
+Spark ships ``approx_count_distinct`` (HLL++), but its hash and bias
+tables are engine-private — DuckDB cannot reproduce the estimate, so it
+can only get a rows-only check.  This implementation instead derives
+every step from the corpus's portable md5 hash (functions/hashing.py),
+making the WHOLE sketch — bucket assignment, rank, bias correction —
+bit-reproducible in DuckDB SQL:
+
+* ``h``      : 60-bit md5 of the value (md5_long);
+* bucket     : low ``B`` bits (``h % m``);
+* ``w``      : remaining ``60 - B`` bits (``h // m``);
+* rank ρ     : leading zeros of ``w`` in that width + 1, via an exact
+  integer-threshold CASE ladder (no float log — ``floor(ln(w)/ln 2)``
+  is wrong exactly at powers of two);
+* register   : ``max(ρ)`` per bucket — the mergeable state;
+* estimate   : ``α·m²/Σ 2^{-ρ_j}`` with the Σ computed as an INTEGER
+  (``Σ 2^{W+1-ρ_j}`` ≤ 64·2^54 fits a BIGINT exactly), so the only
+  float step is one final division — no summation-order drift;
+* small-range correction: linear counting ``m·ln(m/V)`` when the
+  raw estimate ≤ 2.5·m and empty buckets exist (standard HLL).
+
+Citations: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007) — α constant §4, linear
+counting switch §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.functions.hashing import (
+    HASH_BITS,
+    md5_long,
+    md5_long_sql,
+)
+
+#: Bucket-index bits and bucket count (m = 2^B).
+HLL_B = 6
+HLL_M = 1 << HLL_B
+
+#: Width of the rank field w = h >> B.
+_W_BITS = HASH_BITS - HLL_B  # 54
+
+#: α_m = 0.7213 / (1 + 1.079/m) — Flajolet et al. §4, m ≥ 64.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rank_ladder_spark(w: Column) -> Column:
+    """ρ(w): leading zeros of w in a ``_W_BITS``-wide field, plus one.
+
+    Exact integer thresholds: w ≥ 2^(_W_BITS-1) → 1, …, w = 0 → _W_BITS+1.
+    """
+    expr = F.lit(_W_BITS + 1)
+    for rho in range(_W_BITS, 0, -1):
+        expr = F.when(w >= (1 << (_W_BITS - rho)), F.lit(rho)).otherwise(expr)
+    return expr
+
+
+def _rank_ladder_sql(w_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {w_expr} >= {1 << (_W_BITS - rho)} THEN {rho}"
+        for rho in range(1, _W_BITS + 1)
+    )
+    return f"CASE {whens} ELSE {_W_BITS + 1} END"
+
+
+def hll_estimate(df: DataFrame, group_cols: list[str], value: Column) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``value``.
+
+    Output: group columns + ``approx_distinct`` (double, rounded to 4).
+    Two tiny aggregates: (group, bucket) → max ρ  — combines map-side to
+    ≤ m rows per group — then group → estimate.  The Σ2^{-ρ} runs in
+    integer arithmetic (see module docstring) so the estimate is
+    bit-identical on any engine and any partitioning."""
+    h = md5_long(value.cast("string"))
+    # h DIV m, NOT floor(h/m): 60-bit values exceed double's 53-bit
+    # mantissa, so a float path would corrupt the rank field.
+    buckets = (
+        df.select(*group_cols, h.alias("__h"))
+        .select(
+            *group_cols,
+            (F.col("__h") % HLL_M).alias("__bucket"),
+            _rank_ladder_spark(F.expr(f"__h DIV {HLL_M}")).alias("__rho"),
+        )
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rho").alias("__rho_max"))
+    )
+    # Σ 2^{_W_BITS+1-ρ} over occupied buckets, plus 2^{_W_BITS+1} per
+    # EMPTY bucket (ρ=0 ⇒ 2^{-0}=1): both exact BIGINTs.
+    unit = F.lit(1 << (_W_BITS + 1)).cast("long")
+    per_group = buckets.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - __rho_max)"))
+        .alias("__z_occ"),
+        F.count(F.lit(1)).alias("__n_occ"),
+    )
+    z_int = F.col("__z_occ") + (F.lit(HLL_M) - F.col("__n_occ")) * unit
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (_W_BITS + 1))) / z_int
+    v_empty = F.lit(HLL_M) - F.col("__n_occ")
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty)
+    est = F.when((raw <= 2.5 * HLL_M) & (v_empty > 0), linear).otherwise(raw)
+    return per_group.select(*group_cols, F.round(est, 4).alias("approx_distinct"))
+
+
+def hll_estimate_sql(table_sql: str, group_cols: list[str], value_expr: str) -> str:
+    """DuckDB rendering of :func:`hll_estimate` (same constants)."""
+    g = ", ".join(group_cols)
+    h = md5_long_sql(f"CAST({value_expr} AS VARCHAR)")
+    unit = 1 << (_W_BITS + 1)
+    alpha_num = HLL_ALPHA * HLL_M * HLL_M * float(unit)
+    return f"""
+    WITH hb AS (
+      SELECT {g}, ({h}) % {HLL_M} AS bucket,
+             {_rank_ladder_sql(f"(({h}) // {HLL_M})")} AS rho
+      FROM {table_sql}
+    ),
+    reg AS (
+      SELECT {g}, bucket, MAX(rho) AS rho_max FROM hb GROUP BY {g}, bucket
+    ),
+    agg AS (
+      SELECT {g},
+             SUM((CAST(1 AS BIGINT) << ({_W_BITS + 1} - rho_max))) AS z_occ,
+             COUNT(*) AS n_occ
+      FROM reg GROUP BY {g}
+    )
+    SELECT {g},
+           ROUND(CASE WHEN ({alpha_num!r} / (z_occ + ({HLL_M} - n_occ) * {unit}))
+                           <= {2.5 * HLL_M}
+                       AND ({HLL_M} - n_occ) > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_occ))
+                      ELSE {alpha_num!r} / (z_occ + ({HLL_M} - n_occ) * {unit})
+                 END, 4) AS approx_distinct
+    FROM agg
+    """

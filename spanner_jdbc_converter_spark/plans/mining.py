@@ -1,0 +1,730 @@
+"""Data-mining corpus: clustering, TF-IDF, anomaly detection, histogram
+layout, and blocked record linkage (SURVEY.md §2.11 extension surface).
+
+These close out the LLM-pipeline toolbox around the dedup/similarity/
+text operators: semantic clustering over embeddings (cluster-balanced
+sampling, semantic near-dedup), TF-IDF term scoring (distinctive-term
+extraction on top of text_vocab_df's document frequencies), z-score
+outlier detection (data-quality triage on event streams), bucketed value
+histograms (layout/partition planning), and fuzzy record linkage
+(entity resolution over a blocked distinct-value domain).
+
+Float parity follows the corpus conventions (plans/extensions.py):
+exact-integer divisions stay unrounded, accumulated doubles route
+through DECIMAL sums, libm outputs (ln) are rounded to 6 digits at the
+narrowest point before further arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.operators import clustering as cl
+from spanner_jdbc_converter_spark.plans.extensions import _TOKS_SQL
+from spanner_jdbc_converter_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings — oracle unrolls the fixed Lloyd iterations.
+# ---------------------------------------------------------------------------
+
+#: squared-L2 between a row's embedding and a centroid list (DuckDB side);
+#: same left-to-right double fold as operators.clustering._sq_dist.
+_SQ_SQL = (
+    "list_reduce(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), (a, b) -> a + b)"
+)
+
+
+def _assign_cte(cent_cte: str) -> str:
+    """One nearest-centroid assignment round (ties → smaller cluster)."""
+    return f"""
+    SELECT vec_id, cluster, sq FROM (
+      SELECT vec_id, cluster, sq,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cluster) AS rn
+      FROM (
+        SELECT e.vec_id AS vec_id, c.cluster AS cluster, {_SQ_SQL} AS sq
+        FROM embeddings e CROSS JOIN {cent_cte} c
+      )
+    ) WHERE rn = 1
+    """
+
+
+def _update_cte(asg_cte: str) -> str:
+    """Per-dimension DECIMAL-sum mean of each cluster's members.
+
+    Parallel ``unnest``s zip row-wise in DuckDB (a lateral ``range``
+    table function is not supported), giving the same (pos, val) frame
+    as Spark's ``posexplode``."""
+    return f"""
+    SELECT cluster, list(cval ORDER BY pos) AS cvec FROM (
+      SELECT cluster, pos,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+      FROM (
+        SELECT a.cluster AS cluster,
+               unnest(range(1, len(e.embedding) + 1)) AS pos,
+               unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS val
+        FROM {asg_cte} a JOIN embeddings e USING (vec_id)
+      )
+      GROUP BY cluster, pos
+    ) GROUP BY cluster
+    """
+
+
+def _kmeans_oracle() -> str:
+    k = cl.KMEANS_K
+    parts = [
+        f"""c0 AS (
+      SELECT CAST(vec_id AS BIGINT) AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    ]
+    prev_cent = "c0"
+    for it in range(1, cl.KMEANS_ITERS + 1):
+        parts.append(f"a{it} AS ({_assign_cte(prev_cent)})")
+        if it < cl.KMEANS_ITERS:
+            parts.append(f"c{it} AS ({_update_cte(f'a{it}')})")
+            prev_cent = f"c{it}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist FROM a{cl.KMEANS_ITERS}"
+    )
+
+
+@register("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration k-means over the embedding column —
+    the semantic-clustering path next to the lexical dedup family.
+    Seeds are the K smallest vec_ids (no RNG), 2 Lloyd rounds, so the
+    oracle unrolls the identical computation in SQL.
+
+    Scale: K centroid rows broadcast to every assignment; per-point
+    arg-min collapses map-side (one 16-byte row per point crosses the
+    wire); the centroid update's (cluster, dim) aggregate combines
+    map-side to K×dims rows.  See operators/clustering.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.kmeans_fixed(emb)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms — builds on text_vocab_df's df counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM tk)
+      GROUP BY doc_id, token
+    ),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT doc_id, token, tf, df,
+             ROUND(tf * ROUND(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) AS score
+      FROM tf JOIN dfc USING (token) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, token, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM sc
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by smoothed TF-IDF
+    (tf · ln((N+1)/(df+1))) — keyword extraction / topic tagging over
+    the same tokenizer as the rest of the text family.
+
+    Parity: ln() is libm (not correctly-rounded IEEE), so the idf is
+    rounded to 6 digits FIRST — idf has only |distinct df| values, ~the
+    vocabulary size, collapsing any last-ulp engine drift before the
+    exact int multiply.  Scale: token explode → (doc, token) groupBy
+    combines map-side; df frame is vocab-sized → broadcast join; the
+    corpus-count scalar is a one-row broadcast; final top-3 window
+    partitions on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    tf = (
+        d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6
+    )
+    sc = (
+        tf.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score outliers — per-group moments via DECIMAL sums, broadcast back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type AS event_type, value,
+           ROUND((value - mean) / sqrt(m2 - mean * mean), 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE sqrt(m2 - mean * mean) > 0
+      AND ABS((value - mean) / sqrt(m2 - mean * mean)) > 2
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2) — the data-quality
+    triage pass a training pipeline runs over ingested streams.
+
+    Parity: mean and the second moment route through DECIMAL(28,12)
+    sums (order-independent; value ≤ ~500 so value² fits the 16 integer
+    digits), ONE double division each, and sqrt is IEEE
+    correctly-rounded — every engine computes the identical double.
+    Scale: one map-side-combined groupBy over the stream produces a
+    |event_type|-row stats frame, broadcast back; no window over the
+    data, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dec = "decimal(28,12)"
+    s = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    joined = ev.join(F.broadcast(s), "event_type")
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    z = (F.col("value") - F.col("mean")) / std
+    return (
+        joined.filter((std > 0) & (F.abs(z) > 2))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed value histogram — portable width_bucket math.
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 500000.0, 20
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_N
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / {_HIST_W!r}) AS BIGINT) + 1, {_HIST_N}) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (20 × 25k buckets) — the
+    distribution profile that drives range-partition boundary and
+    skew decisions (the engine's own W5 delete planner samples
+    quantiles for the same reason, delete.py:91).
+
+    Bucket math is written portably (floor-divide + LEAST clamp) instead
+    of width_bucket — DuckDB 1.0 lacks the function, and this form is
+    the identical double arithmetic on both engines.  Scale: single
+    map-side-combined groupBy into ≤ 20 rows; min/max/count are exact,
+    the sum routes through DECIMAL."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_HIST_W)).cast("long") + 1,
+        F.lit(_HIST_N).cast("long"),
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage — entity resolution without a cross join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fuzzy_blocked_names",
+    oracle="""
+    WITH n AS (
+      SELECT p_name, COUNT(*) AS n_parts,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.noun AS block_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def join_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over part names: pairs within the same
+    blocking key (the name's noun token) at Levenshtein distance ≤ 3,
+    with per-name support counts — the classic dedupe/entity-resolution
+    shape (block → compare → link).
+
+    Scale: the expensive comparator runs over the DISTINCT-name domain
+    (vocabulary-sized, independent of row count — the groupBy collapses
+    the fact table first), and blocking turns the self-join into an
+    equi-join on the block key: candidate pairs are per-block, never a
+    corpus cross join.  Levenshtein is exact integer DP on both
+    engines."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = names.select(
+        "p_name", "n_parts", F.split(F.col("p_name"), " ").getItem(1).alias("noun")
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.noun").alias("block_key"),
+            dist.cast("long").alias("edit_dist"),
+            F.col("a.n_parts").cast("long").alias("n_parts_a"),
+            F.col("b.n_parts").cast("long").alias("n_parts_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — the product-analytics staple over the event stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           CAST(SUM(CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN purchase_us - signup_us <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted_1h,
+           ROUND(CAST(SUM(CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM s LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → purchase funnel: per user, the first signup and the first
+    purchase at-or-after it; reported as total signup users, converted
+    users, 1-hour conversions, and the conversion rate.
+
+    Times compare in epoch-µs (the corpus ts-parity convention).  Scale:
+    two filtered map-side-combined aggregates keyed by user_id land
+    ALREADY co-partitioned for the left join — one exchange each, no
+    window over raw events; the final frame is a one-row reduce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    j = s.join(p, "user_id", "left")
+    converted = F.when(F.col("purchase_us").isNotNull(), 1).otherwise(0)
+    fast = F.when(
+        F.col("purchase_us") - F.col("signup_us") <= 3_600_000_000, 1
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        F.sum(fast).cast("long").alias("n_converted_1h"),
+        F.round(
+            F.sum(converted).cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — first-seen-day cohort × day-offset activity matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM a WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users cohorted by first-seen day; for offsets
+    0–7, how many of each cohort were active that many days later.
+    Day granularity makes the ns→µs parquet quirk irrelevant (dates
+    agree on both engines).
+
+    Scale: first-seen is one keyed aggregate; the cohort map rides a
+    user_id equi-join back onto events (co-partitioned with the
+    aggregate's exchange); the distinct collapses map-side before the
+    final small groupBy.  The matrix itself is |days| × 8 rows —
+    metadata-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics — robust per-group means after exact-quantile clips.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(q.lo, 4) AS p05, ROUND(q.hi, 4) AS p95,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(o_totalprice, q.lo), q.hi)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS winsorized_total,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, q.lo), q.hi)
+                               AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+             AS winsorized_mean
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, q.lo, q.hi
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value statistics per priority: clip at the exact
+    interpolated p05/p95 (same definition on both engines — see
+    agg_median_percentiles), then a DECIMAL-routed mean of the clipped
+    values — the robust-mean profile used to de-weight outliers before
+    mixture decisions.
+
+    Scale: the quantile frame is |priorities| rows → broadcast back;
+    the clip is a per-row expression; one map-side-combined groupBy.
+    For 100 TB swap the exact quantiles for approx_percentile — kept
+    exact for the oracle gate."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    dec_sum = F.sum(clipped.cast("decimal(18,4)"))
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dec_sum, 2).cast("double").alias("winsorized_total"),
+            F.round(dec_sum.cast("double") / F.count(F.lit(1)), 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("lo"), 4).alias("p05"),
+            F.round(F.col("hi"), 4).alias("p95"),
+            "winsorized_total",
+            "winsorized_mean",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch — portable, oracle-exact (operators/sketches).
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.operators import sketches as sk  # noqa: E402
+
+
+@register(
+    "agg_hll_distinct_custkeys",
+    oracle=f"""
+    WITH approx AS ({sk.hll_estimate_sql("orders", ["o_orderpriority"], "o_custkey")}),
+    exact AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, exact_distinct, approx_distinct
+    FROM exact JOIN approx USING (o_orderpriority)
+    """,
+)
+def agg_hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, twice: the exact
+    COUNT(DISTINCT) and a portable HyperLogLog estimate whose md5-derived
+    sketch is bit-reproduced by the oracle (operators/sketches.py) —
+    Spark's own approx_count_distinct could only get a rows-only check.
+
+    Scale: the sketch is THE point — per (group, bucket) max-rank state
+    is ≤ 64 rows per group and merges map-side, where COUNT(DISTINCT)
+    shuffles every distinct (group, key) pair.  The integer-arithmetic
+    Σ2^{{-ρ}} makes the estimate independent of partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = sk.hll_estimate(o, ["o_orderpriority"], F.col("o_custkey"))
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("exact_distinct")
+    )
+    return exact.join(approx, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model statistics — counts + conditional probabilities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_stats",
+    oracle=f"""
+    WITH tk AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        AS bigram
+      FROM tk
+    ),
+    c2t AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+    c1t AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+    ),
+    j AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+             c2, c1
+      FROM c2t JOIN c1t ON string_split(bigram, ' ')[1] = w
+    ),
+    r AS (
+      SELECT w1, w2, c2, c1,
+             ROW_NUMBER() OVER (ORDER BY c2 DESC, w1, w2) AS rk
+      FROM j
+    )
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS c2, CAST(c1 AS BIGINT) AS c1,
+           c2 / CAST(c1 AS DOUBLE) AS cond_prob, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams with conditional probability P(w2|w1) =
+    c(w1 w2)/c(w1) — the n-gram LM statistics a data pipeline collects
+    for perplexity-ish filtering and corpus comparison.
+
+    Parity: the probability is ONE division of two exact integers —
+    IEEE-deterministic, left unrounded (corpus convention).  Scale:
+    bigrams ride the staged tokenizer (one explode); both count frames
+    combine map-side and are vocabulary-sized; the unigram join is a
+    broadcast; the global top-20 window sorts the bigram vocab, never
+    the corpus."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").select(
+        tx.tokens("text").alias("__toks")
+    )
+    c2 = (
+        d.select(
+            F.explode(tx.word_ngrams_from_tokens(F.col("__toks"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        d.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    j = (
+        c2.select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+            "c2",
+        )
+        .join(F.broadcast(c1), F.col("w1") == F.col("w"))
+        .drop("w")
+    )
+    w = Window.orderBy(F.desc("c2"), F.asc("w1"), F.asc("w2"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            "c1",
+            (F.col("c2") / F.col("c1").cast("double")).alias("cond_prob"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling — deterministic Bernoulli keyed on doc_id.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.functions.hashing import (  # noqa: E402
+    md5_long,
+    md5_long_sql,
+)
+from spanner_jdbc_converter_spark.plans.extensions import (  # noqa: E402
+    _STOPWORDS_SQL,
+)
+
+#: 2^60 — the md5_long value range (HASH_BITS); exact in a double.
+_U_DENOM = float(1 << 60)
+
+
+@register(
+    "select_quality_weighted_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_SQL},
+                  x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             ROUND(
+               0.4 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+             + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4, 1.0)
+             + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
+             6) AS quality,
+             {md5_long_sql("concat('qws:', CAST(doc_id AS VARCHAR))")} / {_U_DENOM!r} AS u
+      FROM f)
+    SELECT doc_id, lang, quality, ROUND(u, 6) AS u
+    FROM q WHERE u < quality
+    """,
+)
+def select_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: each document is kept with
+    probability equal to its quality score, decided by a DETERMINISTIC
+    per-document uniform (md5 of a tagged doc_id, scaled to [0,1)) —
+    reproducible across runs, engines, and partitionings, unlike
+    rand()-based sampling.
+
+    The keep-decision is embarrassingly parallel (zero shuffles, zero
+    joins): score and uniform are per-row expressions over the staged
+    token array.  This is the selection pattern that turns the quality
+    scores into an actual corpus: higher-quality documents survive at
+    higher rates, and re-running the pipeline yields the identical
+    sample."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tx.tokens("text").alias("__toks")
+    )
+    quality = tx.quality_score_from_tokens("text", F.col("__toks"))
+    u = md5_long(
+        F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))
+    ) / F.lit(_U_DENOM)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            quality.alias("quality"),
+            u.alias("__u"),
+        )
+        .filter(F.col("__u") < F.col("quality"))
+        .select("doc_id", "lang", "quality", F.round("__u", 6).alias("u"))
+    )

@@ -569,3 +569,104 @@ def test_chunk_windows_overlap_and_tail(spark):
     out = tx.chunk_windows(df)
     rows = {(r.doc_id, r.chunk_idx): r.n_chunk_tokens for r in out.collect()}
     assert rows == {(1, 0): 64, (1, 1): 52, (1, 2): 4, (2, 0): 3}
+
+
+# -- fixed-iteration k-means (operators/clustering.py) ----------------------
+
+
+def _mk_embeddings(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_obvious_groups(spark):
+    """Two tight 2-D blobs, seeds one-per-blob: every point lands with
+    its blob and stays there across both iterations."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.5, -0.5]),
+        (3, [0.2, 0.1]),
+        (4, [10.5, 9.5]),
+        (5, [9.8, 10.2]),
+    ]
+    out = cl.kmeans_fixed(_mk_embeddings(spark, rows), k=2, iters=2).collect()
+    got = {r.vec_id: r.cluster for r in out}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    # distances are squared L2 to the ITERATION-2 centroid (the blob mean)
+    d = {r.vec_id: r.sq_dist for r in out}
+    cx, cy = (0.0 + 0.5 + 0.2) / 3, (0.0 - 0.5 + 0.1) / 3
+    assert d[0] == pytest.approx(cx * cx + cy * cy, abs=1e-6)
+
+
+def test_kmeans_distance_tie_goes_to_smaller_cluster(spark):
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]  # point 2 equidistant
+    asg = cl.assign_clusters(
+        _mk_embeddings(spark, rows), cl.seed_centroids(_mk_embeddings(spark, rows), k=2)
+    ).collect()
+    got = {r.vec_id: r.cluster for r in asg}
+    assert got[2] == 0
+
+
+def test_kmeans_update_is_per_dimension_mean(spark):
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    emb = _mk_embeddings(spark, [(0, [0.0, 4.0]), (1, [2.0, 8.0]), (2, [7.0, 1.0])])
+    asg = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "vec_id long, cluster long")
+    cents = {r.cluster: r.cvec for r in cl.update_centroids(emb, asg).collect()}
+    assert cents[0] == pytest.approx([1.0, 6.0])
+    assert cents[1] == pytest.approx([7.0, 1.0])
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    """A seed that captures no points after reassignment disappears; the
+    remaining clusters still cover every point."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    # seeds 0 and 1 are both inside the left blob; everything is nearer
+    # to seed 0 or seed 1 deterministically, and no point is lost.
+    rows = [(0, [0.0]), (1, [0.1]), (2, [0.05]), (3, [0.02])]
+    out = cl.kmeans_fixed(_mk_embeddings(spark, rows), k=2, iters=2).collect()
+    assert {r.vec_id for r in out} == {0, 1, 2, 3}
+
+
+# -- portable HyperLogLog (operators/sketches.py) ---------------------------
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """Standard error for m=64 is ~13%; 1000 distinct keys must land
+    well inside 3σ, and duplicated rows must not move the estimate."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    est = sk.hll_estimate(df, ["g"], F.col("k")).first().approx_distinct
+    assert abs(est - 1000) / 1000 < 0.4
+    dup = df.union(df).union(df)
+    est_dup = sk.hll_estimate(dup, ["g"], F.col("k")).first().approx_distinct
+    assert est_dup == est
+
+
+def test_hll_estimate_partitioning_invariant(spark):
+    """The integer-Σ construction makes the estimate independent of
+    physical partitioning (the map-side merge is exact)."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    df = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    e1 = sk.hll_estimate(df.repartition(1), ["g"], F.col("k")).first().approx_distinct
+    e17 = sk.hll_estimate(df.repartition(17), ["g"], F.col("k")).first().approx_distinct
+    assert e1 == e17
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """A handful of keys must trip the linear-counting correction and
+    come out near-exact (raw HLL is badly biased down there)."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    df = spark.range(5).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    est = sk.hll_estimate(df, ["g"], F.col("k")).first().approx_distinct
+    assert 3 <= est <= 8

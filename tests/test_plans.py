@@ -153,3 +153,26 @@ def test_benchmark_overlap_broadcasts_benchmark_grams(spark, sf_dir):
     plan = _plan(spark, "dedup_benchmark_overlap", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mining_entries_plan_shapes(spark, sf_dir):
+    # fuzzy linkage: blocked equi-join over the distinct-name domain —
+    # never a cartesian product over names
+    plan = _plan(spark, "join_fuzzy_blocked_names", sf_dir)
+    assert "CartesianProduct" not in plan
+    # tf-idf: vocab-sized df frame and the one-row corpus count both broadcast
+    plan = _plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # z-score: stats frame broadcast back, no window over the data
+    plan = _plan(spark, "events_zscore_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    # every assignment round scores against BROADCAST centroid rows (a
+    # broadcast nested-loop over K rows, never a shuffled cartesian)
+    plan = _plan(spark, "cluster_kmeans_embeddings", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
