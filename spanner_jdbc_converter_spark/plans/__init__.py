@@ -40,6 +40,8 @@ _GATE_PRIORITY = [
     "agg_hll_distinct_custkeys",
     "text_bigram_stats",
     "select_quality_weighted_sample",
+    "layout_zorder_cells",
+    "select_train_val_test_split",
     # (a) last driver row r2 — stalest, rotate in first
     "q11_important_parts",
     "q12_priority_class_counts",

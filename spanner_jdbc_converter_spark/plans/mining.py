@@ -728,3 +728,114 @@ def select_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("__u") < F.col("quality"))
         .select("doc_id", "lang", "quality", F.round("__u", 6).alias("u"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout cells — clustering quality you can SEE in the cell stats.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.operators import layout as lo  # noqa: E402
+
+
+@register(
+    "layout_zorder_cells",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_orderkey,
+             {lo.morton_interleave_sql("o_custkey % 256",
+                                       "CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) % 256")}
+               AS zcode,
+             o_custkey % 256 AS cust_bucket,
+             CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT) % 256 AS price_bucket
+      FROM orders
+    )
+    SELECT zcode // 64 AS zcell,
+           COUNT(*) AS n_orders,
+           MIN(cust_bucket) AS min_cust, MAX(cust_bucket) AS max_cust,
+           MIN(price_bucket) AS min_price, MAX(price_bucket) AS max_price
+    FROM z GROUP BY zcell
+    """,
+)
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code layout cells over (customer, price-bucket): per
+    coarse Z-cell, the row count and BOTH dimensions' min/max — the
+    footer stats a Z-ordered parquet file would carry.  Tight ranges on
+    both columns in every cell is exactly what makes two-predicate scan
+    pruning work; a single-column sort shows the full range on the other
+    column (asserted comparatively in tests/test_operators.py).
+
+    The code is pure shift/mask integer arithmetic inside whole-stage
+    codegen (operators/layout.py); the aggregate is one map-side-combined
+    groupBy into ≤ 1024 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_b = (F.col("o_custkey") % 256).cast("long")
+    price_b = F.floor(F.col("o_totalprice") / 2000.0).cast("long") % 256
+    z = o.select(
+        "o_orderkey",
+        lo.morton_interleave(cust_b, price_b).alias("zcode"),
+        cust_b.alias("cust_bucket"),
+        price_b.alias("price_bucket"),
+    )
+    return z.groupBy(F.expr("zcode DIV 64").alias("zcell")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cust_bucket").alias("min_cust"),
+        F.max("cust_bucket").alias("max_cust"),
+        F.min("price_bucket").alias("min_price"),
+        F.max("price_bucket").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the last step before tokenization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "select_train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END
+               AS split
+      FROM (
+        SELECT lang,
+               {md5_long_sql("concat('split:', CAST(doc_id AS VARCHAR))")} / {_U_DENOM!r}
+                 AS u
+        FROM documents
+      )
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS share
+    FROM s GROUP BY lang, split
+    """,
+)
+def select_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the assignment hashes
+    a tagged doc_id (never rand()), so every rerun, engine, and
+    partitioning reproduces the identical membership — the property that
+    keeps eval sets leak-free across pipeline versions.  Reported as
+    per-language split counts and shares.
+
+    Scale: the split decision is a per-row expression (zero shuffle);
+    the report aggregates to |langs|×3 rows with map-side combine; the
+    share window runs over that metadata-sized frame."""
+    d = load_table(spark, sf_dir, "documents")
+    u = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) / F.lit(_U_DENOM)
+    split = (
+        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    per = d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+    )

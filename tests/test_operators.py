@@ -670,3 +670,64 @@ def test_hll_small_range_uses_linear_counting(spark):
     df = spark.range(5).select(F.lit("g").alias("g"), F.col("id").alias("k"))
     est = sk.hll_estimate(df, ["g"], F.col("k")).first().approx_distinct
     assert 3 <= est <= 8
+
+
+# -- Z-order layout (operators/layout.py) -----------------------------------
+
+
+def test_morton_interleave_known_values(spark):
+    from spanner_jdbc_converter_spark.operators import layout as lo
+
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (5, 0), (0, 5), (3, 1)], "a long, b long"
+    )
+    got = [
+        r.z
+        for r in df.select(lo.morton_interleave(F.col("a"), F.col("b")).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    # (0,0)->0; (0,5)->b bits at odd positions: 0b100010=34; (3,1)->0b111=7;
+    # (5,0)->a bits at even positions: 0b10001=17; (255,255)->2^16-1
+    assert got == [0, 34, 7, 17, 65535]
+
+
+def test_zorder_files_tight_on_both_dims(spark, sf_dir, tmp_path):
+    """Range-partitioning on the Morton code must keep BOTH bucketed
+    columns' per-file ranges well under the full domain; a plain sort on
+    one column leaves the other column's range at ~100% in every file."""
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import layout as lo
+
+    o = load_table(spark, sf_dir, "orders")
+    cust_b = (F.col("o_custkey") % 256).cast("long")
+    price_b = F.floor(F.col("o_totalprice") / 2000.0).cast("long") % 256
+    df = o.select(
+        cust_b.alias("cb"), price_b.alias("pb"),
+        lo.morton_interleave(cust_b, price_b).alias("z"),
+    )
+
+    def mean_spread(frame, n_parts, order_col):
+        part = frame.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(
+            F.col(order_col)
+        )
+        spreads = (
+            part.select(
+                F.spark_partition_id().alias("pid"), "cb", "pb"
+            )
+            .groupBy("pid")
+            .agg(
+                (F.max("cb") - F.min("cb")).alias("sc"),
+                (F.max("pb") - F.min("pb")).alias("sp"),
+            )
+            .agg(F.avg("sc").alias("mc"), F.avg("sp").alias("mp"))
+            .first()
+        )
+        return spreads.mc, spreads.mp
+
+    zc, zp = mean_spread(df, 16, "z")
+    sc, sp = mean_spread(df, 16, "cb")
+    # single-column sort: cb tight but pb spans ~the whole 0..255 domain
+    assert sc < 32 and sp > 200
+    # z-order: BOTH dims bounded well below the full domain
+    assert zc < 96 and zp < 96
