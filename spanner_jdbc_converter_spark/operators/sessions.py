@@ -1,0 +1,181 @@
+"""Event-behavior operators (extension family, SURVEY.md §2.11):
+gap-based sessionization, event-transition (Markov) statistics, and
+bounded dense-grid resampling with forward fill.
+
+These are the event-stream half of the training-data toolbox: user
+behavior logs arrive as flat event streams and must be sessionized /
+transition-profiled / regularized onto a dense time grid before they can
+feed feature stores or sequence models.  The reference engine has no
+session operator — its event surface stops at keyed scans — so these are
+Spark-first designs, not ports.
+
+Scale notes (100 TB):
+
+* Sessionization is ONE shuffle on ``user_id`` (the window partition
+  key); the gap flag and running session index are computed inside the
+  sorted partition stream with no second exchange.  Session-level stats
+  reuse the same partitioning (groupBy on ``user_id, session_idx`` is a
+  prefix of the window key, so AQE coalesces without a re-shuffle).
+* Transition counts are the same single window pass followed by a
+  map-side-combined groupBy on the (src, dst) pair — the result frame is
+  |event_type|² rows, metadata-sized.
+* The resample grid is bounded per entity (hours in a FIXED window), so
+  the generated frame is |entities| × |buckets| — it scales linearly in
+  entities, never in raw event volume, and the grid join is a keyed
+  shuffle on the entity id.  Forward fill is a per-entity
+  ``last(ignorenulls)`` running window over the already-sorted grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Default session gap: 30 minutes, in microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def with_session_index(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_us: int = SESSION_GAP_US,
+) -> DataFrame:
+    """Add ``session_idx`` (1-based per user): a new session starts when
+    the gap to the previous event is ``>= gap_us`` (strict events-within-
+    ``gap_us`` merge — the same open-interval semantics as Spark's
+    ``session_window``, whose window end is ``last_ts + gap`` exclusive).
+
+    Order inside a user is (ts, tiebreak) so equal timestamps are
+    deterministic.  One shuffle on ``user_col``; lag + running sum both
+    ride the same sorted partition stream.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(tiebreak_col).asc())
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap >= F.lit(gap_us)), 1).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_idx", F.sum(new_sess).over(w_run).cast("long"))
+
+
+def session_stats(
+    df_with_idx: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Collapse indexed events to one row per session: bounds, duration
+    (exact microseconds), event count, and value total (DECIMAL-routed
+    sum for order-independent float parity).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    return df_with_idx.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: for each (src_type, dst_type) adjacent pair, the count and
+    the conditional probability P(dst | src).
+
+    The probability is one exact-integer division rendered once
+    (``n/total`` in IEEE double, rounded to 6), so every engine computes
+    the identical value.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        df.withColumn("dst_type", F.lead(type_col).over(w))
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy(F.col(type_col).alias("src_type"), "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    # |event_type| rows — metadata-scale; broadcast back for the divide.
+    totals = pairs.groupBy("src_type").agg(
+        F.sum("n_transitions").cast("long").alias("_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "src_type")
+        .withColumn(
+            "p_transition",
+            F.round(F.col("n_transitions").cast("double") / F.col("_total"), 6),
+        )
+        .drop("_total")
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    start: str,
+    end_exclusive: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense per-entity time grid over [start, end_exclusive) with
+    bucket aggregates and forward fill.
+
+    Output: one row per (entity, bucket) with ``n_events`` (0 on empty
+    buckets), ``bucket_sum`` (NULL on empty buckets), and ``filled_sum``
+    — the most recent non-null ``bucket_sum`` at or before this bucket
+    (classic forward fill; NULL until the entity's first active bucket).
+
+    The grid is |entities| × |buckets in the fixed window| — bounded by
+    design, independent of raw event volume.  Events outside the window
+    are pruned at the scan (range filter on ``ts_col``), the grid join
+    shuffles on (entity, bucket) only, and the fill is a running
+    ``last(ignorenulls)`` inside the per-entity sorted grid.
+    """
+    lo, hi = F.lit(start).cast("timestamp"), F.lit(end_exclusive).cast("timestamp")
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    agg = (
+        df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+        .groupBy(F.col(entity_col), bucket.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("bucket_sum"),
+        )
+    )
+    # sequence() end is inclusive — step back one step for half-open.
+    grid = (
+        df.select(entity_col)
+        .distinct()
+        .select(
+            entity_col,
+            F.explode(
+                F.sequence(lo, hi - F.expr(f"INTERVAL {step}"), F.expr(f"INTERVAL {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(entity_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, [entity_col, "bucket_ts"], "left")
+        .select(
+            entity_col,
+            "bucket_ts",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            "bucket_sum",
+            F.last("bucket_sum", ignorenulls=True).over(w_fill).alias("filled_sum"),
+        )
+    )

@@ -1,0 +1,217 @@
+"""Event-behavior corpus: first-principles gap sessionization with
+session-level stats, Markov transition statistics, MAD-based robust
+outliers, and dense-grid resampling with forward fill.
+
+(The engine-native ``F.session_window`` path is a separate entry,
+``events_session_windows`` in plans/streaming_queries.py; the
+lag/cumsum entry here carries value totals and exact µs durations and
+validates the same gaps-and-islands semantics from first principles.)
+
+The reference's event surface stops at keyed scans and time-bucketed
+aggregates; these entries are the behavioral layer a training-data
+pipeline builds on top of raw event logs — sessions for sequence models,
+transition matrices for behavioral features, MAD outliers for robust
+data-quality triage (z-scores break under the heavy tails they are meant
+to catch), and dense resampling for feature stores that require a value
+at every tick.
+
+Float parity follows the corpus conventions: value sums route through
+DECIMAL(18,4), exact-integer divisions are rendered once in IEEE double
+and rounded to 6, and exact interpolated percentiles (Spark
+``percentile`` ≡ DuckDB ``quantile_cont``) are rounded to 4 before any
+further arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.operators import sessions as ss
+from spanner_jdbc_converter_spark.plans.registry import register
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+      SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us >= {ss.SESSION_GAP_US}
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization from first principles: a new session
+    starts when the inter-event gap is >= 30 minutes; sessions collapse
+    to (bounds, exact µs duration, count, value total).
+
+    Scale: ONE shuffle on user_id — the lag, the running session index,
+    and the session-level groupBy all ride the same partitioning (the
+    groupBy key extends the window key, so AQE reuses the exchange).
+    Duration stays in exact integer microseconds; the value total routes
+    through DECIMAL so the sum is order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ss.session_stats(ss.with_session_index(ev))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS src_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS dst_type
+      FROM events
+    ),
+    c AS (
+      SELECT src_type, dst_type, COUNT(*) AS n_transitions
+      FROM p WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+    ),
+    t AS (SELECT src_type, SUM(n_transitions) AS total FROM c GROUP BY src_type)
+    SELECT src_type, dst_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE) / total, 6) AS p_transition
+    FROM c JOIN t USING (src_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type).
+
+    Scale: one window shuffle on user_id, then a map-side-combined
+    groupBy to a |types|²-row frame; the per-source totals are
+    metadata-sized and broadcast for the divide.  The probability is one
+    exact-int IEEE division, rounded to 6 — engine-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return ss.transition_counts(ev)
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ROUND(ABS(e.value - m.med), 4) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND(ABS(d.value - d.med) / m.mad, 6) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND ABS(d.value - d.med) / m.mad > 3.5
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation: |value − median| >
+    3.5 × MAD per event type.  MAD survives the heavy tails that inflate
+    a z-score's σ and mask the very outliers being hunted — the robust
+    twin of ``events_zscore_outliers``.
+
+    Parity: both medians are exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), each rounded to 4 at its
+    narrowest point (|event_type| values) before re-use; the score is
+    then pure IEEE arithmetic rounded to 6.  Scale: two grouped exact
+    percentiles over |event_type| groups with metadata-sized results
+    broadcast back; the data is scanned, never windowed.  (Exact
+    percentile collects each group's values — the documented trade
+    against approx_percentile, as in agg_median_percentiles.)
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.round(F.abs(F.col("value") - F.col("med")), 4)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
+    )
+    score = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (score > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(score, 6).alias("mad_score"),
+        )
+    )
+
+
+_RS_START, _RS_END = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+
+
+@register(
+    "events_hourly_resample_ffill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS bucket_sum
+      FROM events
+      WHERE ts >= TIMESTAMP '{_RS_START}' AND ts < TIMESTAMP '{_RS_END}'
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, g.bucket_ts
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '{_RS_START}',
+                                      TIMESTAMP '{_RS_END}' - INTERVAL 1 HOUR,
+                                      INTERVAL 1 HOUR)) AS bucket_ts
+      ) g
+    )
+    SELECT g.user_id, g.bucket_ts,
+           COALESCE(a.n, 0) AS n_events,
+           a.bucket_sum,
+           LAST_VALUE(a.bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS UNBOUNDED PRECEDING) AS filled_sum
+    FROM grid g LEFT JOIN agg a USING (user_id, bucket_ts)
+    """,
+)
+def events_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample of the first week of events per user, with
+    forward-filled bucket sums — the regularization a feature store or
+    sequence model needs (a value at EVERY tick, not just active ones).
+
+    Scale: the grid is |users| × 168 rows — linear in entities, never in
+    event volume; the window filter prunes the scan, the grid join
+    shuffles on (user, bucket) only, and the fill is a running
+    last(ignorenulls) inside each user's sorted grid.  The fixed window
+    makes the output size a planning-time constant per entity.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ss.resample_ffill(
+        ev, "user_id", "ts", "value", _RS_START, _RS_END, "1 hour"
+    )

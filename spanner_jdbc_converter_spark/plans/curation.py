@@ -1,0 +1,453 @@
+"""Curation corpus: PII scan/redaction, BM25 relevance ranking,
+deterministic round-robin source interleaving, and market-basket lift.
+
+The curation layer of a training-data pipeline: scrub identifiable
+strings before text leaves the trust boundary, rank documents against a
+query-term profile (corpus triage / retrieval eval), interleave sources
+into a deterministic global training order without a global sort, and
+mine co-occurrence affinity for mixture design.
+
+Float parity: libm outputs (ln) are rounded to 6 at their narrowest
+point; exact-integer divisions are rendered once in IEEE double and
+rounded to 6; multi-term sums are added in a FIXED expression order
+(never a shuffle-order-dependent aggregate over doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.functions.hashing import md5_long, md5_long_sql
+from spanner_jdbc_converter_spark.operators import text as tx
+from spanner_jdbc_converter_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction — regex constructs shared by Java regex and RE2.
+# ---------------------------------------------------------------------------
+
+#: TPC-H phone shape: NN-NNN-NNN-NNNN (customer.c_phone and free-text
+#: mentions).  \b and \d{n} behave identically in Java regex and RE2.
+PHONE_PATTERN = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+#: Account-number-ish long digit runs (7+), after phones are consumed.
+LONGNUM_PATTERN = r"\b\d{7,}\b"
+
+
+#: Deterministic profile text per customer: the slim fixture has no raw
+#: PII column, so phone / account tokens are injected from c_custkey for
+#: a known-varying subset of rows (every custkey except multiples of 3
+#: gets a phone; multiples of 5 get an 8-digit account number).  The
+#: scan below sees only the TEXT — it does not know the generation rule.
+_PII_PROFILE_SQL = """
+      c_name || CASE WHEN c_custkey % 3 <> 0
+                     THEN ' phone ' || printf('%02d-%03d-%03d-%04d',
+                          c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100,
+                          (c_custkey * 13) % 900 + 100,
+                          (c_custkey * 31) % 9000 + 1000)
+                     ELSE '' END
+             || CASE WHEN c_custkey % 5 = 0
+                     THEN ' acct ' || CAST(c_custkey + 10000000 AS VARCHAR)
+                     ELSE '' END
+             || ' segment ' || c_mktsegment
+"""
+
+
+def _pii_profile_col():
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        F.col("c_custkey") % 90 + 10,
+        (F.col("c_custkey") * 7) % 900 + 100,
+        (F.col("c_custkey") * 13) % 900 + 100,
+        (F.col("c_custkey") * 31) % 9000 + 1000,
+    )
+    return F.concat(
+        F.col("c_name"),
+        F.when(F.col("c_custkey") % 3 != 0, F.concat(F.lit(" phone "), phone)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit(" acct "), (F.col("c_custkey") + 10000000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+
+
+@register(
+    "text_pii_scan_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey, {_PII_PROFILE_SQL} AS profile
+      FROM customer
+    ),
+    m AS (
+      SELECT c_custkey, profile,
+             CAST(len(regexp_extract_all(profile, '{PHONE_PATTERN}')) AS BIGINT)
+               AS n_phone,
+             regexp_replace(profile, '{PHONE_PATTERN}', '[PHONE]', 'g')
+               AS masked1
+      FROM p
+    )
+    SELECT c_custkey, n_phone,
+           CAST(len(regexp_extract_all(masked1, '{LONGNUM_PATTERN}')) AS BIGINT)
+             AS n_longnum,
+           regexp_replace(masked1, '{LONGNUM_PATTERN}', '[NUM]', 'g') AS redacted
+    FROM m
+    WHERE n_phone > 0
+       OR len(regexp_extract_all(masked1, '{LONGNUM_PATTERN}')) > 0
+    """,
+)
+def text_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over a free-text customer profile: count and
+    mask phone numbers, then count and mask residual long digit runs —
+    the scrubbing pass run before text leaves the trust boundary.  (The
+    slim fixture carries no raw PII column, so the profile injects
+    deterministic phone/account tokens for a varying row subset; the
+    scan operates on the text alone.)
+
+    The pattern set uses only constructs with identical semantics in
+    Java regex (Spark) and RE2 (DuckDB): literal classes, bounded
+    repetition, word boundaries.  Masking is staged (phones first, then
+    digit runs over the already-masked text) so the two counters never
+    double-count.  Scale: pure narrow per-row projection — regexes
+    evaluate inside codegen, no shuffle at all; the filter keeps only
+    rows that had something to redact.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    profile = _pii_profile_col()
+    t = c.select(
+        "c_custkey",
+        F.regexp_count(profile, F.lit(PHONE_PATTERN)).cast("long").alias("n_phone"),
+        F.regexp_replace(profile, PHONE_PATTERN, "[PHONE]").alias("masked1"),
+    )
+    return (
+        t.select(
+            "c_custkey",
+            "n_phone",
+            F.regexp_count(F.col("masked1"), F.lit(LONGNUM_PATTERN))
+            .cast("long")
+            .alias("n_longnum"),
+            F.regexp_replace(F.col("masked1"), LONGNUM_PATTERN, "[NUM]").alias(
+                "redacted"
+            ),
+        )
+        .filter((F.col("n_phone") > 0) | (F.col("n_longnum") > 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — fixed query-term profile, fixed-order score sum.
+# ---------------------------------------------------------------------------
+
+#: Query profile for the retrieval-eval entry (terms present in the
+#: fixture vocabulary); k1/b are the standard Robertson defaults.
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_term_sql(term: str) -> str:
+    """One term's BM25 partial as a DuckDB expression over the pivoted
+    per-doc tf columns (tf_<term>) plus dl/avgdl/idf_<term> columns."""
+    return (
+        f"CASE WHEN tf_{term} > 0 THEN ROUND(idf_{term} * (tf_{term} * {BM25_K1 + 1.0!r}) / "
+        f"(tf_{term} + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl)), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "text_bm25_ranking",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id,
+             {", ".join(f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf_{w}" for w in BM25_TERMS)}
+      FROM tk
+    ),
+    dfc AS (
+      SELECT {", ".join(f"SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}" for w in BM25_TERMS)}
+      FROM tf
+    ),
+    idf AS (
+      SELECT {", ".join(f"ROUND(ln(1.0 + (n_docs - df_{w} + 0.5) / (df_{w} + 0.5)), 6) AS idf_{w}" for w in BM25_TERMS)},
+             avgdl
+      FROM dfc CROSS JOIN stats
+    ),
+    sc AS (
+      SELECT f.doc_id,
+             ROUND({" + ".join(_bm25_term_sql(w) for w in BM25_TERMS)}, 6) AS score
+      FROM tf f JOIN dl USING (doc_id) CROSS JOIN idf
+      WHERE {" OR ".join(f"tf_{w} > 0" for w in BM25_TERMS)}
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75) against a fixed
+    query-term profile — the relevance-ranking / retrieval-eval pass over
+    a corpus, on the same tokenizer as the rest of the text family.
+
+    Parity: idf = ln(1 + (N−df+0.5)/(df+0.5)) is libm, so it is rounded
+    to 6 FIRST (one value per term); each term's partial score is
+    rounded to 6, then the partials are added in FIXED expression order
+    (t1+t2+t3) — never a float aggregate whose addition order depends on
+    the shuffle.  Scale: per-term tf via codegen'd array filters (one
+    tokenizer pass, no explode/groupBy shuffle); df + avgdl collapse to
+    ONE scalar row, broadcast; top-10 is a distributed TakeOrdered, not
+    a global sort; the final row_number runs on 10 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Stage the token array in its own projection (ONE tokenizer subtree
+    # — the staged alias is multiply-referenced, same pattern as
+    # operators/text.document_profile).
+    toks = F.col("__toks")
+
+    def tf_col(w: str):
+        # one-arg lambda (two-arg F.filter lambdas mean (element, index))
+        return F.size(F.filter(toks, lambda x: x == F.lit(w))).cast("long").alias(
+            f"tf_{w}"
+        )
+
+    base = d.select("doc_id", tx.tokens("text").alias("__toks")).select(
+        "doc_id",
+        *[tf_col(w) for w in BM25_TERMS],
+        F.size(toks).cast("long").alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in BM25_TERMS
+        ],
+    )
+
+    def idf(w: str):
+        return F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df_{w}") + F.lit(0.5))
+                / (F.col(f"df_{w}") + F.lit(0.5))
+            ),
+            6,
+        )
+
+    def partial(w: str):
+        tf = F.col(f"tf_{w}")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(
+            tf > 0, F.round(idf(w) * (tf * F.lit(BM25_K1 + 1.0)) / denom, 6)
+        ).otherwise(F.lit(0.0))
+
+    score = F.round(sum((partial(w) for w in BM25_TERMS[1:]), partial(BM25_TERMS[0])), 6)
+    any_hit = None
+    for w in BM25_TERMS:
+        c = F.col(f"tf_{w}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    top = (
+        base.join(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic round-robin source interleave — banded rank, no global sort.
+# ---------------------------------------------------------------------------
+
+_IL_BAND_SHIFT = 54  # 60-bit md5 hash >> 54 → 64 monotone bands
+
+
+@register(
+    "select_interleave_sources",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  AS BIGINT) AS rk
+      FROM h
+    ),
+    s AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS ns FROM s)
+    SELECT doc_id, source, (r.rk - 1) * n.ns + s.src_idx + 1 AS position
+    FROM r JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def select_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across document sources:
+    shuffle each source by a portable hash, then assign the global
+    training position ``(rank−1)·n_sources + src_idx + 1`` — source A's
+    k-th doc lands next to every other source's k-th doc, giving a
+    stable stream whose source mixture is locally uniform everywhere
+    (no "all of source A first" — and reproducible run-to-run, unlike
+    rand()).
+
+    Scale: the global position is ARITHMETIC, not a global sort — no
+    single-partition window ever sees the data.  The per-source rank is
+    a banded two-phase prefix count: band = top 6 bits of the 60-bit
+    md5 (monotone in the sort key, so band-major order ≡ global order),
+    within-(source, band) row_number is distributed over
+    sources × 64 partitions, and the band offsets are a
+    sources × 64-row metadata frame, broadcast back.  The source index
+    map and count are one tiny broadcast each.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", md5_long(F.col("doc_id").cast("string")).alias("h")
+    )
+    t = d.withColumn("band", F.shiftright("h", _IL_BAND_SHIFT))
+    counts = t.groupBy("source", "band").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # sources × 64 rows — metadata-scale window, not data
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long")
+    ).select("source", "band", "off")
+
+    w_in = Window.partitionBy("source", "band").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["source", "band"])
+        .withColumn("rk", F.col("off") + F.row_number().over(w_in))
+    )
+
+    # The source map and count derive from the already-metadata-sized
+    # counts frame — no extra scan of the data for a 5-row dimension.
+    srcs = (
+        counts.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            (F.row_number().over(Window.orderBy("source")) - 1).cast("long"),
+        )
+    )
+    ns = srcs.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("rk") - 1) * F.col("ns") + F.col("src_idx") + 1).alias("position"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase lift over order contents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_copurchase_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(CAST(n_ab * n_orders AS DOUBLE) / (ta.n * tb.n), 6) AS lift
+    FROM pairs
+    JOIN tot ta ON ta.p_brand = brand_a
+    JOIN tot tb ON tb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    """,
+)
+def join_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every brand pair co-occurring in ≥5
+    orders, the lift P(A∧B)/(P(A)·P(B)) — the co-occurrence mining that
+    drives mixture design and related-item features.
+
+    Parity: lift = (n_ab·N)/(n_a·n_b) over exact BIGINT products (≤2e10
+    at sf1 — far inside 2^63), ONE double division, rounded to 6.
+    Scale: part is a dimension → broadcast onto lineitem; ONE shuffle on
+    l_orderkey builds per-order sorted brand baskets (collect_set dedups
+    in the aggregate — no separate DISTINCT pass, no self-join); the
+    pair list is generated per-basket in codegen array combinatorics
+    (baskets are bounded by |brands| = 25, so the quadratic is per-row
+    constant, never a join).  The basket frame is persisted — it is
+    ~|orders| rows against |lineitem| input — because three reductions
+    consume it (pair counts, brand totals, order count); without the
+    persist each reduction would re-scan lineitem.  Totals and the
+    order count are metadata-sized broadcasts; output ≤ |brands|² rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .persist()
+    )
+    pair_list = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_list).alias("pr"))
+        .groupBy(F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    tot = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(F.broadcast(tot.withColumnRenamed("p_brand", "brand_a")
+                   .withColumnRenamed("n", "n_a")), "brand_a")
+        .join(F.broadcast(tot.withColumnRenamed("p_brand", "brand_b")
+              .withColumnRenamed("n", "n_b")), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

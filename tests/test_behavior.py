@@ -1,0 +1,155 @@
+"""Unit tests for the event-behavior and curation operators
+(operators/sessions.py, plans/behavior.py, plans/curation.py) — edge
+cases the fixture-level oracle parity can't isolate: exact-gap session
+boundaries, forward-fill leading nulls, mask staging, and the
+interleave position arithmetic."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.operators import sessions as ss
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_id=i, ts=t, value=v) for i, (u, t, v) in enumerate(rows)]
+    )
+
+
+class TestSessionization:
+    def test_exact_gap_starts_new_session(self, spark):
+        """A gap of exactly 30 minutes starts a NEW session (>= semantics,
+        matching session_window's exclusive end = last_ts + gap)."""
+        df = _ev(
+            spark,
+            [
+                (1, T0, 1.0),
+                (1, T0 + dt.timedelta(minutes=30), 1.0),  # exactly gap → new
+                (1, T0 + dt.timedelta(minutes=59, seconds=59), 1.0),  # < gap → same
+            ],
+        )
+        out = ss.with_session_index(df).orderBy("event_id").collect()
+        assert [r.session_idx for r in out] == [1, 2, 2]
+
+    def test_single_event_user_zero_duration(self, spark):
+        df = _ev(spark, [(7, T0, 2.5)])
+        [row] = ss.session_stats(ss.with_session_index(df)).collect()
+        assert (row.n_events, row.duration_us, row.total_value) == (1, 0, 2.5)
+
+    def test_sessions_independent_per_user(self, spark):
+        df = _ev(spark, [(1, T0, 1.0), (2, T0 + dt.timedelta(hours=5), 1.0)])
+        out = ss.with_session_index(df).collect()
+        assert all(r.session_idx == 1 for r in out)
+
+
+class TestTransitions:
+    def test_counts_and_probabilities(self, spark):
+        rows = [
+            (1, T0, "a"),
+            (1, T0 + dt.timedelta(minutes=1), "b"),
+            (1, T0 + dt.timedelta(minutes=2), "a"),
+            (1, T0 + dt.timedelta(minutes=3), "b"),
+            (2, T0, "a"),
+            (2, T0 + dt.timedelta(minutes=1), "a"),
+        ]
+        df = spark.createDataFrame(
+            [
+                Row(user_id=u, event_id=i, ts=t, event_type=e)
+                for i, (u, t, e) in enumerate(rows)
+            ]
+        )
+        out = {
+            (r.src_type, r.dst_type): (r.n_transitions, r.p_transition)
+            for r in ss.transition_counts(df).collect()
+        }
+        # user1: a→b, b→a, a→b ; user2: a→a
+        assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+        assert out[("a", "a")] == (1, pytest.approx(1 / 3))
+        assert out[("b", "a")] == (1, 1.0)
+        # probabilities per source sum to 1
+        assert sum(v[1] for k, v in out.items() if k[0] == "a") == pytest.approx(1.0)
+
+
+class TestResampleFfill:
+    def test_fill_semantics(self, spark):
+        df = _ev(
+            spark,
+            [
+                (1, T0 + dt.timedelta(hours=1, minutes=5), 10.0),
+                (1, T0 + dt.timedelta(hours=3, minutes=10), 4.0),
+                (1, T0 + dt.timedelta(hours=3, minutes=20), 6.0),
+            ],
+        )
+        out = ss.resample_ffill(
+            df, "user_id", "ts", "value",
+            "2024-01-01 00:00:00", "2024-01-01 05:00:00", "1 hour",
+        ).orderBy("bucket_ts").collect()
+        assert len(out) == 5
+        assert [r.n_events for r in out] == [0, 1, 0, 2, 0]
+        # leading bucket before any event: no fill value yet
+        assert out[0].bucket_sum is None and out[0].filled_sum is None
+        # active buckets carry their own sum; gaps carry the last sum
+        assert out[1].filled_sum == 10.0
+        assert out[2].bucket_sum is None and out[2].filled_sum == 10.0
+        assert out[3].bucket_sum == 10.0 and out[3].filled_sum == 10.0
+        assert out[4].bucket_sum is None and out[4].filled_sum == 10.0
+
+    def test_entity_with_no_events_in_window_absent(self, spark):
+        """Entities appear in the grid only if present in the input frame
+        at all (grid keys come from the data, not an external dimension)."""
+        df = _ev(spark, [(1, T0 + dt.timedelta(hours=1), 1.0)])
+        out = ss.resample_ffill(
+            df, "user_id", "ts", "value",
+            "2024-01-01 00:00:00", "2024-01-01 02:00:00", "1 hour",
+        )
+        assert {r.user_id for r in out.collect()} == {1}
+
+
+class TestPIIRedaction:
+    def test_mask_staging_no_double_count(self, spark):
+        from spanner_jdbc_converter_spark.plans.curation import (
+            LONGNUM_PATTERN,
+            PHONE_PATTERN,
+        )
+
+        df = spark.createDataFrame(
+            [Row(s="call 12-345-678-9012 or acct 98765432 now"),
+             Row(s="no pii here 123-45")]
+        )
+        t = df.select(
+            F.regexp_count("s", F.lit(PHONE_PATTERN)).alias("n_phone"),
+            F.regexp_replace("s", PHONE_PATTERN, "[PHONE]").alias("m1"),
+        ).select(
+            "n_phone",
+            F.regexp_count("m1", F.lit(LONGNUM_PATTERN)).alias("n_longnum"),
+            F.regexp_replace("m1", LONGNUM_PATTERN, "[NUM]").alias("redacted"),
+        )
+        rows = t.collect()
+        assert (rows[0].n_phone, rows[0].n_longnum) == (1, 1)
+        assert rows[0].redacted == "call [PHONE] or acct [NUM] now"
+        # phone digits are consumed by the phone mask, never re-counted
+        assert (rows[1].n_phone, rows[1].n_longnum) == (0, 0)
+        assert rows[1].redacted == "no pii here 123-45"
+
+
+class TestInterleave:
+    def test_positions_are_a_permutation_with_round_robin_residue(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.plans.curation import (
+            select_interleave_sources,
+        )
+
+        out = select_interleave_sources(spark, sf_dir).collect()
+        positions = sorted(r.position for r in out)
+        assert positions == list(range(1, len(out) + 1))
+        # round-robin residue: a source's positions are congruent mod n_sources
+        srcs = sorted({r.source for r in out})
+        ns = len(srcs)
+        for r in out:
+            assert (r.position - 1) % ns == srcs.index(r.source)
