@@ -1,0 +1,135 @@
+"""Iterative graph operators beyond connected components: fixed-iteration
+PageRank over an arbitrary edge DataFrame.
+
+Companion to operators/dedup.py::dedup_groups (min-label + pointer
+jumping); same iterative-DataFrame discipline: every round is keyed
+joins + one grouped aggregate, the lineage is cut with ``localCheckpoint``
+per iteration so the plan stays constant-depth, and the iteration count
+is FIXED so a DuckDB oracle can unroll the rounds exactly.
+
+Float parity for an iterative double recurrence: a plain SUM over
+double contributions is shuffle-order-dependent at the last ulp, which
+compounds across iterations.  Instead every per-edge contribution is
+rounded to 12 digits and summed as DECIMAL(28,12) — exact and
+order-independent — then the damping update is a fixed chain of IEEE
+double ops on engine-identical inputs, re-rounded to 12.  Every engine
+reproduces the same ranks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Standard damping factor.
+DAMPING = 0.85
+#: Per-iteration rounding (12 digits) — the parity contract above.
+RANK_SCALE = 12
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count over a directed edge list
+    (pass both directions for an undirected graph).  Returns
+    (node, rank) for every node appearing as a source or destination.
+
+    Scale: the node frame and out-degrees are one distinct + one groupBy
+    over the edges; each iteration is an equi-join of ranks onto edges
+    (both keyed on the node id — co-partitioned after the first
+    shuffle), a map-side-combined DECIMAL groupBy on dst, and a left
+    join back to the node frame for dangling/no-inbound nodes.  Ranks
+    are |V|-sized; when |V| ≪ |E| Spark broadcasts them onto the edge
+    scan automatically.  ``localCheckpoint`` truncates lineage so the
+    plan does not deepen with the iteration count (same discipline as
+    dedup_groups, dedup.py:338).
+
+    Nodes with no outbound edges (dangling) simply leak their mass —
+    the plain PageRank-without-redistribution variant — which keeps the
+    per-iteration recurrence local to the edge list; the oracle unrolls
+    the identical recurrence.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.count()  # one scalar for the teleport term — planning-time
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), RANK_SCALE).alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(F.broadcast(outdeg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), RANK_SCALE)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                    RANK_SCALE,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB rendering of :func:`pagerank_fixed`: unrolls the fixed
+    iterations over ``edges_cte`` (a CTE body producing (src, dst))
+    with the identical round-12 / DECIMAL-sum recurrence."""
+    q = [f"WITH e AS ({edges_cte}),"]
+    q.append(
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)),"
+    )
+    q.append("od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),")
+    q.append("nn AS (SELECT COUNT(*) AS n FROM nodes),")
+    q.append(
+        f"r0 AS (SELECT node, ROUND(1.0 / n, {RANK_SCALE}) AS rank "
+        "FROM nodes CROSS JOIN nn),"
+    )
+    for i in range(iterations):
+        q.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM(CAST(ROUND(r{i}.rank / od.outdeg, {RANK_SCALE}) "
+            f"AS DECIMAL(28,12))) AS mass "
+            f"FROM e JOIN r{i} ON e.src = r{i}.node "
+            f"JOIN od ON e.src = od.src GROUP BY e.dst),"
+        )
+        q.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"ROUND({(1.0 - damping)!r} / nn.n + {damping!r} * "
+            f"COALESCE(CAST(c{i}.mass AS DOUBLE), 0.0), {RANK_SCALE}) AS rank "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node),"
+        )
+    last = q.pop()
+    q.append(last.rstrip(","))
+    q.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(q)

@@ -139,3 +139,102 @@ def hll_estimate_sql(table_sql: str, group_cols: list[str], value_expr: str) -> 
                  END, 4) AS approx_distinct
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — portable, oracle-exact frequency estimation.
+#
+# The frequency-estimation twin of the HLL above: a DEPTH × WIDTH grid
+# of exact integer counters.  Every counter cell is a plain SUM, so the
+# sketch is mergeable map-side and — unlike space-saving/Misra-Gries,
+# whose state depends on arrival order — fully deterministic under any
+# partitioning: estimate(k) = min over DEPTH cells ≥ true count, with
+# the standard (ε = e/WIDTH, δ = e^-DEPTH) overestimate guarantee.
+# Cell indexes come from the portable seeded rehash family
+# (functions/hashing.py), so DuckDB reproduces the whole grid exactly.
+#
+# Citation: Cormode & Muthukrishnan, "An improved data stream summary:
+# the count-min sketch and its applications" (J. Algorithms 2005), §3.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_cells(df: DataFrame, key: Column) -> DataFrame:
+    """The populated sketch grid: (seed, cell, n) — at most
+    DEPTH × WIDTH rows after the map-side-combined groupBy, regardless
+    of input size."""
+    from spanner_jdbc_converter_spark.functions.hashing import seeded_rehash
+
+    h = md5_long(key.cast("string"))
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        (seeded_rehash(h, s) % CMS_WIDTH).alias("cell"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sc")
+    )
+    return rows.groupBy("sc.seed", "sc.cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimates(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-distinct-key count-min estimate: min over the key's DEPTH
+    cells.  The grid (≤ DEPTH × WIDTH rows) is broadcast; the per-key
+    side is one DISTINCT on the key.  Output: (key_col, cms_n)."""
+    from spanner_jdbc_converter_spark.functions.hashing import seeded_rehash
+
+    cells = cms_cells(df, F.col(key_col))
+    h = md5_long(F.col(key_col).cast("string"))
+    keys = (
+        df.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            (seeded_rehash(h, s) % CMS_WIDTH).alias("cell"),
+                        )
+                        for s in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("sc"),
+        )
+        .select(key_col, "sc.seed", "sc.cell")
+    )
+    return (
+        keys.join(F.broadcast(cells), ["seed", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("cms_n"))
+    )
+
+
+def cms_estimates_sql(table_sql: str, key_expr: str) -> str:
+    """DuckDB rendering of :func:`cms_estimates` (same hash family,
+    same grid)."""
+    from spanner_jdbc_converter_spark.functions.hashing import seeded_rehash_sql
+
+    hx = md5_long_sql(f"CAST({key_expr} AS VARCHAR)")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {key_expr} AS k, {s} AS seed, "
+        f"({seeded_rehash_sql('h', s)}) % {CMS_WIDTH} AS cell "
+        f"FROM (SELECT {key_expr}, {hx} AS h FROM {table_sql})"
+        for s in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH cr AS ({cell_rows}),
+    cells AS (SELECT seed, cell, COUNT(*) AS n FROM cr GROUP BY seed, cell),
+    kc AS (SELECT DISTINCT k, seed, cell FROM cr)
+    SELECT k, MIN(n) AS cms_n
+    FROM kc JOIN cells USING (seed, cell)
+    GROUP BY k
+    """

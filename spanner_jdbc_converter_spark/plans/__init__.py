@@ -14,6 +14,7 @@ from spanner_jdbc_converter_spark.plans import streaming_queries as _streaming  
 from spanner_jdbc_converter_spark.plans import mining as _mining  # noqa: F401,E402
 from spanner_jdbc_converter_spark.plans import behavior as _behavior  # noqa: F401,E402
 from spanner_jdbc_converter_spark.plans import curation as _curation  # noqa: F401,E402
+from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F401,E402
 
 # The driver's correctness gate checks the FIRST 50 entries in registration
 # order; coverage rotates each round so every corpus half periodically gets a
@@ -40,6 +41,14 @@ _GATE_PRIORITY = [
     "text_bm25_ranking",
     "select_interleave_sources",
     "join_copurchase_lift",
+    "agg_cms_heavy_hitters",
+    "agg_decile_binning",
+    "events_time_weighted_avg",
+    "graph_pagerank_brands",
+    "events_lag1_autocorr",
+    "events_level_shift_detect",
+    "profile_key_skew",
+    "agg_incremental_rollup_merge",
     "cluster_kmeans_embeddings",
     "text_tfidf_top_terms",
     "events_zscore_outliers",

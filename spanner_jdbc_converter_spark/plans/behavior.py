@@ -215,3 +215,172 @@ def events_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.resample_ffill(
         ev, "user_id", "ts", "value", _RS_START, _RS_END, "1 hour"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation — burstiness/regularity feature per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_lag1_autocorr",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,4)) AS x,
+             CAST(LEAD(value) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+                  AS DECIMAL(18,4)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS autocorr
+    FROM s
+    WHERE n >= 3
+      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+    """,
+)
+def events_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values (Pearson r over
+    consecutive pairs) — the burstiness/regularity feature of a user's
+    value series.
+
+    Parity: all five moment sums route through DECIMAL (x, y and their
+    products are ≤4-decimal exact values, so SUMs are exact and
+    order-independent); the Pearson assembly is then a FIXED chain of
+    IEEE double ops (casts rendered in the same order both sides) with
+    one sqrt, rounded to 6.  Scale: one window shuffle on user_id for
+    the lead, then a map-side-combined groupBy on the same key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    p = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("x"),
+        F.lead(F.col("value")).over(w).cast("decimal(18,4)").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return (
+        s.filter((F.col("n") >= 3) & (varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            F.round((nd * sxy - sx * sy) / F.sqrt(varx * vary), 6).alias(
+                "autocorr"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Level-shift (changepoint) detector — two-sided rolling-mean break.
+# ---------------------------------------------------------------------------
+
+_LS_WINDOW_US = 3_600_000_000  # 1 hour each side
+_LS_MIN_N = 5                  # require support on both sides
+_LS_THRESHOLD = 100.0          # |right mean - left mean| break size
+
+
+@register(
+    "events_level_shift_detect",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(*) OVER wl AS nl,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wl AS DOUBLE) AS suml,
+             COUNT(*) OVER wr AS nr,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wr AS DOUBLE) AS sumr
+      FROM events
+      WINDOW
+        wl AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_LS_WINDOW_US} PRECEDING AND 1 PRECEDING),
+        wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN CURRENT ROW AND {_LS_WINDOW_US} FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(sumr / nr - suml / nl, 6) AS shift
+    FROM f
+    WHERE nl >= {_LS_MIN_N} AND nr >= {_LS_MIN_N}
+      AND ABS(sumr / nr - suml / nl) > {_LS_THRESHOLD!r}
+    """,
+)
+def events_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint candidates per user: events where the mean value of
+    the NEXT hour differs from the mean of the PREVIOUS hour by more
+    than a threshold (with minimum support on both sides) — the
+    windowed level-shift detector that, unlike CUSUM, has no sequential
+    recurrence and therefore scales as plain window frames.
+
+    Parity: both side-sums route through DECIMAL (exact, tie-order-
+    independent — events with equal timestamps land in the same RANGE
+    frame on both engines); each mean is ONE double division and the
+    shift one subtraction, rounded to 6.  Scale: one shuffle on
+    user_id; both RANGE frames ride the same sorted partition stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts"))
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_LS_WINDOW_US, -1)
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(Window.currentRow, _LS_WINDOW_US)
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(wl).alias("nl"),
+        F.sum(dec).over(wl).cast("double").alias("suml"),
+        F.count(F.lit(1)).over(wr).alias("nr"),
+        F.sum(dec).over(wr).cast("double").alias("sumr"),
+    )
+    shift = F.col("sumr") / F.col("nr") - F.col("suml") / F.col("nl")
+    return (
+        f.filter(
+            (F.col("nl") >= _LS_MIN_N)
+            & (F.col("nr") >= _LS_MIN_N)
+            & (F.abs(shift) > _LS_THRESHOLD)
+        )
+        .select("event_id", "user_id", "ts", F.round(shift, 6).alias("shift"))
+    )

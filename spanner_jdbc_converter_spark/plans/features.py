@@ -1,0 +1,357 @@
+"""Feature-engineering corpus: count-min heavy hitters, equi-depth
+quantile binning, time-weighted averages, and fixed-iteration PageRank.
+
+The numeric-feature layer of a training-data pipeline: sketched
+frequencies for skew/popularity features at stream scale, quantile
+discretization for model-ready categorical bins, exposure-weighted
+means over irregular event streams, and graph centrality over a derived
+co-occurrence graph.
+
+Float parity follows the corpus conventions: sketch counters and bin
+counts are exact integers; interpolated percentiles are rounded to 4 at
+their 9-value narrowest point; decimal-routed weighted sums; PageRank
+uses the round-12/DECIMAL-sum recurrence documented in
+operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+from spanner_jdbc_converter_spark.operators import graph as gr
+from spanner_jdbc_converter_spark.operators import sketches as sk
+from spanner_jdbc_converter_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters — sketched vs exact, side by side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH est AS ({sk.cms_estimates_sql("orders", "o_custkey")}),
+    exact AS (SELECT o_custkey, COUNT(*) AS exact_n FROM orders GROUP BY 1)
+    SELECT o_custkey, exact_n, est.cms_n
+    FROM exact JOIN est ON est.k = exact.o_custkey
+    ORDER BY exact_n DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by order count, with the count-min-sketch
+    estimate beside the exact count — the frequency twin of the HLL
+    entry (agg_hll_distinct_custkeys), validating the sketch's ≥-exact
+    overestimate behavior on real data.
+
+    Scale: the sketch grid is ≤ 4×1024 integer cells after a map-side-
+    combined groupBy — a fixed-size mergeable state no matter the input
+    volume — and is broadcast to the distinct-key side for the min.
+    The exact side is one grouped count (at 100 TB the exact pass is
+    the expensive one; the sketch is the point).  Estimates are exact
+    integer SUM/MIN over portable md5-family cells — engine-identical.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    est = sk.cms_estimates(o, "o_custkey")
+    exact = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est, "o_custkey")
+        .orderBy(F.desc("exact_n"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile) binning — feature discretization.
+# ---------------------------------------------------------------------------
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "agg_decile_binning",
+    oracle=f"""
+    WITH b AS (
+      SELECT list_transform(quantile_cont(o_totalprice,
+               {_DECILES!r}), x -> ROUND(x, 4)) AS bounds
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderkey, o_totalprice,
+             1 + len(list_filter(b.bounds, x -> o_totalprice > x)) AS bin
+      FROM orders CROSS JOIN b
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM a GROUP BY 1
+    """,
+)
+def agg_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile discretization of order value: exact
+    interpolated decile boundaries, then per-bin population stats — the
+    quantile-binning feature transform (the equi-WIDTH histogram is
+    agg_value_histogram; real feature pipelines want equi-depth).
+
+    Parity: the 9 boundaries are exact interpolated percentiles
+    (percentile ≡ quantile_cont), rounded to 4 at the 9-value narrowest
+    point; bin assignment is then pure comparison counting against the
+    same doubles.  Scale: ONE aggregate produces the 9-value boundary
+    array, broadcast to a zero-shuffle per-row bin assignment; the
+    per-bin stats are a 10-group map-side-combined aggregate.  Exact
+    percentile collects the value column once — the documented trade vs
+    approx_percentile (agg_median_percentiles).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bounds = o.agg(
+        F.transform(
+            F.percentile("o_totalprice", F.array(*[F.lit(d) for d in _DECILES])),
+            lambda x: F.round(x, 4),
+        ).alias("bounds")
+    )
+    binned = o.join(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("bounds", lambda x: F.col("o_totalprice") > x))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — exposure-weighted mean over irregular events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa_value
+    FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each event's value is
+    weighted by its exposure (microseconds until the next event) — the
+    correct mean for irregularly-sampled state, where a plain AVG
+    overweights bursts.
+
+    Parity: weights are exact integer µs; value·dt routes through
+    DECIMAL (exact, order-independent sums); the single final division
+    and round-6 are engine-identical IEEE.  Scale: one window shuffle
+    on user_id, then a map-side-combined groupBy on the same key — AQE
+    reuses the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    d = ev.withColumn("dt_us", F.lead(us).over(w) - us).filter(
+        F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)") * F.col("dt_us"))
+            .cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the brand co-purchase graph.
+# ---------------------------------------------------------------------------
+
+#: Edge derivation shared with join_copurchase_lift's oracle: brand
+#: pairs co-occurring in ≥ 5 orders, both directions (undirected).
+_BRAND_EDGES_SQL = """
+    SELECT brand_a AS src, brand_b AS dst FROM (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+      FROM (SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) a
+      JOIN (SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+"""
+
+
+@register(
+    "graph_pagerank_brands",
+    oracle=gr.pagerank_oracle_sql(_BRAND_EDGES_SQL, iterations=3),
+)
+def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the brand co-purchase graph (edges =
+    brand pairs sharing ≥ 5 orders, both directions) — graph centrality
+    as a popularity feature, and the corpus's second iterative-graph
+    operator beside connected components (dedup_connected_groups).
+
+    Scale: the edge derivation is the basket shape from
+    join_copurchase_lift (broadcast dim join, one shuffle on l_orderkey,
+    per-basket pair combinatorics); each PageRank round is keyed
+    joins + a DECIMAL groupBy with localCheckpoint lineage cuts
+    (operators/graph.py).  The oracle unrolls the identical 3 rounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    directed = F.expr(
+        "flatten(transform(brands, x -> "
+        "transform(filter(brands, y -> y != x), y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        baskets.select(F.explode(directed).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("src", "dst")
+    )
+    return gr.pagerank_fixed(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile — count-of-counts histogram for partition planning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS k_n FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT k_n AS orders_per_customer, COUNT(*) AS n_customers
+      FROM per_key GROUP BY k_n
+    ),
+    t AS (SELECT SUM(n_customers) AS total FROM hist)
+    SELECT orders_per_customer, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE) / total, 6) AS share,
+           CAST(orders_per_customer * n_customers AS BIGINT) AS rows_covered
+    FROM hist CROSS JOIN t
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts key-skew profile for the orders→customer key: how
+    many customers have k orders, for each k — the diagnostic that
+    decides whether a join/agg on this key needs salting (a long tail
+    at high k) or is safely uniform.  The planning input behind the
+    corpus's skew_salted_aggregation strategy.
+
+    Scale: two map-side-combined groupBys — data → |keys| → |distinct
+    counts| (tiny) — plus a one-row total broadcast.  Shares are one
+    exact-int IEEE division each, rounded to 6.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k_n"))
+    hist = per_key.groupBy(F.col("k_n").alias("orders_per_customer")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    t = hist.agg(F.sum("n_customers").alias("total"))
+    return hist.crossJoin(F.broadcast(t)).select(
+        "orders_per_customer",
+        "n_customers",
+        F.round(F.col("n_customers").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        (F.col("orders_per_customer") * F.col("n_customers"))
+        .cast("long")
+        .alias("rows_covered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance — merge partial aggregate states.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "agg_incremental_rollup_merge",
+    oracle=f"""
+    SELECT user_id, event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def agg_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a per-(user, type) rollup is
+    built from the history BEFORE a cutoff, a second partial state from
+    the delta AFTER it, and the two states are MERGED
+    (count+count, decimal-sum+decimal-sum, max+max) — the daily-rollup
+    update path that avoids re-scanning history.  The oracle is the
+    full recompute over all events: the test IS that state merge ≡
+    recompute.
+
+    Parity: counts are exact ints; value totals stay DECIMAL through
+    BOTH partials and the merge, rounded to 2 only at the end — which
+    is exactly why the merge is lossless.  Scale: each partial is one
+    map-side-combined groupBy over only its slice (the delta pass scans
+    only new data — the point of the pattern); the merge is a union of
+    two |keys|-sized frames followed by a re-aggregate on the same key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.max("ts").alias("last_seen"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.max("last_seen").alias("last_seen"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value"), 2).cast("double").alias("total_value"),
+            "last_seen",
+        )
+    )
