@@ -49,6 +49,9 @@ _GATE_PRIORITY = [
     "events_level_shift_detect",
     "profile_key_skew",
     "agg_incremental_rollup_merge",
+    "agg_cms_join_cardinality",
+    "reshape_unpivot_customer",
+    "join_bloom_prefilter",
     "cluster_kmeans_embeddings",
     "text_tfidf_top_terms",
     "events_zscore_outliers",

@@ -355,3 +355,272 @@ def agg_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product — sketched self-join cardinality (skew blowup probe).
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells_sql(table_sql: str, key_expr: str) -> str:
+    """Cell rows (seed, cell, n) for the oracle — same grid as
+    operators/sketches.cms_cells."""
+    from spanner_jdbc_converter_spark.functions.hashing import (
+        md5_long_sql,
+        seeded_rehash_sql,
+    )
+
+    hx = md5_long_sql(f"CAST({key_expr} AS VARCHAR)")
+    rows = " UNION ALL ".join(
+        f"SELECT {s} AS seed, ({seeded_rehash_sql('h', s)}) % {sk.CMS_WIDTH} AS cell "
+        f"FROM (SELECT {hx} AS h FROM {table_sql})"
+        for s in range(sk.CMS_DEPTH)
+    )
+    return f"SELECT seed, cell, COUNT(*) AS n FROM ({rows}) GROUP BY seed, cell"
+
+
+@register(
+    "agg_cms_join_cardinality",
+    oracle=f"""
+    WITH cells AS ({_cms_cells_sql("events", "user_id")}),
+    per_seed AS (SELECT seed, SUM(n * n) AS ip FROM cells GROUP BY seed),
+    est AS (SELECT MIN(ip) AS est_n FROM per_seed),
+    exact AS (
+      SELECT SUM(k_n * k_n) AS exact_n
+      FROM (SELECT user_id, COUNT(*) AS k_n FROM events GROUP BY user_id)
+    )
+    SELECT CAST(exact_n AS BIGINT) AS exact_n, CAST(est_n AS BIGINT) AS est_n,
+           ROUND(CAST(est_n AS DOUBLE) / exact_n, 6) AS overestimate_ratio
+    FROM exact CROSS JOIN est
+    """,
+)
+def agg_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched self-join cardinality of events on user_id: the
+    count-min inner product Σ_cell n² (min over the grid's rows) is a
+    ≥-exact estimate of Σ_key count² — the join-size blowup a planner
+    needs BEFORE running a skewed join, from a fixed-size mergeable
+    sketch instead of a full key histogram (Cormode & Muthukrishnan
+    2005 §4.2, inner-product queries).
+
+    Parity: every quantity is an exact integer (cell counts, their
+    squares, sums, min); the final ratio is one IEEE division rounded
+    to 6.  Scale: the sketch is ≤ 4×1024 cells after map-side combine —
+    at 100 TB this replaces a full per-key count distribution with a
+    constant-size state; the exact side (for side-by-side validation)
+    is the expensive one.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = sk.cms_cells(ev, F.col("user_id"))
+    est = (
+        cells.groupBy("seed")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("ip"))
+        .agg(F.min("ip").alias("est_n"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k_n"))
+        .agg(F.sum(F.col("k_n") * F.col("k_n")).alias("exact_n"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        F.round(F.col("est_n").cast("double") / F.col("exact_n"), 6).alias(
+            "overestimate_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide-to-long reshape via the native API.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reshape_unpivot_customer",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+)
+def reshape_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt of the customer numeric columns via the native
+    ``DataFrame.unpivot`` — the reshape that turns a feature matrix into
+    the (entity, metric, value) long form metric stores and plotting
+    layers consume.  The oracle is the UNION ALL the operator is
+    semantically defined as.
+
+    Scale: unpivot is a zero-shuffle generator projection (each row
+    emits |metrics| rows in place) — at 100 TB it is scan-bound, never
+    a shuffle.  Values unify to double (the API requires one type).
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter — portable bitset, deterministic FP count.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192          # m
+_BLOOM_K = 3                # hash functions
+_BITS_PER_WORD = 60         # 1<<59 stays positive in signed 64-bit on BOTH engines
+_BLOOM_PRICE = 400_000.0    # build side: high-value orders
+
+
+def _bloom_positions_sql(key_expr: str) -> list[str]:
+    from spanner_jdbc_converter_spark.functions.hashing import (
+        md5_long_sql,
+        seeded_rehash_sql,
+    )
+
+    hx = md5_long_sql(f"CAST({key_expr} AS VARCHAR)")
+    return [
+        f"(({seeded_rehash_sql(f'({hx})', s)}) % {_BLOOM_BITS})"
+        for s in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH hv AS (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE!r}
+    ),
+    bits AS (
+      SELECT pos // {_BITS_PER_WORD} AS word,
+             bit_or(1::BIGINT << (pos % {_BITS_PER_WORD})) AS b
+      FROM (
+        {" UNION ALL ".join(f"SELECT {p} AS pos FROM hv" for p in _bloom_positions_sql("o_orderkey"))}
+      ) GROUP BY 1
+    ),
+    probe AS (
+      SELECT l_orderkey, l_extendedprice,
+             {", ".join(f"{p} AS p{s}" for s, p in enumerate(_bloom_positions_sql("l_orderkey")))}
+      FROM lineitem
+    ),
+    checked AS (
+      SELECT l_orderkey, l_extendedprice,
+             {" AND ".join(
+                 f"COALESCE(b{s}.b, 0) & (1::BIGINT << (p{s} % {_BITS_PER_WORD})) <> 0"
+                 for s in range(_BLOOM_K))} AS bloom_pass
+      FROM probe
+      {" ".join(
+          f"LEFT JOIN bits b{s} ON b{s}.word = p{s} // {_BITS_PER_WORD}"
+          for s in range(_BLOOM_K))}
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM hv)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN bloom_pass AND l_orderkey NOT IN
+                    (SELECT o_orderkey FROM hv) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(ROUND(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM hv)
+                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS matched_revenue
+    FROM checked
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, end to end: the high-value order keys
+    build an m=8192/k=3 bitset (≤137 60-bit words) that is BROADCAST and
+    probed with pure bitwise expressions on the lineitem side — the
+    runtime-filter pattern that prunes a 100-TB fact scan down to
+    candidate rows before the exact join pays its shuffle.  Output is a
+    one-row report: probe size, bloom passes, exact matches, FALSE
+    POSITIVES (deterministic, because the bit positions come from the
+    portable md5/seeded-rehash family), and the exact matched revenue.
+
+    Parity: every bit position, word, and mask is exact integer math
+    reproduced verbatim in the oracle; the revenue routes through
+    DECIMAL.  Scale: the bitset aggregate is map-side-combined to ≤137
+    rows and broadcast 3× (one word lookup per hash) — the probe side
+    is never shuffled; the exact-match check is a broadcast semi-join
+    against the (filtered, small) build keys.
+    """
+    from spanner_jdbc_converter_spark.functions.hashing import (
+        md5_long,
+        seeded_rehash,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    hv = o.filter(F.col("o_totalprice") > _BLOOM_PRICE).select("o_orderkey")
+
+    def positions(key):
+        h = md5_long(key.cast("string"))
+        return [seeded_rehash(h, s) % _BLOOM_BITS for s in range(_BLOOM_K)]
+
+    bits = (
+        hv.select(
+            F.explode(F.array(*[p.alias("pos") for p in positions(F.col("o_orderkey"))])).alias(
+                "pos"
+            )
+        )
+        .groupBy((F.col("pos") / _BITS_PER_WORD).cast("long").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(cast(1 as bigint), "
+                f"cast(pos % {_BITS_PER_WORD} as int)))"
+            ).alias("b")
+        )
+    )
+
+    probe = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        *[p.alias(f"p{s}") for s, p in enumerate(positions(F.col("l_orderkey")))],
+    )
+    checked = probe
+    for s in range(_BLOOM_K):
+        bs = bits.select(
+            F.col("word").alias(f"w{s}"), F.col("b").alias(f"b{s}")
+        )
+        checked = checked.join(
+            F.broadcast(bs),
+            (F.col(f"p{s}") / _BITS_PER_WORD).cast("long") == F.col(f"w{s}"),
+            "left",
+        )
+    bloom_pass = None
+    for s in range(_BLOOM_K):
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(p{s} % {_BITS_PER_WORD} as int))"
+        )
+        c = F.coalesce(F.col(f"b{s}"), F.lit(0)).bitwiseAND(mask) != 0
+        bloom_pass = c if bloom_pass is None else (bloom_pass & c)
+    exact = F.col("o_orderkey").isNotNull()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        checked.join(
+            F.broadcast(hv), checked.l_orderkey == hv.o_orderkey, "left"
+        )
+        .select("l_extendedprice", bloom_pass.alias("bp"), exact.alias("ex"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("n_bloom_pass"),
+            F.sum(F.when(F.col("ex"), 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("bp") & ~F.col("ex"), 1).otherwise(0)).alias(
+                "n_false_pos"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ex"), F.col("l_extendedprice").cast("decimal(18,4)")
+                    ).otherwise(zero)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("matched_revenue"),
+        )
+    )

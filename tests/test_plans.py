@@ -176,3 +176,78 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, "cluster_kmeans_embeddings", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    """Sessionization promises ONE shuffle on user_id: lag, running
+    session index, and the session-level groupBy all ride the same
+    partitioning."""
+    plan = _plan(spark, "events_sessionization", sf_dir)
+    assert plan.count("Exchange") <= 2  # the user_id hash exchange (+AQE wrap)
+    assert "CartesianProduct" not in plan
+
+
+def test_interleave_has_no_global_sort(spark, sf_dir):
+    """The global position is arithmetic — a single-partition window over
+    the DATA would be the 100 TB mistake.  Single-partition exchanges may
+    appear only under the metadata-sized source-map/count branches."""
+    plan = _plan(spark, "select_interleave_sources", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the data-side rank window partitions on (source, band) — present
+    assert "row_number" in plan
+
+
+def test_copurchase_lift_no_self_join_on_orders(spark, sf_dir):
+    """Pair generation is per-basket array combinatorics; an order-keyed
+    self-join (SortMergeJoin on l_orderkey against itself) must not
+    reappear."""
+    plan = _plan(spark, "join_copurchase_lift", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the part dimension broadcast survives
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_single_tokenizer_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, "text_bm25_ranking", sf_dir)
+    # top-10 must be a distributed TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the one-row stats frame broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    plan = _plan(spark, "events_mad_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_grid_partial_aggregates(spark, sf_dir):
+    """The sketch grid must partial-aggregate map-side (HashAggregate
+    before the exchange) and broadcast to the key side."""
+    plan = _plan(spark, "agg_cms_heavy_hitters", sf_dir)
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "reshape_unpivot_customer", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_level_shift_single_exchange(spark, sf_dir):
+    """Both RANGE frames ride one user_id shuffle."""
+    plan = _plan(spark, "events_level_shift_detect", sf_dir)
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_probe_never_shuffled(spark, sf_dir):
+    """The bitset and build keys broadcast; the lineitem probe side must
+    reach the final one-row aggregate without a SortMergeJoin (i.e. no
+    fact-side shuffle for any of the 4 joins)."""
+    plan = _plan(spark, "join_bloom_prefilter", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
