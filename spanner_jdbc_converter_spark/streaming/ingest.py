@@ -1,0 +1,96 @@
+"""Incremental document ingestion: the streaming half of the curation
+pipeline (pipeline.py) — new documents arrive as files, are profiled and
+quality-filtered with the SAME operators as the batch path, and are
+appended to a curated store only if their normalized-content fingerprint
+has never been seen (cross-batch dedup).
+
+Pattern: ``foreachBatch`` keyed against the store itself.  Structured
+Streaming's dropDuplicates state can dedup within the stream, but a
+curated corpus must also dedup against everything ALREADY ingested,
+including rows written before this stream started — so each micro-batch
+anti-joins the store's fingerprint column.  Exactly-once: replayed
+batches re-run the same anti-join and find their fingerprints already
+present, so the append is idempotent (asserted in
+tests/test_streaming.py).
+
+Scale notes: the per-batch work is profile (narrow) + fingerprint
+groupBy (batch-sized) + an anti-join whose RIGHT side is a
+fingerprint-only projection of the store (8-byte-ish column, not the
+documents).  On a cluster the store side would be a transactional table
+with a bucketed fingerprint index; the orchestration here is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spanner_jdbc_converter_spark.operators import text as tx
+
+#: Input schema for the document file stream (file sources require one).
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source document stream (one micro-batch per dropped file by
+    default — the test harness's knob for forcing multi-batch runs)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("recursiveFileLookup", "true")  # accept dir-per-drop layouts
+        .parquet(in_dir)
+    )
+
+
+def ingest_documents(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    quality_min: float = 0.3,
+):
+    """Start the availableNow ingestion: profile → quality filter →
+    batch-local fingerprint dedup (min doc_id keeper) → anti-join the
+    store's fingerprints → append survivors.
+
+    The store carries (doc_id, lang, source, n_tokens, quality,
+    fingerprint); appends are atomic per batch at the file level, and a
+    replayed batch appends nothing (its fingerprints already present).
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        profiled = tx.document_profile(batch_df).filter(
+            F.col("quality") >= quality_min
+        )
+        # batch-local dedup: deterministic min-id keeper per fingerprint
+        keeper = profiled.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        batch = profiled.join(keeper, ["fingerprint", "doc_id"]).select(
+            "doc_id", "lang", "source", "n_tokens", "quality", "fingerprint"
+        )
+        if os.path.exists(store_path):
+            seen = spark.read.parquet(store_path).select("fingerprint")
+            batch = batch.join(seen, "fingerprint", "left_anti")
+        batch.write.mode("append").parquet(store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

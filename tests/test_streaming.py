@@ -185,3 +185,46 @@ def test_upsert_availablenow_backfill_resumes_from_checkpoint(spark, tmp_path):
     # atomic-swap hygiene: no ._old or ._upsert_tmp_* siblings remain
     siblings = os.listdir(tmp_path)
     assert not [s for s in siblings if "._old" in s or "_upsert_tmp_" in s]
+
+
+def test_incremental_ingest_dedups_across_batches_and_replays(spark, sf_dir, tmp_path):
+    """streaming/ingest.py: documents arriving in separate micro-batches
+    dedup against everything already in the store (not just the stream),
+    and a full replay with a fresh checkpoint appends nothing."""
+    import shutil
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+
+    # file 1: first 40 docs; file 2: docs 20-59 (overlap 20-39 duplicates
+    # PLUS a few exact-text dups the fixture already contains)
+    docs.filter(F.col("doc_id") < 40).write.parquet(in_dir + "/f1.parquet")
+    docs.filter(F.col("doc_id") >= 20).write.parquet(in_dir + "/f2.parquet")
+
+    q = ingest_documents(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(store)
+    n1 = stored.count()
+    assert n1 > 0
+    # the defining invariant: fingerprints unique across ALL batches
+    assert stored.select("fingerprint").distinct().count() == n1
+    # overlap region ingested once (doc 20-39 arrived in both files)
+    assert stored.filter(F.col("doc_id").between(20, 39)).count() > 0
+
+    # replay everything with a fresh checkpoint: idempotent, no growth
+    q2 = ingest_documents(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(store).count() == n1
+    docs.unpersist()
+    shutil.rmtree(in_dir)
