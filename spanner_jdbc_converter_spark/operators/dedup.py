@@ -266,6 +266,65 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT for document pairs — |A∩B|/|A| and
+    |A∩B|/|B| — via the same one-exchange inverted index as
+    :func:`jaccard_pairs`.  Containment catches what symmetric Jaccard
+    structurally cannot: a short document quoted inside a long one has
+    near-1 containment but tiny Jaccard (the union is dominated by the
+    long side), and quote/subset duplication is exactly what training
+    dedup needs to find.
+
+    Keeps pairs where EITHER direction ≥ threshold; both directions are
+    emitted so the caller can tell container from contained.  Cost and
+    plan shape identical to jaccard_pairs (Σ df², no cross join).
+
+    Output: id_a, id_b (id_a < id_b), containment_a (|A∩B|/|A|),
+    containment_b (|A∩B|/|B|) — single exact-int divisions, bit-equal
+    across engines."""
+    if threshold <= 0:
+        raise ValueError("containment_pairs needs threshold > 0")
+    blocks = list(block_cols or [])
+    posts = (
+        shingle_rows(df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False)
+        .dropDuplicates([id_col, "__s"])
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, on=cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    ca = F.col("__i").cast("double") / F.col("__na").cast("double")
+    cb = F.col("__i").cast("double") / F.col("__nb").cast("double")
+    return (
+        inter.select(
+            "id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b")
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
+
 def connected_groups(
     pairs: DataFrame,
     id_a: str = "id_a",

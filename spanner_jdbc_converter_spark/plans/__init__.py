@@ -53,6 +53,7 @@ _GATE_PRIORITY = [
     "agg_cms_join_cardinality",
     "reshape_unpivot_customer",
     "join_bloom_prefilter",
+    "dedup_containment_pairs",
     "cluster_kmeans_embeddings",
     "text_tfidf_top_terms",
     "events_zscore_outliers",

@@ -844,3 +844,31 @@ def dedup_chunk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_chunks") > 1)
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, lang, list_distinct({_GRAMS_SQL}) AS g
+                   FROM toks WHERE len(t) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+             AS containment_a,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(b.g)
+             AS containment_b
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.5
+       OR CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(b.g) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment ≥ 0.5 (either direction) for
+    same-language pairs — the quote/subset detector symmetric Jaccard
+    structurally misses (a short doc quoted inside a long one has tiny
+    Jaccard but near-1 containment).  Same one-exchange inverted-index
+    plan as dedup_jaccard_pairs; the oracle's all-pairs form is the
+    semantic spec, not the plan.  Single exact-int divisions ⇒ bit-exact
+    across engines, unrounded."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    return dd.containment_pairs(d, block_cols=["lang"], threshold=0.5)

@@ -731,3 +731,26 @@ def test_zorder_files_tight_on_both_dims(spark, sf_dir, tmp_path):
     assert sc < 32 and sp > 200
     # z-order: BOTH dims bounded well below the full domain
     assert zc < 96 and zp < 96
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    of the short side ≈ 1 while Jaccard stays below any useful
+    threshold — the operator's reason to exist."""
+    from pyspark.sql import Row
+
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=filler + " " + quote)]
+    )
+    [c] = containment_pairs(df, threshold=0.5).collect()
+    assert (c.id_a, c.id_b) == (1, 2)
+    assert c.containment_a == 1.0          # every gram of the quote is contained
+    assert c.containment_b < 0.2           # the long side is mostly filler
+    assert jaccard_pairs(df, threshold=0.2).count() == 0  # jaccard blind to it
