@@ -54,6 +54,9 @@ _GATE_PRIORITY = [
     "reshape_unpivot_customer",
     "join_bloom_prefilter",
     "dedup_containment_pairs",
+    "events_latest_per_user",
+    "agg_hll_hourly_users",
+    "profile_source_lang_entropy",
     "cluster_kmeans_embeddings",
     "text_tfidf_top_terms",
     "events_zscore_outliers",

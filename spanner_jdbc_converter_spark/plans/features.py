@@ -624,3 +624,142 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matched_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest record per key — argmax aggregate, no window sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rk = 1
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via ONE max_by aggregate over a
+    deterministic (ts, event_id) ordering struct — the CDC-compaction /
+    current-state pattern.  The window-based oracle is the semantic
+    spec; the plan is an aggregate: it partial-combines map-side and
+    never sorts a partition, which at 100 TB beats the
+    row_number-filter formulation (full sort of every user's history)
+    by the sort's cost.
+
+    Parity: max_by with a struct key is a total lexicographic order on
+    exact integers (µs, id) — no floats anywhere near the comparison.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id"))
+    row = F.struct("event_id", "ts", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(row, key).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL per time bucket — mergeable sketch per group.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_hourly_users",
+    oracle=f"""
+    WITH est AS ({sk.hll_estimate_sql(
+        "(SELECT date_trunc('hour', ts) AS bucket_ts, user_id FROM events "
+        "WHERE ts < TIMESTAMP '2024-01-03 00:00:00')",
+        ["bucket_ts"], "user_id")}),
+    exact AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY 1
+    )
+    SELECT bucket_ts, exact_distinct, approx_distinct
+    FROM exact JOIN est USING (bucket_ts)
+    """,
+)
+def agg_hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour, sketched AND exact side by side, over
+    the first two days — the sketch-per-group shape: one HLL state per
+    time bucket, mergeable map-side, so a 100-TB stream reduces to
+    |buckets| × 64 integer registers instead of a per-bucket distinct
+    shuffle.  (The global-sketch twin is agg_hll_distinct_custkeys.)
+
+    Parity: the whole sketch is integer arithmetic on portable md5
+    buckets (operators/sketches.py) — engine-identical estimates; the
+    exact side is the validation baseline.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(F.date_trunc("hour", "ts").alias("bucket_ts"), "user_id")
+    )
+    est = sk.hll_estimate(ev, ["bucket_ts"], F.col("user_id"))
+    exact = ev.groupBy("bucket_ts").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# Language-mix entropy per source — mixture diagnostics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_source_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n) AS total FROM c GROUP BY source),
+    terms AS (
+      SELECT source,
+             CAST(ROUND(-(CAST(n AS DOUBLE) / total)
+                        * ln(CAST(n AS DOUBLE) / total), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM c JOIN t USING (source)
+    )
+    SELECT source, CAST(SUM(term) AS DOUBLE) AS lang_entropy
+    FROM terms GROUP BY source
+    """,
+)
+def profile_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language distribution (nats) —
+    the mixture-diversity diagnostic behind data-mixture design: a
+    source collapsing to one language drops toward 0, a uniform mix
+    approaches ln(|langs|).
+
+    Parity: each -p·ln(p) term is rounded to 6 at the |source|×|lang|
+    narrowest point and summed as DECIMAL — exact and order-independent
+    — then one cast to double.  Scale: two map-side-combined groupBys
+    to metadata-sized frames; the per-source totals broadcast for the
+    divide.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        c.join(F.broadcast(t), "source")
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").cast("double").alias("lang_entropy"))
+    )
