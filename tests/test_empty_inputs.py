@@ -1,0 +1,99 @@
+"""Empty- and degenerate-input behavior of the newest operator families.
+
+A 100-TB pipeline routinely produces empty slices (a filter that matches
+nothing, a partition with no late data, a day with no events); operators
+must return empty frames with the right schema — never throw — and the
+degenerate single-row cases must not divide by zero."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spanner_jdbc_converter_spark.operators import graph as gr
+from spanner_jdbc_converter_spark.operators import sessions as ss
+from spanner_jdbc_converter_spark.operators import sketches as sk
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _empty_events(spark):
+    return spark.createDataFrame([], EV_SCHEMA)
+
+
+def test_sessionization_empty(spark):
+    out = ss.session_stats(ss.with_session_index(_empty_events(spark)))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "user_id", "session_idx", "n_events", "session_start",
+        "session_end", "duration_us", "total_value",
+    }
+
+
+def test_transitions_empty_and_single(spark):
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    assert ss.transition_counts(spark.createDataFrame([], sch)).count() == 0
+    one = spark.createDataFrame(
+        [Row(user_id=1, event_id=1, ts=dt.datetime(2024, 1, 1), event_type="a")]
+    )
+    assert ss.transition_counts(one).count() == 0  # no pair, no division
+
+
+def test_resample_empty_entity_set(spark):
+    out = ss.resample_ffill(
+        _empty_events(spark), "user_id", "ts", "value",
+        "2024-01-01 00:00:00", "2024-01-01 04:00:00",
+    )
+    assert out.count() == 0  # no entities → no grid rows at all
+
+
+def test_cms_empty(spark):
+    e = spark.createDataFrame([], T.StructType([T.StructField("k", T.LongType())]))
+    assert sk.cms_cells(e, F.col("k")).count() == 0
+    assert sk.cms_estimates(e, "k").count() == 0
+
+
+def test_pagerank_single_edge(spark):
+    # two nodes, one edge: a dangles nothing, b has no outbound (mass
+    # leaks, documented) — must converge without NaN or error
+    e = spark.createDataFrame([Row(src="a", dst="b")])
+    ranks = {r.node: r.rank for r in gr.pagerank_fixed(e, iterations=2).collect()}
+    assert set(ranks) == {"a", "b"}
+    assert all(r > 0 for r in ranks.values())
+    assert ranks["b"] > ranks["a"]
+
+
+def test_pipeline_empty_documents(spark):
+    from spanner_jdbc_converter_spark.pipeline import curate_documents
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    out, report = curate_documents(
+        spark.createDataFrame([], sch), token_budget=1000, pack_capacity=64
+    )
+    assert out.count() == 0
+    assert report.stages["input"] == 0
