@@ -57,6 +57,8 @@ _GATE_PRIORITY = [
     "events_latest_per_user",
     "agg_hll_hourly_users",
     "profile_source_lang_entropy",
+    "events_session_features",
+    "events_seasonal_deviation",
     "cluster_kmeans_embeddings",
     "text_tfidf_top_terms",
     "events_zscore_outliers",

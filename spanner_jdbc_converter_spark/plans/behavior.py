@@ -384,3 +384,137 @@ def events_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", F.round(shift, 6).alias("shift"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-relative features — the per-event sequence-model shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_features",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+      SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us >= {ss.SESSION_GAP_US}
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(ROW_NUMBER() OVER ws AS BIGINT) AS seq_in_session,
+           epoch_us(ts) - MIN(epoch_us(ts)) OVER ws_all AS us_since_start
+    FROM s
+    WINDOW
+      ws AS (PARTITION BY user_id, session_idx
+             ORDER BY epoch_us(ts), event_id),
+      ws_all AS (PARTITION BY user_id, session_idx)
+    """,
+)
+def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session-relative features: the session index, the
+    event's 1-based position inside its session, and exact µs since the
+    session started — the flattened sequence-model input (position
+    embeddings, recency features) that session-level aggregates can't
+    provide.
+
+    Scale: the session index rides the one user_id shuffle
+    (operators/sessions.py); the within-session rank and start-time
+    windows partition on (user_id, session_idx) — an extension of the
+    same key, so the sorted stream is reused without a second exchange.
+    All features are exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    idx = ss.with_session_index(ev)
+    us = F.unix_micros(F.col("ts"))
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    ws_all = Window.partitionBy("user_id", "session_idx")
+    return idx.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "session_idx",
+        F.row_number().over(ws).cast("long").alias("seq_in_session"),
+        (us - F.min(us).over(ws_all)).alias("us_since_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (hour-of-day) baseline deviation — rhythm-aware anomaly score.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_deviation",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumv
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hod, cnt, ROUND(sumv / cnt, 6) AS hod_mean
+      FROM b
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hod,
+           e.value, m.hod_mean,
+           ROUND(e.value - m.hod_mean, 6) AS seasonal_dev
+    FROM events e
+    JOIN base m ON m.event_type = e.event_type
+                AND m.hod = EXTRACT(hour FROM e.ts)
+    WHERE ABS(e.value - m.hod_mean) > 200.0
+    """,
+)
+def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rhythm-aware anomaly triage: each event scored against the mean
+    for ITS OWN (event_type, hour-of-day) cell, flagging |deviation| >
+    200 — the seasonal baseline that keeps a nightly batch spike from
+    looking anomalous at 3am and masks nothing at noon (the global
+    baselines are events_zscore_outliers / events_mad_outliers).
+
+    Parity: cell means route through DECIMAL sums and ONE rounded
+    division; hour extraction is exact integer on µs-truncated
+    timestamps (UTC-pinned session ≡ DuckDB's naive timestamps).
+    Scale: the baseline is a |types|×24-cell map-side-combined
+    aggregate, broadcast back onto the scan; no window over the data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    hod = F.hour("ts").cast("long")
+    base = (
+        ev.groupBy("event_type", hod.alias("hod"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hod_mean")
+        )
+    )
+    dev = F.col("value") - F.col("hod_mean")
+    return (
+        ev.withColumn("hod", hod)
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.abs(dev) > 200.0)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "hod_mean",
+            F.round(dev, 6).alias("seasonal_dev"),
+        )
+    )

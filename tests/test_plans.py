@@ -251,3 +251,33 @@ def test_bloom_prefilter_probe_never_shuffled(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_features_reuses_session_exchange(spark, sf_dir):
+    """session_idx rides the user_id shuffle; the within-session windows
+    extend the same key — at most the one data exchange (+AQE wrapper)."""
+    plan = _plan(spark, "events_session_features", sf_dir)
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_deviation_broadcasts_baseline(spark, sf_dir):
+    plan = _plan(spark, "events_seasonal_deviation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_twa_and_autocorr_single_exchange(spark, sf_dir):
+    for name in ("events_time_weighted_avg", "events_lag1_autocorr"):
+        plan = _plan(spark, name, sf_dir)
+        assert plan.count("Exchange") <= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_latest_per_user_is_aggregate_not_window(spark, sf_dir):
+    """max_by compacts via an aggregate with a map-side partial (struct
+    ordering keys compile to SortAggregate) — the exchange carries one
+    row per (partition, user), and no Window ever sees the data."""
+    plan = _plan(spark, "events_latest_per_user", sf_dir)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
