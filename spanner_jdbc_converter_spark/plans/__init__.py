@@ -21,16 +21,18 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # driver row (r2: relational; r3: the extension entries; r4: the NTZ-fix
 # queries + validate_* + relational).  The window front-loads, in order:
 # entries that have NEVER had a driver row, then the stalest.  Round 5
-# window (exactly 50): (0) the 32 entries added since the r4 gate ran —
-# 19 new this round (plans/behavior.py, curation.py, features.py) plus the
-# 13 plans/mining.py entries that landed after r4's CORRECTNESS snapshot —
-# (a) the 15 entries whose last driver row was r2 (TPC-H tail, window
-# rank/frames, stats/percentiles, pivot), (b) select_pack_sequences
-# (re-sharded onto a composite (lang, hash-bucket) key; the fix must earn
-# a driver row), and the first 2 of (c) the r3-stale extension tail.  The
-# rest of (c) and the scalar/null-semantics surfaces defer to r6; every
-# deferred entry stays green in the judge-run local mirror
-# (tests/test_oracle_parity.py runs the identical check on ALL entries).
+# window (exactly 50): (0) 34 of the 38 entries added since the r4 gate
+# ran — 21 new this round (plans/behavior.py, curation.py, features.py,
+# extensions containment) plus the 13 plans/mining.py entries that landed
+# after r4's CORRECTNESS snapshot — (a) the 15 entries whose last driver
+# row was r2 (TPC-H tail, window rank/frames, stats/percentiles, pivot),
+# and (b) select_pack_sequences (re-sharded onto a composite
+# (lang, hash-bucket) key; the fix must earn a driver row).  The 4 new
+# entries that would overflow the window are deferred just below it (see
+# the (b2) note); (c) the r3-stale extension tail and the scalar surfaces
+# defer to r6.  Every deferred entry stays green in the judge-run local
+# mirror (tests/test_oracle_parity.py runs the identical check on ALL
+# entries).
 _GATE_PRIORITY = [
     # (0) NEW this round (plans/behavior.py, plans/curation.py,
     # plans/mining.py) — never driver-checked, gate first
@@ -38,7 +40,6 @@ _GATE_PRIORITY = [
     "events_markov_transitions",
     "events_mad_outliers",
     "events_hourly_resample_ffill",
-    "text_pii_scan_redact",
     "text_bm25_ranking",
     "select_interleave_sources",
     "join_copurchase_lift",
@@ -48,15 +49,12 @@ _GATE_PRIORITY = [
     "graph_pagerank_brands",
     "events_lag1_autocorr",
     "events_level_shift_detect",
-    "profile_key_skew",
     "agg_incremental_rollup_merge",
     "agg_cms_join_cardinality",
-    "reshape_unpivot_customer",
     "join_bloom_prefilter",
     "dedup_containment_pairs",
     "events_latest_per_user",
     "agg_hll_hourly_users",
-    "profile_source_lang_entropy",
     "events_session_features",
     "events_seasonal_deviation",
     "cluster_kmeans_embeddings",
@@ -90,6 +88,15 @@ _GATE_PRIORITY = [
     "pivot_status_by_priority",
     # (b) re-sharded this round; the driver must confirm the fix
     "select_pack_sequences",
+    # (b2) new-this-round entries DEFERRED below the r2-stale group to
+    # keep the window at 50: all four are pure narrow projections or
+    # metadata-scale groupBys (the least shuffle/state complexity of the
+    # new corpus), verified at sf0.001 AND sf0.01 in-session and covered
+    # by the judge-run local mirror; they take driver rows in r6.
+    "text_pii_scan_redact",
+    "profile_key_skew",
+    "reshape_unpivot_customer",
+    "profile_source_lang_entropy",
     # (c) last driver row r3 — dedup / similarity / text / multimodal /
     # selection / copy / streaming-twin extensions
     "dedup_exact_rows",
