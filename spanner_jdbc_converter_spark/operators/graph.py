@@ -139,3 +139,79 @@ def pagerank_oracle_sql(
     q.append(last.rstrip(","))
     q.append(f"SELECT node, rank FROM r{iterations}")
     return "\n".join(q)
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED edge
+    list (pass each edge once, either direction; duplicates and self
+    loops are dropped).
+
+    The classic distributed formulation: orient every edge from the
+    lower-degree endpoint to the higher (ties by node id), so each
+    wedge is enumerated exactly once AT ITS LOWEST-DEGREE VERTEX —
+    the join fan-out is Σ min-degree², not Σ degree², which is what
+    keeps hub vertices from exploding the wedge join at scale
+    (Suri & Vassilvitskii, "Counting triangles and the curse of the
+    last reducer", WWW 2011).  The plan is two keyed equi-joins over
+    the oriented edge frame plus one membership semi-join; the degree
+    frame is |V|-sized and broadcast.
+
+    Output: (node, n_triangles) for every node of the edge set —
+    nodes in no triangle included with 0.  Exact integers only.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient lower-(degree, id) endpoint → higher
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    # wedges at the low-degree pivot: s→t1, s→t2 (t1 < t2 to count once)
+    o1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    # close the wedge: the (t1, t2) edge must exist (undirected form)
+    und = e.select(
+        F.col("u").alias("t1"), F.col("v").alias("t2")
+    )
+    tris = wedges.join(und, ["t1", "t2"]).select("s", "t1", "t2")
+    per_node = (
+        tris.select(F.col("s").alias("node"))
+        .union(tris.select(F.col("t1").alias("node")))
+        .union(tris.select(F.col("t2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -763,3 +763,73 @@ def profile_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("term").cast("double").alias("lang_entropy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the brand co-purchase graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_brands",
+    oracle=f"""
+    WITH de AS ({_BRAND_EDGES_SQL}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM de
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT o1.s, o1.t AS t1, o2.t AS t2
+      FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+      JOIN e ON e.u = o1.t AND e.v = o2.t
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS n FROM (
+        SELECT s AS node FROM tri
+        UNION ALL SELECT t1 FROM tri
+        UNION ALL SELECT t2 FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    """,
+)
+def graph_triangle_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation in the co-purchase graph —
+    clustering-structure analysis (dense triads = substitutable/bundled
+    brand clusters) via the degree-ordered wedge formulation whose join
+    fan-out is Σ min-degree², not Σ degree² (operators/graph.py::
+    triangle_counts; Suri & Vassilvitskii 2011).  Exact integers
+    end-to-end; the oracle replays the identical orientation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pair_list = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        baskets.select(F.explode(pair_list).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("src", "dst")
+    )
+    return gr.triangle_counts(edges)

@@ -129,3 +129,34 @@ class TestRollupMerge:
         a = {tuple(r) for r in merged.collect()}
         b = {tuple(r) for r in full.collect()}
         assert a == b
+
+
+class TestTriangles:
+    def test_k4_and_path(self, spark):
+        from pyspark.sql import Row
+
+        k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+        out = {
+            r.node: r.n_triangles
+            for r in gr.triangle_counts(
+                spark.createDataFrame([Row(src=a, dst=b) for a, b in k4])
+            ).collect()
+        }
+        assert out == {n: 3 for n in "abcd"}  # K4: C(3,2)=3 triangles per node
+        path = spark.createDataFrame(
+            [Row(src="a", dst="b"), Row(src="b", dst="c"), Row(src="c", dst="d")]
+        )
+        out = {r.node: r.n_triangles for r in gr.triangle_counts(path).collect()}
+        assert out == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from pyspark.sql import Row
+
+        tri = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "a")]
+        out = {
+            r.node: r.n_triangles
+            for r in gr.triangle_counts(
+                spark.createDataFrame([Row(src=a, dst=b) for a, b in tri])
+            ).collect()
+        }
+        assert out == {"a": 1, "b": 1, "c": 1}
