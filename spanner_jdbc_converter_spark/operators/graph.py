@@ -161,6 +161,9 @@ def triangle_counts(
     Output: (node, n_triangles) for every node of the edge set —
     nodes in no triangle included with 0.  Exact integers only.
     """
+    # Materialize the canonical edge frame ONCE — it feeds four branches
+    # (degree, both wedge sides, the closing membership join); without
+    # the cut each branch re-runs the full upstream edge derivation.
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -168,6 +171,7 @@ def triangle_counts(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
