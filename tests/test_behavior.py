@@ -153,3 +153,58 @@ class TestInterleave:
         ns = len(srcs)
         for r in out:
             assert (r.position - 1) % ns == srcs.index(r.source)
+
+
+class TestSessionizationProperty:
+    def test_gap_invariant_on_random_streams(self, spark):
+        """Property: within a session every adjacent gap is < GAP; every
+        session opener is either the user's first event or >= GAP after
+        the previous event.  Random timestamp multisets (duplicates
+        included) exercise the tie-break ordering."""
+        from hypothesis import given, settings, strategies as st
+
+        gap_us = ss.SESSION_GAP_US
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=3),          # user
+                    st.integers(min_value=0, max_value=10**8),      # offset s
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def check(rows):
+            df = spark.createDataFrame(
+                [
+                    Row(
+                        user_id=u,
+                        event_id=i,
+                        ts=T0 + dt.timedelta(seconds=s),
+                        value=1.0,
+                    )
+                    for i, (u, s) in enumerate(rows)
+                ]
+            )
+            out = sorted(
+                ss.with_session_index(df).collect(),
+                key=lambda r: (r.user_id, r.ts, r.event_id),
+            )
+            prev = {}
+            for r in out:
+                if r.user_id in prev:
+                    p = prev[r.user_id]
+                    gap = (r.ts - p.ts).total_seconds() * 1e6
+                    if r.session_idx == p.session_idx:
+                        assert gap < gap_us
+                        assert r.session_idx <= p.session_idx + 1
+                    else:
+                        assert r.session_idx == p.session_idx + 1
+                        assert gap >= gap_us
+                else:
+                    assert r.session_idx == 1
+                prev[r.user_id] = r
+
+        check()
