@@ -176,3 +176,41 @@ def pack_token_sequences(
         "shard", (md5_long(F.col(id_col).cast("string")) % shards).cast("int")
     )
     return t.groupBy(group_col, "shard").applyInPandas(_pack, schema)
+
+
+def banded_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    hash_col: str,
+    id_col: str,
+    shift: int = 54,
+) -> DataFrame:
+    """Distributed per-partition rank by (hash, id) WITHOUT a
+    single-partition window: band rows by the hash's top bits (band =
+    hash >> shift — monotone in the sort key, so band-major order ≡ the
+    global per-partition order), row_number within (partition, band),
+    and add broadcast per-band offsets from a metadata-sized count
+    frame.  60-bit md5 hashes with shift=54 give 64 uniform bands.
+
+    Adds ``_rk`` (1-based rank within part_cols).  This is the shared
+    scale primitive behind deterministic interleaving and length-
+    bucketed batching.
+    """
+    t = df.withColumn("_band", F.shiftright(F.col(hash_col), shift))
+    counts = t.groupBy(*part_cols, "_band").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # partitions × 64 rows — metadata-scale window
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).select(*part_cols, "_band", "_off")
+    w_in = Window.partitionBy(*part_cols, "_band").orderBy(
+        F.asc(hash_col), F.asc(id_col)
+    )
+    return (
+        t.join(F.broadcast(offsets), [*part_cols, "_band"])
+        .withColumn("_rk", F.col("_off") + F.row_number().over(w_in))
+        .drop("_band", "_off")
+    )

@@ -97,9 +97,10 @@ _GATE_PRIORITY = [
     "profile_key_skew",
     "reshape_unpivot_customer",
     "profile_source_lang_entropy",
-    # graph_triangle_brands landed after the window filled; exact-integer
-    # joins verified at both scales in-session — r6 driver row
+    # graph_triangle_brands / select_length_bucketed_batches landed after
+    # the window filled; verified at both scales in-session — r6 driver rows
     "graph_triangle_brands",
+    "select_length_bucketed_batches",
     # (c) last driver row r3 — dedup / similarity / text / multimodal /
     # selection / copy / streaming-twin extensions
     "dedup_exact_rows",

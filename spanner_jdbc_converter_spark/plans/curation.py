@@ -320,30 +320,17 @@ def select_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources × 64-row metadata frame, broadcast back.  The source index
     map and count are one tiny broadcast each.
     """
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", md5_long(F.col("doc_id").cast("string")).alias("h")
     )
-    t = d.withColumn("band", F.shiftright("h", _IL_BAND_SHIFT))
-    counts = t.groupBy("source", "band").agg(F.count(F.lit(1)).alias("n"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("band")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )  # sources × 64 rows — metadata-scale window, not data
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long")
-    ).select("source", "band", "off")
+    ranked = banded_rank(d, ["source"], "h", "doc_id", shift=_IL_BAND_SHIFT)
+    ranked = ranked.withColumnRenamed("_rk", "rk")
 
-    w_in = Window.partitionBy("source", "band").orderBy(F.asc("h"), F.asc("doc_id"))
-    ranked = (
-        t.join(F.broadcast(offsets), ["source", "band"])
-        .withColumn("rk", F.col("off") + F.row_number().over(w_in))
-    )
-
-    # The source map and count derive from the already-metadata-sized
-    # counts frame — no extra scan of the data for a 5-row dimension.
+    # The source map and count are metadata-sized — one tiny window each.
     srcs = (
-        counts.select("source")
+        ranked.select("source")
         .distinct()
         .withColumn(
             "src_idx",
@@ -450,4 +437,98 @@ def join_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assignment — padding-efficiency report.
+# ---------------------------------------------------------------------------
+
+_LB_BUCKET = 64    # length buckets: ceil(n_tokens / 64) * 64
+_LB_BATCH = 32     # docs per batch within a bucket
+
+
+@register(
+    "select_length_bucketed_batches",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             {md5_long_sql("concat('batch:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, h,
+             GREATEST({_LB_BUCKET},
+                      CAST(CEIL(CAST(n_tokens AS DOUBLE) / {_LB_BUCKET})
+                           AS BIGINT) * {_LB_BUCKET}) AS bucket
+      FROM d
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+                AS rn
+      FROM b
+    )
+    SELECT bucket, CAST((rn - 1) // {_LB_BATCH} AS BIGINT) AS batch_idx,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           bucket * COUNT(*) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE) / (bucket * COUNT(*)), 6)
+             AS padding_frac
+    FROM r GROUP BY bucket, batch_idx
+    """,
+)
+def select_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment with a padding-waste report: docs
+    land in 64-token-ceil length buckets, are shuffled deterministically
+    inside each bucket (portable hash), and cut into 32-doc batches;
+    each batch reports real vs padded tokens and the padding fraction —
+    the dataloader-efficiency metric that motivates length bucketing in
+    the first place (batching unsorted text pads every sequence to the
+    batch max).
+
+    Scale: bucket assignment is a narrow projection; the within-bucket
+    rank is the shared banded two-phase primitive
+    (operators/selection.py::banded_rank — no single-partition window
+    over data); the per-batch report is a map-side-combined groupBy.
+    Parity: everything is exact integers except the final padding
+    fraction — one IEEE division, rounded to 6.
+    """
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+    from spanner_jdbc_converter_spark.operators import text as _tx
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _tx.token_count("text").alias("n_tokens"),
+        md5_long(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    b = d.withColumn(
+        "bucket",
+        F.greatest(
+            F.lit(_LB_BUCKET),
+            (F.ceil(F.col("n_tokens").cast("double") / _LB_BUCKET) * _LB_BUCKET).cast(
+                "long"
+            ),
+        ),
+    )
+    r = banded_rank(b, ["bucket"], "h", "doc_id")
+    g = r.withColumn(
+        "batch_idx", ((F.col("_rk") - 1) / _LB_BATCH).cast("long")
+    ).groupBy("bucket", "batch_idx")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+    ).select(
+        "bucket",
+        "batch_idx",
+        "n_docs",
+        "real_tokens",
+        (F.col("bucket") * F.col("n_docs")).alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.col("real_tokens").cast("double")
+            / (F.col("bucket") * F.col("n_docs")),
+            6,
+        ).alias("padding_frac"),
     )
