@@ -101,6 +101,7 @@ _GATE_PRIORITY = [
     # the window filled; verified at both scales in-session — r6 driver rows
     "graph_triangle_brands",
     "select_length_bucketed_batches",
+    "window_percent_rank_scalable",
     # (c) last driver row r3 — dedup / similarity / text / multimodal /
     # selection / copy / streaming-twin extensions
     "dedup_exact_rows",

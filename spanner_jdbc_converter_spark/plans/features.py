@@ -833,3 +833,80 @@ def graph_triangle_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return gr.triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Scalable percent-rank — value-banded two-phase order statistics.
+# ---------------------------------------------------------------------------
+
+_PR_BAND_W = 25_000.0  # o_totalprice ∈ [~900, 530k] → ~22 bands
+
+
+@register(
+    "window_percent_rank_scalable",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+    FROM r WHERE n > 1
+    """,
+)
+def window_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority percent-rank of order value — computed WITHOUT the
+    textbook ``percent_rank().over(partitionBy(priority))``, whose sort
+    puts each priority's ENTIRE history through one task (5 priorities ⇒
+    parallelism 5 — the classic 100-TB window mistake).  Instead the
+    rank is a value-banded two-phase count: band = floor(price / 25k)
+    is MONOTONE in the sort key, so band-major order ≡ the per-priority
+    order; within-(priority, band) row_number distributes over
+    priorities × bands partitions; per-band offsets and per-priority
+    totals are metadata-sized broadcasts.  The window-function oracle
+    is the semantic spec; this entry is the plan that survives scale.
+
+    Parity: ranks and counts are exact integers (ties broken by
+    o_orderkey); one IEEE division rounded to 6.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    from pyspark.sql import Window as W
+
+    t = o.withColumn("band", F.floor(F.col("o_totalprice") / _PR_BAND_W))
+    counts = t.groupBy("o_orderpriority", "band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_off = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )  # priorities × ~22 rows — metadata-scale
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long")
+    ).select("o_orderpriority", "band", "off")
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("bn").cast("long").alias("n")
+    )
+    w_in = W.partitionBy("o_orderpriority", "band").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t.join(F.broadcast(offsets), ["o_orderpriority", "band"])
+        .join(F.broadcast(totals), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(
+                (F.col("off") + F.row_number().over(w_in) - 1).cast("double")
+                / (F.col("n") - 1),
+                6,
+            ).alias("pct_rank"),
+        )
+    )

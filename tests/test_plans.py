@@ -281,3 +281,15 @@ def test_latest_per_user_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(spark, "events_latest_per_user", sf_dir)
     assert "Window" not in plan
     assert "partial_max_by" in plan
+
+
+def test_percent_rank_scalable_distributes(spark, sf_dir):
+    """The whole point: no per-priority single-partition sort of the
+    data.  The only SinglePartition exchanges allowed are under the
+    metadata-sized offset/total branches; the data-side window
+    partitions on (priority, band)."""
+    plan = _plan(spark, "window_percent_rank_scalable", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the data-side rank window must carry the band in its partition key
+    assert "band" in plan
