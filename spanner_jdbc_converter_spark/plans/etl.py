@@ -595,3 +595,32 @@ def join_doc_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm(F.col("embedding")), 6).alias("embedding_l2"),
     )
     return d.join(e, on="doc_id")
+
+
+@register("pipeline_curate_documents")  # rows-only: multi-stage, not SQL-expressible
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as a corpus entry: profile →
+    quality filter → fingerprint dedup → LSH near-dedup (connected
+    components) → benchmark decontamination → token-budget selection →
+    deterministic split → hash-sharded packing (pipeline.py).
+
+    No oracle SQL — the composition spans an iterative graph algorithm
+    and an applyInPandas packer, so the driver records the weaker
+    rows-only check; every STAGE is independently oracle-paired
+    (dedup_*, select_*, text_* entries), and tests/test_pipeline.py
+    asserts the cross-stage invariants including run-to-run determinism.
+    ``with_counts=False`` keeps the whole pipeline one lazy plan.
+    """
+    from pyspark.sql import functions as F2
+
+    from spanner_jdbc_converter_spark.pipeline import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out, _ = curate_documents(
+        docs,
+        benchmark_pred=F2.col("source") == "src0",
+        token_budget=50_000,
+        pack_capacity=512,
+        with_counts=False,
+    )
+    return out
