@@ -297,3 +297,75 @@ def run_stream_to_memory(
 
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+def upsert_stream_to_jdbc(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    pk_cols: list[str],
+    checkpoint_dir: str,
+    driver: str | None = None,
+):
+    """Streaming merge/upsert into a LIVE JDBC destination — the CDC
+    bridge between the streaming layer and the converter's JDBC side:
+    each micro-batch lands in a staging table via the batched parallel
+    writer (copy.write_jdbc), then ONE server-side ``MERGE`` folds it
+    into the destination (batch rows win on key match).
+
+    Exactly-once: the checkpoint replays failed batches, and replaying
+    the same batch re-MERGEs identical rows into identical state — the
+    same idempotence argument as the parquet sink above, but with the
+    destination database's own atomicity guarding each merge (no swap
+    dance needed).  The first batch creates the destination directly.
+    MERGE is ANSI (Derby ≥10.11, PostgreSQL ≥15, Spanner-compatible
+    engines expose equivalent mutations); per-dialect upsert SQL would
+    slot in here.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from spanner_jdbc_converter_spark.converter import (
+        _jdbc_connection,
+        list_jdbc_tables,
+    )
+    from spanner_jdbc_converter_spark.copy import write_jdbc
+    from spanner_jdbc_converter_spark.modes import ConvertMode
+
+    staging = f"{table}_STAGE"
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(pk_cols)
+        existing = {t.lower() for t in list_jdbc_tables(spark, url, driver=driver)}
+        if table.lower() not in existing:
+            write_jdbc(batch, url, table, mode=ConvertMode.DROP_AND_RECREATE, driver=driver)
+            return
+        write_jdbc(batch, url, staging, mode=ConvertMode.DROP_AND_RECREATE, driver=driver)
+        # Spark's JDBC writer emits table names UNQUOTED (the database
+        # case-folds them) but COLUMN names quoted case-preserving — the
+        # MERGE must match both conventions or lookups miss.
+        def q(ident: str) -> str:
+            return '"' + ident + '"'
+
+        cols = batch.columns
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk_cols)
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c not in pk_cols)
+        ins_cols = ", ".join(q(c) for c in cols)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        stmt = (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            + (f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else "")
+            + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        conn = _jdbc_connection(spark, url, driver)
+        try:
+            conn.createStatement().executeUpdate(stmt)
+            conn.createStatement().executeUpdate(f"DROP TABLE {staging}")
+        finally:
+            conn.close()
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,3 +205,51 @@ def test_convert_table_jdbc_throw_if_exists_matches_parquet_path(spark, sf_dir, 
             data_mode=ConvertMode.THROW_IF_EXISTS,
             driver=DRV,
         )
+
+
+def test_streaming_upsert_into_live_jdbc(spark, sf_dir, tmp_path):
+    """CDC stream → Derby via per-batch staged MERGE: overlapping keys
+    across micro-batches resolve last-wins, and a full replay with a
+    fresh checkpoint leaves the destination byte-identical."""
+    from pyspark.sql import types as T
+
+    from spanner_jdbc_converter_spark.streaming.ops import upsert_stream_to_jdbc
+
+    url = _url(tmp_path)
+    in_dir = str(tmp_path / "in")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("batch", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, f"b1-{i}", 1) for i in range(10)], schema
+    ).write.parquet(in_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(i, f"b2-{i}", 2) for i in range(5, 15)], schema
+    ).write.parquet(in_dir + "/f2.parquet")
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+
+    q = upsert_stream_to_jdbc(_stream(), url, "cdc_t", ["k"], str(tmp_path / "ck1"), driver=DRV)
+    q.awaitTermination()
+
+    got = {r.k: (r.v, r.batch) for r in cp.read_jdbc(spark, url, "cdc_t", driver=DRV).collect()}
+    assert set(got) == set(range(15))
+    for k in range(5):          # only in batch 1
+        assert got[k] == (f"b1-{k}", 1)
+    for k in range(5, 15):      # batch 2 overwrote the overlap (last wins)
+        assert got[k] == (f"b2-{k}", 2)
+
+    q2 = upsert_stream_to_jdbc(_stream(), url, "cdc_t", ["k"], str(tmp_path / "ck2"), driver=DRV)
+    q2.awaitTermination()
+    again = {r.k: (r.v, r.batch) for r in cp.read_jdbc(spark, url, "cdc_t", driver=DRV).collect()}
+    assert again == got  # replay is idempotent
