@@ -1,0 +1,99 @@
+"""Opt-in scale smoke: core operators at ~10× the sf0.1 fixture volume.
+
+Skipped unless ``SPARK_GRAFT_SCALE_SMOKE=1`` — this is the harness for
+probing beyond the checked-in scale factors, not part of the default
+gate.  The input is the sf0.1 documents/events table unioned N times
+with shifted ids, so distributions (and near-dup structure) survive
+while volume scales; assertions check completion, output-shape
+invariants, and that runtimes stay within a generous envelope rather
+than exact values (DuckDB oracles at this volume would dominate the
+runtime for no extra signal — value correctness is the sf0.001/sf0.01
+oracle gate's job).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_jdbc_converter_spark.catalog import load_table
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_SMOKE=1)",
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def _scaled_docs(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    return (
+        spark.range(COPIES)
+        .crossJoin(d)
+        .select(
+            (F.col("doc_id") + F.col("id") * n).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+
+
+def test_fingerprint_dedup_at_10x(spark):
+    from spanner_jdbc_converter_spark.operators.dedup import fingerprint_dedup
+
+    docs = _scaled_docs(spark)
+    t0 = time.time()
+    survivors = fingerprint_dedup(docs).count()
+    wall = time.time() - t0
+    base_unique = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+        .distinct()
+        .count()
+    )
+    # every replica is an exact dup — survivors equal the base unique set
+    assert survivors == base_unique
+    assert wall < 120, f"fingerprint dedup at 10x took {wall:.0f}s"
+
+
+def test_lsh_candidates_at_10x(spark):
+    from spanner_jdbc_converter_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _scaled_docs(spark)
+    t0 = time.time()
+    n_pairs = lsh_candidate_pairs(docs).count()
+    wall = time.time() - t0
+    assert n_pairs > 0  # replicas guarantee near-dup candidates
+    assert wall < 300, f"LSH candidates at 10x took {wall:.0f}s"
+
+
+def test_sessionization_at_10x_events(spark):
+    from spanner_jdbc_converter_spark.operators.sessions import (
+        session_stats,
+        with_session_index,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    u = ev.agg(F.max("user_id")).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(ev)
+        .select(
+            (F.col("event_id") + F.col("id") * n).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("id") * u).alias("user_id"),
+            "value",
+        )
+    )
+    t0 = time.time()
+    stats = session_stats(with_session_index(scaled))
+    total_events = stats.agg(F.sum("n_events")).first()[0]
+    wall = time.time() - t0
+    assert total_events == ev.count() * COPIES  # every event in exactly one session
+    assert wall < 120, f"sessionization at 10x took {wall:.0f}s"
