@@ -172,3 +172,121 @@ def media_summary(df: DataFrame) -> DataFrame:
         F.sum("media_meta.byte_len").cast("long").alias("total_bytes"),
         F.max("media_meta.byte_len").cast("long").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode — WAV/PCM is stdlib-parseable (wave + struct), the one
+# media format this container can genuinely decode.  Image/video stay
+# stubbed hooks (decode_media); this path exercises a true
+# encode → container-parse → decode → feature round trip.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def _synth_samples(doc_id: int) -> list[int]:
+    """Deterministic 16-bit PCM: n = 200 + doc_id % 100 samples of
+    s_i = ((doc_id·31 + i·17) mod 65536) − 32768 — pure integer math an
+    oracle can replay exactly."""
+    n = 200 + doc_id % 100
+    return [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+
+
+def _wav_bytes(samples: list[int]) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mono 16-bit WAV payload per row (stdlib `wave`
+    encoder over the deterministic PCM above) — the fixture adapter for
+    the audio path."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[id_col].map(
+                        lambda d: _wav_bytes(_synth_samples(int(d)))
+                    ),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """REAL decode: parse each WAV container (stdlib `wave`), unpack the
+    PCM frames, and compute audio features — exact integer duration,
+    root-mean-square energy, zero-crossing rate.
+
+    Parity: sample values are exact 16-bit ints, so Σs² and the crossing
+    count are exact; RMS and ZCR are one sqrt/division each, rounded to
+    6 — engine-identical against an oracle that replays the PCM formula.
+    Scale: Arrow-batched mapInPandas, constant memory per task; the
+    payload column streams batch-at-a-time and nothing else is read.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def feats(payload: bytes):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate, n = w.getframerate(), w.getnframes()
+                raw = w.readframes(n)
+            s = struct.unpack(f"<{n}h", raw)
+            ss = sum(v * v for v in s)
+            zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+            return (
+                n,
+                n * 1000 // rate,
+                round(math.sqrt(ss / n), 6),
+                round(zc / (n - 1), 6),
+            )
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [r[0] for r in rows],
+                    "duration_ms": [r[1] for r in rows],
+                    "rms": [r[2] for r in rows],
+                    "zcr": [r[3] for r in rows],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -102,6 +102,7 @@ _GATE_PRIORITY = [
     "graph_triangle_brands",
     "select_length_bucketed_batches",
     "window_percent_rank_scalable",
+    "multimodal_wav_decode",
     # (c) last driver row r3 — dedup / similarity / text / multimodal /
     # selection / copy / streaming-twin extensions
     "dedup_exact_rows",

@@ -872,3 +872,48 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, unrounded."""
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
     return dd.containment_pairs(d, block_cols=["lang"], threshold=0.5)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents),
+    s AS (
+      SELECT b.doc_id, b.n, g.i,
+             ((b.doc_id * 31 + g.i * 17) % 65536) - 32768 AS s
+      FROM base b, LATERAL (SELECT unnest(generate_series(0, b.n - 1)) AS i) g
+    ),
+    l AS (
+      SELECT *, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST((COUNT(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE) / COUNT(*)), 6)
+             AS rms,
+           ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - 1), 6) AS zcr
+    FROM l GROUP BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic 16-bit PCM is encoded
+    into genuine WAV containers (stdlib ``wave``), then parsed BACK
+    through the same codec and reduced to audio features — exact sample
+    count and duration, RMS energy, zero-crossing rate
+    (operators/multimodal.py::attach_wav_payload/decode_wav_features).
+    WAV is the one media format this container can truly decode; the
+    image/video codec hook stays a documented stub (decode_media).
+
+    The oracle NEVER sees the WAV bytes — it replays the PCM generation
+    formula from first principles, so a hash match proves the Python
+    encode → container-parse → decode round trip is lossless AND the
+    feature math is engine-exact (integer Σs² and crossing counts; one
+    sqrt/division each, rounded to 6).  Scale: Arrow-batched
+    mapInPandas both ways, constant memory per task.
+    """
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_wav_features(mm.attach_wav_payload(d))

@@ -754,3 +754,32 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert c.containment_a == 1.0          # every gram of the quote is contained
     assert c.containment_b < 0.2           # the long side is mostly filler
     assert jaccard_pairs(df, threshold=0.2).count() == 0  # jaccard blind to it
+
+
+def test_wav_decode_known_waveform(spark):
+    """Hand-built WAV with a known square wave: decode must recover the
+    exact sample count, duration, RMS, and crossing rate."""
+    import math
+
+    from pyspark.sql import Row
+
+    from spanner_jdbc_converter_spark.operators.multimodal import (
+        WAV_RATE,
+        _wav_bytes,
+        decode_wav_features,
+    )
+
+    # 1 second of +/-1000 square wave alternating every sample
+    samples = [1000 if i % 2 == 0 else -1000 for i in range(WAV_RATE)]
+    df = spark.createDataFrame([Row(doc_id=1, payload=_wav_bytes(samples))])
+    [r] = decode_wav_features(df).collect()
+    assert r.n_samples == WAV_RATE
+    assert r.duration_ms == 1000
+    assert r.rms == 1000.0
+    assert r.zcr == round((WAV_RATE - 1) / (WAV_RATE - 1), 6) == 1.0
+
+    # silence has zero energy and no crossings
+    df0 = spark.createDataFrame([Row(doc_id=2, payload=_wav_bytes([0] * 100))])
+    [r0] = decode_wav_features(df0).collect()
+    assert (r0.rms, r0.zcr) == (0.0, 0.0)
+    assert math.isfinite(r0.rms)
