@@ -103,6 +103,7 @@ _GATE_PRIORITY = [
     "select_length_bucketed_batches",
     "window_percent_rank_scalable",
     "multimodal_wav_decode",
+    "multimodal_pgm_decode",
     # (c) last driver row r3 — dedup / similarity / text / multimodal /
     # selection / copy / streaming-twin extensions
     "dedup_exact_rows",

@@ -917,3 +917,66 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mm.decode_wav_features(mm.attach_wav_payload(d))
+
+
+@register(
+    "multimodal_pgm_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 16 + 2 * (doc_id % 8) AS w, 12 + 2 * (doc_id % 5) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id, b.w, b.h, gx.x, gy.y,
+             (b.doc_id * 7 + gx.x * 13 + gy.y * 31) % 256 AS p
+      FROM base b,
+           LATERAL (SELECT unnest(generate_series(0, b.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, b.h - 1)) AS y) gy
+    ),
+    agg AS (
+      SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+             ROUND(CAST(SUM(p) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_px,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(((doc_id * 7 + (x + 1) * 13 + y * 31) % 256) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM px GROUP BY doc_id
+    ),
+    thumb AS (
+      SELECT b.doc_id,
+             CAST(SUM((((b.doc_id * 7 + (2 * t.tx) * 13 + (2 * t.ty) * 31) % 256)
+                 + ((b.doc_id * 7 + (2 * t.tx + 1) * 13 + (2 * t.ty) * 31) % 256)
+                 + ((b.doc_id * 7 + (2 * t.tx) * 13 + (2 * t.ty + 1) * 31) % 256)
+                 + ((b.doc_id * 7 + (2 * t.tx + 1) * 13 + (2 * t.ty + 1) * 31) % 256))
+                 // 4 * (t.tx + 1) * (t.ty + 1)) AS BIGINT) AS thumb_checksum
+      FROM base b,
+           LATERAL (
+             SELECT gx.tx, gy.ty
+             FROM (SELECT unnest(generate_series(0, b.w // 2 - 1)) AS tx) gx,
+                  (SELECT unnest(generate_series(0, b.h // 2 - 1)) AS ty) gy
+           ) t
+      GROUP BY b.doc_id
+    )
+    SELECT a.doc_id, a.width, a.height, a.mean_px, a.grad_energy,
+           t.thumb_checksum
+    FROM agg a JOIN thumb t USING (doc_id)
+    """,
+)
+def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + REAL resize end-to-end: deterministic
+    grayscale rasters are encoded as genuine binary PGM (P5) images,
+    parsed back (header + raw raster) and reduced to dimensions, mean
+    brightness, horizontal gradient energy, and a positionally-weighted
+    checksum of the exact 2×2-block-average thumbnail
+    (operators/multimodal.py::attach_pgm_payload/decode_pgm_features).
+    With WAV audio (multimodal_wav_decode) this leaves only video as the
+    documented stub hook.
+
+    The oracle replays the pixel formula from first principles — it
+    never sees the image bytes — so a hash match proves the header
+    parse, raster decode, and downsample arithmetic are all exact.
+    Scale: Arrow-batched mapInPandas both ways.
+    """
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_pgm_features(mm.attach_pgm_payload(d))

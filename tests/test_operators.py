@@ -783,3 +783,24 @@ def test_wav_decode_known_waveform(spark):
     [r0] = decode_wav_features(df0).collect()
     assert (r0.rms, r0.zcr) == (0.0, 0.0)
     assert math.isfinite(r0.rms)
+
+
+def test_pgm_decode_known_image(spark):
+    """Hand-built 4x2 gradient image: decode must recover dimensions,
+    exact mean, gradient energy, and the downsampled checksum."""
+    from pyspark.sql import Row
+
+    from spanner_jdbc_converter_spark.operators.multimodal import (
+        _pgm_bytes,
+        decode_pgm_features,
+    )
+
+    # rows: [0,10,20,30] and [40,50,60,70]
+    px = bytes([0, 10, 20, 30, 40, 50, 60, 70])
+    df = spark.createDataFrame([Row(doc_id=1, payload=_pgm_bytes(4, 2, px))])
+    [r] = decode_pgm_features(df).collect()
+    assert (r.width, r.height) == (4, 2)
+    assert r.mean_px == 35.0
+    assert r.grad_energy == 10 * 3 * 2  # |Δ|=10 across 3 steps x 2 rows
+    # thumbnail blocks: (0+10+40+50)//4=25, (20+30+60+70)//4=45
+    assert r.thumb_checksum == 25 * 1 * 1 + 45 * 2 * 1
