@@ -123,12 +123,32 @@ def main() -> None:
     # comparable round-over-round (VERDICT r4 #7).  Overridable so local
     # experiments don't clobber the round record.
     hist = os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "bench_history/latest.json")
+    # latest.json is overwritten each run; ALSO write a per-round file
+    # (bench_history/r{N}.json, N inferred from the driver's recorded
+    # BENCH_r*.json files) so warm medians stay diffable across rounds
+    # (VERDICT r5 #6 — r4's full medians were lost to the overwrite).
+    targets = [hist]
     try:
-        os.makedirs(os.path.dirname(hist) or ".", exist_ok=True)
-        with open(hist, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-    except OSError as exc:
-        print(f"bench: could not write history file {hist}: {exc}", file=sys.stderr)
+        import re
+
+        recorded = [
+            int(m.group(1))
+            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        this_round = (max(recorded) + 1) if recorded else 0
+        targets.append(
+            os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json")
+        )
+    except OSError:
+        pass
+    for path in targets:
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+        except OSError as exc:
+            print(f"bench: could not write history file {path}: {exc}", file=sys.stderr)
     spark.stop()
 
 

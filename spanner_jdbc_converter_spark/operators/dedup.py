@@ -7,8 +7,8 @@ Scale design:
 * MinHash-LSH: shingle → K seeded min-hashes → B bands of R rows →
   groupBy band-signature → candidate pairs only within buckets.  The
   cross-join never happens; cost is O(docs × K) + bucket-local pairing.
-* SimHash: 60-bit signature via per-shingle hash bit-voting; near-dups
-  share all-but-few bits — banded the same way.
+* SimHash: 32-bit signature (SIMHASH_BITS) via per-shingle hash
+  bit-voting; near-dups share all-but-few bits — banded the same way.
 * Verification (exact Jaccard / cosine) runs only on candidate pairs.
 
 All hash functions are the portable md5 construction
@@ -167,7 +167,7 @@ def minhash_signatures(
 
 
 def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[Column]:
-    """One join key per band: 'b:<band>:<r0>,<r1>,...' string signature."""
+    """One join key per band: 'b<band>,<r0>,<r1>,...' string signature."""
     keys = []
     for b in range(bands):
         parts = [F.element_at(sig_col, b * rows + r + 1).cast("string") for r in range(rows)]
@@ -690,5 +690,97 @@ def embedding_near_pairs(
     scored = pairs.mapInPandas(_score, "id_a long, id_b long, __raw double")
     return (
         scored.select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    tables: int = 8,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-pruned —
+    the SCALE path next to the brute-force :func:`embedding_near_pairs`
+    oracle (SURVEY.md §7.4): a pair is considered only if the two
+    vectors share a random-hyperplane bucket in ANY of ``tables``
+    tables (the same multi-table sign-LSH construction — and the same
+    md5-seeded hyperplanes — as similarity.lsh_ann_topk, so one
+    derivation serves both top-k search and threshold pairing).
+
+    Shape: each vector gets ``tables`` bucket keys (one Arrow pass);
+    vectors+norms ride ONE groupBy(bucket) shuffle (×tables linear
+    blow-up — no pair-level join ever materializes), each bucket scores
+    its own all-pairs block in numpy with the position-sequential fold
+    (bit-identical to aggregate(zip_with(...)) / DuckDB list_sum), and
+    duplicate hits from multiple tables collapse with one
+    dropDuplicates on the id pair.  Candidate work is Σ_buckets |b|²
+    instead of N² — with 2^planes buckets/table that's ~tables/2^planes
+    of the brute-force score count.
+
+    Scale: bucket sizes concentrate around N/2^planes for
+    near-uniform-direction data; at real corpus scale you raise
+    ``planes`` so buckets stay executor-sized (recall is then bought
+    back with more ``tables``), and a pathological hot bucket can be
+    salted by a secondary blocking key before packing.  The kernel
+    emits raw cosines above (threshold − 1e-6); the FINAL round +
+    threshold + dedup run as Spark expressions, mirroring the exact
+    kernel so both paths are hash-checkable against SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from spanner_jdbc_converter_spark.functions.vector import norm
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    keys_udf = sim.lsh_bucket_keys_pandas(tables, planes, dim)
+    slack = threshold - 1e-6  # covers the ≤5e-7 lift ROUND can apply
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
+        F.explode(keys_udf(F.col(vec_col))).alias("__bucket"),
+    )
+    packed = (
+        keyed.groupBy("__bucket")
+        .agg(F.collect_list(F.struct("__id", "__vec", "__nrm")).alias("rows"))
+        .filter(F.size("rows") >= 2)
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                rows = row["rows"]
+                ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+                V = np.stack(
+                    [np.asarray(r["__vec"], dtype=np.float64) for r in rows]
+                )
+                nrm = np.array([r["__nrm"] for r in rows], dtype=np.float64)
+                acc = np.zeros((len(V), len(V)))
+                for k in range(V.shape[1]):  # position-sequential fold
+                    acc = acc + V[:, k : k + 1] * V[:, k]
+                cos = acc / (nrm[:, None] * nrm[None, :])
+                keep = (cos >= slack) & (ids[:, None] < ids[None, :])
+                ia, ib = np.nonzero(keep)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+                out_c.append(cos[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "__raw": np.concatenate(out_c),
+                    }
+                )
+
+    scored = packed.mapInPandas(_score, "id_a long, id_b long, __raw double")
+    return (
+        scored.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -2,11 +2,13 @@
 opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake features / NotImplementedError for real codecs) —
-but the Spark-side plumbing is real and tested: schema contracts,
-binary payload handling, batch iteration shape, partition-preserving
-metadata extraction.
+Three formats decode for REAL with the standard library alone — WAV/PCM
+audio (``wave``), binary PGM images, and YUV4MPEG2 grayscale video —
+each as a genuine encode → container-parse → decode → feature round
+trip.  Only COMPRESSED codecs (JPEG/H.264/...) remain behind the
+``decode_media`` production hook (NotImplementedError: no PIL/libav in
+this container); the Spark-side plumbing — schema contracts, binary
+payload handling, Arrow batch iteration — is identical either way.
 
 At 100 TB the pattern is: keep payloads in their own column (parquet
 stores them row-group-columnar, scans that don't touch them never read
@@ -268,13 +270,16 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                 rate, n = w.getframerate(), w.getnframes()
                 raw = w.readframes(n)
             s = struct.unpack(f"<{n}h", raw)
+            if n == 0:  # degenerate but well-formed container
+                return 0, 0, 0.0, 0.0
             ss = sum(v * v for v in s)
             zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+            zcr = round(zc / (n - 1), 6) if n > 1 else 0.0
             return (
                 n,
                 n * 1000 // rate,
                 round(math.sqrt(ss / n), 6),
-                round(zc / (n - 1), 6),
+                zcr,
             )
 
         for pdf in batches:
@@ -369,7 +374,8 @@ def decode_pgm_features(df: DataFrame) -> DataFrame:
         def feats(payload: bytes):
             data = bytes(payload)
             # header: magic, dims, maxval — whitespace-separated ASCII
-            assert data[:2] == b"P5"
+            if data[:2] != b"P5":
+                raise ValueError(f"not a binary PGM (P5) payload: {data[:2]!r}")
             rest = data[2:]
             fields: list[int] = []
             i = 0
@@ -383,7 +389,10 @@ def decode_pgm_features(df: DataFrame) -> DataFrame:
                 i = j
             w, h, _maxval = fields
             px = rest[i + 1 :]
-            assert len(px) == w * h
+            if len(px) != w * h:
+                raise ValueError(
+                    f"PGM raster truncated: {len(px)} bytes for {w}x{h}"
+                )
             mean = round(sum(px) / (w * h), 6)
             grad = sum(
                 abs(px[y * w + x + 1] - px[y * w + x])
@@ -416,3 +425,181 @@ def decode_pgm_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode — YUV4MPEG2 (Y4M) with C400 (grayscale 4:0:0) frames
+# is a genuine, spec'd container (`YUV4MPEG2 <params>\n` stream header,
+# `FRAME\n`-delimited raw planes) that needs no codec library: the frame
+# walk, dimension parse, and per-frame plane decode below follow the
+# format for real.  This replaces the last NotImplementedError stub —
+# decode_media remains only as the production hook for COMPRESSED
+# codecs (H.264 etc.), which genuinely need libav.
+# ---------------------------------------------------------------------------
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("grad_energy", T.LongType()),
+        T.StructField("thumb_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_video(doc_id: int) -> tuple[int, int, int, list[bytes]]:
+    """Deterministic grayscale clip: the PGM raster formula with a
+    per-frame term — p(x, y, f) = (id·7 + f·11 + x·13 + y·31) mod 256,
+    w = 16 + 2·(id mod 8), h = 12 + 2·(id mod 5) (even dims: the 2×
+    thumbnail downsample stays exact), n_frames = 3 + id mod 4."""
+    w = 16 + 2 * (doc_id % 8)
+    h = 12 + 2 * (doc_id % 5)
+    n_frames = 3 + doc_id % 4
+    planes = [
+        bytes(
+            (doc_id * 7 + f * 11 + x * 13 + y * 31) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for f in range(n_frames)
+    ]
+    return w, h, n_frames, planes
+
+
+def _y4m_bytes(w: int, h: int, planes: list[bytes]) -> bytes:
+    """Encode a conformant Y4M stream: C400 = luma plane only."""
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C400\n".encode("ascii")]
+    for p in planes:
+        out.append(b"FRAME\n")
+        out.append(p)
+    return b"".join(out)
+
+
+def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL YUV4MPEG2 grayscale clip per row."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def encode(d) -> bytes:
+            w, h, _n, planes = _synth_video(int(d))
+            return _y4m_bytes(w, h, planes)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[id_col].map(encode),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """REAL video decode: walk each Y4M container — parse the stream
+    header (W/H/C tokens per the YUV4MPEG2 spec, C400 grayscale
+    required), then iterate the ``FRAME\\n``-delimited planes — sample
+    every ``frame_stride``-th frame, and reduce each sampled frame to
+    mean brightness, horizontal gradient energy, and the positionally-
+    weighted checksum of its exact 2×2-block-average thumbnail (the
+    same proven resize math as the PGM path).  One output row per
+    SAMPLED frame — the generator shape of a real video pipeline, with
+    the unsampled frames skipped without decoding their pixels.
+
+    Parity: all quantities except the mean are exact integers; the mean
+    is one division rounded to 6.  Scale: Arrow-batched mapInPandas,
+    constant memory per task; payload bytes never enter a shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def frame_feats(px: bytes, w: int, h: int):
+            mean = round(sum(px) / (w * h), 6)
+            grad = sum(
+                abs(px[y * w + x + 1] - px[y * w + x])
+                for y in range(h)
+                for x in range(w - 1)
+            )
+            thumb = 0
+            for ty in range(h // 2):
+                for tx in range(w // 2):
+                    block = (
+                        px[2 * ty * w + 2 * tx]
+                        + px[2 * ty * w + 2 * tx + 1]
+                        + px[(2 * ty + 1) * w + 2 * tx]
+                        + px[(2 * ty + 1) * w + 2 * tx + 1]
+                    ) // 4
+                    thumb += block * (tx + 1) * (ty + 1)
+            return mean, grad, thumb
+
+        def walk(payload: bytes):
+            data = bytes(payload)
+            nl = data.find(b"\n")
+            if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+                raise ValueError("not a YUV4MPEG2 stream")
+            w = h = None
+            colorspace = "C420"  # Y4M default when the C tag is absent
+            for token in data[:nl].decode("ascii").split()[1:]:
+                if token.startswith("W"):
+                    w = int(token[1:])
+                elif token.startswith("H"):
+                    h = int(token[1:])
+                elif token.startswith("C"):
+                    colorspace = token
+            if w is None or h is None:
+                raise ValueError("Y4M header missing W/H")
+            if colorspace != "C400":
+                raise ValueError(f"only C400 (grayscale) supported: {colorspace}")
+            frame_len = w * h
+            frames = []
+            pos = nl + 1
+            while pos < len(data):
+                eol = data.find(b"\n", pos)
+                if eol < 0 or not data[pos:eol].startswith(b"FRAME"):
+                    raise ValueError("malformed FRAME marker")
+                start = eol + 1
+                if start + frame_len > len(data):
+                    raise ValueError("truncated frame plane")
+                frames.append(data[start : start + frame_len])
+                pos = start + frame_len
+            return w, h, frames
+
+        for pdf in batches:
+            ids, fidx, nfr, ws, hs, means, grads, thumbs = ([] for _ in range(8))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = walk(payload)
+                for f in range(0, len(frames), frame_stride):
+                    mean, grad, thumb = frame_feats(frames[f], w, h)
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    nfr.append(len(frames))
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(mean)
+                    grads.append(grad)
+                    thumbs.append(thumb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": fidx,
+                    "n_frames": nfr,
+                    "width": ws,
+                    "height": hs,
+                    "mean_px": means,
+                    "grad_energy": grads,
+                    "thumb_checksum": thumbs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FEATURE_SCHEMA)

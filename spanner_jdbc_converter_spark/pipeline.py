@@ -74,23 +74,39 @@ def curate_documents(
     pack_capacity: int = 512,
     pack_shards: int = 16,
     with_counts: bool = True,
+    persist_stages: bool = True,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full curation pipeline; returns (packed frame, report).
 
     The packed frame has one row per selected document with its split
     assignment and packing coordinates: (lang, split, shard, doc_id,
     n_tokens, bin_idx, bin_fill).
+
+    ``persist_stages`` caches the multiply-consumed stage frames
+    (``exact`` feeds both the LSH pair generation and the survivor
+    join; ``near`` feeds the overlap probe, the decontamination filter,
+    and selection) with MEMORY_AND_DISK — without it the lazy plan
+    re-derives the tokenizer/fingerprint subtree once per consumer.
+    Disk-backed, so safe at scale; disable to keep the pipeline one
+    fully lazy plan with zero cached state.
     """
+    from pyspark import StorageLevel
+
+    def staged(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist_stages else df
+
     report = PipelineReport()
     report.record("input", docs, with_counts)
 
     # 1. profile: token/quality/lang features from ONE staged tokenizer.
     profiled = tx.document_profile(docs, text_col)
-    flt = profiled.filter(F.col("quality") >= quality_min)
+    # The profile features (tokenizer, quality, fingerprint) feed every
+    # later stage — persist once here so no stage re-tokenizes.
+    flt = staged(profiled.filter(F.col("quality") >= quality_min))
     report.record("quality_filter", flt, with_counts)
 
     # 2. exact dedup on normalized-content fingerprint (min-id keeper).
-    exact = dd.fingerprint_dedup(flt, text_col, id_col)
+    exact = staged(dd.fingerprint_dedup(flt, text_col, id_col))
     report.record("exact_dedup", exact, with_counts)
 
     # 3. near-dedup: LSH candidates → connected components → keep the
@@ -100,7 +116,7 @@ def curate_documents(
     losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    near = exact.join(losers, id_col, "left_anti")
+    near = staged(exact.join(losers, id_col, "left_anti"))
     report.record("near_dedup", near, with_counts)
 
     # 4. decontamination: drop documents overlapping the benchmark set.
@@ -109,7 +125,9 @@ def curate_documents(
         contaminated = overlap.filter(
             F.col("overlap_frac") > overlap_max
         ).select(id_col)
-        near = near.filter(~benchmark_pred).join(contaminated, id_col, "left_anti")
+        near = staged(
+            near.filter(~benchmark_pred).join(contaminated, id_col, "left_anti")
+        )
         report.record("decontaminated", near, with_counts)
 
     # 5. token-budget selection (quality DESC, id ASC — banded prefix sum).

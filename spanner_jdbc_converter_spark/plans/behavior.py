@@ -310,9 +310,14 @@ def events_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Level-shift (changepoint) detector — two-sided rolling-mean break.
 # ---------------------------------------------------------------------------
 
-_LS_WINDOW_US = 3_600_000_000  # 1 hour each side
-_LS_MIN_N = 5                  # require support on both sides
-_LS_THRESHOLD = 100.0          # |right mean - left mean| break size
+# The fixture's events are ~0.1/user/hour (constant across SF — users scale,
+# per-user density doesn't), so the break windows are sized in DAYS: 72 h a
+# side gives ~7 events of support.  Threshold 60.0 sits at the ~p99 of the
+# observed |shift| distribution at every fixture SF (probed sf0.001/0.01/0.1:
+# max 78/106/149), so the detector emits a real, non-vacuous candidate set.
+_LS_WINDOW_US = 259_200_000_000  # 72 hours each side
+_LS_MIN_N = 5                    # require support on both sides
+_LS_THRESHOLD = 60.0             # |right mean - left mean| break size
 
 
 @register(

@@ -29,7 +29,14 @@ from spanner_jdbc_converter_spark.operators import selection as sel
 from spanner_jdbc_converter_spark.operators import similarity as sim
 from spanner_jdbc_converter_spark.operators import text as tx
 from spanner_jdbc_converter_spark.operators import validate as vd
-from spanner_jdbc_converter_spark.plans.extensions import _STOPWORDS_SQL, _TOKS_SQL
+from spanner_jdbc_converter_spark.plans.extensions import (
+    _GRAMS_SQL,
+    _HASHES_SQL,
+    _STOPWORDS_SQL,
+    _TOKS_SQL,
+    _lsh_band_exprs_sql,
+    _minhash_sig_sql,
+)
 from spanner_jdbc_converter_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -624,3 +631,126 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_counts=False,
     )
     return out
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "pipeline_curate_report",
+    oracle=f"""
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id, source, text,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(coalesce(list_sum(list_transform({_TOKS_SQL},
+                  x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, text, n_tokens,
+             ROUND(
+               0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+             + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4, 1.0)
+             + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
+             6) AS quality
+      FROM f),
+    flt AS (SELECT * FROM q WHERE quality >= 0.3),
+    keep AS (SELECT {_NORM_SQL} AS fpr, MIN(doc_id) AS keeper
+             FROM flt GROUP BY 1),
+    exact AS (SELECT flt.* FROM flt
+              JOIN keep ON flt.doc_id = keep.keeper),
+    t2 AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM exact),
+    grams2 AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN {_GRAMS_SQL}
+                           ELSE [{_NORM_SQL}] END AS g
+               FROM t2),
+    hs2 AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams2),
+    sigs AS (SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS sig FROM hs2),
+    bands AS (SELECT doc_id, unnest([{_lsh_band_exprs_sql()}]) AS band_key FROM sigs),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS u, id_b AS v FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+               HAVING LEAST(u, MIN(v)) <> u),
+    near AS (SELECT * FROM exact
+             WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    t3 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM near),
+    dg AS (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+           FROM t3 WHERE len(t) >= 3),
+    bench_ids AS (SELECT doc_id FROM near WHERE source = 'src0'),
+    bgrams AS (SELECT DISTINCT gram FROM dg
+               WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+    cg AS (SELECT doc_id, gram FROM dg
+           WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)),
+    ov AS (SELECT cg.doc_id, COUNT(*) AS n, COUNT(b.gram) AS hit
+           FROM cg LEFT JOIN bgrams b ON cg.gram = b.gram
+           GROUP BY cg.doc_id),
+    contaminated AS (SELECT doc_id FROM ov
+                     WHERE ROUND(CAST(hit AS DOUBLE) / n, 6) > 0.5),
+    decon AS (SELECT * FROM near
+              WHERE source <> 'src0'
+                AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    selected AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM decon) WHERE cum <= 50000)
+    SELECT stage, n_rows FROM (
+      SELECT 'input' AS stage, (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows
+      UNION ALL SELECT 'quality_filter', (SELECT COUNT(*) FROM flt)
+      UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM exact)
+      UNION ALL SELECT 'near_dedup', (SELECT COUNT(*) FROM near)
+      UNION ALL SELECT 'decontaminated', (SELECT COUNT(*) FROM decon)
+      UNION ALL SELECT 'token_budget', (SELECT COUNT(*) FROM selected)
+      UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM selected)
+    )
+    """,
+)
+def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's per-stage row-count report as an
+    ORACLE-PAIRED frame — the strong check the rows-only
+    pipeline_curate_documents entry can't give: the oracle recomputes
+    every stage of the composition from first principles (profile
+    quality formula, fingerprint min-id dedup, the full
+    shingle→minhash→band LSH pipeline WITH the degenerate-doc fallback,
+    the transitive closure by recursive CTE, distinct-gram benchmark
+    overlap, and the global token-budget prefix sum) and must agree on
+    the size of every intermediate.  A hash match here certifies the
+    whole 8-stage composition end-to-end, stage by stage.
+
+    The packing stage preserves rows by construction
+    (tests/test_pipeline.py), so packed = token_budget in BOTH engines
+    — the oracle asserts that invariant too rather than replaying the
+    packer.  Scale: identical plan to pipeline_curate_documents plus
+    seven counts over persisted stage frames."""
+    from pyspark.sql import types as T2
+
+    from spanner_jdbc_converter_spark.pipeline import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = curate_documents(
+        docs,
+        benchmark_pred=F.col("source") == "src0",
+        token_budget=50_000,
+        pack_capacity=512,
+        with_counts=True,
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("stage", T2.StringType()),
+            T2.StructField("n_rows", T2.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(k, v) for k, v in report.stages.items()], schema
+    )

@@ -615,9 +615,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.35 — fixture embeddings are
     near-orthogonal random vectors, max pairwise cosine ≈ 0.48, so this
-    threshold yields a small non-trivial pair set)."""
+    threshold yields a small non-trivial pair set).
+
+    This is the brute-force CROSS-CHECK kernel (SURVEY.md §7.4); the
+    registered scale path is sim_embedding_near_pairs_lsh below."""
     e = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_near_pairs(e, threshold=0.35)
+
+
+@register(
+    "sim_embedding_near_pairs_lsh",
+    oracle=f"""
+    WITH keyed AS (SELECT vec_id, unnest([{_ann_bucket_sql()}]) AS bucket
+                   FROM embeddings),
+         cand AS (SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+                  FROM keyed ka JOIN keyed kb USING (bucket)
+                  WHERE ka.vec_id < kb.vec_id)
+    SELECT id_a, id_b, ROUND({_COS_SQL}, 6) AS cosine
+    FROM cand
+    JOIN embeddings a ON a.vec_id = id_a
+    JOIN embeddings b ON b.vec_id = id_b
+    WHERE ROUND({_COS_SQL}, 6) >= 0.35
+    """,
+)
+def sim_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-pruned — the SCALE path for
+    threshold pairing: only pairs sharing a random-hyperplane bucket
+    (8 tables × 4 planes, the same md5-seeded hyperplanes as
+    sim_lsh_ann_topk) are scored, bucket-locally in numpy, so the N²
+    pair space never materializes.  The oracle replays the hyperplanes,
+    bucketing, and candidate rule in SQL, so even the approximate pair
+    set is hash-checked value-for-value."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_near_pairs_lsh(e, threshold=0.35, tables=8, planes=4, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -980,3 +1010,75 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mm.decode_pgm_features(mm.attach_pgm_payload(d))
+
+
+@register(
+    "multimodal_video_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 16 + 2 * (doc_id % 8) AS w, 12 + 2 * (doc_id % 5) AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    sampled AS (
+      SELECT b.*, g.f FROM base b,
+           LATERAL (SELECT unnest(generate_series(0, b.nf - 1)) AS f) g
+      WHERE g.f % 2 = 0
+    ),
+    px AS (
+      SELECT s.doc_id, s.f, s.w, s.h, s.nf, gx.x, gy.y,
+             (s.doc_id * 7 + s.f * 11 + gx.x * 13 + gy.y * 31) % 256 AS p
+      FROM sampled s,
+           LATERAL (SELECT unnest(generate_series(0, s.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, s.h - 1)) AS y) gy
+    ),
+    agg AS (
+      SELECT doc_id, f, MAX(nf) AS n_frames, MAX(w) AS width, MAX(h) AS height,
+             ROUND(CAST(SUM(p) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_px,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(((doc_id * 7 + f * 11 + (x + 1) * 13 + y * 31) % 256) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM px GROUP BY doc_id, f
+    ),
+    thumb AS (
+      SELECT s.doc_id, s.f,
+             CAST(SUM((((s.doc_id * 7 + s.f * 11 + (2 * t.tx) * 13 + (2 * t.ty) * 31) % 256)
+                 + ((s.doc_id * 7 + s.f * 11 + (2 * t.tx + 1) * 13 + (2 * t.ty) * 31) % 256)
+                 + ((s.doc_id * 7 + s.f * 11 + (2 * t.tx) * 13 + (2 * t.ty + 1) * 31) % 256)
+                 + ((s.doc_id * 7 + s.f * 11 + (2 * t.tx + 1) * 13 + (2 * t.ty + 1) * 31) % 256))
+                 // 4 * (t.tx + 1) * (t.ty + 1)) AS BIGINT) AS thumb_checksum
+      FROM sampled s,
+           LATERAL (
+             SELECT gx.tx, gy.ty
+             FROM (SELECT unnest(generate_series(0, s.w // 2 - 1)) AS tx) gx,
+                  (SELECT unnest(generate_series(0, s.h // 2 - 1)) AS ty) gy
+           ) t
+      GROUP BY s.doc_id, s.f
+    )
+    SELECT a.doc_id, a.f AS frame_index, a.n_frames, a.width, a.height,
+           a.mean_px, a.grad_energy, t.thumb_checksum
+    FROM agg a JOIN thumb t ON a.doc_id = t.doc_id AND a.f = t.f
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: deterministic grayscale clips are
+    encoded as genuine YUV4MPEG2 streams (C400 luma-only frames), walked
+    BACK through a real container parse (stream-header tokens,
+    FRAME-delimited planes), frame-sampled at stride 2, and each sampled
+    frame reduced to mean brightness, gradient energy, and the exact
+    2×2-block-average thumbnail checksum
+    (operators/multimodal.py::attach_y4m_payload/decode_y4m_features).
+    This retires the last multimodal stub — audio (WAV), image (PGM),
+    and video (Y4M) all round-trip real containers now; only compressed
+    codecs remain behind the decode_media production hook.
+
+    The oracle replays the per-frame pixel formula from first
+    principles — it never sees the container bytes — so a hash match
+    proves the header parse, frame walk, plane decode, sampling rule,
+    and downsample arithmetic are all exact.  Scale: Arrow-batched
+    mapInPandas both ways; one input row explodes to one row per
+    sampled frame (the generator shape of a real video pipeline)."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_y4m_features(mm.attach_y4m_payload(d), frame_stride=2)

@@ -393,24 +393,32 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, CAST(ROUND(rev, 2) AS DOUBLE) AS part_revenue
     FROM pr
-    WHERE rev * 1000 > (SELECT SUM(rev) FROM pr)
+    WHERE rev * (SELECT COUNT(*) FROM pr) * 2 > 3 * (SELECT SUM(rev) FROM pr)
     ORDER BY part_revenue DESC, l_partkey
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): parts whose revenue exceeds
-    0.1% of total revenue — HAVING against a global-total scalar
-    subquery.  The fraction test is rearranged to exact decimal
-    arithmetic (rev·1000 > total) so no engine divides.
+    1.5x the MEAN per-part revenue — HAVING against a global-total
+    scalar subquery.  TPC-H's fixed "0.1% of total" fraction divides
+    by part COUNT implicitly, so it vanishes as SF grows (at sf0.1 the
+    top part holds <0.01% of total); the mean-relative form is
+    scale-invariant and keeps the query non-vacuous at every fixture
+    SF (probed: 2/29/252 rows at sf0.001/0.01/0.1).  The fraction test
+    is rearranged to exact decimal arithmetic (rev·n·2 > 3·total) so
+    no engine divides.
 
-    Scale: one groupBy(partkey) shuffle; the global total is a one-row
-    broadcast joined to every group — no second pass over lineitem."""
+    Scale: one groupBy(partkey) shuffle; the global (total, n) is a
+    one-row broadcast joined to every group — no second pass over
+    lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev"))
-    total = pr.agg(F.sum("rev").alias("total_rev"))
+    total = pr.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         pr.crossJoin(F.broadcast(total))
-        .filter(F.col("rev") * 1000 > F.col("total_rev"))
+        .filter(F.col("rev") * F.col("n_parts") * 2 > F.col("total_rev") * 3)
         .select("l_partkey", F.round("rev", 2).cast("double").alias("part_revenue"))
         .orderBy(F.desc("part_revenue"), F.asc("l_partkey"))
     )
@@ -712,17 +720,21 @@ def q16_supplier_counts_excluding(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     WHERE p_name LIKE '%blue%'
-      AND supp_qty * 2 > part_qty
+      AND supp_qty * 6 > part_qty
     GROUP BY s_suppkey, s_name
     ORDER BY s_suppkey
     """,
 )
 def q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion): suppliers who shipped
-    more than half of a blue part's total volume, with how many such
+    more than a sixth of a blue part's total volume, with how many such
     parts each dominates.  The original's nested agg-subquery chain
     (availqty > 0.5·Σqty) is the two-level aggregate + fraction
-    comparison kept here, rearranged to exact decimal (qty·2 > total).
+    comparison kept here, rearranged to exact decimal (qty·6 > total);
+    the dominance fraction is 1/6 rather than TPC-H's 1/2 because the
+    fixture spreads each part across enough suppliers that no one holds
+    half (probed: 1/2 and 1/4 both yield 0 suppliers at sf0.01, 1/6
+    yields 10/2/6 at sf0.001/0.01/0.1 — non-vacuous at every SF).
 
     Scale: both aggregates group on l_partkey-prefixed keys, so the
     second reuses the first's shuffle partitioning; part filters before
@@ -739,7 +751,7 @@ def q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ship.join(part_tot, ship.l_partkey == part_tot.pt_partkey)
         .join(F.broadcast(p), ship.l_partkey == p.p_partkey)
-        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
         .join(F.broadcast(s), ship.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_significant_parts"))

@@ -306,6 +306,7 @@ def upsert_stream_to_jdbc(
     pk_cols: list[str],
     checkpoint_dir: str,
     driver: str | None = None,
+    order_col: str | None = None,
 ):
     """Streaming merge/upsert into a LIVE JDBC destination — the CDC
     bridge between the streaming layer and the converter's JDBC side:
@@ -317,12 +318,27 @@ def upsert_stream_to_jdbc(
     the same batch re-MERGEs identical rows into identical state — the
     same idempotence argument as the parquet sink above, but with the
     destination database's own atomicity guarding each merge (no swap
-    dance needed).  The first batch creates the destination directly.
-    MERGE is ANSI (Derby ≥10.11, PostgreSQL ≥15, Spanner-compatible
-    engines expose equivalent mutations); per-dialect upsert SQL would
-    slot in here.
+    dance needed).  For that argument to hold, the intra-batch survivor
+    per key must be DETERMINISTIC: ``dropDuplicates`` keeps an
+    arbitrary row, so a replay could merge a different payload than the
+    original run.  Instead each key keeps the row with the greatest
+    (``order_col``, non-pk-columns) struct — last-writer-wins when an
+    ordering column is given, and a stable canonical tiebreak either
+    way, independent of partitioning (requires orderable column types,
+    which JDBC-writable schemas are).  The first batch creates the
+    destination directly.  MERGE is ANSI (Derby ≥10.11, PostgreSQL ≥15,
+    Spanner-compatible engines expose equivalent mutations);
+    per-dialect upsert SQL would slot in here.
+
+    The staging table name carries a checkpoint-derived tag + batch id,
+    so concurrent streams upserting the same destination cannot clobber
+    each other mid-MERGE, and a crash between MERGE and DROP leaves a
+    uniquely-named leftover that the batch replay itself re-creates
+    (write_jdbc drops any existing staging first) and then drops.
 
     Returns the started StreamingQuery (caller awaits termination)."""
+    import hashlib
+
     from spanner_jdbc_converter_spark.converter import (
         _jdbc_connection,
         list_jdbc_tables,
@@ -330,12 +346,42 @@ def upsert_stream_to_jdbc(
     from spanner_jdbc_converter_spark.copy import write_jdbc
     from spanner_jdbc_converter_spark.modes import ConvertMode
 
-    staging = f"{table}_STAGE"
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8].upper()
+
+    def _dedup_last_wins(batch_df: DataFrame) -> DataFrame:
+        cols = batch_df.columns
+        rank_cols = [c for c in ([order_col] if order_col else []) if c in cols]
+        rank_cols += [c for c in cols if c not in pk_cols and c not in rank_cols]
+        if not rank_cols:  # pk-only schema: rows are identical per key
+            return batch_df.dropDuplicates(pk_cols)
+        winner = F.max(F.struct(*rank_cols)).alias("__w")
+        return (
+            batch_df.groupBy(*pk_cols)
+            .agg(winner)
+            .select(*pk_cols, *[F.col(f"__w.{c}").alias(c) for c in rank_cols])
+            .select(*cols)
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(pk_cols)
+        batch = _dedup_last_wins(batch_df)
+        staging = f"{table}_STAGE_{ck_tag}_{batch_id}"
         existing = {t.lower() for t in list_jdbc_tables(spark, url, driver=driver)}
+        # drop stale staging tables from THIS stream's lineage (crash
+        # between MERGE and DROP in an earlier batch) — other streams'
+        # tags are never touched
+        stale_prefix = f"{table}_STAGE_{ck_tag}_".lower()
+        stale = [
+            t for t in existing
+            if t.startswith(stale_prefix) and t != staging.lower()
+        ]
+        if stale:
+            conn = _jdbc_connection(spark, url, driver)
+            try:
+                for t in stale:
+                    conn.createStatement().executeUpdate(f"DROP TABLE {t}")
+            finally:
+                conn.close()
         if table.lower() not in existing:
             write_jdbc(batch, url, table, mode=ConvertMode.DROP_AND_RECREATE, driver=driver)
             return

@@ -208,3 +208,47 @@ class TestSessionizationProperty:
                 prev[r.user_id] = r
 
         check()
+
+
+class TestLevelShiftDetect:
+    """Synthetic-changepoint coverage for events_level_shift_detect —
+    the fixture-scale oracle row proves parity but (pre-r6) compared
+    empty sets; this injects a known break and asserts detection."""
+
+    def _write_events(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            [
+                Row(user_id=u, event_id=i, ts=t, value=v)
+                for i, (u, t, v) in enumerate(rows)
+            ]
+        ).select("user_id", "event_id", "ts", "value")
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    def test_detects_injected_step(self, spark, tmp_path):
+        from spanner_jdbc_converter_spark.plans.behavior import (
+            events_level_shift_detect,
+        )
+
+        # One event every 12 h → ±72 h windows hold 6-7 events each side.
+        # Values step 10.0 → 100.0 at event #10: shift ≈ +90 > threshold 60.
+        rows = [
+            (1, T0 + dt.timedelta(hours=12 * i), 10.0 if i < 10 else 100.0)
+            for i in range(20)
+        ]
+        # A flat control user must contribute nothing.
+        rows += [(2, T0 + dt.timedelta(hours=12 * i), 42.0) for i in range(20)]
+        self._write_events(spark, tmp_path, rows)
+        out = events_level_shift_detect(spark, str(tmp_path)).collect()
+        assert out, "injected step not detected"
+        assert all(r.user_id == 1 for r in out)
+        break_rows = [r for r in out if r.event_id == 10]
+        assert break_rows and abs(break_rows[0].shift - 90.0) < 1e-6
+
+    def test_constant_series_silent(self, spark, tmp_path):
+        from spanner_jdbc_converter_spark.plans.behavior import (
+            events_level_shift_detect,
+        )
+
+        rows = [(1, T0 + dt.timedelta(hours=6 * i), 5.0) for i in range(40)]
+        self._write_events(spark, tmp_path, rows)
+        assert events_level_shift_detect(spark, str(tmp_path)).count() == 0

@@ -253,3 +253,42 @@ def test_streaming_upsert_into_live_jdbc(spark, sf_dir, tmp_path):
     q2.awaitTermination()
     again = {r.k: (r.v, r.batch) for r in cp.read_jdbc(spark, url, "cdc_t", driver=DRV).collect()}
     assert again == got  # replay is idempotent
+
+
+def test_streaming_upsert_intra_batch_conflicts_deterministic(spark, tmp_path):
+    """Multiple rows with the SAME key inside ONE micro-batch must
+    resolve deterministically — greatest order_col wins (ADVICE r5:
+    dropDuplicates kept an arbitrary survivor, breaking the replay
+    idempotence argument)."""
+    from pyspark.sql import types as T
+
+    from spanner_jdbc_converter_spark.streaming.ops import upsert_stream_to_jdbc
+
+    url = _url(tmp_path)
+    in_dir = str(tmp_path / "in")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    rows = [(k, f"v{k}-{ver}", ver) for k in range(4) for ver in (3, 1, 2)]
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(
+        in_dir + "/f1.parquet"
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+
+    q = upsert_stream_to_jdbc(
+        _stream(), url, "cflct_t", ["k"], str(tmp_path / "ck"), driver=DRV,
+        order_col="ver",
+    )
+    q.awaitTermination()
+    got = {r.k: (r.v, r.ver) for r in cp.read_jdbc(spark, url, "cflct_t", driver=DRV).collect()}
+    assert got == {k: (f"v{k}-3", 3) for k in range(4)}

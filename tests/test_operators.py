@@ -804,3 +804,105 @@ def test_pgm_decode_known_image(spark):
     assert r.grad_energy == 10 * 3 * 2  # |Δ|=10 across 3 steps x 2 rows
     # thumbnail blocks: (0+10+40+50)//4=25, (20+30+60+70)//4=45
     assert r.thumb_checksum == 25 * 1 * 1 + 45 * 2 * 1
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """LSH-pruned threshold pairs must emit a SUBSET of the exact pairs
+    (identical cosines on the pairs it keeps — same fold order) with
+    recall bounded below: 8 tables × 4 planes on the fixture's
+    near-orthogonal vectors collides ≳60% of true θ≈69° pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_near_pairs(e, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_near_pairs_lsh(e, threshold=0.35).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    assert len(lsh) >= 0.6 * len(exact)
+
+
+def test_y4m_round_trip_known_values(spark):
+    """Hand-computed check on one tiny clip: encode → container walk →
+    per-frame features, validated against a direct numpy recompute."""
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    out = (
+        mm.decode_y4m_features(mm.attach_y4m_payload(df), frame_stride=2)
+        .orderBy("frame_index")
+        .collect()
+    )
+    w, h, n, planes = mm._synth_video(3)
+    assert [r.frame_index for r in out] == list(range(0, n, 2))
+    for r in out:
+        px = planes[r.frame_index]
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.mean_px == round(sum(px) / (w * h), 6)
+        grad = sum(
+            abs(px[y * w + x + 1] - px[y * w + x])
+            for y in range(h)
+            for x in range(w - 1)
+        )
+        assert r.grad_energy == grad
+
+
+def test_y4m_walker_rejects_malformed(spark):
+    """The container walk raises explicit ValueErrors — wrong magic,
+    non-grayscale colorspace, truncated frame plane."""
+    w, h, _n, planes = mm._synth_video(1)
+    good = mm._y4m_bytes(w, h, planes)
+
+    def decode_one(payload):
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        return mm.decode_y4m_features(df).collect()
+
+    assert decode_one(good)
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        decode_one(b"JUNK\n" + good)
+    with pytest.raises(Exception, match="C400"):
+        decode_one(good.replace(b"C400", b"C420"))
+    with pytest.raises(Exception, match="truncated"):
+        decode_one(good[:-5])
+
+
+def test_wav_decode_degenerate_frames(spark):
+    """0- and 1-sample WAVs must decode to zeroed features, not divide
+    by zero (ADVICE r5)."""
+    import io
+    import struct
+    import wave
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(mm.WAV_RATE)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [(0, wav_of([])), (1, wav_of([1000]))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in mm.decode_wav_features(df).collect()}
+    assert (rows[0].n_samples, rows[0].rms, rows[0].zcr) == (0, 0.0, 0.0)
+    assert (rows[1].n_samples, rows[1].rms, rows[1].zcr) == (1, 1000.0, 0.0)
+
+
+def test_pgm_decode_rejects_malformed(spark):
+    """Malformed PGM payloads raise explicit ValueErrors (not bare
+    asserts — survives python -O; ADVICE r5)."""
+    w, h, px = mm._synth_image(2)
+    good = mm._pgm_bytes(w, h, px)
+
+    def decode_one(payload):
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        return mm.decode_pgm_features(df).collect()
+
+    assert decode_one(good)
+    with pytest.raises(Exception, match="P5"):
+        decode_one(b"P6" + good[2:])
+    with pytest.raises(Exception, match="truncated"):
+        decode_one(good[:-3])

@@ -293,3 +293,16 @@ def test_percent_rank_scalable_distributes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the data-side rank window must carry the band in its partition key
     assert "band" in plan
+
+
+def test_embedding_lsh_pairs_prunes_pair_space(spark, sf_dir):
+    """The LSH-prefiltered threshold-pair path must never materialize
+    the N² pair space: no cartesian / nested-loop join anywhere, and
+    the only exchange before scoring is the groupBy(bucket) shuffle."""
+    plan = _plan(spark, "sim_embedding_near_pairs_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one corpus scan feeds the bucket packing — the exact kernel's
+    # two-sided block cross join would scan twice
+    head = plan.split("\n\n")[0]
+    assert head.count("Scan parquet") == 1

@@ -97,3 +97,72 @@ def test_sessionization_at_10x_events(spark):
     wall = time.time() - t0
     assert total_events == ev.count() * COPIES  # every event in exactly one session
     assert wall < 120, f"sessionization at 10x took {wall:.0f}s"
+
+
+def test_connected_groups_deep_components_at_scale(spark):
+    """Connected components on a synthetic graph with DEEP chains —
+    the shape that breaks naive propagation: 2,000 chains × depth 64
+    (128k nodes) plus 10k star clusters.  Pointer jumping must close
+    the depth in O(log d) rounds; naive min-label would need 64."""
+    from spanner_jdbc_converter_spark.operators.dedup import connected_groups
+
+    chains = (
+        spark.range(2_000)
+        .crossJoin(spark.range(63).withColumnRenamed("id", "step"))
+        .select(
+            (F.col("id") * 1_000_000 + F.col("step")).alias("id_a"),
+            (F.col("id") * 1_000_000 + F.col("step") + 1).alias("id_b"),
+        )
+    )
+    STAR_BASE = 10_000_000_000  # disjoint from every chain id (< 2e9)
+    stars = (
+        spark.range(10_000)
+        .crossJoin(spark.range(1, 5).withColumnRenamed("id", "leaf"))
+        .select(
+            (F.lit(STAR_BASE) + F.col("id") * 100).alias("id_a"),
+            (F.lit(STAR_BASE) + F.col("id") * 100 + F.col("leaf")).alias("id_b"),
+        )
+    )
+    t0 = time.time()
+    groups = connected_groups(chains.unionByName(stars))
+    n_groups = groups.select("group_id").distinct().count()
+    n_nodes = groups.count()
+    wall = time.time() - t0
+    assert n_groups == 2_000 + 10_000
+    assert n_nodes == 2_000 * 64 + 10_000 * 5
+    # every chain head (id ≡ 0 mod 1e6) is its own group's label
+    bad = groups.filter(
+        (F.col("doc_id") < STAR_BASE)
+        & (F.col("doc_id") % 1_000_000 == 0)
+        & (F.col("doc_id") != F.col("group_id"))
+    )
+    assert bad.count() == 0
+    assert wall < 300, f"connected components at scale took {wall:.0f}s"
+
+
+def test_curation_pipeline_at_10x(spark):
+    """The full 8-stage curation pipeline at 10× sf0.1 volume: must
+    complete inside the envelope with its cross-stage invariants
+    intact (selection within budget, packed rows = selected rows)."""
+    from spanner_jdbc_converter_spark.pipeline import curate_documents
+
+    docs = _scaled_docs(spark)
+    t0 = time.time()
+    out, report = curate_documents(
+        docs,
+        benchmark_pred=F.col("source") == "src0",
+        token_budget=50_000,
+        pack_capacity=512,
+        with_counts=True,
+    )
+    n_packed = out.count()
+    wall = time.time() - t0
+    assert report.stages["packed"] == n_packed
+    assert report.stages["token_budget"] == n_packed
+    assert n_packed > 0
+    # monotone stage counts: each filter/dedup stage only shrinks
+    order = ["input", "quality_filter", "exact_dedup", "near_dedup",
+             "decontaminated", "token_budget"]
+    counts = [report.stages[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert wall < 600, f"curation pipeline at 10x took {wall:.0f}s"
