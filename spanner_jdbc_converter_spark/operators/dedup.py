@@ -784,3 +784,53 @@ def embedding_near_pairs_lsh(
         .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def verified_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    ngram: int = 3,
+) -> DataFrame:
+    """The production near-dedup VERIFY stage: MinHash-LSH candidate
+    pairs re-scored with EXACT n-gram Jaccard, keeping only pairs at or
+    above ``threshold`` — LSH recalls candidates cheaply, the exact
+    verify kills its false positives, and downstream grouping
+    (connected_groups) then runs on certified-similar pairs only.
+
+    Scale shape: the candidate set (not the corpus²) drives all cost —
+    per-doc DISTINCT gram sets join to candidates BY ID, the
+    intersection count is one (id-pair, gram)-keyed aggregation, and
+    set sizes ride a broadcastable per-doc count frame.  Jaccard is a
+    single division of exact integers — bit-identical across engines,
+    left unrounded (same discipline as jaccard_pairs).
+
+    Output: id_a, id_b, jaccard (≥ threshold)."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
+    grams = shingle_rows(
+        df, text_col, id_col, ngram, fallback_to_text=False
+    ).dropDuplicates([id_col, "__s"])
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__s"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__s"))
+    inter = (
+        cand.join(ga, on="id_a")
+        .join(gb, on=["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__nb"))
+    jac = F.col("__inter").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

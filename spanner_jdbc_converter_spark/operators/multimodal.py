@@ -603,3 +603,100 @@ def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixture-borne media store — the decode entries above synthesize their
+# payloads inside the query plan; a 100 TB store keeps media as BinaryType
+# parquet columns on disk and scans them.  media_store() materializes the
+# deterministic WAV/PGM/Y4M payloads ONCE per (fixture, repo) into a local
+# parquet table keyed by doc_id, so decode paths can exercise the real
+# storage shape: payload columns read from disk, row-group columnar, never
+# touched by plans that don't decode.
+# ---------------------------------------------------------------------------
+
+
+def media_store_path(sf_dir: str) -> str:
+    """Repo-local cache path for the derived media parquet of one fixture
+    (override root with SPARK_GRAFT_MEDIA_STORE)."""
+    import os
+
+    root = os.environ.get(
+        "SPARK_GRAFT_MEDIA_STORE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".media_store"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(root, tag, "media.parquet")
+
+
+def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
+    y4m_payload — all BinaryType), materializing it on first use.
+
+    The payloads are the same deterministic doc_id-derived containers the
+    attach_* helpers synthesize, so every decode oracle stays valid; the
+    difference is purely the storage shape — after the one-time build,
+    decode queries SCAN binary columns the way a production media lake
+    would (column pruning keeps them out of non-decode plans).  The
+    build writes to a temp dir and renames, so concurrent first callers
+    race benignly."""
+    import os
+    import shutil
+    import uuid
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+
+    path = media_store_path(sf_dir)
+    if not os.path.isdir(path):
+
+        def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            def wav(d):
+                return _wav_bytes(_synth_samples(int(d)))
+
+            def pgm(d):
+                return _pgm_bytes(*_synth_image(int(d)))
+
+            def y4m(d):
+                w, h, _n, planes = _synth_video(int(d))
+                return _y4m_bytes(w, h, planes)
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "wav_payload": pdf["doc_id"].map(wav),
+                        "pgm_payload": pdf["doc_id"].map(pgm),
+                        "y4m_payload": pdf["doc_id"].map(y4m),
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("wav_payload", T.BinaryType()),
+                T.StructField("pgm_payload", T.BinaryType()),
+                T.StructField("y4m_payload", T.BinaryType()),
+            ]
+        )
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .mapInPandas(run, schema)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race — another writer landed it first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
+    """(doc_id, payload) projection of ONE media column from the store —
+    the scan a decode query starts from."""
+    col = {"wav": "wav_payload", "pgm": "pgm_payload", "y4m": "y4m_payload"}[kind]
+    return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))

@@ -214,3 +214,38 @@ def banded_rank(
         .withColumn("_rk", F.col("_off") + F.row_number().over(w_in))
         .drop("_band", "_off")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed_tag: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep at most ``cap`` rows
+    per group, chosen by portable md5 hash order (ties broken by id) —
+    the "cap the over-represented source" curation stage.  Unlike
+    ``ORDER BY rand() LIMIT`` it is reproducible across runs, engines,
+    and partitionings.
+
+    Scale: routed through :func:`banded_rank`, so a billion-row group
+    never sorts in one task — ranks come from 64 hash bands with
+    broadcast offsets; the only data exchange is the (group, band)
+    window shuffle.  The kept set is a uniform hash sample of each
+    group (the hash is uncorrelated with any attribute), so capping
+    does not bias within-group distributions."""
+    key = md5_long(
+        F.concat(
+            F.lit(f"{seed_tag}:"),
+            F.col(group_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    t = df.withColumn("_ck", key)
+    return (
+        banded_rank(t, [group_col], "_ck", id_col)
+        .filter(F.col("_rk") <= cap)
+        .drop("_ck", "_rk")
+    )

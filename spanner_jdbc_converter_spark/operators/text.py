@@ -330,3 +330,69 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_from_tokens(toks).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus: every token with at
+    least ``min_count`` occurrences, assigned a contiguous 1-based id
+    by (count DESC, token ASC) — the word→id table an LLM tokenizer
+    training step starts from.
+
+    Scale: the global frequency rank is computed WITHOUT a
+    single-partition window — tokens band by count bit-length (band =
+    len(bin(count)), monotone in count, ≤ 64 bands), per-band offsets
+    come from a metadata-sized count frame, and the within-band
+    row_number partitions by band.  A billion-token vocabulary ranks
+    with the same plan shape.
+
+    Output: token, n_occurrences, token_id."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    t = counts.withColumn("_band", F.length(F.bin(F.col("n_occurrences"))))
+    band_counts = t.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy(F.desc("_band")).rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ 64 rows: metadata-scale window
+    offsets = band_counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).select("_band", "_off")
+    w_in = Window.partitionBy("_band").orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    return (
+        t.join(F.broadcast(offsets), "_band")
+        .withColumn("token_id", F.col("_off") + F.row_number().over(w_in))
+        .drop("_band", "_off")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents against a built vocabulary: one output row per
+    in-vocabulary token occurrence — (doc_id, pos, token_id), pos
+    1-based over the document's token stream (out-of-vocabulary tokens
+    drop, the standard min-count tokenizer behavior).
+
+    Scale: explode + hash join on the token key; the vocab side shuffles
+    once and is far smaller than the corpus (broadcast when it fits —
+    left to the optimizer/AQE, which sees its real size)."""
+    et = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__p", "token")
+    ).select(F.col(id_col), (F.col("__p") + 1).alias("pos"), "token")
+    return et.join(vocab.select("token", "token_id"), on="token").select(
+        id_col, "pos", "token_id"
+    )

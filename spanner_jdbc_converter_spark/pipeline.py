@@ -40,13 +40,50 @@ from spanner_jdbc_converter_spark.operators import text as tx
 
 @dataclass
 class PipelineReport:
-    """Row counts after each stage (empty when ``with_counts=False``)."""
+    """Row counts after each stage (empty when ``with_counts=False``).
+
+    Two counting modes:
+    * eager (``with_counts=True``): ``record`` counts each stage as the
+      pipeline builds — one Spark job per stage, counts available
+      immediately.
+    * lazy (``with_counts="lazy"``): ``observe`` attaches a COUNT
+      metric to each stage frame instead; every count then rides the
+      ONE action that materializes the pipeline (no extra jobs — the
+      observed nodes are already in the executed plan).  Call
+      ``resolve()`` after that action to populate ``stages``.
+    ``persisted`` collects the stage frames cached by curate_documents
+    so a caller that fully consumed the pipeline can release them.
+    """
 
     stages: dict[str, int] = field(default_factory=dict)
+    persisted: list[DataFrame] = field(default_factory=list)
+    _pending: list = field(default_factory=list)
 
     def record(self, name: str, df: DataFrame, enabled: bool) -> None:
         if enabled:
             self.stages[name] = df.count()
+
+    def observe(self, name: str, df: DataFrame) -> DataFrame:
+        """Wrap ``df`` with a row-count observation; the RETURNED frame
+        must be the one consumed downstream or the metric never fires."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self._pending.append((name, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def resolve(self) -> None:
+        """Read all pending observations (blocks until the action that
+        materialized the pipeline has completed them)."""
+        for name, obs in self._pending:
+            self.stages[name] = obs.get["n"]
+        self._pending.clear()
+
+    def release(self) -> None:
+        """Unpersist every stage frame the pipeline cached."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 def train_val_test(id_col: Column, val_pct: int = 10, test_pct: int = 10) -> Column:
@@ -73,7 +110,7 @@ def curate_documents(
     token_budget: int = 50_000,
     pack_capacity: int = 512,
     pack_shards: int = 16,
-    with_counts: bool = True,
+    with_counts: bool | str = True,
     persist_stages: bool = True,
 ) -> tuple[DataFrame, PipelineReport]:
     """Run the full curation pipeline; returns (packed frame, report).
@@ -82,32 +119,52 @@ def curate_documents(
     assignment and packing coordinates: (lang, split, shard, doc_id,
     n_tokens, bin_idx, bin_fill).
 
+    ``with_counts``: True = eager per-stage count jobs; ``"lazy"`` =
+    every stage count rides the ONE action that materializes the
+    pipeline as an observed metric (call ``report.resolve()`` after
+    that action — see PipelineReport); False = no counts, fully lazy.
+
     ``persist_stages`` caches the multiply-consumed stage frames
     (``exact`` feeds both the LSH pair generation and the survivor
     join; ``near`` feeds the overlap probe, the decontamination filter,
     and selection) with MEMORY_AND_DISK — without it the lazy plan
     re-derives the tokenizer/fingerprint subtree once per consumer.
     Disk-backed, so safe at scale; disable to keep the pipeline one
-    fully lazy plan with zero cached state.
+    fully lazy plan with zero cached state.  In lazy-counts mode the
+    observation wraps each frame BEFORE its persist, so the metric node
+    lives inside the cached plan and fires exactly once (block-level
+    cache locking computes each cached partition once even with
+    concurrent consumers).
     """
     from pyspark import StorageLevel
 
+    lazy_counts = with_counts == "lazy"
+
     def staged(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist_stages else df
+        if not persist_stages:
+            return df
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        report.persisted.append(out)
+        return out
+
+    def rec(name: str, df: DataFrame) -> DataFrame:
+        """Count hook: returns the frame downstream MUST consume."""
+        if lazy_counts:
+            return report.observe(name, df)
+        report.record(name, df, bool(with_counts))
+        return df
 
     report = PipelineReport()
-    report.record("input", docs, with_counts)
+    docs = rec("input", docs)
 
     # 1. profile: token/quality/lang features from ONE staged tokenizer.
     profiled = tx.document_profile(docs, text_col)
     # The profile features (tokenizer, quality, fingerprint) feed every
     # later stage — persist once here so no stage re-tokenizes.
-    flt = staged(profiled.filter(F.col("quality") >= quality_min))
-    report.record("quality_filter", flt, with_counts)
+    flt = staged(rec("quality_filter", profiled.filter(F.col("quality") >= quality_min)))
 
     # 2. exact dedup on normalized-content fingerprint (min-id keeper).
-    exact = staged(dd.fingerprint_dedup(flt, text_col, id_col))
-    report.record("exact_dedup", exact, with_counts)
+    exact = staged(rec("exact_dedup", dd.fingerprint_dedup(flt, text_col, id_col)))
 
     # 3. near-dedup: LSH candidates → connected components → keep the
     #    min-id representative of every near-dup group.
@@ -116,8 +173,7 @@ def curate_documents(
     losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    near = staged(exact.join(losers, id_col, "left_anti"))
-    report.record("near_dedup", near, with_counts)
+    near = staged(rec("near_dedup", exact.join(losers, id_col, "left_anti")))
 
     # 4. decontamination: drop documents overlapping the benchmark set.
     if benchmark_pred is not None:
@@ -126,15 +182,17 @@ def curate_documents(
             F.col("overlap_frac") > overlap_max
         ).select(id_col)
         near = staged(
-            near.filter(~benchmark_pred).join(contaminated, id_col, "left_anti")
+            rec(
+                "decontaminated",
+                near.filter(~benchmark_pred).join(contaminated, id_col, "left_anti"),
+            )
         )
-        report.record("decontaminated", near, with_counts)
 
     # 5. token-budget selection (quality DESC, id ASC — banded prefix sum).
-    selected = sel.select_token_budget(
-        near, "quality", "n_tokens", id_col, token_budget
+    selected = rec(
+        "token_budget",
+        sel.select_token_budget(near, "quality", "n_tokens", id_col, token_budget),
     )
-    report.record("token_budget", selected, with_counts)
 
     # 6. deterministic split, then 7. per-(lang, split) sequence packing
     #    on the composite hash-sharded key.
@@ -158,5 +216,5 @@ def curate_documents(
         "bin_idx",
         "bin_fill",
     )
-    report.record("packed", out, with_counts)
+    out = rec("packed", out)
     return out, report

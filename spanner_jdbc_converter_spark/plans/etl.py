@@ -731,20 +731,25 @@ def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     The packing stage preserves rows by construction
     (tests/test_pipeline.py), so packed = token_budget in BOTH engines
     — the oracle asserts that invariant too rather than replaying the
-    packer.  Scale: identical plan to pipeline_curate_documents plus
-    seven counts over persisted stage frames."""
+    packer.  Scale: every stage count rides the ONE action that
+    materializes the pipeline as an observed metric
+    (with_counts="lazy") — zero extra count jobs — and the stage caches
+    are released before returning, so the entry is hermetic."""
     from pyspark.sql import types as T2
 
     from spanner_jdbc_converter_spark.pipeline import curate_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    _, report = curate_documents(
+    out, report = curate_documents(
         docs,
         benchmark_pred=F.col("source") == "src0",
         token_budget=50_000,
         pack_capacity=512,
-        with_counts=True,
+        with_counts="lazy",
     )
+    out.write.format("noop").mode("overwrite").save()
+    report.resolve()
+    report.release()
     schema = T2.StructType(
         [
             T2.StructField("stage", T2.StringType()),
@@ -754,3 +759,29 @@ def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, v) for k, v in report.stages.items()], schema
     )
+
+
+_CAP_KEY_SQL = md5_long_sql("concat('cap:', source, ':', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "select_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_CAP_KEY_SQL}, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rk <= 15
+    """,
+)
+def select_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤15 docs/source by portable md5-hash
+    order) — the "downsample the over-represented source" curation
+    stage.  Deterministic across runs/engines, and a uniform hash
+    sample within each group so capping doesn't bias the kept
+    distribution.  The oracle's per-group window is the semantic spec;
+    the Spark side routes through banded_rank so no group ever sorts in
+    one task (operators/selection.py::per_group_cap)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sel.per_group_cap(d, "source", "doc_id", 15).select("doc_id", "source")

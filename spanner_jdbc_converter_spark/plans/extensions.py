@@ -940,13 +940,17 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula from first principles, so a hash match proves the Python
     encode → container-parse → decode round trip is lossless AND the
     feature math is engine-exact (integer Σs² and crossing counts; one
-    sqrt/division each, rounded to 6).  Scale: Arrow-batched
-    mapInPandas both ways, constant memory per task.
-    """
+    sqrt/division each, rounded to 6).
+
+    The payloads are FIXTURE-BORNE: read from the BinaryType column of
+    the materialized media store parquet (mm.media_store — built once
+    per fixture from the same deterministic formula), so the decode
+    scans stored bytes the way a production media lake would rather
+    than synthesizing them inside the plan.  Scale: Arrow-batched
+    mapInPandas, constant memory per task."""
     from spanner_jdbc_converter_spark.operators import multimodal as mm
 
-    d = load_table(spark, sf_dir, "documents")
-    return mm.decode_wav_features(mm.attach_wav_payload(d))
+    return mm.decode_wav_features(mm.payload_view(spark, sf_dir, "wav"))
 
 
 @register(
@@ -1004,12 +1008,12 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the pixel formula from first principles — it
     never sees the image bytes — so a hash match proves the header
     parse, raster decode, and downsample arithmetic are all exact.
-    Scale: Arrow-batched mapInPandas both ways.
-    """
+    Payloads are fixture-borne (BinaryType column scanned from the
+    materialized media store parquet, see multimodal_wav_decode).
+    Scale: Arrow-batched mapInPandas."""
     from spanner_jdbc_converter_spark.operators import multimodal as mm
 
-    d = load_table(spark, sf_dir, "documents")
-    return mm.decode_pgm_features(mm.attach_pgm_payload(d))
+    return mm.decode_pgm_features(mm.payload_view(spark, sf_dir, "pgm"))
 
 
 @register(
@@ -1075,10 +1079,82 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the per-frame pixel formula from first
     principles — it never sees the container bytes — so a hash match
     proves the header parse, frame walk, plane decode, sampling rule,
-    and downsample arithmetic are all exact.  Scale: Arrow-batched
-    mapInPandas both ways; one input row explodes to one row per
+    and downsample arithmetic are all exact.  Payloads are
+    fixture-borne (BinaryType column scanned from the materialized
+    media store parquet, see multimodal_wav_decode).  Scale:
+    Arrow-batched mapInPandas; one input row explodes to one row per
     sampled frame (the generator shape of a real video pipeline)."""
     from spanner_jdbc_converter_spark.operators import multimodal as mm
 
+    return mm.decode_y4m_features(mm.payload_view(spark, sf_dir, "y4m"), frame_stride=2)
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
+         sigs AS (SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS sig FROM hs),
+         bands AS (SELECT doc_id, unnest([{_lsh_band_exprs_sql()}]) AS band_key
+                   FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_key)
+                  WHERE a.doc_id < b.doc_id),
+         dg AS (SELECT doc_id, list_distinct(g) AS g FROM grams)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+    FROM cand JOIN dg a ON a.doc_id = id_a JOIN dg b ON b.doc_id = id_b
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+    """,
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup VERIFY stage as its own entry: MinHash-LSH
+    candidates re-scored with exact n-gram Jaccard, pairs ≥ 0.5 kept —
+    recall from banding, precision from the exact verify, the
+    two-stage shape every production near-dedup runs before grouping.
+    Candidate-set-sized joins only (operators/dedup.py::
+    verified_near_pairs); the oracle replays banding AND verification.
+    Jaccard is one division of exact integers — unrounded."""
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    return dd.verified_near_pairs(d, threshold=0.5)
+
+
+@register(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         et AS (SELECT doc_id, g.i AS pos, t[g.i] AS token
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g),
+         vocab AS (
+           SELECT token, COUNT(*) AS c FROM et GROUP BY token HAVING COUNT(*) >= 2),
+         ids AS (
+           SELECT token,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, token) AS token_id
+           FROM vocab)
+    SELECT et.doc_id, CAST(et.pos AS BIGINT) AS pos,
+           CAST(ids.token_id AS BIGINT) AS token_id
+    FROM et JOIN ids USING (token)
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + corpus encode: tokens with ≥2 occurrences get
+    contiguous frequency-ranked ids (count DESC, token ASC), and every
+    in-vocabulary token occurrence becomes (doc_id, pos, token_id) —
+    the word→id mapping and encoded stream a tokenizer-training /
+    sequence-building pipeline starts from.
+
+    Scale: the global frequency rank is banded by count bit-length (≤64
+    bands, broadcast offsets — no single-partition window even for a
+    billion-token vocabulary, operators/text.py::build_vocab); encoding
+    is one token-keyed hash join.  The oracle's flat window is the
+    semantic spec."""
     d = load_table(spark, sf_dir, "documents")
-    return mm.decode_y4m_features(mm.attach_y4m_payload(d), frame_stride=2)
+    vocab = tx.build_vocab(d, min_count=2)
+    return tx.encode_tokens(d, vocab).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )

@@ -395,3 +395,59 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_QS_KEY_SQL = (
+    "CAST('0x' || substring(md5(concat('qs:', CAST(l_orderkey AS VARCHAR), ':',"
+    " CAST(l_linenumber AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "agg_sampled_quantiles",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE {_QS_KEY_SQL} % 16 = 0)
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           ROUND(quantile_cont(v, 0.50), 4) AS p50,
+           ROUND(quantile_cont(v, 0.90), 4) AS p90,
+           ROUND(quantile_cont(v, 0.99), 4) AS p99
+    FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a deterministic 1/16 hash sample — the mergeable,
+    scale-safe alternative to exact percentiles when the full sort is
+    too expensive: the portable md5 row key makes the sample identical
+    on every engine (unlike TABLESAMPLE/rand()), so even the
+    approximation is value-hash-checkable.  At 100 TB the same plan
+    shape holds — the sample is a narrow pushed-down filter, and the
+    per-group exact quantile then runs on 1/16 of the data.
+
+    Exact-percentile parity: Spark `percentile` and DuckDB
+    `quantile_cont` share the lower+(upper−lower)·frac definition."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = md5_long(
+        F.concat(
+            F.lit("qs:"),
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return (
+        li.filter(key % 16 == 0)
+        .select("l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.percentile("v", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("v", F.lit(0.90)), 4).alias("p90"),
+            F.round(F.percentile("v", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -906,3 +906,78 @@ def test_pgm_decode_rejects_malformed(spark):
         decode_one(b"P6" + good[2:])
     with pytest.raises(Exception, match="truncated"):
         decode_one(good[:-3])
+
+
+def test_media_store_fixture_borne_payloads(spark, sf_dir):
+    """The media store materializes once, serves BinaryType payload
+    columns from disk, and its stored bytes round-trip through the
+    same decoders as the in-plan synthesis."""
+    import os
+
+    store = mm.media_store(spark, sf_dir)
+    assert dict(store.dtypes)["wav_payload"] == "binary"
+    assert os.path.isdir(mm.media_store_path(sf_dir))
+    # stored payloads decode identically to in-plan synthesis
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(20)
+    via_store = {
+        r.doc_id: (r.n_samples, r.rms)
+        for r in mm.decode_wav_features(
+            mm.payload_view(spark, sf_dir, "wav").join(docs, "doc_id")
+        ).collect()
+    }
+    via_plan = {
+        r.doc_id: (r.n_samples, r.rms)
+        for r in mm.decode_wav_features(mm.attach_wav_payload(docs)).collect()
+    }
+    assert via_store == via_plan
+
+
+def test_media_store_prunes_payloads_for_id_scan(spark, sf_dir):
+    """A query that never decodes must not read payload bytes: the scan
+    schema of a doc_id-only projection excludes every binary column."""
+    df = mm.media_store(spark, sf_dir).select("doc_id")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and "payload" not in scan_schema[0]
+
+
+def test_verified_pairs_subset_of_candidates_with_exact_jaccard(spark, sf_dir):
+    """Every verified pair is an LSH candidate, and its jaccard equals
+    the inverted-index jaccard_pairs value for that pair."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    cand = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(d).collect()}
+    verified = {
+        (r.id_a, r.id_b): r.jaccard for r in dd.verified_near_pairs(d, threshold=0.2).collect()
+    }
+    assert set(verified) <= cand
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.jaccard_pairs(d, block_cols=None, threshold=0.2).collect()
+    }
+    for k, v in verified.items():
+        if k in exact:
+            assert v == exact[k]
+
+
+def test_build_vocab_rank_and_encode(spark):
+    """Vocabulary ids are contiguous frequency ranks with alphabetical
+    tiebreak; encoding drops OOV tokens and preserves 1-based positions."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b zz")], "doc_id long, text string"
+    )
+    vocab = {r.token: (r.token_id, r.n_occurrences) for r in tx.build_vocab(df, min_count=2).collect()}
+    # b:4, a:3 -> ids 1, 2; c and zz below min_count
+    assert vocab == {"b": (1, 4), "a": (2, 3)}
+    enc = sorted(
+        (r.doc_id, r.pos, r.token_id)
+        for r in tx.encode_tokens(df, tx.build_vocab(df, min_count=2)).collect()
+    )
+    assert enc == [
+        (1, 1, 1), (1, 2, 1), (1, 3, 1), (1, 4, 2), (1, 5, 2),
+        (2, 1, 2), (2, 2, 1),
+    ]

@@ -79,3 +79,31 @@ def test_pipeline_is_deterministic(spark, sf_dir):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_lazy_observed_counts_match_eager(spark, sf_dir):
+    """with_counts="lazy" (one action, observed metrics) must report the
+    exact same per-stage counts as the eager per-stage count jobs."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    _, eager = curate_documents(
+        docs,
+        benchmark_pred=F.col("source") == "src0",
+        token_budget=50_000,
+        with_counts=True,
+    )
+    out, lazy = curate_documents(
+        docs,
+        benchmark_pred=F.col("source") == "src0",
+        token_budget=50_000,
+        with_counts="lazy",
+    )
+    out.write.format("noop").mode("overwrite").save()
+    lazy.resolve()
+    lazy.release()
+    eager.release()
+    assert lazy.stages == eager.stages
+    assert set(lazy.stages) == {
+        "input", "quality_filter", "exact_dedup", "near_dedup",
+        "decontaminated", "token_budget", "packed",
+    }

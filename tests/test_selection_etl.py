@@ -186,3 +186,36 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "sim_quantized_topk", sf_dir)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+class TestPerGroupCap:
+    def test_cap_binds_and_is_deterministic(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.catalog import load_table
+        from spanner_jdbc_converter_spark.operators import selection as sel
+
+        d = load_table(spark, sf_dir, "documents")
+        capped = sel.per_group_cap(d, "source", "doc_id", 5)
+        per_src = {
+            r.source: r.n
+            for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_src and all(n <= 5 for n in per_src.values())
+        # sources with >5 docs were actually capped
+        full = {
+            r.source: r.n
+            for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert any(full[s] > 5 and per_src[s] == 5 for s in per_src)
+        # deterministic: identical kept set on a re-run with different partitioning
+        again = set(
+            r.doc_id
+            for r in sel.per_group_cap(d.repartition(7), "source", "doc_id", 5).collect()
+        )
+        assert again == {r.doc_id for r in capped.collect()}
+
+    def test_cap_larger_than_group_keeps_all(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.catalog import load_table
+        from spanner_jdbc_converter_spark.operators import selection as sel
+
+        d = load_table(spark, sf_dir, "documents")
+        assert sel.per_group_cap(d, "source", "doc_id", 10**6).count() == d.count()
