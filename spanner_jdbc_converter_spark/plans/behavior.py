@@ -523,3 +523,63 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev, 6).alias("seasonal_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — the exponential recurrence recast as a bounded window.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.5
+_EWMA_K = 20  # 0.5^20 ≈ 1e-6: tail truncation is below the rounding digit
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(_EWMA_K + 1):
+        w = repr((1 - _EWMA_ALPHA) ** j)
+        x = "CAST(value AS DOUBLE)" if j == 0 else f"LAG(CAST(value AS DOUBLE), {j}) OVER w"
+        nums.append(f"COALESCE({x} * {w}, 0.0)")
+        dens.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           ROUND(({_ewma_terms_sql()[0]}) / ({_ewma_terms_sql()[1]}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α = 0.5,
+    normalized over available history — pandas ``adjust=True``
+    semantics).  The textbook EWMA is a SEQUENTIAL recurrence
+    (s_t = αx_t + (1−α)s_{t−1}) — unusable as a distributed plan; here
+    it is recast as a BOUNDED lag window: weights (1−α)^j decay below
+    the 6-digit rounding within K = 20 lags, so the truncated form is
+    value-identical to the recurrence at the reported precision and
+    runs as plain codegen window expressions.
+
+    Parity: weights are exact binary doubles (0.5^j), both engines fold
+    the K+1 terms in the same literal order, one division, rounded to
+    6.  Scale: one user_id shuffle; K lags ride a single sorted window
+    pass — no recurrence, no iteration."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    x0 = F.col("value").cast("double")
+    num, den = None, None
+    for j in range(_EWMA_K + 1):
+        wj = F.lit((1 - _EWMA_ALPHA) ** j)
+        xj = x0 if j == 0 else F.lag(x0, j).over(w)
+        term = F.coalesce(xj * wj, F.lit(0.0))
+        dterm = F.when(xj.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(num / den, 6).alias("ewma")
+    )

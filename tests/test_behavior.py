@@ -252,3 +252,37 @@ class TestLevelShiftDetect:
         rows = [(1, T0 + dt.timedelta(hours=6 * i), 5.0) for i in range(40)]
         self._write_events(spark, tmp_path, rows)
         assert events_level_shift_detect(spark, str(tmp_path)).count() == 0
+
+
+class TestEwmaSmoothing:
+    def test_hand_computed_values(self, spark, tmp_path):
+        """α=0.5, adjust=True over [1, 2, 4]: 1, 2.5/1.5, 5.25/1.75."""
+        from spanner_jdbc_converter_spark.plans.behavior import events_ewma_smoothing
+
+        rows = [
+            (1, T0, 1.0),
+            (1, T0 + dt.timedelta(minutes=1), 2.0),
+            (1, T0 + dt.timedelta(minutes=2), 4.0),
+        ]
+        df = spark.createDataFrame(
+            [Row(user_id=u, event_id=i, ts=t, value=v) for i, (u, t, v) in enumerate(rows)]
+        ).select("user_id", "event_id", "ts", "value")
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {
+            r.event_id: r.ewma
+            for r in events_ewma_smoothing(spark, str(tmp_path)).collect()
+        }
+        assert out[0] == 1.0
+        assert out[1] == round(2.5 / 1.5, 6)
+        assert out[2] == round(5.25 / 1.75, 6)
+
+    def test_constant_series_is_flat(self, spark, tmp_path):
+        from spanner_jdbc_converter_spark.plans.behavior import events_ewma_smoothing
+
+        rows = [(2, T0 + dt.timedelta(minutes=i), 7.5) for i in range(30)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, event_id=i, ts=t, value=v) for i, (u, t, v) in enumerate(rows)]
+        ).select("user_id", "event_id", "ts", "value")
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        vals = {r.ewma for r in events_ewma_smoothing(spark, str(tmp_path)).collect()}
+        assert vals == {7.5}

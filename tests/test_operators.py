@@ -981,3 +981,38 @@ def test_build_vocab_rank_and_encode(spark):
         (1, 1, 1), (1, 2, 1), (1, 3, 1), (1, 4, 2), (1, 5, 2),
         (2, 1, 2), (2, 2, 1),
     ]
+
+
+def test_build_vocab_property_matches_python_reference(spark):
+    """Vocabulary rank/ids against a pure-python reference over random
+    corpora (hypothesis): same tokens kept, same contiguous ids."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff", "g"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        got = {
+            r.token: (r.token_id, r.n_occurrences)
+            for r in tx.build_vocab(df, min_count=2).collect()
+        }
+        counts = Counter(t for d in docs for t in d.lower().split() if t)
+        kept = sorted(
+            ((t, c) for t, c in counts.items() if c >= 2),
+            key=lambda tc: (-tc[1], tc[0]),
+        )
+        want = {t: (i + 1, c) for i, (t, c) in enumerate(kept)}
+        assert got == want
+
+    check()

@@ -306,3 +306,44 @@ def test_embedding_lsh_pairs_prunes_pair_space(spark, sf_dir):
     # two-sided block cross join would scan twice
     head = plan.split("\n\n")[0]
     assert head.count("Scan parquet") == 1
+
+
+def test_source_cap_has_no_single_partition_data_window(spark, sf_dir):
+    """per_group_cap must rank through banded offsets — no cartesian,
+    no nested loop; the only windows partition by (group, band)."""
+    plan = _plan(spark, "select_source_cap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_encode_plan_shape(spark, sf_dir):
+    """Vocabulary rank + encode: no cartesian; the corpus-side join on
+    the token key is a hash join."""
+    plan = _plan(spark, "text_vocab_encode", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verified_pairs_candidate_sized_joins(spark, sf_dir):
+    """The Jaccard verify stage must join by ids/grams — never an
+    all-pairs product."""
+    plan = _plan(spark, "dedup_lsh_verified_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_is_single_window_pass(spark, sf_dir):
+    """All K+1 lags must ride ONE sorted window pass on user_id — one
+    exchange, one Window node."""
+    head = _plan(spark, "events_ewma_smoothing", sf_dir).split("\n\n")[0]
+    assert head.count("Exchange") <= 2  # window shuffle (+AQE wrapper)
+    assert head.count("Window") == 1
+
+
+def test_sampled_quantiles_sample_filter_before_agg(spark, sf_dir):
+    """The hash-sample filter must run in the scan/project stage —
+    the aggregate sees only the 1/16 sample, never the full table."""
+    plan = _plan(spark, "agg_sampled_quantiles", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the modulo-16 sample predicate exists as a Filter above the scan
+    assert "% 16) = 0" in plan or "% 16 = 0" in plan.replace("(", "").replace(")", "")

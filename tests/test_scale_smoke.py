@@ -166,3 +166,26 @@ def test_curation_pipeline_at_10x(spark):
     counts = [report.stages[s] for s in order]
     assert counts == sorted(counts, reverse=True)
     assert wall < 600, f"curation pipeline at 10x took {wall:.0f}s"
+
+
+def test_embedding_lsh_pairs_at_10x(spark):
+    """LSH-pruned embedding threshold pairs at 10× the sf0.1 corpus
+    (20k vectors): must stay bucket-local (no pair-space blowup) and
+    inside the envelope; replicas guarantee exact-duplicate pairs at
+    cosine 1.0."""
+    from spanner_jdbc_converter_spark.operators.dedup import embedding_near_pairs_lsh
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(e)
+        .select((F.col("vec_id") + F.col("id") * n).alias("vec_id"), "embedding")
+    )
+    t0 = time.time()
+    pairs = embedding_near_pairs_lsh(scaled, threshold=0.99)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # every replica pair of the same base vector is an exact duplicate
+    assert n_pairs >= 0.9 * (n * COPIES * (COPIES - 1) / 2)
+    assert wall < 300, f"LSH embedding pairs at 10x took {wall:.0f}s"
