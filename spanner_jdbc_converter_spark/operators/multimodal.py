@@ -122,12 +122,14 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(
     df: DataFrame, frame_size: int = 32, stride: int = 3, thumb_step: int = 4
 ) -> DataFrame:
-    """Frame sampling + resize plumbing over binary payloads: every
-    ``stride``-th fixed-size frame is cut from the byte stream, and a
-    "thumbnail" keeps every ``thumb_step``-th byte (the deterministic
-    stand-in for a real resize — no codecs in this container, see
-    decode_media).  One input row explodes to one row per sampled
-    frame — the generator shape a video pipeline needs.
+    """Frame sampling + resize plumbing over UNSTRUCTURED binary
+    payloads: every ``stride``-th fixed-size frame is cut from the byte
+    stream, and a "thumbnail" keeps every ``thumb_step``-th byte — the
+    container-less byte-windowing shape (the REAL container walks live
+    in decode_y4m_features / decode_pgm_features; this entry covers
+    payloads with no parseable structure).  One input row explodes to
+    one row per sampled frame — the generator shape a video pipeline
+    needs.
 
     The fixture payloads are UTF-8 of pure-ASCII text, so frames decode
     to strings and the DuckDB oracle can recompute them with substring
