@@ -376,6 +376,9 @@ def connected_groups(
         sym_p.count()
         sym.unpersist()
         sym = sym_p
+    # (No small-graph narrowing branch: measured at sf0.1, AQE's
+    # post-shuffle coalescing already plans tiny graphs narrow — an
+    # explicit coalesce(1)+re-persist added a job for zero gain.)
     # Each round is checkpointed (localCheckpoint, eager): without the
     # lineage cut the label frame's logical plan DOUBLES per round (it
     # self-joins into the next round), and a deep component OOMs the

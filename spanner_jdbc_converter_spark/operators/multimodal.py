@@ -682,6 +682,11 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("y4m_payload", T.BinaryType()),
             ]
         )
+        # sweep tmp dirs a crashed earlier build may have left behind
+        import glob
+
+        for stale in glob.glob(f"{path}.tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
             load_table(spark, sf_dir, "documents")

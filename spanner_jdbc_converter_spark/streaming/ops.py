@@ -212,6 +212,72 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+    ]
+)
+
+
+def running_user_ewma(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Custom stateful streaming operator #2: EXACT per-user EWMA by the
+    sequential recurrence (num_t = x_t + (1-α)·num_{t-1},
+    den_t = 1 + (1-α)·den_{t-1}, ewma = num/den — pandas adjust=True
+    semantics), via applyInPandasWithState.
+
+    This is the streaming complement of the BATCH entry
+    events_ewma_smoothing (plans/behavior.py), which must truncate the
+    recurrence to a bounded lag window to stay distributable; a stream
+    processes each key's events in arrival order, so the true
+    recurrence costs O(1) state per key — (n, num, den) three numbers —
+    and the two agree to below the truncation tail (≈(1-α)^20) on the
+    same data.  Rows within a micro-batch are folded in (ts, event_id)
+    order so the result is deterministic per batch."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, num, den = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in batches:
+            for x in pdf.sort_values(["ts", "event_id"])["value"]:
+                num = float(x) + (1.0 - alpha) * num
+                den = 1.0 + (1.0 - alpha) * den
+                n += 1
+        state.update((n, num, den))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [num / den if den else None],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # -- incremental sink -------------------------------------------------------
 
 

@@ -97,3 +97,65 @@ def test_pipeline_empty_documents(spark):
     )
     assert out.count() == 0
     assert report.stages["input"] == 0
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def test_per_group_cap_empty_and_single(spark):
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert sel.per_group_cap(empty, "source", "doc_id", 5).count() == 0
+    one = spark.createDataFrame([(1, "t", "s")], DOC_SCHEMA)
+    assert sel.per_group_cap(one, "source", "doc_id", 5).count() == 1
+
+
+def test_build_vocab_and_encode_empty(spark):
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    vocab = tx.build_vocab(empty)
+    assert vocab.count() == 0
+    assert tx.encode_tokens(empty, vocab).count() == 0
+    # all tokens below min_count -> empty vocab, empty encoding
+    uniq = spark.createDataFrame([(1, "unique words only here", "s")], DOC_SCHEMA)
+    assert tx.build_vocab(uniq, min_count=2).count() == 0
+
+
+def test_verified_near_pairs_empty_and_degenerate(spark):
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert dd.verified_near_pairs(empty).count() == 0
+    # single doc: no pairs
+    one = spark.createDataFrame([(1, "a b c d e", "s")], DOC_SCHEMA)
+    assert dd.verified_near_pairs(one).count() == 0
+
+
+def test_embedding_lsh_pairs_empty(spark):
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert dd.embedding_near_pairs_lsh(empty).count() == 0
+
+
+def test_ewma_empty(spark, tmp_path):
+    from spanner_jdbc_converter_spark.plans.behavior import events_ewma_smoothing
+
+    spark.createDataFrame([], EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    assert events_ewma_smoothing(spark, str(tmp_path)).count() == 0

@@ -228,3 +228,86 @@ def test_incremental_ingest_dedups_across_batches_and_replays(spark, sf_dir, tmp
     assert spark.read.parquet(store).count() == n1
     docs.unpersist()
     shutil.rmtree(in_dir)
+
+
+def test_running_user_ewma_stateful_matches_batch_recurrence(spark, sf_dir):
+    """The stateful streaming EWMA (exact recurrence, O(1) state) must
+    match a pandas replay of the recurrence, and agree with the batch
+    bounded-window entry to below the truncation tail."""
+    import pandas as pd
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.running_user_ewma(stream), "ewma_mem", output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    final = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in result.withColumn("_r", w).filter(F.col("_r") == 1).collect()
+    }
+    pdf = (
+        ops.load_events_batch(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in pdf.groupby("user_id"):
+        num = den = 0.0
+        for x in grp["value"]:
+            num = float(x) + 0.5 * num
+            den = 1.0 + 0.5 * den
+        n_events, ewma = final[uid]
+        assert n_events == len(grp)
+        assert abs(ewma - num / den) < 1e-9
+
+    # cross-check vs the batch bounded-window corpus entry (truncation
+    # tail is ~0.5^20 of the value range)
+    from spanner_jdbc_converter_spark.plans.behavior import events_ewma_smoothing
+
+    batch_ewma = events_ewma_smoothing(spark, sf_dir)
+    last = {
+        r.user_id: r.ewma
+        for r in batch_ewma.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        ).filter(F.col("_r") == 1).collect()
+    }
+    for uid, (_n, ewma) in final.items():
+        assert abs(ewma - last[uid]) < 1e-3
+
+
+def test_media_decode_runs_on_a_stream(spark, sf_dir):
+    """The multimodal decoders are input-agnostic mapInPandas operators:
+    the same decode_wav_features body must run over a readStream of the
+    on-disk media store and produce the batch answer."""
+    import os
+
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    store_path = mm.media_store_path(sf_dir)
+    mm.media_store(spark, sf_dir)  # ensure materialized
+    schema = spark.read.parquet(store_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(store_path)
+        .select("doc_id", F.col("wav_payload").alias("payload"))
+    )
+    decoded = mm.decode_wav_features(stream)
+    assert decoded.isStreaming
+    result = ops.run_stream_to_memory(decoded, "media_mem", output_mode="append")
+    got = {r.doc_id: (r.n_samples, r.rms) for r in result.collect()}
+    want = {
+        r.doc_id: (r.n_samples, r.rms)
+        for r in mm.decode_wav_features(
+            mm.payload_view(spark, sf_dir, "wav")
+        ).collect()
+    }
+    assert got == want
