@@ -583,3 +583,73 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.round(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "events_user_trend",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ),
+    m AS (SELECT user_id, MIN(us) AS us0 FROM b GROUP BY user_id),
+    c AS (SELECT b.user_id, b.us - m.us0 AS t, b.y
+          FROM b JOIN m ON b.user_id = m.user_id),
+    s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t AS DECIMAL(38,4)) * y) AS DOUBLE) AS sty,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DOUBLE) AS stt
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND((n * sty - st * sy) / (n * stt - st * st) * 3600000000.0, 6)
+             AS slope_per_hour
+    FROM s
+    WHERE n >= 2 AND n * stt - st * st > 0
+    """,
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend: the least-squares slope of value against
+    event time (per hour) — the "is this user's metric drifting"
+    feature every behavioral model wants, computed in closed form from
+    five sums (no iteration, no model state).
+
+    Parity: t is the exact integer µs offset from the user's first
+    event (min-join, so both engines center identically); Σt, Σy, Σty,
+    Σt² accumulate in DECIMAL (order-independent, no float
+    accumulation), and only the FINAL slope expression runs in IEEE
+    double with an identical operation tree on both engines, rounded to
+    6.  Scale: two aggregations on the same user_id key (AQE reuses the
+    exchange) plus a broadcastable per-user min frame — the data is
+    never windowed or sorted."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    b = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    m = b.groupBy("user_id").agg(F.min("us").alias("us0"))
+    c = b.join(m, on="user_id").select(
+        "user_id", (F.col("us") - F.col("us0")).alias("t"), "y"
+    )
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,4)") * F.col("y")).cast("double").alias("sty"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")).cast("double").alias("stt"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("stt") - F.col("st") * F.col("st")
+    slope = (n * F.col("sty") - F.col("st") * F.col("sy")) / denom * 3600000000.0
+    return (
+        s.filter((F.col("n") >= 2) & (denom > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round(slope, 6).alias("slope_per_hour"),
+        )
+    )

@@ -286,3 +286,22 @@ class TestEwmaSmoothing:
         df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
         vals = {r.ewma for r in events_ewma_smoothing(spark, str(tmp_path)).collect()}
         assert vals == {7.5}
+
+
+class TestUserTrend:
+    def test_perfectly_linear_series(self, spark, tmp_path):
+        """value = 2·hours + 5 → slope_per_hour exactly 2.0; a constant
+        user has slope 0; a single-event user is excluded."""
+        from spanner_jdbc_converter_spark.plans.behavior import events_user_trend
+
+        rows = [(1, T0 + dt.timedelta(hours=h), 5.0 + 2.0 * h) for h in range(10)]
+        rows += [(2, T0 + dt.timedelta(hours=h), 42.0) for h in range(5)]
+        rows += [(3, T0, 1.0)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, event_id=i, ts=t, value=v) for i, (u, t, v) in enumerate(rows)]
+        ).select("user_id", "event_id", "ts", "value")
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {r.user_id: r.slope_per_hour for r in events_user_trend(spark, str(tmp_path)).collect()}
+        assert out[1] == 2.0
+        assert out[2] == 0.0
+        assert 3 not in out
