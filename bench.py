@@ -117,11 +117,12 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
     }
-    print(json.dumps(payload))
     # The driver's recorded line truncates on long corpora; ALSO write the
     # full timing dict to a committed history file so every entry stays
     # comparable round-over-round (VERDICT r4 #7).  Overridable so local
-    # experiments don't clobber the round record.
+    # experiments don't clobber the round record.  Files are written
+    # BEFORE the stdout line: a consumer that closes the pipe early
+    # (`bench.py | head`) must not SIGPIPE-kill the history write.
     hist = os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "bench_history/latest.json")
     # latest.json is overwritten each run; ALSO write a per-round file
     # (bench_history/r{N}.json, N inferred from the driver's recorded
@@ -149,6 +150,7 @@ def main() -> None:
                 json.dump(payload, fh, indent=1, sort_keys=True)
         except OSError as exc:
             print(f"bench: could not write history file {path}: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 
