@@ -81,9 +81,35 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: warmup failed (bad SF dir?): {exc}", file=sys.stderr)
 
+    # Machine-load calibration probe: a FIXED synthetic plan (no fixture
+    # IO, pure codegen agg over a range) timed like any query.  Its cost
+    # is invariant to corpus/code changes, so round-over-round drift in
+    # "calibration_seconds" measures the MACHINE/session, not the engine
+    # — VERDICT r6 #1's corpus-wide 1.3× swing is exactly the signal this
+    # normalizes.  Warm median of the same run count as real queries.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(max(2, BENCH_RUNS)):
+            start = time.perf_counter()
+            _force(
+                spark.range(0, 20_000_000, 1, 32)
+                .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
+                .groupBy("k")
+                .agg({"v": "sum", "*": "count"})
+            )
+            runs.append(time.perf_counter() - start)
+        return round(_median(runs[1:]), 4)
+
+    calibration = _calibrate()
+
+    # Optional subset filter for local experiments (comma-separated entry
+    # names) — full-corpus runs remain the round record.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = sorted(QUERIES) if not only else [n for n in sorted(QUERIES) if n in set(only.split(","))]
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in selected:
         runs: list[float] = []
         failed = None
         for i in range(BENCH_RUNS):
@@ -114,6 +140,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "runs_per_query": BENCH_RUNS,
+        "calibration_seconds": calibration,
         "queries": timings,
         "cold_queries": cold,
     }
@@ -128,22 +155,40 @@ def main() -> None:
     # (bench_history/r{N}.json, N inferred from the driver's recorded
     # BENCH_r*.json files) so warm medians stay diffable across rounds
     # (VERDICT r5 #6 — r4's full medians were lost to the overwrite).
-    targets = [hist]
+    # The round number comes from $SPARK_GRAFT_BENCH_ROUND when set;
+    # otherwise it is inferred as max(BENCH_r*.json)+1.  The inference is
+    # only valid BEFORE the driver records this round's BENCH file — a
+    # re-run after that would infer the NEXT round and poison r{N+1}.json
+    # with this round's timings (ADVICE r6) — so an inferred per-round
+    # target that ALREADY EXISTS is never overwritten (the explicit env
+    # var, and latest.json, always are).
+    targets = [(hist, True)]
+    round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     try:
         import re
 
-        recorded = [
-            int(m.group(1))
-            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        this_round = (max(recorded) + 1) if recorded else 0
+        if round_env is not None:
+            this_round, overwrite = int(round_env), True
+        else:
+            recorded = [
+                int(m.group(1))
+                for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            this_round, overwrite = (max(recorded) + 1) if recorded else 0, False
         targets.append(
-            os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json")
+            (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), overwrite)
         )
     except OSError:
         pass
-    for path in targets:
+    for path, overwrite in targets:
+        if not overwrite and os.path.exists(path):
+            print(
+                f"bench: refusing to overwrite inferred round file {path} "
+                "(set SPARK_GRAFT_BENCH_ROUND to force)",
+                file=sys.stderr,
+            )
+            continue
         try:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "w") as fh:

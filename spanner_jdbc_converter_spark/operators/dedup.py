@@ -812,10 +812,17 @@ def verified_near_pairs(
     single division of exact integers — bit-identical across engines,
     left unrounded (same discipline as jaccard_pairs).
 
-    Output: id_a, id_b, jaccard (≥ threshold)."""
+    Output: id_a, id_b, jaccard (≥ threshold).
+
+    ``fallback_to_text=True`` mirrors the candidate stage: docs with
+    < ngram tokens signed their LSH signature over the single
+    normalized-whole-text gram, so the verify stage must score them
+    over the SAME gram set — otherwise their candidate pairs would
+    silently vanish in the gram join instead of being verified
+    (degenerate identical docs score jaccard 1.0, as they should)."""
     cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
     grams = shingle_rows(
-        df, text_col, id_col, ngram, fallback_to_text=False
+        df, text_col, id_col, ngram, fallback_to_text=True
     ).dropDuplicates([id_col, "__s"])
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__s"))

@@ -620,15 +620,29 @@ def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
 
 def media_store_path(sf_dir: str) -> str:
     """Repo-local cache path for the derived media parquet of one fixture
-    (override root with SPARK_GRAFT_MEDIA_STORE)."""
+    (override root with SPARK_GRAFT_MEDIA_STORE).
+
+    The path carries a content key — a hash of the fixture's absolute
+    path plus the size/mtime of its ``documents.parquet`` — so two
+    fixtures sharing a basename get distinct stores, and a REGENERATED
+    fixture (same path, new doc set) misses the cache instead of
+    silently serving stale payload rows."""
+    import hashlib
     import os
 
     root = os.environ.get(
         "SPARK_GRAFT_MEDIA_STORE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".media_store"),
     )
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(root, tag, "media.parquet")
+    abs_dir = os.path.abspath(sf_dir.rstrip("/") or sf_dir)
+    try:
+        st = os.stat(os.path.join(abs_dir, "documents.parquet"))
+        content = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        content = "absent"
+    key = hashlib.md5(f"{abs_dir}|{content}".encode()).hexdigest()[:10]
+    tag = os.path.basename(abs_dir) or "sf"
+    return os.path.join(root, f"{tag}-{key}", "media.parquet")
 
 
 def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
@@ -682,11 +696,19 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("y4m_payload", T.BinaryType()),
             ]
         )
-        # sweep tmp dirs a crashed earlier build may have left behind
+        # Sweep tmp dirs a CRASHED earlier build left behind — but only
+        # ones old enough (>1h) that they cannot be a concurrent first
+        # builder's live write; a fresh tmp dir belongs to a racing
+        # builder whose rename will simply lose below.
         import glob
+        import time
 
         for stale in glob.glob(f"{path}.tmp-*"):
-            shutil.rmtree(stale, ignore_errors=True)
+            try:
+                if time.time() - os.path.getmtime(stale) > 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
             load_table(spark, sf_dir, "documents")

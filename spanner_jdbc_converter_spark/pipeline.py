@@ -139,6 +139,17 @@ def curate_documents(
     from pyspark import StorageLevel
 
     lazy_counts = with_counts == "lazy"
+    if lazy_counts and not persist_stages:
+        # The observed stage frames are consumed by MULTIPLE downstream
+        # branches (near_dedup feeds the overlap probe, the decontamination
+        # filter, AND selection); without the cache each CollectMetrics
+        # subtree would be re-planned per consumer and the "fires exactly
+        # once" guarantee below would not hold — counts could double or the
+        # duplicated observation could fail analysis.
+        raise ValueError(
+            "with_counts='lazy' requires persist_stages=True: the lazy "
+            "observation metrics rely on the stage cache to fire exactly once"
+        )
 
     def staged(df: DataFrame) -> DataFrame:
         if not persist_stages:

@@ -365,6 +365,33 @@ def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def dedup_last_wins(
+    batch_df: DataFrame, pk_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Deterministic per-key survivor for a micro-batch: each key keeps
+    the row with the greatest (``order_col``, non-pk-columns) struct —
+    last-writer-wins when an ordering column is given, and a stable
+    canonical tiebreak either way, independent of partitioning.  The
+    determinism is what makes checkpoint-replayed MERGEs idempotent
+    (see upsert_stream_to_jdbc)."""
+    cols = batch_df.columns
+    if order_col and order_col not in cols:
+        # A typo'd ordering column must fail loudly, not quietly
+        # degrade last-writer-wins to the canonical tiebreak.
+        raise ValueError(f"order_col {order_col!r} not in batch columns {cols}")
+    rank_cols = [c for c in ([order_col] if order_col else []) if c in cols]
+    rank_cols += [c for c in cols if c not in pk_cols and c not in rank_cols]
+    if not rank_cols:  # pk-only schema: rows are identical per key
+        return batch_df.dropDuplicates(pk_cols)
+    winner = F.max(F.struct(*rank_cols)).alias("__w")
+    return (
+        batch_df.groupBy(*pk_cols)
+        .agg(winner)
+        .select(*pk_cols, *[F.col(f"__w.{c}").alias(c) for c in rank_cols])
+        .select(*cols)
+    )
+
+
 def upsert_stream_to_jdbc(
     stream_df: DataFrame,
     url: str,
@@ -414,23 +441,9 @@ def upsert_stream_to_jdbc(
 
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8].upper()
 
-    def _dedup_last_wins(batch_df: DataFrame) -> DataFrame:
-        cols = batch_df.columns
-        rank_cols = [c for c in ([order_col] if order_col else []) if c in cols]
-        rank_cols += [c for c in cols if c not in pk_cols and c not in rank_cols]
-        if not rank_cols:  # pk-only schema: rows are identical per key
-            return batch_df.dropDuplicates(pk_cols)
-        winner = F.max(F.struct(*rank_cols)).alias("__w")
-        return (
-            batch_df.groupBy(*pk_cols)
-            .agg(winner)
-            .select(*pk_cols, *[F.col(f"__w.{c}").alias(c) for c in rank_cols])
-            .select(*cols)
-        )
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = _dedup_last_wins(batch_df)
+        batch = dedup_last_wins(batch_df, pk_cols, order_col)
         staging = f"{table}_STAGE_{ck_tag}_{batch_id}"
         existing = {t.lower() for t in list_jdbc_tables(spark, url, driver=driver)}
         # drop stale staging tables from THIS stream's lineage (crash

@@ -137,6 +137,15 @@ def test_verified_near_pairs_empty_and_degenerate(spark):
     # single doc: no pairs
     one = spark.createDataFrame([(1, "a b c d e", "s")], DOC_SCHEMA)
     assert dd.verified_near_pairs(one).count() == 0
+    # sub-ngram docs sign over the whole-text fallback gram; a candidate
+    # pair of IDENTICAL degenerate docs must be verified (jaccard 1.0),
+    # not silently dropped in the gram join (ADVICE r6)
+    degen = spark.createDataFrame(
+        [(1, "tiny doc", "s"), (2, "tiny doc", "s"), (3, "other one", "s")],
+        DOC_SCHEMA,
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in dd.verified_near_pairs(degen).collect()}
+    assert got == {(1, 2): 1.0}
 
 
 def test_embedding_lsh_pairs_empty(spark):

@@ -932,6 +932,25 @@ def test_media_store_fixture_borne_payloads(spark, sf_dir):
     assert via_store == via_plan
 
 
+def test_media_store_path_keys_on_fixture_content(tmp_path):
+    """The store path must change when the fixture's documents.parquet
+    changes (regenerated fixture) and differ across same-basename dirs —
+    a stale store must MISS, not serve old payload rows (ADVICE r6)."""
+    import os
+    import time as _time
+
+    a = tmp_path / "x" / "sf0.5"
+    b = tmp_path / "y" / "sf0.5"
+    for d in (a, b):
+        os.makedirs(d)
+        (d / "documents.parquet").write_bytes(b"one")
+    p_a, p_b = mm.media_store_path(str(a)), mm.media_store_path(str(b))
+    assert p_a != p_b  # same basename, different fixture dirs
+    (a / "documents.parquet").write_bytes(b"longer-content")
+    os.utime(a / "documents.parquet", (_time.time() + 5, _time.time() + 5))
+    assert mm.media_store_path(str(a)) != p_a  # regenerated fixture
+
+
 def test_media_store_prunes_payloads_for_id_scan(spark, sf_dir):
     """A query that never decodes must not read payload bytes: the scan
     schema of a doc_id-only projection excludes every binary column."""

@@ -107,3 +107,35 @@ def test_lazy_observed_counts_match_eager(spark, sf_dir):
         "input", "quality_filter", "exact_dedup", "near_dedup",
         "decontaminated", "token_budget", "packed",
     }
+
+
+def test_pipeline_entries_share_one_execution(spark, sf_dir):
+    """The three pipeline corpus entries (packed frame, stage report,
+    pack invariants) must certify ONE pipeline execution via the
+    session store — r6's independent runs cost 14% of the corpus bench
+    (VERDICT r6 #2).  The store is keyed per (session, fixture), and the
+    report frame's counts equal the shared store's counts."""
+    from spanner_jdbc_converter_spark.plans import etl
+
+    etl._PIPELINE_STORE.clear()
+    packed = etl.pipeline_curate_documents(spark, sf_dir)
+    assert len(etl._PIPELINE_STORE) == 1
+    report = etl.pipeline_curate_report(spark, sf_dir)
+    inv = etl.pipeline_pack_invariants(spark, sf_dir)
+    assert len(etl._PIPELINE_STORE) == 1  # no second execution
+    stages = dict(etl._PIPELINE_STORE.popitem()[1][1])
+    got = {r.stage: r.n_rows for r in report.collect()}
+    assert got == stages
+    # the invariants frame aggregates the SAME packed frame
+    assert inv.agg(F.sum("n_docs")).first()[0] == packed.count() == stages["packed"]
+    packed.unpersist()
+
+
+def test_lazy_counts_require_stage_persist(spark, sf_dir):
+    """lazy counts without the stage cache would multiply the observed
+    CollectMetrics subtrees (ADVICE r6) — the combination must refuse."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="persist_stages"):
+        curate_documents(docs, with_counts="lazy", persist_stages=False)

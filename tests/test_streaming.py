@@ -311,3 +311,21 @@ def test_media_decode_runs_on_a_stream(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_last_wins_rejects_missing_order_col(spark):
+    """A typo'd order_col must raise, not silently degrade to the
+    canonical tiebreak (ADVICE r6)."""
+    df = spark.createDataFrame([(1, "a", 10)], ["pk", "val", "seq"])
+    with pytest.raises(ValueError, match="order_col"):
+        ops.dedup_last_wins(df, ["pk"], order_col="seqq")
+
+
+def test_dedup_last_wins_order_col_beats_canonical(spark):
+    """With order_col, the greatest ordering value wins even when the
+    canonical non-pk tiebreak would pick a different row."""
+    df = spark.createDataFrame(
+        [(1, "zzz", 1), (1, "aaa", 2)], ["pk", "val", "seq"]
+    )
+    got = ops.dedup_last_wins(df, ["pk"], order_col="seq").collect()
+    assert [(r.pk, r.val, r.seq) for r in got] == [(1, "aaa", 2)]
