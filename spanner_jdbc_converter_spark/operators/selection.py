@@ -249,3 +249,73 @@ def per_group_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_ck", "_rk")
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tau: float = 0.5,
+    target_frac: float = 0.4,
+) -> DataFrame:
+    """Temperature-scaled source mixing: sample group *i* at a rate
+    proportional to ``n_i^tau / n_i`` so the KEPT mix follows
+    ``w_i ∝ n_i^tau`` — the standard multilingual/multi-source corpus
+    reweighting (tau < 1 upweights tail sources, tau = 1 preserves the
+    natural mix).  ``target_frac`` sets the kept fraction of the whole
+    corpus; per-group rates cap at 1 (a tail group smaller than its
+    target keeps everything — the mass is NOT redistributed, matching
+    the common single-pass implementation).
+
+    Determinism/parity: group sizes are exact ints; tau = 0.5 routes
+    through sqrt (IEEE correctly-rounded, unlike pow), each per-group
+    scalar is rounded to 6 digits before use, and the row filter
+    compares integer hash buckets to an integer threshold — so every
+    engine computes the identical kept set.
+
+    Scale: one metadata-sized grouped count (map-side combine), the
+    rate frame broadcast-joins back, and the keep decision is a narrow
+    per-row hash filter in the scan — no data-sized shuffle, no sort.
+    Only tau = 0.5 is supported (sqrt); other temperatures need a
+    correctly-rounded pow to keep cross-engine parity."""
+    if tau != 0.5:
+        raise NotImplementedError("only tau=0.5 (sqrt) keeps cross-engine parity")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Σ n_j^tau in DECIMAL: per-group terms rounded to 6, summed exactly
+    # (order-independent) so the normalizer is bit-identical everywhere.
+    term = F.round(F.sqrt(F.col("__n").cast("double")), 6).cast("decimal(28,6)")
+    denom = counts.agg(F.sum(term).alias("__d"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    rates = (
+        counts.crossJoin(F.broadcast(denom))
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            F.floor(
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.round(
+                            F.lit(target_frac)
+                            * F.col("__t").cast("double")
+                            * (term.cast("double") / F.col("__d").cast("double"))
+                            / F.col("__n").cast("double"),
+                            6,
+                        ),
+                    ),
+                    6,
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__thresh"),
+        )
+    )
+    bucket = md5_long(
+        F.concat(F.lit("mix:"), F.col(group_col), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -17,86 +17,77 @@ from spanner_jdbc_converter_spark.plans import curation as _curation  # noqa: F4
 from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F401,E402
 
 # The driver's correctness gate checks the FIRST 50 entries in registration
-# order; coverage rotates each round so every corpus half periodically gets a
-# driver row (r2: relational; r3: extensions; r4: NTZ-fix + validate_* +
-# relational; r5: the behavior/curation/mining wave + the r2-stale tail).
-# Round 6 window (exactly 50), front-loading in order:
-#   (0) the 10 entries that have NEVER had a driver row (judge-verified at
-#       sf0.01 in r5 — the driver row is the hard signal they still lack);
-#   (1) the 3 headline entries NEW this round: the LSH-prefiltered
-#       embedding threshold-pairs scale path, the real Y4M video decode,
-#       and the oracle-paired pipeline stage report.  (The 5 smaller
-#       additions landed later in the round — select_source_cap,
-#       agg_sampled_quantiles, dedup_lsh_verified_pairs,
-#       text_vocab_encode, events_ewma_smoothing — register AFTER the
-#       window and take driver rows in r7 with the scalar tail; all are
-#       judge-mirror-verified at sf0.001 AND sf0.01 in-session.);
-#   (2) the 3 entries de-vacuated this round (events_level_shift_detect
-#       re-windowed to the fixture's event density, q11/q20 selectivity
-#       re-fit) — their r5 rows were empty-vs-empty hash matches and the
-#       driver must now confirm non-empty sets;
-#   (3) 34 of the 41 entries whose last driver row was r3 (dedup,
-#       similarity, text, multimodal, selection, copy, streaming twins).
-# The 7 remaining r3-stale entries are ALL pure scalar-expression surfaces
-# (array/map/date/string functions, null semantics, JSON props) — the least
-# shuffle/state complexity in the corpus — and rotate in next round; every
-# deferred entry stays green in the judge-run local mirror
-# (tests/test_oracle_parity.py runs the identical check on ALL entries).
+# order; coverage rotates each round so every entry periodically gets a
+# driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
+# (regenerate with `python scripts/gate_history.py --propose 50` — this
+# list IS that proposal's output for round 7, and tests/test_config.py
+# asserts the window stays consistent with the history):
+#   (0) the 7 entries with NO driver row yet — the 6 that registered after
+#       the r6 window froze plus pipeline_pack_invariants (new r7, the
+#       packing-layout invariants that upgrade the rows-only pipeline
+#       entry to a value-checked composition);
+#   (1) the 7 r3-stale scalar-surface entries deferred from r6
+#       (array/map/date/string functions, null semantics, JSON props);
+#   (2) 36 of the 50 entries whose last driver row was r4.
+# RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
+# list IN THE SAME COMMIT (inside the first 50) and the final commit of the
+# round re-runs the proposal so the frozen window always contains every
+# never-checked entry — a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
     # (0) never driver-checked
-    "graph_triangle_brands",
-    "multimodal_wav_decode",
-    "multimodal_pgm_decode",
-    "profile_key_skew",
-    "profile_source_lang_entropy",
-    "reshape_unpivot_customer",
-    "select_length_bucketed_batches",
-    "text_pii_scan_redact",
-    "window_percent_rank_scalable",
-    "pipeline_curate_documents",
-    # (1) new this round
-    "sim_embedding_near_pairs_lsh",
-    "multimodal_video_decode",
-    "pipeline_curate_report",
-    # (2) de-vacuated this round — confirm non-empty result sets
-    "events_level_shift_detect",
-    "q11_important_parts",
-    "q20_significant_suppliers",
-    # (3) last driver row r3
-    "copy_incremental_diff",
-    "copy_merge_upsert",
-    "dedup_connected_groups",
-    "dedup_exact_rows",
-    "dedup_fingerprint_groups",
-    "dedup_jaccard_pairs",
-    "dedup_lsh_candidates",
-    "dedup_minhash_signatures",
-    "dedup_simhash_near_pairs",
-    "dedup_survivor_docs",
-    "events_banded_range_join",
-    "events_hypertable_rollup",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_tumbling_hourly",
-    "events_user_totals",
-    "grouping_sets_priority_status",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_media_summary",
-    "select_stratified_sample",
-    "select_token_budget",
-    "sim_embedding_near_pairs",
-    "sim_ivf_topk",
-    "sim_lsh_ann_topk",
-    "sim_quantized_topk",
-    "sim_topk_cosine",
-    "skew_salted_aggregation",
-    "text_bpe_tokens_fingerprint",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_top_tokens",
-    "vector_column_stats",
+    "agg_sampled_quantiles",
+    "dedup_lsh_verified_pairs",
+    "text_vocab_encode",
+    "pipeline_pack_invariants",
+    "select_source_cap",
+    "events_ewma_smoothing",
+    "events_user_trend",
+    "select_temperature_mix",  # new r7, registered inside the window (rule above)
+    # (1) last driver row r3 (the deferred scalar surfaces)
+    "string_functions_extended",
+    "conditional_null_surface",
+    "array_functions_surface",
+    "map_functions_surface",
+    "notin_null_semantics",
+    "date_functions_surface",
+    "events_json_props",
+    # (2) last driver row r4, in registration order
+    "flagship_revenue_by_nation",
+    "s8_cardinality_probes",
+    "w6_delete_strategy_probe",
+    "p1_explicit_projection",
+    "p2_pk_only_projection",
+    "p4_composite_pk_range_scan",
+    "w5_ranged_delete_survivors",
+    "o1_o2_pk_ordered_chunk",
+    "o3_offset_pagination",
+    "a4_row_size_estimate",
+    "q1_pricing_summary",
+    "agg_distinct_custs_per_priority",
+    "rollup_lineitem_status",
+    "join_order_counts_per_customer",
+    "join_anti_customers_without_recent_orders",
+    "join_semi_suppliers_with_shipments",
+    "join_full_outer_part_lineitem_brands",
+    "setops_customer_segments",
+    "window_top3_orders_per_segment",
+    "scalar_function_surface",
+    "q3_unshipped_topk",
+    "q10_returned_revenue",
+    "q17_small_quantity_revenue",
+    "s1_catalog_column_scan",
+    "window_event_interarrival",
+    "cube_returnflag_status",
+    "exists_suppliers_of_large_orders",
+    "q2_min_acctbal_supplier_per_part",
+    "q4_priority_with_returns",
+    "q5_regional_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "window_lead_next_event",
+    "text_repetition_scores",
 ]
 
 

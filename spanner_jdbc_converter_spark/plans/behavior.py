@@ -571,18 +571,27 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
-    x0 = F.col("value").cast("double")
+    return ev.withColumn(
+        "ewma", ewma_bounded_col(F.col("value"), w, _EWMA_ALPHA, _EWMA_K)
+    ).select("event_id", "user_id", "ts", "ewma")
+
+
+def ewma_bounded_col(value, window_spec, alpha: float = _EWMA_ALPHA, k: int = _EWMA_K):
+    """The bounded-K-lag EWMA as a single window Column (adjust=True
+    normalization): weights (1−α)^j truncate at ``k`` lags, which is
+    value-identical to the sequential recurrence at 6-digit precision
+    when (1−α)^k is below the rounding digit.  Factored out so scale
+    smokes and callers can apply it to any ordered window."""
+    x0 = value.cast("double")
     num, den = None, None
-    for j in range(_EWMA_K + 1):
-        wj = F.lit((1 - _EWMA_ALPHA) ** j)
-        xj = x0 if j == 0 else F.lag(x0, j).over(w)
+    for j in range(k + 1):
+        wj = F.lit((1 - alpha) ** j)
+        xj = x0 if j == 0 else F.lag(x0, j).over(window_spec)
         term = F.coalesce(xj * wj, F.lit(0.0))
         dterm = F.when(xj.isNotNull(), wj).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
-    return ev.select(
-        "event_id", "user_id", "ts", F.round(num / den, 6).alias("ewma")
-    )
+    return F.round(num / den, 6)
 
 
 @register(

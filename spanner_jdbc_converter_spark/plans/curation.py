@@ -532,3 +532,51 @@ def select_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("padding_frac"),
     )
+
+
+_MIX_TAU = 0.5
+_MIX_FRAC = 0.4
+_MIX_BUCKET_SQL = (
+    md5_long_sql("concat('mix:', source, ':', CAST(doc_id AS VARCHAR))") + " % 1000000"
+)
+_MIX_TERM_SQL = "CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))"
+
+
+@register(
+    "select_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    d AS (SELECT SUM({_MIX_TERM_SQL}) AS dsum, SUM(n) AS tot FROM c),
+    r AS (
+      SELECT c.source,
+             CAST(FLOOR(ROUND(LEAST(1.0,
+                 ROUND({_MIX_FRAC} * CAST(d.tot AS DOUBLE)
+                       * (CAST({_MIX_TERM_SQL} AS DOUBLE) / CAST(d.dsum AS DOUBLE))
+                       / CAST(c.n AS DOUBLE), 6)), 6) * 1000000) AS BIGINT)
+               AS thresh
+      FROM c, d)
+    SELECT doc_id, source FROM documents
+    JOIN r USING (source)
+    WHERE {_MIX_BUCKET_SQL} < r.thresh
+    """,
+)
+def select_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 0.5, 40 % kept overall):
+    each source is hash-sampled at a rate that makes the kept mix
+    follow n_i^τ — the standard upweight-the-tail mixture reweighting
+    for multi-source/multilingual training corpora (τ = 1 is the
+    natural mix, τ → 0 uniform).  Rates cap at 1: a tail source smaller
+    than its target keeps everything.
+
+    Parity: sqrt is IEEE correctly-rounded (why only τ = 0.5 is
+    offered), the normalizer Σ√n sums 6-digit DECIMAL terms (order-
+    independent), and the row filter compares integer hash buckets to a
+    per-source integer threshold.  Scale: one metadata-sized count agg,
+    the rate frame broadcast back, keep decision a narrow in-scan
+    filter (operators/selection.py::temperature_mix_sample)."""
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    d = load_table(spark, sf_dir, "documents")
+    return sel.temperature_mix_sample(
+        d, "source", "doc_id", tau=_MIX_TAU, target_frac=_MIX_FRAC
+    ).select("doc_id", "source")

@@ -148,3 +148,23 @@ def test_config_drives_convert_table_jdbc(spark, sf_dir, tmp_path):
     )
     assert (r.ddl_action, r.data_action) == ("created", "copied")
     assert r.result.record_count == region.count()
+
+
+def test_gate_window_contains_every_never_checked_entry():
+    """VERDICT r6 #3: a round must mint zero new never-checked entries —
+    every registered entry with no driver CORRECTNESS row yet must sit
+    inside the first 50 registry slots (the driver's gate window), so
+    its first driver row lands THIS round.  GATE_HISTORY.json is the
+    machine-readable staleness record (scripts/gate_history.py)."""
+    import json
+    import os
+
+    from spanner_jdbc_converter_spark.plans import QUERIES
+
+    hist_path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "GATE_HISTORY.json")
+    with open(hist_path) as fh:
+        hist = json.load(fh)
+    window = list(QUERIES)[:50]
+    never = [n for n in QUERIES if n not in hist["entries"]]
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-checked entries outside the gate window: {missing}"

@@ -189,3 +189,106 @@ def test_embedding_lsh_pairs_at_10x(spark):
     # every replica pair of the same base vector is an exact duplicate
     assert n_pairs >= 0.9 * (n * COPIES * (COPIES - 1) / 2)
     assert wall < 300, f"LSH embedding pairs at 10x took {wall:.0f}s"
+
+
+def test_embedding_lsh_pairs_hot_bucket_skew(spark):
+    """Bucket-skew shape for the LSH threshold-pairs kernel: 4k vectors
+    share ONE direction (every table hashes them into the same bucket —
+    the pathological hot bucket) on top of 16k near-uniform vectors.
+    The kernel must stay bucket-local, score the hot block in one numpy
+    pass, and finish inside the envelope; all hot-direction pairs are
+    exact near-duplicates (cosine ≈ 1) so the pair count is the hot
+    clique."""
+    import numpy as np
+
+    from spanner_jdbc_converter_spark.operators.dedup import embedding_near_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    HOT, COLD = 4_000, 16_000
+    hot = base[None, :] + 1e-4 * rng.standard_normal((HOT, dim))
+    cold = rng.standard_normal((COLD, dim))
+    vecs = np.vstack([hot, cold]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(HOT + COLD)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(32)
+
+    t0 = time.time()
+    pairs = embedding_near_pairs_lsh(df, threshold=0.999)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # the hot clique: all 4k near-identical vectors pair with each other
+    assert n_pairs >= HOT * (HOT - 1) / 2
+    assert wall < 300, f"hot-bucket LSH pairs took {wall:.0f}s"
+
+
+def test_verified_near_pairs_at_10x(spark):
+    """MinHash-LSH recall + exact Jaccard verify at 10× sf0.1 volume:
+    candidate-set-sized joins only.  Replicas of the same base doc are
+    exact duplicates, so verified pairs at threshold 0.9 include every
+    replica pair that LSH recalls; every emitted pair must carry
+    jaccard ≥ threshold."""
+    from spanner_jdbc_converter_spark.operators.dedup import verified_near_pairs
+
+    docs = _scaled_docs(spark)
+    t0 = time.time()
+    pairs = verified_near_pairs(docs, threshold=0.9)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.min("jaccard").alias("min_j")
+    ).first()
+    wall = time.time() - t0
+    assert agg["n"] > 0
+    assert agg["min_j"] >= 0.9
+    assert wall < 600, f"verified near pairs at 10x took {wall:.0f}s"
+
+
+def test_ewma_bounded_lag_truncation_error(spark):
+    """The K-lag truncated EWMA window vs the exact sequential
+    recurrence on LONG per-key series (4 keys × 50k points): the
+    truncated form must agree with pandas ewm(adjust=True) within the
+    theoretical tail bound ~2·(1−α)^(K+1)·max|x| everywhere — the bound
+    that justifies recasting the recurrence as a codegen window at
+    scale (at the corpus entry's value magnitudes it sits below the
+    6-digit rounding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from spanner_jdbc_converter_spark.plans.behavior import (
+        _EWMA_ALPHA,
+        _EWMA_K,
+        ewma_bounded_col,
+    )
+
+    rng = np.random.default_rng(11)
+    N, KEYS = 50_000, 4
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(KEYS), N),
+            "i": np.tile(np.arange(N), KEYS),
+            "value": rng.standard_normal(N * KEYS) * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(32)
+    w = Window.partitionBy("k").orderBy("i")
+    t0 = time.time()
+    got = (
+        df.withColumn("ewma", ewma_bounded_col(F.col("value"), w, _EWMA_ALPHA, _EWMA_K))
+        .toPandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    wall = time.time() - t0
+    exact = (
+        pdf.sort_values(["k", "i"])
+        .groupby("k")["value"]
+        .transform(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=True).mean())
+        .reset_index(drop=True)
+    )
+    err = (got["ewma"] - exact).abs().max()
+    # tail bound: dropped weights sum to (1-a)^(K+1)/a of a den >= 1;
+    # with the final round-to-6 that is < 4*(1-a)^(K+1)*max|x| + 5e-7
+    bound = 4 * (1 - _EWMA_ALPHA) ** (_EWMA_K + 1) * pdf["value"].abs().max() + 1e-6
+    assert err < bound, f"truncation error {err} exceeds bound {bound}"
+    assert wall < 120, f"bounded EWMA on long series took {wall:.0f}s"

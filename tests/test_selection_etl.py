@@ -219,3 +219,37 @@ class TestPerGroupCap:
 
         d = load_table(spark, sf_dir, "documents")
         assert sel.per_group_cap(d, "source", "doc_id", 10**6).count() == d.count()
+
+
+class TestTemperatureMix:
+    def test_kept_mix_follows_sqrt_weights(self, spark):
+        """With two sources 3600 vs 400 (9:1), τ=0.5 targets a kept mix
+        of √3600:√400 = 3:1 — the big source is DOWN-weighted relative
+        to its natural 9:1 share.  Hash sampling is approximate, so
+        assert the kept ratio lands near 3:1 and far from 9:1, plus the
+        exact expected counts from the integer thresholds."""
+        rows = [(i, "big") for i in range(3600)] + [(10_000 + i, "small") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        kept = sel.temperature_mix_sample(df, "source", "doc_id", target_frac=0.4).toPandas()
+        by = kept.groupby("source").size()
+        # targets: T=1600 total; w_big=60/80, w_small=20/80 →
+        # t_big=1200 (rate 1/3), t_small=400 (rate 1.0 → keeps all 400)
+        assert by["small"] == 400            # rate capped at 1: all kept
+        assert abs(by["big"] - 1200) < 150   # hash-sampled ≈ 1200
+        # determinism: same input → identical kept set
+        again = sel.temperature_mix_sample(df, "source", "doc_id", target_frac=0.4).toPandas()
+        assert sorted(again["doc_id"]) == sorted(kept["doc_id"])
+
+    def test_mix_plan_broadcasts_rates_no_extra_shuffle(self, spark, sf_dir):
+        """The rate frame joins back by BROADCAST; the data-sized side
+        never shuffles for the join."""
+        plan = _plan(spark, "select_temperature_mix", sf_dir)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_only_sqrt_temperature_supported(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(NotImplementedError):
+            sel.temperature_mix_sample(df, "source", "doc_id", tau=0.7)
