@@ -821,6 +821,26 @@ def verified_near_pairs(
     silently vanish in the gram join instead of being verified
     (degenerate identical docs score jaccard 1.0, as they should)."""
     cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
+    return verify_pairs(df, cand, text_col, id_col, threshold, ngram)
+
+
+def verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a GIVEN candidate-pair frame
+    (id_a, id_b) — the verify kernel shared by verified_near_pairs and
+    incremental_near_dedup.  Cost is candidate-set-sized: per-doc
+    DISTINCT gram sets join to candidates BY ID, the intersection is
+    one (pair, gram)-keyed aggregation, and set sizes ride small
+    per-doc count frames.  Sub-ngram docs verify over the whole-text
+    fallback gram (matching their LSH signatures).
+
+    Output: id_a, id_b, jaccard (≥ threshold, exact single division)."""
     grams = shingle_rows(
         df, text_col, id_col, ngram, fallback_to_text=True
     ).dropDuplicates([id_col, "__s"])
@@ -843,4 +863,105 @@ def verified_near_pairs(
         .join(sb, on="id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    ngram: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING curated corpus — the
+    production increment path: re-deduplicating 100 TB because 1 TB
+    arrived is not an option, so candidate generation must touch only
+    pairs involving the batch.
+
+    Stages (all deterministic):
+    1. exact: a batch doc whose normalized-content fingerprint already
+       exists in the corpus is dropped; batch docs sharing a
+       fingerprint keep the min id.
+    2. near: MinHash-LSH banding over corpus ∪ survivors, but the
+       candidate join's LEFT side is the BATCH banding only — corpus×
+       corpus pairs are never enumerated (the band-bucket work is
+       |batch_bucket|·|bucket|, not |bucket|²).  Candidates verify with
+       exact n-gram Jaccard (verify_pairs); a batch doc near a CORPUS
+       doc (jaccard ≥ threshold) is dropped; batch-batch verified pairs
+       resolve by connected components with the min-id keeper (same
+       semantics as the full-corpus pipeline).
+
+    Returns the batch rows that survive, with the batch's columns.
+
+    Scale: corpus signatures are one pass (in production, cached from
+    the previous increment); every join after banding is candidate- or
+    batch-sized; the closure runs on the batch-only pair graph."""
+    norm_fp = F.md5(normalized_text(F.col(text_col)))
+
+    # -- stage 1: exact fingerprint against corpus + within batch -------
+    corpus_fp = corpus.select(norm_fp.alias("__fp")).distinct()
+    b = batch.withColumn("__fp", norm_fp)
+    b_new = b.join(corpus_fp, on="__fp", how="left_anti")
+    keepers = b_new.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    exact_surv = (
+        b_new.join(keepers, on="__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+    # -- stage 2: batch-sided LSH banding over corpus ∪ survivors -------
+    union = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        exact_surv.select(F.col(id_col), F.col(text_col))
+    )
+    sigs = minhash_signatures(union, text_col, id_col, k)
+    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
+    batch_ids = exact_surv.select(F.col(id_col).alias("__bid"))
+    banded_batch = banded.join(
+        F.broadcast(batch_ids), banded[id_col] == F.col("__bid")
+    ).select(F.col(id_col).alias("__a"), "band_key")
+    cand = (
+        banded_batch.join(banded.select(F.col(id_col).alias("__b"), "band_key"), on="band_key")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = verify_pairs(union, cand, text_col, id_col, threshold, ngram)
+
+    tags = batch_ids.select(F.col("__bid").alias("__id"))
+    va = verified.join(
+        F.broadcast(tags.withColumnRenamed("__id", "id_a").withColumn("__na", F.lit(True))),
+        on="id_a",
+        how="left",
+    ).join(
+        F.broadcast(tags.withColumnRenamed("__id", "id_b").withColumn("__nb", F.lit(True))),
+        on="id_b",
+        how="left",
+    )
+    # batch docs near a corpus doc: drop outright
+    hit_corpus = va.filter(
+        F.col("__na").isNotNull() & F.col("__nb").isNull()
+    ).select(F.col("id_a").alias(id_col)).unionByName(
+        va.filter(F.col("__nb").isNotNull() & F.col("__na").isNull()).select(
+            F.col("id_b").alias(id_col)
+        )
+    ).distinct()
+    # batch-batch pairs: connected components, min-id keeper
+    bb = va.filter(F.col("__na").isNotNull() & F.col("__nb").isNotNull()).select(
+        "id_a", "id_b"
+    )
+    losers = (
+        connected_groups(bb)
+        .filter(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return exact_surv.join(hit_corpus, on=id_col, how="left_anti").join(
+        losers, on=id_col, how="left_anti"
     )

@@ -43,6 +43,10 @@ _GATE_PRIORITY = [
     "events_ewma_smoothing",
     "events_user_trend",
     "select_temperature_mix",  # new r7, registered inside the window (rule above)
+    "dedup_incremental_batch",  # new r7, same rule
+    "text_token_spectrum",  # new r7, same rule
+    "text_zipf_slope",  # new r7, same rule
+    "dedup_source_overlap_matrix",  # new r7, same rule
     # (1) last driver row r3 (the deferred scalar surfaces)
     "string_functions_extended",
     "conditional_null_surface",

@@ -900,3 +900,167 @@ def select_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task (operators/selection.py::per_group_cap)."""
     d = load_table(spark, sf_dir, "documents")
     return sel.per_group_cap(d, "source", "doc_id", 15).select("doc_id", "source")
+
+
+_INC_NORM_SQL = _NORM_SQL  # normalized fingerprint text, shared with survivors
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH RECURSIVE
+    bset AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+    cset AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    cfp AS (SELECT DISTINCT md5({_INC_NORM_SQL}) AS fp FROM cset),
+    bf AS (SELECT doc_id, lang, text, md5({_INC_NORM_SQL}) AS fp FROM bset),
+    bnew AS (SELECT * FROM bf WHERE fp NOT IN (SELECT fp FROM cfp)),
+    keep AS (SELECT fp, MIN(doc_id) AS keeper FROM bnew GROUP BY fp),
+    ex AS MATERIALIZED (SELECT bnew.doc_id, bnew.lang, bnew.text
+                        FROM bnew JOIN keep ON bnew.doc_id = keep.keeper),
+    u AS MATERIALIZED (SELECT doc_id, text FROM cset
+                       UNION ALL SELECT doc_id, text FROM ex),
+    t2 AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM u),
+    grams2 AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN {_GRAMS_SQL}
+                           ELSE [{_INC_NORM_SQL}] END AS g
+               FROM t2),
+    hs2 AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams2),
+    sigs AS (SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS sig FROM hs2),
+    bands AS MATERIALIZED (SELECT doc_id, unnest([{_lsh_band_exprs_sql()}]) AS band_key
+                           FROM sigs),
+    bb AS (SELECT doc_id, band_key FROM bands
+           WHERE doc_id IN (SELECT doc_id FROM ex)),
+    cand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                             GREATEST(a.doc_id, b.doc_id) AS id_b
+             FROM bb a JOIN bands b USING (band_key)
+             WHERE a.doc_id <> b.doc_id),
+    dg AS MATERIALIZED (SELECT doc_id, list_distinct(g) AS g FROM grams2),
+    ver AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand JOIN dg a ON a.doc_id = id_a JOIN dg b ON b.doc_id = id_b
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5),
+    newids AS (SELECT doc_id FROM ex),
+    hitc AS (SELECT id_a AS doc_id FROM ver
+             WHERE id_a IN (SELECT doc_id FROM newids)
+               AND id_b NOT IN (SELECT doc_id FROM newids)
+             UNION
+             SELECT id_b FROM ver
+             WHERE id_b IN (SELECT doc_id FROM newids)
+               AND id_a NOT IN (SELECT doc_id FROM newids)),
+    bbp AS (SELECT id_a, id_b FROM ver
+            WHERE id_a IN (SELECT doc_id FROM newids)
+              AND id_b IN (SELECT doc_id FROM newids)),
+    sym AS (SELECT id_a AS u, id_b AS v FROM bbp
+            UNION SELECT id_b, id_a FROM bbp),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+               HAVING LEAST(u, MIN(v)) <> u)
+    SELECT doc_id, lang FROM ex
+    WHERE doc_id NOT IN (SELECT doc_id FROM hitc)
+      AND doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch (every 5th doc) against the
+    EXISTING curated corpus (the rest) — the production increment path:
+    exact fingerprints against the corpus + min-id within the batch,
+    then MinHash-LSH banding whose candidate join is BATCH-SIDED (the
+    corpus² pair space is never enumerated), exact-Jaccard verification
+    (≥ 0.5), drop-on-corpus-hit, and connected-component min-id keeping
+    among batch-batch near-dups
+    (operators/dedup.py::incremental_near_dedup).
+
+    The oracle replays every stage — both fingerprint sets, the full
+    signature/banding pipeline over corpus ∪ survivors, the batch-sided
+    candidate restriction, the exact verify, and the batch-only
+    transitive closure by recursive CTE — so a hash match certifies the
+    increment semantics end-to-end.  Scale: corpus signatures are one
+    pass (cacheable across increments); all joins after banding are
+    candidate- or batch-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = dd.incremental_near_dedup(corpus, batch, threshold=0.5)
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH t2 AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT DISTINCT source, unnest({_GRAMS_SQL}) AS gram
+          FROM t2 WHERE len(t) >= 3),
+    n AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(na.n_grams AS BIGINT) AS n_a,
+           CAST(nb.n_grams AS BIGINT) AS n_b,
+           ROUND(COUNT(*) / CAST(LEAST(na.n_grams, nb.n_grams) AS DOUBLE), 6)
+             AS containment
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    JOIN n na ON na.source = a.source
+    JOIN n nb ON nb.source = b.source
+    GROUP BY a.source, b.source, na.n_grams, nb.n_grams
+    """,
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct word-3-grams they share, plus containment (shared /
+    smaller side) — the corpus-forensics view that answers "which
+    sources mirror each other" before choosing mixture weights or
+    dedup order.  (Whole-doc fingerprints would be the exact-copy
+    matrix; the fixture's sources share no exact copies, so the entry
+    measures the shingle-level overlap production forensics actually
+    use.)
+
+    Scale: the inverted index is the DISTINCT (source, gram)
+    projection, so each gram posting is bounded by |sources| — the
+    pair join costs Σ_gram df_src(gram)² ≤ |sources|² per gram, never
+    |docs|²; one shuffle on the gram, then a metadata-sized (pair)
+    aggregation with broadcast per-source totals.  Exact integers
+    except the final containment division (single IEEE op, rounded
+    to 6).  Sub-3-token docs are out of scope by design (their only
+    gram would be the whole text — the exact-copy signal)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        dd.shingle_rows(
+            d.filter(tx.token_count("text") >= 3),
+            "text",
+            "doc_id",
+            3,
+            extra_cols=["source"],
+            fallback_to_text=False,
+        )
+        .select("source", F.col("__s").alias("gram"))
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    pairs = (
+        a.join(b, on="gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), on="source_a")
+        .join(F.broadcast(nb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

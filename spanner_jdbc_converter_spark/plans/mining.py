@@ -839,3 +839,114 @@ def select_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("share"),
     )
+
+
+@register(
+    "text_token_spectrum",
+    oracle=f"""
+    WITH tk AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    c AS (SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w)
+    SELECT CAST(cnt AS BIGINT) AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_token_types
+    FROM c GROUP BY cnt
+    """,
+)
+def text_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency token spectrum: how many distinct token
+    types occur exactly k times — the corpus-statistics curve behind
+    Good-Turing smoothing, vocabulary-growth estimates, and boilerplate
+    detection (a fat high-k tail = templated text).  Exact integers
+    end-to-end.
+
+    Scale: two hash aggregations (token counts, then count-of-counts);
+    the second input is vocabulary-sized and the output is the distinct
+    count values — metadata-sized.  Both aggs combine map-side; nothing
+    sorts or windows globally."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_token_types")
+    ).select(F.col("cnt").cast("long").alias("occurrences"), "n_token_types")
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tk AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    c AS (SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+    r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rk FROM c),
+    xy AS (SELECT CAST(ROUND(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+           FROM r),
+    s AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_token_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS log_intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the full vocabulary — natural text sits near −1;
+    strong deviation flags templated/synthetic corpora (the "does this
+    source look like language" screen).
+
+    Parity: ln outputs round to 6 at their narrowest point, Σx/Σy/Σxy/
+    Σx² accumulate in exact DECIMAL (order-independent), the closed-form
+    slope/intercept run once in IEEE double with the same tree on both
+    engines, rounded to 6.  Scale: the global rank over the VOCABULARY
+    (not the corpus) uses the banded two-phase pattern — band = cnt, the
+    per-band offsets come from a window over the metadata-sized
+    count-histogram, and row_number partitions by cnt — so no stage
+    windows the vocabulary in one task; the five sums reduce to ONE row
+    with map-side combine."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # banded global rank: offsets per cnt from the metadata-sized
+    # histogram, row_number within each cnt partition (ordered by token)
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy(F.desc("cnt")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long")
+    ).select("cnt", "__off")
+    w_in = Window.partitionBy("cnt").orderBy(F.asc("w"))
+    ranked = counts.join(F.broadcast(offsets), on="cnt").withColumn(
+        "rk", F.col("__off") + F.row_number().over(w_in)
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_token_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
+    )

@@ -1035,3 +1035,44 @@ def test_build_vocab_property_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_incremental_near_dedup_semantics(spark):
+    """Increment path: exact corpus hit dropped, near corpus hit
+    dropped, batch-internal near-dup group keeps min id, unique batch
+    doc survives, corpus rows never appear in the output."""
+    base = " ".join(f"corpusword{j}" for j in range(30))
+    near = base.replace("corpusword5", "changedword5")  # 1-token edit ≈ 0.87 jaccard
+    bb = " ".join(f"batchword{j}" for j in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base, "s"), (2, "completely different corpus text here entirely", "s")],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base, "s"),   # exact dup of corpus 1
+            (11, near, "s"),   # near dup of corpus 1
+            (12, "unique brand new content nothing like it at all", "s"),
+            (13, bb, "s"),     # batch-internal near-dup group {13, 14}
+            (14, bb.replace("batchword7", "editedword7"), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in dd.incremental_near_dedup(corpus, batch, threshold=0.5).collect()
+    )
+    assert got == [12, 13]
+
+
+def test_incremental_near_dedup_empty_batch_and_empty_corpus(spark):
+    schema = "doc_id long, text string, source string"
+    empty = spark.createDataFrame([], schema)
+    docs = spark.createDataFrame(
+        [(1, "some words in a doc here", "s"), (2, "some words in a doc here", "s")],
+        schema,
+    )
+    assert dd.incremental_near_dedup(docs, empty).count() == 0
+    # empty corpus: reduces to plain within-batch dedup (min-id keeper)
+    got = sorted(r.doc_id for r in dd.incremental_near_dedup(empty, docs).collect())
+    assert got == [1]
