@@ -94,3 +94,53 @@ def ingest_documents(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_documents_near_dedup(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    quality_min: float = 0.3,
+    threshold: float = 0.5,
+):
+    """availableNow ingestion with NEAR-dedup against the store: each
+    micro-batch runs the full increment path
+    (operators/dedup.py::incremental_near_dedup) with the curated store
+    as the corpus — exact fingerprints against the store, batch-sided
+    LSH banding, exact-Jaccard verify, batch-internal component keeper
+    — and appends only the survivors.
+
+    The store carries the TEXT column (the verify stage grams future
+    batches against it); at production scale the store would also
+    persist each doc's MinHash signature so corpus re-signing is never
+    repeated — the orchestration here is unchanged by that cache.
+
+    Exactly-once: a replayed batch's docs are already in the store, so
+    the exact-fingerprint stage drops every one of them — the append is
+    idempotent (asserted in tests/test_streaming.py).
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    out_cols = ["doc_id", "text", "lang", "source", "n_tokens", "quality"]
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            tx.document_profile(batch_df)
+            .filter(F.col("quality") >= quality_min)
+            .select(*out_cols)
+        )
+        if os.path.exists(store_path):
+            corpus = spark.read.parquet(store_path)
+        else:
+            corpus = spark.createDataFrame([], batch.schema)
+        survivors = dd.incremental_near_dedup(corpus, batch, threshold=threshold)
+        survivors.select(*out_cols).write.mode("append").parquet(store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -329,3 +329,42 @@ def test_dedup_last_wins_order_col_beats_canonical(spark):
     )
     got = ops.dedup_last_wins(df, ["pk"], order_col="seq").collect()
     assert [(r.pk, r.val, r.seq) for r in got] == [(1, "aaa", 2)]
+
+
+def test_incremental_ingest_near_dedup_across_batches_and_replays(spark, tmp_path):
+    """streaming/ingest.py near-dedup twin: a later micro-batch's
+    NEAR-duplicate of an already-stored doc is dropped (not just exact
+    copies), unique docs land, and a full replay appends nothing."""
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    base = " ".join(f"streamword{j:02d}" for j in range(40))
+    uniq = " ".join(f"otherword{j:02d}" for j in range(40))
+    rows1 = [(1, base, "en", "s0", len(base))]
+    rows2 = [
+        (10, base.replace("streamword03", "editedword03"), "en", "s0", len(base)),
+        (11, uniq, "en", "s1", len(uniq)),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    spark.createDataFrame(rows1, schema).write.parquet(in_dir + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).write.parquet(in_dir + "/f2.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0,
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    # doc 10 is a 1-token edit of stored doc 1 -> near-dup, dropped
+    assert got == [1, 11]
+
+    # replay with a fresh checkpoint: exact stage drops everything
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [1, 11]
