@@ -347,3 +347,46 @@ def test_sampled_quantiles_sample_filter_before_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the modulo-16 sample predicate exists as a Filter above the scan
     assert "% 16) = 0" in plan or "% 16 = 0" in plan.replace("(", "").replace(")", "")
+
+
+def test_incremental_dedup_batch_sided_candidates(spark, sf_dir):
+    """The increment path never enumerates corpus x corpus pairs: the
+    band join's left side is the (broadcast-filtered) batch banding, no
+    cartesian, and the connected-components input is batch-only."""
+    plan = _plan(spark, "dedup_incremental_batch", sf_dir)
+    assert "CartesianProduct" not in plan
+    # batch ids reach the banding via a broadcast semi/hash join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_overlap_matrix_no_doc_pair_blowup(spark, sf_dir):
+    """The inverted index is the DISTINCT (source, gram) projection —
+    no cartesian, no doc-level pair join, per-source totals broadcast."""
+    plan = _plan(spark, "dedup_source_overlap_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # per-source totals
+
+
+def test_zipf_rank_has_no_vocabulary_sized_global_window(spark, sf_dir):
+    """The vocabulary rank is banded: row_number partitions by cnt and
+    offsets broadcast from the metadata-sized histogram — no
+    single-partition window over the whole vocabulary."""
+    plan = _plan(spark, "text_zipf_slope", sf_dir)
+    import re
+
+    # every window's partition spec must be non-empty EXCEPT the one over
+    # the metadata-sized histogram (count-of-counts rows)
+    wins = re.findall(r"Window \[.*?\]", plan)
+    assert plan.count("CartesianProduct") == 0
+    # offsets rejoin by broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_filter_is_in_scan_side(spark, sf_dir):
+    """Rates broadcast; the document side is scanned once and never
+    shuffled for the rate join."""
+    plan = _plan(spark, "select_temperature_mix", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

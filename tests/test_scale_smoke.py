@@ -292,3 +292,23 @@ def test_ewma_bounded_lag_truncation_error(spark):
     bound = 4 * (1 - _EWMA_ALPHA) ** (_EWMA_K + 1) * pdf["value"].abs().max() + 1e-6
     assert err < bound, f"truncation error {err} exceeds bound {bound}"
     assert wall < 120, f"bounded EWMA on long series took {wall:.0f}s"
+
+
+def test_incremental_dedup_at_10x_corpus(spark):
+    """Increment path at scale shape: 10x sf0.1 corpus (50k docs) with a
+    1-in-10 batch. The batch-sided banding keeps candidate work
+    batch-proportional; replicas guarantee both corpus hits (batch docs
+    whose base doc sits in the corpus) and batch-batch duplicate groups."""
+    from spanner_jdbc_converter_spark.operators.dedup import incremental_near_dedup
+
+    docs = _scaled_docs(spark)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    t0 = time.time()
+    survivors = incremental_near_dedup(corpus, batch, threshold=0.9)
+    n_in = batch.count()
+    n_out = survivors.count()
+    wall = time.time() - t0
+    # replicas are exact dups of corpus-resident base docs -> heavy drops
+    assert 0 < n_out < n_in
+    assert wall < 600, f"incremental dedup at 10x took {wall:.0f}s"
