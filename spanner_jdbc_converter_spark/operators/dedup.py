@@ -899,7 +899,11 @@ def incremental_near_dedup(
 
     Scale: corpus signatures are one pass (in production, cached from
     the previous increment); every join after banding is candidate- or
-    batch-sized; the closure runs on the batch-only pair graph."""
+    batch-sized; the closure runs on the batch-only pair graph.  The
+    batch-id frame broadcasts (ids only — the "increment ≪ corpus"
+    assumption); for a pathological increment too large to broadcast
+    ids, Spark falls back by itself only on hint failure, so swap the
+    broadcast hint for a plain shuffle semi-join at that scale."""
     norm_fp = F.md5(normalized_text(F.col(text_col)))
 
     # -- stage 1: exact fingerprint against corpus + within batch -------

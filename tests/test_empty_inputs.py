@@ -168,3 +168,16 @@ def test_ewma_empty(spark, tmp_path):
         f"{tmp_path}/events.parquet"
     )
     assert events_ewma_smoothing(spark, str(tmp_path)).count() == 0
+
+
+def test_temperature_mix_empty_and_single_group(spark):
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert sel.temperature_mix_sample(empty, "source", "doc_id").count() == 0
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(200)], "doc_id long, source string"
+    )
+    kept = sel.temperature_mix_sample(one, "source", "doc_id", target_frac=0.4).count()
+    # single group: rate == target_frac exactly (hash-sampled around 80)
+    assert 40 <= kept <= 120
