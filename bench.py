@@ -162,23 +162,38 @@ def main() -> None:
     # with this round's timings (ADVICE r6) — so an inferred per-round
     # target that ALREADY EXISTS is never overwritten (the explicit env
     # var, and latest.json, always are).
-    targets = [(hist, True)]
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) are experiments: writing their
+    # partial timings to the round history would poison the record AND
+    # block the later full run via the no-clobber guard below — so they
+    # write no history at all unless an explicit history path is given.
+    if only:
+        targets = [(hist, True)] if "SPARK_GRAFT_BENCH_HISTORY" in os.environ else []
+    else:
+        targets = [(hist, True)]
     round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     try:
         import re
 
         if round_env is not None:
-            this_round, overwrite = int(round_env), True
-        else:
+            try:
+                this_round, overwrite = int(round_env), True
+            except ValueError:
+                print(
+                    f"bench: ignoring malformed SPARK_GRAFT_BENCH_ROUND={round_env!r}",
+                    file=sys.stderr,
+                )
+                round_env = None
+        if round_env is None:
             recorded = [
                 int(m.group(1))
                 for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
                 if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
             ]
             this_round, overwrite = (max(recorded) + 1) if recorded else 0, False
-        targets.append(
-            (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), overwrite)
-        )
+        if not only:
+            targets.append(
+                (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), overwrite)
+            )
     except OSError:
         pass
     for path, overwrite in targets:

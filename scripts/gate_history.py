@@ -87,16 +87,15 @@ def main() -> None:
     registered: list[str] = []
     try:
         sys.path.insert(0, REPO)
-        from spanner_jdbc_converter_spark.plans.registry import QUERIES
+        # REGISTRATION_ORDER is append-only and never touched by the
+        # gate-window rotation (importing the registry module pulls in
+        # plans/__init__, whose rotation reorders QUERIES — so QUERIES
+        # itself can NOT provide registration order here).
+        from spanner_jdbc_converter_spark.plans.registry import (
+            REGISTRATION_ORDER,
+        )
 
-        # registration order, NOT the rotated gate order: import the
-        # registry before plans/__init__ applies _GATE_PRIORITY
-        registered = list(QUERIES)
-        import spanner_jdbc_converter_spark.plans  # noqa: F401  (full load)
-
-        registered = [n for n in registered] + [
-            n for n in QUERIES if n not in set(registered)
-        ]
+        registered = list(REGISTRATION_ORDER)
     except Exception as exc:  # registry unavailable: history still useful
         print(f"gate_history: registry not loaded ({exc})", file=sys.stderr)
 

@@ -937,7 +937,16 @@ def incremental_near_dedup(
         )
         .distinct()
     )
-    verified = verify_pairs(union, cand, text_col, id_col, threshold, ngram)
+    # restrict the verify input to candidate-INVOLVED docs — without this
+    # semi-join the verify stage would shingle the whole corpus per
+    # increment, breaking the batch-proportional cost promise above
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    involved = union.join(cand_ids, on=id_col, how="left_semi")
+    verified = verify_pairs(involved, cand, text_col, id_col, threshold, ngram)
 
     tags = batch_ids.select(F.col("__bid").alias("__id"))
     va = verified.join(

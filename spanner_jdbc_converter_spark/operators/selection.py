@@ -283,12 +283,12 @@ def temperature_mix_sample(
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     # Σ n_j^tau in DECIMAL: per-group terms rounded to 6, summed exactly
     # (order-independent) so the normalizer is bit-identical everywhere.
+    # ONE aggregation produces both the normalizer and the total, so the
+    # grouped count appears once in the plan (not once per crossJoin).
     term = F.round(F.sqrt(F.col("__n").cast("double")), 6).cast("decimal(28,6)")
-    denom = counts.agg(F.sum(term).alias("__d"))
-    total = counts.agg(F.sum("__n").alias("__t"))
+    totals = counts.agg(F.sum(term).alias("__d"), F.sum("__n").alias("__t"))
     rates = (
-        counts.crossJoin(F.broadcast(denom))
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             group_col,
             F.floor(

@@ -22,13 +22,17 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
 # list IS that proposal's output for round 7, and tests/test_config.py
 # asserts the window stays consistent with the history):
-#   (0) the 7 entries with NO driver row yet — the 6 that registered after
-#       the r6 window froze plus pipeline_pack_invariants (new r7, the
-#       packing-layout invariants that upgrade the rows-only pipeline
-#       entry to a value-checked composition);
+#   (0) the 12 entries with NO driver row yet — the 6 that registered
+#       after the r6 window froze plus the 6 NEW r7 entries (pack
+#       invariants, temperature mix, incremental batch dedup, token
+#       spectrum, Zipf slope, source-overlap matrix), each added here in
+#       its own registration commit per the rule below;
 #   (1) the 7 r3-stale scalar-surface entries deferred from r6
 #       (array/map/date/string functions, null semantics, JSON props);
-#   (2) 36 of the 50 entries whose last driver row was r4.
+#   (2) 31 of the 50 entries whose last driver row was r4 (the 5 new r7
+#       registrations displaced q7/q8/q9/window_lead_next_event/
+#       text_repetition_scores to r8 — the list is trimmed to EXACTLY the
+#       50-slot window so membership is explicit, not positional).
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50) and the final commit of the
 # round re-runs the proposal so the frozen window always contains every
@@ -87,11 +91,6 @@ _GATE_PRIORITY = [
     "q4_priority_with_returns",
     "q5_regional_supplier_volume",
     "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "window_lead_next_event",
-    "text_repetition_scores",
 ]
 
 

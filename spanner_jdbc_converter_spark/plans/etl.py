@@ -632,8 +632,8 @@ def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int
     out, report = curate_documents(
         docs,
         benchmark_pred=F.col("source") == "src0",
-        token_budget=50_000,
-        pack_capacity=512,
+        token_budget=PIPE_TOKEN_BUDGET,
+        pack_capacity=PACK_CAPACITY,
         with_counts="lazy",
     )
     packed = out.persist(StorageLevel.MEMORY_AND_DISK)
@@ -666,6 +666,11 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+#: The pipeline's token budget — shared by the Spark execution
+#: (_curated) and BOTH full-replay oracles, so a budget change stays a
+#: single-point edit (same discipline as PACK_CAPACITY).
+PIPE_TOKEN_BUDGET = 50_000
 
 # The full curation-pipeline stage chain as reusable oracle CTEs
 # (profile → quality → exact dedup → LSH near-dedup with the
@@ -737,7 +742,7 @@ _PIPE_STAGES_SQL = f"""
                    SELECT doc_id,
                           SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
                                               ROWS UNBOUNDED PRECEDING) AS cum
-                   FROM decon) WHERE cum <= 50000)
+                   FROM decon) WHERE cum <= {PIPE_TOKEN_BUDGET})
 """
 
 

@@ -13,12 +13,19 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+#: Names in the order register() first saw them — unlike QUERIES, this
+#: list is NEVER reordered by the gate-window rotation, so tooling that
+#: needs true registration order (scripts/gate_history.py) reads it here.
+REGISTRATION_ORDER: list[str] = []
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the corpus.
     ``oracle=None`` ⇒ the driver records a weaker rows-only check."""
 
     def deco(fn):
+        if name not in QUERIES:
+            REGISTRATION_ORDER.append(name)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -373,14 +373,17 @@ def test_zipf_rank_has_no_vocabulary_sized_global_window(spark, sf_dir):
     offsets broadcast from the metadata-sized histogram — no
     single-partition window over the whole vocabulary."""
     plan = _plan(spark, "text_zipf_slope", sf_dir)
-    import re
-
-    # every window's partition spec must be non-empty EXCEPT the one over
-    # the metadata-sized histogram (count-of-counts rows)
-    wins = re.findall(r"Window \[.*?\]", plan)
-    assert plan.count("CartesianProduct") == 0
+    assert "CartesianProduct" not in plan
     # offsets rejoin by broadcast
     assert "BroadcastHashJoin" in plan
+    # the data-side row_number window must carry the cnt band in its
+    # partition key — a global-rank regression would partition by nothing
+    import re
+
+    rn_windows = re.findall(
+        r"Arguments: \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan
+    )
+    assert rn_windows and all("cnt" in spec for spec in rn_windows), rn_windows
 
 
 def test_temperature_mix_filter_is_in_scan_side(spark, sf_dir):
