@@ -1076,3 +1076,23 @@ def test_incremental_near_dedup_empty_batch_and_empty_corpus(spark):
     # empty corpus: reduces to plain within-batch dedup (min-id keeper)
     got = sorted(r.doc_id for r in dd.incremental_near_dedup(empty, docs).collect())
     assert got == [1]
+
+
+def test_incremental_near_dedup_partition_invariant(spark):
+    """Survivors are a pure function of the data — repartitioning either
+    side must not change the kept set (hash keepers, min-id components,
+    no dropDuplicates-style arbitrariness)."""
+    docs = [(i, " ".join(f"w{i}_{j:02d}" for j in range(25)), "s") for i in range(30)]
+    docs += [(100 + i, docs[i][1], "s") for i in range(6)]  # exact dups of 0-5
+    schema = "doc_id long, text string, source string"
+    all_df = spark.createDataFrame(docs, schema)
+    batch = all_df.filter(F.col("doc_id") >= 100)
+    corpus = all_df.filter(F.col("doc_id") < 100)
+    a = sorted(r.doc_id for r in dd.incremental_near_dedup(corpus, batch).collect())
+    b = sorted(
+        r.doc_id
+        for r in dd.incremental_near_dedup(
+            corpus.repartition(7), batch.repartition(3)
+        ).collect()
+    )
+    assert a == b == []  # every batch doc is an exact dup of the corpus

@@ -253,3 +253,41 @@ class TestTemperatureMix:
         df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
         with pytest.raises(NotImplementedError):
             sel.temperature_mix_sample(df, "source", "doc_id", tau=0.7)
+
+
+def test_pack_next_fit_matches_reference_walk_property(spark):
+    """Property check: for ANY token sequence and capacity, the Spark
+    packer's (bin_idx, bin_fill) per doc equals a pure-Python next-fit
+    walk in id order (shards=1 so the whole group is one sequence)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def reference_next_fit(tokens, capacity):
+        out, b, fill = [], 0, 0
+        for i, n in enumerate(tokens):
+            if i == 0:
+                b, fill = 0, n
+            elif fill + n > capacity:
+                b, fill = b + 1, n
+            else:
+                fill += n
+            out.append((b, fill))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+        capacity=st.integers(min_value=1, max_value=600),
+    )
+    def check(tokens, capacity):
+        df = spark.createDataFrame(
+            [("g", i, n) for i, n in enumerate(tokens)], ["grp", "doc_id", "n_tokens"]
+        )
+        got = {
+            r["doc_id"]: (r["bin_idx"], r["bin_fill"])
+            for r in sel.pack_token_sequences(df, "grp", "n_tokens", "doc_id", capacity).collect()
+        }
+        want = dict(enumerate(reference_next_fit(tokens, capacity)))
+        assert got == want
+
+    check()
