@@ -866,6 +866,20 @@ def verify_pairs(
     )
 
 
+def _stage_checkpoint(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a small stage frame and cut its lineage.
+
+    Uses a RELIABLE checkpoint when the session has a checkpoint dir
+    configured (cluster deployments: blocks survive executor loss and
+    dynamic allocation); falls back to the executor-local checkpoint
+    otherwise — the right zero-configuration local default, same
+    semantics."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def incremental_near_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -876,6 +890,7 @@ def incremental_near_dedup(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     ngram: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING curated corpus — the
     production increment path: re-deduplicating 100 TB because 1 TB
@@ -903,16 +918,23 @@ def incremental_near_dedup(
     batch-id frame broadcasts (ids only — the "increment ≪ corpus"
     assumption); for a pathological increment too large to broadcast
     ids, Spark falls back by itself only on hint failure, so swap the
-    broadcast hint for a plain shuffle semi-join at that scale."""
+    broadcast hint for a plain shuffle semi-join at that scale.
+
+    ``materialize=True`` (the default) makes CONSTRUCTION eager: the
+    four increment-sized stage outputs (exact survivors, candidate
+    pairs, involved docs, tagged verified pairs) each feed MULTIPLE
+    downstream joins, and without a materialization point every
+    consumer re-derives the full signature/banding subtree — the
+    operator's cost multiplies ~8× (measured 48 s vs 4 s at sf0.1).
+    Each stage checkpoints eagerly (reliable checkpoint when the
+    session has a checkpoint dir, executor-local otherwise — see
+    _stage_checkpoint), so building the frame runs those jobs
+    immediately.  Pass ``materialize=False`` for a fully lazy plan
+    (plan inspection, composition into a larger lazily-planned job) —
+    semantics are identical, cost is not."""
     norm_fp = F.md5(normalized_text(F.col(text_col)))
 
-    # Stage outputs are all increment-sized (batch rows, candidate pairs,
-    # involved docs) and each feeds MULTIPLE downstream joins; without a
-    # materialization point every consumer would re-derive the full
-    # signature/banding subtree and the operator's cost multiplies ~8×
-    # (measured 48 s vs 6 s at sf0.1).  Eager localCheckpoint both caches
-    # AND cuts lineage — the same discipline as connected_groups' rounds;
-    # on a real cluster the increment would be a materialized table anyway.
+    stage = _stage_checkpoint if materialize else (lambda df: df)
 
     # -- stage 1: exact fingerprint against corpus + within batch -------
     corpus_fp = corpus.select(norm_fp.alias("__fp")).distinct()
@@ -923,8 +945,8 @@ def incremental_near_dedup(
         b_new.join(keepers, on="__fp")
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__fp", "__keep")
-        .localCheckpoint(eager=True)
     )
+    exact_surv = stage(exact_surv)
 
     # -- stage 2: batch-sided LSH banding over corpus ∪ survivors -------
     union = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
@@ -945,8 +967,8 @@ def incremental_near_dedup(
             F.greatest("__a", "__b").alias("id_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # the ONE pass over the signature chain
     )
+    cand = stage(cand)  # the ONE pass over the signature chain
     # restrict the verify input to candidate-INVOLVED docs — without this
     # semi-join the verify stage would shingle the whole corpus per
     # increment, breaking the batch-proportional cost promise above
@@ -955,9 +977,7 @@ def incremental_near_dedup(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    involved = union.join(cand_ids, on=id_col, how="left_semi").localCheckpoint(
-        eager=True
-    )
+    involved = stage(union.join(cand_ids, on=id_col, how="left_semi"))
     verified = verify_pairs(involved, cand, text_col, id_col, threshold, ngram)
 
     tags = batch_ids.select(F.col("__bid").alias("__id"))
@@ -976,8 +996,8 @@ def incremental_near_dedup(
             on="id_b",
             how="left",
         )
-        .localCheckpoint(eager=True)  # feeds hit_corpus (×2 branches) + closure
     )
+    va = stage(va)  # feeds hit_corpus (×2 branches) + the closure
     # batch docs near a corpus doc: drop outright
     hit_corpus = va.filter(
         F.col("__na").isNotNull() & F.col("__nb").isNull()

@@ -351,11 +351,29 @@ def test_sampled_quantiles_sample_filter_before_agg(spark, sf_dir):
 
 def test_incremental_dedup_batch_sided_candidates(spark, sf_dir):
     """The increment path never enumerates corpus x corpus pairs: the
-    band join's left side is the (broadcast-filtered) batch banding, no
-    cartesian, and the connected-components input is batch-only."""
-    plan = _plan(spark, "dedup_incremental_batch", sf_dir)
+    band join's left side is the (broadcast-filtered) batch banding and
+    nothing is a cartesian.  Inspect the LAZY form (materialize=False) —
+    the registered entry's eager stage checkpoints would hide the
+    candidate pipeline behind ExistingRDD scans and make this vacuous."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    lazy = dd.incremental_near_dedup(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        materialize=False,
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = lazy._jdf.queryExecution().explainString(jmode)
+    # (connected_groups is internally eager — its per-round checkpoints
+    # appear as ExistingRDD leaves even here; the candidate/verify
+    # pipeline itself is what must stay visible and cartesian-free)
     assert "CartesianProduct" not in plan
-    # batch ids reach the banding via a broadcast semi/hash join
+    assert "BroadcastNestedLoopJoin" not in plan
+    # batch ids reach the banding via a broadcast hash join
     assert "BroadcastHashJoin" in plan
 
 
