@@ -105,7 +105,18 @@ def main() -> None:
     # Optional subset filter for local experiments (comma-separated entry
     # names) — full-corpus runs remain the round record.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    selected = sorted(QUERIES) if not only else [n for n in sorted(QUERIES) if n in set(only.split(","))]
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(QUERIES)
+        if unknown:
+            print(f"bench: unknown SPARK_GRAFT_BENCH_ONLY entries ignored: {sorted(unknown)}", file=sys.stderr)
+        selected = [n for n in sorted(QUERIES) if n in wanted]
+        if not selected:
+            print("bench: SPARK_GRAFT_BENCH_ONLY matched nothing — exiting", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+    else:
+        selected = sorted(QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -170,32 +181,25 @@ def main() -> None:
         targets = [(hist, True)] if "SPARK_GRAFT_BENCH_HISTORY" in os.environ else []
     else:
         targets = [(hist, True)]
+    # The per-round file is written ONLY under an explicit
+    # SPARK_GRAFT_BENCH_ROUND.  Inferring the round from BENCH_r*.json
+    # proved unfixable: before the driver records, inference is right;
+    # after, the same command writes THIS round's timings into the NEXT
+    # round's file and the no-clobber guard then locks the poison in
+    # (ADVICE r6 + r7 review).  latest.json always records the run.
     round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    try:
-        import re
-
-        if round_env is not None:
-            try:
-                this_round, overwrite = int(round_env), True
-            except ValueError:
-                print(
-                    f"bench: ignoring malformed SPARK_GRAFT_BENCH_ROUND={round_env!r}",
-                    file=sys.stderr,
-                )
-                round_env = None
-        if round_env is None:
-            recorded = [
-                int(m.group(1))
-                for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
-                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-            ]
-            this_round, overwrite = (max(recorded) + 1) if recorded else 0, False
-        if not only:
+    if round_env is not None and not only:
+        try:
+            this_round = int(round_env)
             targets.append(
-                (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), overwrite)
+                (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), True)
             )
-    except OSError:
-        pass
+        except ValueError:
+            print(
+                f"bench: ignoring malformed SPARK_GRAFT_BENCH_ROUND={round_env!r}"
+                " — per-round history not written",
+                file=sys.stderr,
+            )
     for path, overwrite in targets:
         if not overwrite and os.path.exists(path):
             print(

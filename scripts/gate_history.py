@@ -109,7 +109,12 @@ def main() -> None:
         f"rounds {history['rounds_seen']}, {len(history['never_checked'])} never checked"
     )
     if "--propose" in sys.argv:
-        k = int(sys.argv[sys.argv.index("--propose") + 1])
+        idx = sys.argv.index("--propose")
+        try:
+            k = int(sys.argv[idx + 1])
+        except (IndexError, ValueError):
+            k = 50
+            print("gate_history: --propose takes an integer K; defaulting to 50", file=sys.stderr)
         for name in propose_window(history, registered, k):
             rec = history["entries"].get(name)
             tag = f"r{rec['last_round']}:{rec['last_status']}" if rec else "NEVER"

@@ -637,7 +637,9 @@ def media_store_path(sf_dir: str) -> str:
     abs_dir = os.path.abspath(sf_dir.rstrip("/") or sf_dir)
     try:
         st = os.stat(os.path.join(abs_dir, "documents.parquet"))
-        content = f"{st.st_size}:{int(st.st_mtime)}"
+        # nanosecond mtime: a same-second, same-size regeneration must
+        # still miss the cache
+        content = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         content = "absent"
     key = hashlib.md5(f"{abs_dir}|{content}".encode()).hexdigest()[:10]

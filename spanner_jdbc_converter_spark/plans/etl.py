@@ -637,10 +637,17 @@ def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int
         with_counts="lazy",
     )
     packed = out.persist(StorageLevel.MEMORY_AND_DISK)
-    # ONE action materializes the packed frame AND fires every observed
-    # stage-count metric.
-    packed.write.format("noop").mode("overwrite").save()
-    report.resolve()
+    try:
+        # ONE action materializes the packed frame AND fires every
+        # observed stage-count metric.
+        packed.write.format("noop").mode("overwrite").save()
+        report.resolve()
+    except BaseException:
+        # failed/cancelled build (e.g. a bench timeout): unpersist
+        # everything so retries don't accumulate orphaned cache entries
+        packed.unpersist()
+        report.release()
+        raise
     report.release()
     entry = (packed, dict(report.stages))
     _PIPELINE_STORE[key] = entry

@@ -436,6 +436,13 @@ def upsert_stream_to_jdbc(
         _jdbc_connection,
         list_jdbc_tables,
     )
+
+    if order_col and order_col not in stream_df.columns:
+        # fail at CALL time, not on the first micro-batch after the
+        # stream has started and checkpoint state exists
+        raise ValueError(
+            f"order_col {order_col!r} not in stream columns {stream_df.columns}"
+        )
     from spanner_jdbc_converter_spark.copy import write_jdbc
     from spanner_jdbc_converter_spark.modes import ConvertMode
 

@@ -368,3 +368,14 @@ def test_incremental_ingest_near_dedup_across_batches_and_replays(spark, tmp_pat
     )
     q2.awaitTermination()
     assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [1, 11]
+
+
+def test_jdbc_upsert_rejects_bad_order_col_before_start(spark, tmp_path):
+    """A typo'd order_col must fail at CALL time — not on the first
+    micro-batch after the stream started and checkpoint state exists."""
+    stream = ops.read_events_stream(spark, "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="order_col"):
+        ops.upsert_stream_to_jdbc(
+            stream, "jdbc:derby:memory:neverused;create=true", "T",
+            ["event_id"], str(tmp_path / "ck"), order_col="nope",
+        )
