@@ -20,78 +20,85 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list IS that proposal's output for round 7, and tests/test_config.py
-# asserts the window stays consistent with the history):
-#   (0) the 12 entries with NO driver row yet — the 6 that registered
-#       after the r6 window froze plus the 6 NEW r7 entries (pack
-#       invariants, temperature mix, incremental batch dedup, token
-#       spectrum, Zipf slope, source-overlap matrix), each added here in
-#       its own registration commit per the rule below;
-#   (1) the 7 r3-stale scalar-surface entries deferred from r6
-#       (array/map/date/string functions, null semantics, JSON props);
-#   (2) 31 of the 50 entries whose last driver row was r4 (the 5 new r7
-#       registrations displaced q7/q8/q9/window_lead_next_event/
-#       text_repetition_scores to r8 — the list is trimmed to EXACTLY the
-#       50-slot window so membership is explicit, not positional).
+# list is the round-8 window, derived from that proposal, and
+# tests/test_config.py asserts the window stays consistent with the
+# history):
+#   (0) all 19 entries whose last driver row is r4 — the stale tail
+#       VERDICT r7 "Next round #1" requires front-loaded, including the 5
+#       displaced from the r7 window (q7/q8/q9/window_lead_next_event/
+#       text_repetition_scores);
+#   (1) 3 entries whose BEHAVIOR changes this round and therefore need a
+#       fresh driver row even though they were checked r5–r7: the q20
+#       pruned-aggregation fix (VERDICT "What's wrong #1"), the
+#       incremental-dedup signature store (#3), and the
+#       pipeline_curate_documents oracle upgrade from rows-only to
+#       hash-checked (#4);
+#   (2) the oldest r5 entries, in proposal (registration) order, trimmed
+#       so the list is EXACTLY the 50-slot window — membership explicit,
+#       not positional; the entries displaced by group (1) are named in
+#       the trailing comment below the list.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50) and the final commit of the
 # round re-runs the proposal so the frozen window always contains every
 # never-checked entry — a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) never driver-checked
-    "agg_sampled_quantiles",
-    "dedup_lsh_verified_pairs",
-    "text_vocab_encode",
-    "pipeline_pack_invariants",
-    "select_source_cap",
-    "events_ewma_smoothing",
-    "events_user_trend",
-    "select_temperature_mix",  # new r7, registered inside the window (rule above)
-    "dedup_incremental_batch",  # new r7, same rule
-    "text_token_spectrum",  # new r7, same rule
-    "text_zipf_slope",  # new r7, same rule
-    "dedup_source_overlap_matrix",  # new r7, same rule
-    # (1) last driver row r3 (the deferred scalar surfaces)
-    "string_functions_extended",
-    "conditional_null_surface",
-    "array_functions_surface",
-    "map_functions_surface",
-    "notin_null_semantics",
-    "date_functions_surface",
-    "events_json_props",
-    # (2) last driver row r4, in registration order
-    "flagship_revenue_by_nation",
-    "s8_cardinality_probes",
-    "w6_delete_strategy_probe",
-    "p1_explicit_projection",
-    "p2_pk_only_projection",
-    "p4_composite_pk_range_scan",
-    "w5_ranged_delete_survivors",
-    "o1_o2_pk_ordered_chunk",
-    "o3_offset_pagination",
-    "a4_row_size_estimate",
-    "q1_pricing_summary",
-    "agg_distinct_custs_per_priority",
-    "rollup_lineitem_status",
-    "join_order_counts_per_customer",
-    "join_anti_customers_without_recent_orders",
-    "join_semi_suppliers_with_shipments",
-    "join_full_outer_part_lineitem_brands",
-    "setops_customer_segments",
-    "window_top3_orders_per_segment",
-    "scalar_function_surface",
-    "q3_unshipped_topk",
-    "q10_returned_revenue",
-    "q17_small_quantity_revenue",
-    "s1_catalog_column_scan",
-    "window_event_interarrival",
-    "cube_returnflag_status",
-    "exists_suppliers_of_large_orders",
-    "q2_min_acctbal_supplier_per_part",
-    "q4_priority_with_returns",
-    "q5_regional_supplier_volume",
-    "q6_revenue_forecast",
+    # (0) last driver row r4 (all 19 — the stale tail, proposal order)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "window_lead_next_event",
+    "text_repetition_scores",
+    "text_top_token_per_doc",
+    "text_chunk_windows",
+    "dedup_benchmark_overlap",
+    "dedup_chunk_groups",
+    "validate_table_checksums",
+    "validate_snapshot_diff",
+    "validate_fk_orphans",
+    "validate_column_profile",
+    "select_mix_report",
+    "text_vocab_df",
+    "join_doc_embedding_features",
+    "events_interval_join",
+    "events_asof_join",
+    "events_rolling_window_1h",
+    # (1) behavior changes this round — need fresh driver rows
+    "q20_significant_suppliers",
+    "dedup_incremental_batch",
+    "pipeline_curate_documents",
+    # (2) last driver row r5, proposal order
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicate",
+    "q22_prospect_segments",
+    "q15_top_supplier",
+    "q16_supplier_counts_excluding",
+    "q21_sole_returned_supplier",
+    "q12_priority_class_counts",
+    "window_rank_surface",
+    "window_running_frames",
+    "agg_stats_moments",
+    "agg_median_percentiles",
+    "pivot_status_by_priority",
+    "dedup_containment_pairs",
+    "select_pack_sequences",
+    "cluster_kmeans_embeddings",
+    "text_tfidf_top_terms",
+    "events_zscore_outliers",
+    "agg_value_histogram",
+    "join_fuzzy_blocked_names",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "agg_winsorized_stats",
+    "agg_hll_distinct_custkeys",
+    "text_bigram_stats",
+    "select_quality_weighted_sample",
+    "layout_zorder_cells",
+    "select_train_val_test_split",
 ]
+# Displaced to r9 by group (1)'s 3 behavior-change slots (they stay r5, which
+# still satisfies "nothing older than r5"): events_sessionization,
+# events_markov_transitions, events_mad_outliers.
 
 
 def _rotate_gate_window() -> None:
