@@ -736,21 +736,30 @@ def q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     half (probed: 1/2 and 1/4 both yield 0 suppliers at sf0.01, 1/6
     yields 10/2/6 at sf0.001/0.01/0.1 — non-vacuous at every SF).
 
-    Scale: both aggregates group on l_partkey-prefixed keys, so the
-    second reuses the first's shuffle partitioning; part filters before
-    its broadcast join; supplier is broadcast."""
+    Scale: the dominance fraction's denominator is per-part, so a
+    broadcast semi-join against the blue-part keys BEFORE both
+    aggregates is semantics-preserving and prunes the fact table to the
+    ~1–5% matching subset — neither groupBy ever shuffles a non-blue
+    row (plan-locked in test_plans.py).  Both aggregates then group on
+    l_partkey-prefixed keys, so the second reuses the first's shuffle
+    partitioning; supplier is broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     s = load_table(spark, sf_dir, "supplier")
-    ship = li.groupBy("l_suppkey", "l_partkey").agg(
+    blue_li = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "semi"
+    )
+    ship = blue_li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(_dec(F.col("l_quantity"))).alias("supp_qty")
     )
-    part_tot = li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+    part_tot = blue_li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
         F.sum(_dec(F.col("l_quantity"))).alias("part_qty")
     )
+    # No post-aggregation join with part: the pre-aggregate semi-join
+    # already restricts both sides to blue parts, and p_partkey is
+    # unique so the reference inner join never changed cardinality.
     return (
         ship.join(part_tot, ship.l_partkey == part_tot.pt_partkey)
-        .join(F.broadcast(p), ship.l_partkey == p.p_partkey)
         .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
         .join(F.broadcast(s), ship.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")

@@ -411,3 +411,31 @@ def test_temperature_mix_filter_is_in_scan_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q20_part_filter_below_both_aggregates(spark, sf_dir):
+    """VERDICT r7 'What's wrong #1': q20 must semi-join lineitem against
+    the broadcast blue-part keys BEFORE both grouped aggregates, so
+    neither groupBy shuffles a non-blue row.  Locks (a) each lineitem
+    Aggregate in the optimized plan has a LeftSemi join strictly inside
+    its subtree, and (b) no inner join with part above the aggregates."""
+    df = QUERIES["q20_significant_suppliers"](spark, sf_dir)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "Aggregate [l_" in l]
+    semi_idx = [i for i, l in enumerate(lines) if "Join LeftSemi" in l]
+    assert len(agg_idx) == 2, lines
+    assert len(semi_idx) == 2, lines
+    # children print below their parent: each aggregate must be followed
+    # by its LeftSemi before the next aggregate / end of plan
+    bounds = agg_idx[1:] + [len(lines)]
+    for start, end in zip(agg_idx, bounds):
+        assert any(start < s < end for s in semi_idx), lines[start:end]
+    # no LeftSemi above the first aggregate (i.e. filter not hoisted)
+    assert all(s > agg_idx[0] for s in semi_idx)
+    # the redundant post-aggregation inner join with part is gone
+    assert not any("Join Inner" in l and "p_partkey" in l for l in lines)
+    phys = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in phys
+    assert "BroadcastHashJoin" in phys
