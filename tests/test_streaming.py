@@ -379,3 +379,59 @@ def test_jdbc_upsert_rejects_bad_order_col_before_start(spark, tmp_path):
             stream, "jdbc:derby:memory:neverused;create=true", "T",
             ["event_id"], str(tmp_path / "ck"), order_col="nope",
         )
+
+
+def test_ingest_near_dedup_with_signature_sidecar(spark, tmp_path):
+    """The sidecar variant of the ingest path: same survivors as the
+    stateless run, the sidecar converges to exactly one (fp, sig) row
+    per stored doc, and a full replay appends nothing to either file —
+    the reconcile step is idempotent."""
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    base = " ".join(f"sidecarword{j:02d}" for j in range(40))
+    uniq = " ".join(f"sideother{j:02d}" for j in range(40))
+    rows1 = [(1, base, "en", "s0", len(base))]
+    rows2 = [
+        (10, base.replace("sidecarword03", "editedword03"), "en", "s0", len(base)),
+        (11, uniq, "en", "s1", len(uniq)),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    sidecar = str(tmp_path / "sigs")
+    spark.createDataFrame(rows1, schema).write.parquet(in_dir + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).write.parquet(in_dir + "/f2.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, signature_store_path=sidecar,
+    )
+    q.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [1, 11]
+    sig_ids = [r.doc_id for r in spark.read.parquet(sidecar).select("doc_id").collect()]
+    assert sorted(sig_ids) == [1, 11]  # one state row per stored doc
+
+    # replay with a fresh checkpoint: neither file grows
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0, signature_store_path=sidecar,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [1, 11]
+    sig_ids2 = [r.doc_id for r in spark.read.parquet(sidecar).select("doc_id").collect()]
+    assert sorted(sig_ids2) == [1, 11]
+
+    # self-healing: delete the sidecar, replay once more — it is rebuilt
+    import shutil
+
+    shutil.rmtree(sidecar)
+    q3 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck3"),
+        quality_min=0.0, signature_store_path=sidecar,
+    )
+    q3.awaitTermination()
+    sig_ids3 = [r.doc_id for r in spark.read.parquet(sidecar).select("doc_id").collect()]
+    assert sorted(sig_ids3) == [1, 11]
