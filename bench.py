@@ -153,6 +153,14 @@ def main() -> None:
         "runs_per_query": BENCH_RUNS,
         "calibration_seconds": calibration,
         "queries": timings,
+        # Machine-load-normalized warm medians (seconds / calibration
+        # probe) — the unit regressions are adjudicated in, so history
+        # files carry it precomputed (VERDICT r8 "Next round #4").
+        # scripts/bench_compare.py diffs two history files on this.
+        "queries_normalized": {
+            k: (round(v / calibration, 3) if v >= 0 and calibration > 0 else -1.0)
+            for k, v in timings.items()
+        },
         "cold_queries": cold,
     }
     # The driver's recorded line truncates on long corpora; ALSO write the
@@ -163,36 +171,27 @@ def main() -> None:
     # (`bench.py | head`) must not SIGPIPE-kill the history write.
     hist = os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "bench_history/latest.json")
     # latest.json is overwritten each run; ALSO write a per-round file
-    # (bench_history/r{N}.json, N inferred from the driver's recorded
-    # BENCH_r*.json files) so warm medians stay diffable across rounds
-    # (VERDICT r5 #6 — r4's full medians were lost to the overwrite).
-    # The round number comes from $SPARK_GRAFT_BENCH_ROUND when set;
-    # otherwise it is inferred as max(BENCH_r*.json)+1.  The inference is
-    # only valid BEFORE the driver records this round's BENCH file — a
-    # re-run after that would infer the NEXT round and poison r{N+1}.json
-    # with this round's timings (ADVICE r6) — so an inferred per-round
-    # target that ALREADY EXISTS is never overwritten (the explicit env
-    # var, and latest.json, always are).
+    # (bench_history/r{N}.json) so warm medians stay diffable across
+    # rounds (VERDICT r5 #6 — r4's full medians were lost to the
+    # overwrite).  The per-round file is written ONLY under an explicit
+    # $SPARK_GRAFT_BENCH_ROUND — inferring N from the driver's recorded
+    # BENCH_r*.json files proved unfixable (ADVICE r6 + r7 review: a
+    # post-record re-run poisons the NEXT round's file), so the round
+    # record is always a deliberate act.
     # Subset runs (SPARK_GRAFT_BENCH_ONLY) are experiments: writing their
-    # partial timings to the round history would poison the record AND
-    # block the later full run via the no-clobber guard below — so they
-    # write no history at all unless an explicit history path is given.
+    # partial timings to the round history would poison the record — so
+    # they write no history at all unless an explicit history path is
+    # given.
     if only:
-        targets = [(hist, True)] if "SPARK_GRAFT_BENCH_HISTORY" in os.environ else []
+        targets = [hist] if "SPARK_GRAFT_BENCH_HISTORY" in os.environ else []
     else:
-        targets = [(hist, True)]
-    # The per-round file is written ONLY under an explicit
-    # SPARK_GRAFT_BENCH_ROUND.  Inferring the round from BENCH_r*.json
-    # proved unfixable: before the driver records, inference is right;
-    # after, the same command writes THIS round's timings into the NEXT
-    # round's file and the no-clobber guard then locks the poison in
-    # (ADVICE r6 + r7 review).  latest.json always records the run.
+        targets = [hist]
     round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if round_env is not None and not only:
         try:
             this_round = int(round_env)
             targets.append(
-                (os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json"), True)
+                os.path.join(os.path.dirname(hist) or ".", f"r{this_round:02d}.json")
             )
         except ValueError:
             print(
@@ -200,14 +199,7 @@ def main() -> None:
                 " — per-round history not written",
                 file=sys.stderr,
             )
-    for path, overwrite in targets:
-        if not overwrite and os.path.exists(path):
-            print(
-                f"bench: refusing to overwrite inferred round file {path} "
-                "(set SPARK_GRAFT_BENCH_ROUND to force)",
-                file=sys.stderr,
-            )
-            continue
+    for path in targets:
         try:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "w") as fh:

@@ -1,0 +1,115 @@
+"""Round-over-round bench comparison on machine-load-normalized medians.
+
+Adjudicates per-entry swings between two ``bench_history/*.json``
+records (VERDICT r8 "Next round #4"): raw warm medians swing with
+machine load (root-caused in bench_history/REGRESSION_r07.md), so every
+comparison here divides by the record's own ``calibration_seconds``
+probe first.  Entries whose normalized ratio exceeds the threshold are
+flagged; everything else is noise-or-better by the corpus's own
+standard (VERDICT r8 treated >1.35x as "unexplained swing").
+
+Usage (from the repo root)::
+
+    python scripts/bench_compare.py                 # two newest rNN.json
+    python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.35]
+    python scripts/bench_compare.py --all           # every entry, sorted
+
+Exit status: 0 (clean), 1 (at least one flagged regression) — usable as
+a pre-commit tripwire.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HIST = os.path.join(REPO, "bench_history")
+
+
+def load_normalized(path: str) -> tuple[dict[str, float], float]:
+    """(normalized warm medians, calibration) — computed from the raw
+    medians when the record predates the precomputed field."""
+    with open(path) as fh:
+        rec = json.load(fh)
+    cal = float(rec.get("calibration_seconds") or 0.0)
+    if "queries_normalized" in rec:
+        norm = {k: float(v) for k, v in rec["queries_normalized"].items()}
+    else:
+        if cal <= 0:
+            raise SystemExit(f"{path}: no calibration probe — cannot normalize")
+        norm = {
+            k: (round(v / cal, 3) if v >= 0 else -1.0)
+            for k, v in rec.get("queries", {}).items()
+        }
+    return norm, cal
+
+
+def newest_round_files() -> tuple[str, str]:
+    files = sorted(
+        p
+        for p in glob.glob(os.path.join(HIST, "r*.json"))
+        if re.fullmatch(r"r\d+\.json", os.path.basename(p))
+    )
+    if len(files) < 2:
+        raise SystemExit(
+            "need two bench_history/rNN.json records (or pass two paths)"
+        )
+    return files[-2], files[-1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old", nargs="?", help="older history file")
+    ap.add_argument("new", nargs="?", help="newer history file")
+    ap.add_argument("--threshold", type=float, default=1.35)
+    ap.add_argument(
+        "--all", action="store_true", help="print every entry, not just flagged"
+    )
+    args = ap.parse_args()
+
+    if args.old and args.new:
+        old_path, new_path = args.old, args.new
+    elif not args.old and not args.new:
+        old_path, new_path = newest_round_files()
+    else:
+        ap.error("pass both paths or neither")
+
+    old, old_cal = load_normalized(old_path)
+    new, new_cal = load_normalized(new_path)
+
+    rows = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if o <= 0 or n <= 0:  # failed/timed-out runs compare as absent
+            continue
+        rows.append((n / o, o, n, name))
+    rows.sort(reverse=True)
+
+    flagged = [r for r in rows if r[0] > args.threshold]
+    improved = [r for r in rows if r[0] < 1 / args.threshold]
+    shown = rows if args.all else flagged
+
+    print(
+        f"# {os.path.basename(old_path)} (cal {old_cal}) -> "
+        f"{os.path.basename(new_path)} (cal {new_cal}); "
+        f"{len(rows)} comparable entries, threshold {args.threshold}x"
+    )
+    print(f"# flagged regressions: {len(flagged)}  improvements: {len(improved)}")
+    for ratio, o, n, name in shown:
+        mark = "REGRESSED" if ratio > args.threshold else (
+            "improved" if ratio < 1 / args.threshold else ""
+        )
+        print(f"{ratio:7.2f}x  {o:8.2f} -> {n:8.2f}  {name}  {mark}")
+    missing = sorted(set(old) ^ set(new))
+    if missing:
+        print(f"# entries in only one record: {missing}")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -711,6 +711,28 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                     shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 pass
+        # Sweep SUPERSEDED stores of this fixture: a regenerated fixture
+        # changes the content key, so the old `{tag}-{oldkey}` dir is
+        # dead weight that previously accumulated forever (ADVICE r8
+        # low).  Same >1h age gate as the tmp sweep; a sibling dir whose
+        # marker names a DIFFERENT fixture path (two fixtures sharing a
+        # basename) is someone else's live store and is left alone.
+        store_root = os.path.dirname(os.path.dirname(path))
+        abs_dir = os.path.abspath(sf_dir.rstrip("/") or sf_dir)
+        tag = os.path.basename(abs_dir) or "sf"
+        for sibling in glob.glob(os.path.join(store_root, f"{tag}-*")):
+            if sibling == os.path.dirname(path) or not os.path.isdir(sibling):
+                continue
+            marker = os.path.join(sibling, "fixture_path.txt")
+            try:
+                if os.path.exists(marker):
+                    with open(marker) as fh:
+                        if fh.read().strip() != abs_dir:
+                            continue
+                if time.time() - os.path.getmtime(sibling) > 3600:
+                    shutil.rmtree(sibling, ignore_errors=True)
+            except OSError:
+                pass
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
             load_table(spark, sf_dir, "documents")
@@ -723,6 +745,16 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             os.rename(tmp, path)
         except OSError:  # lost the race — another writer landed it first
             shutil.rmtree(tmp, ignore_errors=True)
+        # Ownership marker for the superseded-store sweep above: records
+        # which fixture PATH this keyed dir derives from (the key alone
+        # cannot distinguish "same fixture, regenerated" from "different
+        # fixture, same basename").  Idempotent across racing builders —
+        # both write the same content.
+        try:
+            with open(os.path.join(os.path.dirname(path), "fixture_path.txt"), "w") as fh:
+                fh.write(os.path.abspath(sf_dir.rstrip("/") or sf_dir))
+        except OSError:
+            pass
     return spark.read.parquet(path)
 
 
