@@ -20,85 +20,75 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-8 window, derived from that proposal, and
-# tests/test_config.py asserts the window stays consistent with the
-# history):
-#   (0) all 19 entries whose last driver row is r4 — the stale tail
-#       VERDICT r7 "Next round #1" requires front-loaded, including the 5
-#       displaced from the r7 window (q7/q8/q9/window_lead_next_event/
-#       text_repetition_scores);
-#   (1) 3 entries whose BEHAVIOR changes this round and therefore need a
-#       fresh driver row even though they were checked r5–r7: the q20
-#       pruned-aggregation fix (VERDICT "What's wrong #1"), the
-#       incremental-dedup signature store (#3), and the
-#       pipeline_curate_documents oracle upgrade from rows-only to
-#       hash-checked (#4);
-#   (2) the oldest r5 entries, in proposal (registration) order, trimmed
+# list is the round-10 window, derived verbatim from that proposal after
+# the r9 rounds were recorded, and tests/test_config.py asserts the
+# window stays consistent with the history):
+#   (0) all 19 entries whose last driver row is r5 — the stale tail
+#       VERDICT r9 "Next round #1" requires front-loaded (the r9 window
+#       was mistakenly NOT rotated, so these are 4 driver-rounds stale);
+#   (1) the oldest r6 entries, in proposal (registration) order, trimmed
 #       so the list is EXACTLY the 50-slot window — membership explicit,
-#       not positional; the entries displaced by group (1) are named in
-#       the trailing comment below the list.
+#       not positional.  After this window lands, nothing in the corpus
+#       is older than r6.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
-# list IN THE SAME COMMIT (inside the first 50) and the final commit of the
-# round re-runs the proposal so the frozen window always contains every
-# never-checked entry — a round must mint zero new never-checked entries.
+# list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
+# entries of group (1)) and the final commit of the round re-runs the
+# proposal so the frozen window always contains every never-checked entry —
+# a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r4 (all 19 — the stale tail, proposal order)
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "window_lead_next_event",
-    "text_repetition_scores",
-    "text_top_token_per_doc",
-    "text_chunk_windows",
-    "dedup_benchmark_overlap",
-    "dedup_chunk_groups",
-    "validate_table_checksums",
-    "validate_snapshot_diff",
-    "validate_fk_orphans",
-    "validate_column_profile",
-    "select_mix_report",
-    "text_vocab_df",
-    "join_doc_embedding_features",
-    "events_interval_join",
-    "events_asof_join",
-    "events_rolling_window_1h",
-    # (1) behavior changes this round — need fresh driver rows
-    "q20_significant_suppliers",
-    "dedup_incremental_batch",
-    "pipeline_curate_documents",
-    # (2) last driver row r5, proposal order
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicate",
-    "q22_prospect_segments",
-    "q15_top_supplier",
-    "q16_supplier_counts_excluding",
-    "q21_sole_returned_supplier",
-    "q12_priority_class_counts",
-    "window_rank_surface",
-    "window_running_frames",
-    "agg_stats_moments",
-    "agg_median_percentiles",
-    "pivot_status_by_priority",
-    "dedup_containment_pairs",
-    "select_pack_sequences",
-    "cluster_kmeans_embeddings",
-    "text_tfidf_top_terms",
-    "events_zscore_outliers",
-    "agg_value_histogram",
-    "join_fuzzy_blocked_names",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "agg_winsorized_stats",
-    "agg_hll_distinct_custkeys",
-    "text_bigram_stats",
-    "select_quality_weighted_sample",
-    "layout_zorder_cells",
-    "select_train_val_test_split",
+    # (0) last driver row r5 (all 19 — the stale tail, proposal order)
+    "events_sessionization",
+    "events_markov_transitions",
+    "events_mad_outliers",
+    "events_hourly_resample_ffill",
+    "events_lag1_autocorr",
+    "events_session_features",
+    "events_seasonal_deviation",
+    "text_bm25_ranking",
+    "select_interleave_sources",
+    "join_copurchase_lift",
+    "agg_cms_heavy_hitters",
+    "agg_decile_binning",
+    "events_time_weighted_avg",
+    "graph_pagerank_brands",
+    "agg_incremental_rollup_merge",
+    "agg_cms_join_cardinality",
+    "join_bloom_prefilter",
+    "events_latest_per_user",
+    "agg_hll_hourly_users",
+    # (1) last driver row r6, proposal order
+    "q11_important_parts",
+    "grouping_sets_priority_status",
+    "events_banded_range_join",
+    "events_hypertable_rollup",
+    "skew_salted_aggregation",
+    "text_top_tokens",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_bpe_tokens_fingerprint",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "dedup_connected_groups",
+    "dedup_simhash_near_pairs",
+    "sim_topk_cosine",
+    "sim_lsh_ann_topk",
+    "sim_ivf_topk",
+    "sim_embedding_near_pairs",
+    "sim_embedding_near_pairs_lsh",
+    "multimodal_media_summary",
+    "multimodal_feature_extract",
+    "vector_column_stats",
+    "dedup_exact_rows",
+    "multimodal_frame_sample",
+    "multimodal_wav_decode",
+    "multimodal_pgm_decode",
+    "multimodal_video_decode",
+    "copy_incremental_diff",
+    "copy_merge_upsert",
 ]
-# Displaced to r9 by group (1)'s 3 behavior-change slots (they stay r5, which
-# still satisfies "nothing older than r5"): events_sessionization,
-# events_markov_transitions, events_mad_outliers.
 
 
 def _rotate_gate_window() -> None:
