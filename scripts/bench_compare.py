@@ -50,10 +50,14 @@ def load_normalized(path: str) -> tuple[dict[str, float], float]:
 
 
 def newest_round_files() -> tuple[str, str]:
+    # numeric sort — lexicographic would pick the wrong pair at r100
     files = sorted(
-        p
-        for p in glob.glob(os.path.join(HIST, "r*.json"))
-        if re.fullmatch(r"r\d+\.json", os.path.basename(p))
+        (
+            p
+            for p in glob.glob(os.path.join(HIST, "r*.json"))
+            if re.fullmatch(r"r\d+\.json", os.path.basename(p))
+        ),
+        key=lambda p: int(os.path.basename(p)[1:-5]),
     )
     if len(files) < 2:
         raise SystemExit(

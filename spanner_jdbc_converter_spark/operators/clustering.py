@@ -36,6 +36,17 @@ from pyspark.sql import functions as F
 KMEANS_K = 4
 KMEANS_ITERS = 2
 
+#: SemDedup cluster count — more clusters than the profiling k-means so
+#: the cluster genuinely plays the LSH-bucket role (pair work Σ|c|²);
+#: at real corpus scale K grows with N so clusters stay executor-sized.
+SEMDEDUP_K = 8
+
+#: SemDedup cosine threshold — fixture embeddings are near-orthogonal
+#: random vectors (max pairwise cosine ≈ 0.48), so the corpus-entry
+#: threshold sits where a small non-trivial set prunes; production
+#: SemDedup runs ~0.95+ on real embedding geometry.
+SEMDEDUP_THRESHOLD = 0.35
+
 #: Decimal type for order-independent centroid sums.
 _DEC = "decimal(28,12)"
 
@@ -150,4 +161,74 @@ def kmeans_fixed(
         F.col(id_col),
         F.col("cluster"),
         F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = SEMDEDUP_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with the deterministic fixed-iteration k-means
+    above, then prune cosine-near pairs WITHIN each cluster, keeping the
+    min id.  Semantic near-duplicates share no n-grams, so the whole
+    lexical family (MinHash/SimHash/spans) is blind to them; the cluster
+    plays the LSH-bucket role, so pair work is Σ|cluster|² — never N².
+
+    Plan shape: one id-keyed join attaches the assignment to the
+    vectors; ONE groupBy(cluster) shuffle packs each cluster's members;
+    each cluster scores its own all-pairs block in numpy via the shared
+    :func:`dedup.bucket_allpairs_scores` kernel (position-sequential
+    fold — bit-identical to the expression/DuckDB form), and the
+    min-smaller-id reduction combines map-side.  No driver collect, no
+    pair-level join, no corpus-sized broadcast.
+
+    Output: one row per vector — (id, cluster, dup_of, is_kept) where
+    dup_of is the smallest same-cluster id with cosine ≥ threshold
+    (NULL ⇒ kept).  Deterministic end-to-end: seeded k-means, rounded
+    cosines, min-id keeper — the DuckDB oracle replays all three.
+
+    The assignment feeds TWO consumers (the cluster packing and the
+    final per-id join), so ``materialize=True`` (default) checkpoints it
+    once instead of running k-means twice (the incremental-dedup lesson:
+    multi-consumer stage outputs need a materialization point).  Pass
+    ``materialize=False`` for a fully lazy plan (plan inspection)."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        _stage_checkpoint,
+        bucket_allpairs_scores,
+    )
+
+    asg = kmeans_fixed(emb, k, iters, id_col, vec_col).select(id_col, "cluster")
+    if materialize:
+        asg = _stage_checkpoint(asg)
+    members = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
+    ).join(asg.select(F.col(id_col).alias("__id"), "cluster"), on="__id")
+    packed = (
+        members.groupBy("cluster")
+        .agg(F.collect_list(F.struct("__id", "__vec", "__nrm")).alias("rows"))
+        .filter(F.size("rows") >= 2)
+    )
+    near = (
+        bucket_allpairs_scores(packed, threshold)
+        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dup_of = near.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        asg.join(dup_of.withColumnRenamed("id_b", id_col), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
     )

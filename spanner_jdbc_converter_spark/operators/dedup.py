@@ -579,6 +579,150 @@ def benchmark_overlap(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ngram: int = 3,
+) -> DataFrame:
+    """Cross-source duplication matrix: distinct shared word-n-grams and
+    containment (shared / smaller side) for every source pair — the
+    corpus-forensics view behind mixture weights and dedup ordering.
+
+    Scale: the inverted index is the DISTINCT (source, gram) projection,
+    so each gram posting is bounded by |sources| — the pair join costs
+    Σ_gram df_src(gram)² ≤ |sources|² per gram, never |docs|²; one
+    shuffle on the gram, then a metadata-sized pair aggregation with
+    broadcast per-source totals.  Exercised on a many-source synthetic
+    in tests/test_scale_smoke.py.  Sub-n-token docs are out of scope
+    (their only gram would be the whole text — the exact-copy signal)."""
+    from spanner_jdbc_converter_spark.operators.text import token_count
+
+    g = (
+        shingle_rows(
+            df.filter(token_count(text_col) >= ngram),
+            text_col,
+            id_col,
+            ngram,
+            extra_cols=[source_col],
+            fallback_to_text=False,
+        )
+        .select(F.col(source_col).alias("source"), F.col("__s").alias("gram"))
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    pairs = (
+        a.join(b, on="gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), on="source_a")
+        .join(F.broadcast(nb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+#: Verbatim-span defaults: a 32-word window is long enough that a match
+#: is a copied passage, not phrase reuse; spans seen in more than
+#: SPAN_MAX_DF docs are boilerplate (headers, licences) and are dropped
+#: before pairing so no posting list explodes quadratically.
+SPAN_NGRAM = 32
+SPAN_MAX_DF = 50
+
+
+def verbatim_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = SPAN_NGRAM,
+    max_df: int = SPAN_MAX_DF,
+) -> DataFrame:
+    """Verbatim-span contamination: document pairs sharing at least one
+    word-``ngram`` span, with the shared-span count and each side's
+    contaminated fraction.  Catches copied passages and benchmark
+    strings embedded MID-document — whole-doc fingerprints see different
+    documents and near-dup thresholds dilute a short verbatim span away,
+    but a 32-gram md5 matches exactly wherever it sits
+    (:func:`benchmark_overlap` is the vs-eval-set variant at small n;
+    this is the cross-corpus one at copy-evidence length).
+
+    Plan shape — a POSTINGS-BOUNDED inverted join, never a pair join:
+    spans come from the codegen'd window pipeline (:func:`shingle_rows`)
+    and dedup per-doc; ONE groupBy(span-hash) shuffle builds the
+    inverted index; posting lists outside [2, max_df] drop (singletons
+    pair with nothing, boilerplate would cost |postings|²); surviving
+    lists — each ≤ max_df ids — expand to ordered pairs as an
+    expression-only array comprehension, so pair work is
+    Σ min(df, max_df)² with no corpus-sized join.  Per-doc span counts
+    ride the shingle frame's existing id partitioning, and only the
+    docs that actually appear in a pair fetch their counts.
+
+    Output: id_a < id_b, shared_spans (distinct shared span hashes),
+    n_spans_a/b (distinct spans per doc), frac_a/b (shared ÷ own).
+    Docs with < ngram tokens have no spans and never appear."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    spans = (
+        shingle_rows(df, text_col, id_col, ngram, fallback_to_text=False)
+        .select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
+        .dropDuplicates([id_col, "__h"])
+    )
+    doc_counts = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    postings = (
+        spans.groupBy("__h")
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
+        .select(F.array_sort("__ids").alias("__ids"))
+    )
+    # ordered pairs from one posting list: for i<j emit (ids[i], ids[j]).
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    ca = doc_counts.select(F.col(id_col).alias("id_a"), F.col("n_spans").alias("n_spans_a"))
+    cb = doc_counts.select(F.col(id_col).alias("id_b"), F.col("n_spans").alias("n_spans_b"))
+    return (
+        pairs.join(ca, on="id_a")
+        .join(cb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_spans",
+            "n_spans_a",
+            "n_spans_b",
+            F.round(F.col("shared_spans") / F.col("n_spans_a"), 6).alias("frac_a"),
+            F.round(F.col("shared_spans") / F.col("n_spans_b"), 6).alias("frac_b"),
+        )
+    )
+
+
 # -- embedding near-dup ----------------------------------------------------
 
 
@@ -697,6 +841,62 @@ def embedding_near_pairs(
     )
 
 
+def bucket_allpairs_scores(packed: DataFrame, threshold: float) -> DataFrame:
+    """Score every within-bucket pair of a PACKED bucket frame in numpy.
+
+    ``packed`` carries one row per bucket with a ``rows`` column of
+    ``struct<__id long, __vec array, __nrm double>`` structs (the shape
+    ``groupBy(bucket).agg(collect_list(...))`` produces); any other
+    columns are ignored.  One Arrow batch scores a whole bucket's
+    all-pairs block with the position-sequential fold (bit-identical to
+    ``aggregate(zip_with(...))`` / DuckDB ``list_sum``), emitting raw
+    cosines above ``threshold − 1e-6`` for ``id_a < id_b`` — the caller
+    applies the FINAL round + threshold (and any multi-table pair dedup)
+    as Spark expressions so the result stays hash-checkable against SQL.
+
+    Shared kernel of :func:`embedding_near_pairs_lsh` (bucket = LSH
+    band) and :func:`clustering.semantic_dedup` (bucket = k-means
+    cluster): candidate work is Σ_buckets |b|² instead of N², and each
+    bucket is an independent task a 1000-executor cluster spreads
+    evenly."""
+    import numpy as np
+    import pandas as pd
+
+    slack = threshold - 1e-6  # covers the ≤5e-7 lift ROUND can apply
+
+    def _score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                rows = row["rows"]
+                ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+                V = np.stack(
+                    [np.asarray(r["__vec"], dtype=np.float64) for r in rows]
+                )
+                nrm = np.array([r["__nrm"] for r in rows], dtype=np.float64)
+                acc = np.zeros((len(V), len(V)))
+                for k in range(V.shape[1]):  # position-sequential fold
+                    acc = acc + V[:, k : k + 1] * V[:, k]
+                cos = acc / (nrm[:, None] * nrm[None, :])
+                keep = (cos >= slack) & (ids[:, None] < ids[None, :])
+                ia, ib = np.nonzero(keep)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+                out_c.append(cos[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "__raw": np.concatenate(out_c),
+                    }
+                )
+
+    return packed.select("rows").mapInPandas(
+        _score, "id_a long, id_b long, __raw double"
+    )
+
+
 def embedding_near_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -732,14 +932,10 @@ def embedding_near_pairs_lsh(
     emits raw cosines above (threshold − 1e-6); the FINAL round +
     threshold + dedup run as Spark expressions, mirroring the exact
     kernel so both paths are hash-checkable against SQL."""
-    import numpy as np
-    import pandas as pd
-
     from spanner_jdbc_converter_spark.functions.vector import norm
     from spanner_jdbc_converter_spark.operators import similarity as sim
 
     keys_udf = sim.lsh_bucket_keys_pandas(tables, planes, dim)
-    slack = threshold - 1e-6  # covers the ≤5e-7 lift ROUND can apply
 
     keyed = df.select(
         F.col(id_col).alias("__id"),
@@ -753,35 +949,7 @@ def embedding_near_pairs_lsh(
         .filter(F.size("rows") >= 2)
     )
 
-    def _score(batches):
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            for _, row in pdf.iterrows():
-                rows = row["rows"]
-                ids = np.array([r["__id"] for r in rows], dtype=np.int64)
-                V = np.stack(
-                    [np.asarray(r["__vec"], dtype=np.float64) for r in rows]
-                )
-                nrm = np.array([r["__nrm"] for r in rows], dtype=np.float64)
-                acc = np.zeros((len(V), len(V)))
-                for k in range(V.shape[1]):  # position-sequential fold
-                    acc = acc + V[:, k : k + 1] * V[:, k]
-                cos = acc / (nrm[:, None] * nrm[None, :])
-                keep = (cos >= slack) & (ids[:, None] < ids[None, :])
-                ia, ib = np.nonzero(keep)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
-                out_c.append(cos[ia, ib])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "__raw": np.concatenate(out_c),
-                    }
-                )
-
-    scored = packed.mapInPandas(_score, "id_a long, id_b long, __raw double")
+    scored = bucket_allpairs_scores(packed, threshold)
     return (
         scored.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
@@ -936,6 +1104,35 @@ def _increment_signatures(
     return minhash_signatures(union, text_col, id_col, k)
 
 
+def _stage1_corpus_probe(
+    src: DataFrame, batch_fps: DataFrame, batch_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """The ONE corpus touch of incremental stage 1: probe the corpus
+    (id, fp) projection with the batch's broadcast fingerprint and id
+    sets, returning the batch-bounded rows that are relevant to this
+    increment (fingerprint already present → ``__fhit``, id colliding
+    with the batch → ``__ihit``).
+
+    Exposed as its own function so tests/test_plans.py can lock the
+    claimed plan property directly: the corpus side is SCAN-ONLY — no
+    Exchange, no SortMergeJoin, only BroadcastHashJoins above the state
+    scan (the pre-r9 shape paid a corpus-wide distinct shuffle plus a
+    shuffled anti-join per increment)."""
+    return (
+        src.join(
+            F.broadcast(batch_fps.withColumn("__fhit", F.lit(True))),
+            on="__fp",
+            how="left",
+        )
+        .join(
+            F.broadcast(batch_ids.withColumn("__ihit", F.lit(True))),
+            on=id_col,
+            how="left",
+        )
+        .filter(F.col("__fhit").isNotNull() | F.col("__ihit").isNotNull())
+    )
+
+
 def incremental_near_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1044,19 +1241,7 @@ def incremental_near_dedup(
         src = corpus_state.select(F.col(id_col), F.col("fp").alias("__fp"))
     else:
         src = corpus.select(F.col(id_col), norm_fp.alias("__fp"))
-    probe = (
-        src.join(
-            F.broadcast(batch_fps.withColumn("__fhit", F.lit(True))),
-            on="__fp",
-            how="left",
-        )
-        .join(
-            F.broadcast(batch_ids.withColumn("__ihit", F.lit(True))),
-            on=id_col,
-            how="left",
-        )
-        .filter(F.col("__fhit").isNotNull() | F.col("__ihit").isNotNull())
-    )
+    probe = _stage1_corpus_probe(src, batch_fps, batch_ids, id_col)
     probe = stage(probe)  # the ONE corpus pass of stage 1 (batch-bounded output)
     present = probe.filter(F.col("__fhit").isNotNull()).select("__fp")
     b_new = b.join(F.broadcast(present), on="__fp", how="left_anti")

@@ -714,9 +714,14 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
         # Sweep SUPERSEDED stores of this fixture: a regenerated fixture
         # changes the content key, so the old `{tag}-{oldkey}` dir is
         # dead weight that previously accumulated forever (ADVICE r8
-        # low).  Same >1h age gate as the tmp sweep; a sibling dir whose
-        # marker names a DIFFERENT fixture path (two fixtures sharing a
-        # basename) is someone else's live store and is left alone.
+        # low).  Same >1h age gate as the tmp sweep.  Only dirs whose
+        # marker EXISTS and names this exact fixture path are eligible:
+        # a marker naming a different path is another fixture's live
+        # store (two fixtures sharing a basename), and a MARKERLESS dir
+        # is unidentifiable — legacy stores predate the marker, and
+        # deleting on a basename guess could rmtree a live store mid-scan
+        # (ADVICE r9 medium).  The cache-hit path below backfills
+        # markers, so legacy stores become sweep-eligible once touched.
         store_root = os.path.dirname(os.path.dirname(path))
         abs_dir = os.path.abspath(sf_dir.rstrip("/") or sf_dir)
         tag = os.path.basename(abs_dir) or "sf"
@@ -725,10 +730,11 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 continue
             marker = os.path.join(sibling, "fixture_path.txt")
             try:
-                if os.path.exists(marker):
-                    with open(marker) as fh:
-                        if fh.read().strip() != abs_dir:
-                            continue
+                if not os.path.exists(marker):
+                    continue
+                with open(marker) as fh:
+                    if fh.read().strip() != abs_dir:
+                        continue
                 if time.time() - os.path.getmtime(sibling) > 3600:
                     shutil.rmtree(sibling, ignore_errors=True)
             except OSError:
@@ -745,13 +751,18 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             os.rename(tmp, path)
         except OSError:  # lost the race — another writer landed it first
             shutil.rmtree(tmp, ignore_errors=True)
-        # Ownership marker for the superseded-store sweep above: records
-        # which fixture PATH this keyed dir derives from (the key alone
-        # cannot distinguish "same fixture, regenerated" from "different
-        # fixture, same basename").  Idempotent across racing builders —
-        # both write the same content.
+    # Ownership marker for the superseded-store sweep above: records
+    # which fixture PATH this keyed dir derives from (the key alone
+    # cannot distinguish "same fixture, regenerated" from "different
+    # fixture, same basename").  Written on BOTH the build and the
+    # cache-hit path (ADVICE r9 medium) so legacy pre-marker stores
+    # become self-identifying — and hence safely sweepable — the first
+    # time anything reads them.  Idempotent: every writer of a given
+    # dir writes the same content.
+    marker = os.path.join(os.path.dirname(path), "fixture_path.txt")
+    if not os.path.exists(marker):
         try:
-            with open(os.path.join(os.path.dirname(path), "fixture_path.txt"), "w") as fh:
+            with open(marker, "w") as fh:
                 fh.write(os.path.abspath(sf_dir.rstrip("/") or sf_dir))
         except OSError:
             pass

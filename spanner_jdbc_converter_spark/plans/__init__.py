@@ -86,8 +86,11 @@ _GATE_PRIORITY = [
     "multimodal_wav_decode",
     "multimodal_pgm_decode",
     "multimodal_video_decode",
-    "copy_incremental_diff",
-    "copy_merge_upsert",
+    # (2) registered in r10 (the RULE above): never-checked entries take
+    # the tail slots, displacing copy_incremental_diff/copy_merge_upsert
+    # (both r6 — the histogram stays "nothing older than r6").
+    "dedup_semantic_clusters",
+    "dedup_span_contamination",
 ]
 
 

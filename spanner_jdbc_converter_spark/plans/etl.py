@@ -1118,42 +1118,8 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation with broadcast per-source totals.  Exact integers
     except the final containment division (single IEEE op, rounded
     to 6).  Sub-3-token docs are out of scope by design (their only
-    gram would be the whole text — the exact-copy signal)."""
+    gram would be the whole text — the exact-copy signal).  Composition
+    lives in operators/dedup.py::source_overlap_matrix (shared with the
+    many-source scale smoke)."""
     d = load_table(spark, sf_dir, "documents")
-    g = (
-        dd.shingle_rows(
-            d.filter(tx.token_count("text") >= 3),
-            "text",
-            "doc_id",
-            3,
-            extra_cols=["source"],
-            fallback_to_text=False,
-        )
-        .select("source", F.col("__s").alias("gram"))
-        .distinct()
-    )
-    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.select(F.col("source").alias("source_a"), "gram")
-    b = g.select(F.col("source").alias("source_b"), "gram")
-    pairs = (
-        a.join(b, on="gram")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
-    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(na), on="source_a")
-        .join(F.broadcast(nb), on="source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(
-                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
-            ).alias("containment"),
-        )
-    )
+    return dd.source_overlap_matrix(d)

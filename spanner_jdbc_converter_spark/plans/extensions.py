@@ -297,6 +297,52 @@ def dedup_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.benchmark_overlap(d, F.col("doc_id") % 101 == 0)
 
 
+#: word-W-gram span texts over token list t (1-based slice, inclusive end).
+def _spans_sql(w: int) -> str:
+    return (
+        f"list_transform(range(1, len(t) - {w} + 2), "
+        f"i -> array_to_string(t[i:i + {w} - 1], ' '))"
+    )
+
+
+@register(
+    "dedup_span_contamination",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (SELECT DISTINCT doc_id, {md5_long_sql("span")} AS h
+          FROM (SELECT doc_id, unnest({_spans_sql(dd.SPAN_NGRAM)}) AS span
+                FROM tk WHERE len(t) >= {dd.SPAN_NGRAM})),
+    n AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id),
+    el AS (SELECT h FROM s GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND {dd.SPAN_MAX_DF}),
+    p AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                 COUNT(*) AS shared_spans
+          FROM s sa JOIN s sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+          JOIN el ON el.h = sa.h
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.shared_spans,
+           na.n_spans AS n_spans_a, nb.n_spans AS n_spans_b,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / na.n_spans, 6) AS frac_a,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / nb.n_spans, 6) AS frac_b
+    FROM p JOIN n na ON na.doc_id = p.id_a
+           JOIN n nb ON nb.doc_id = p.id_b
+    """,
+)
+def dedup_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span contamination: document pairs sharing a word-32-gram
+    span, with shared-span counts and per-side contaminated fractions —
+    catches copied passages and MID-document benchmark strings that
+    whole-doc fingerprints and near-dup thresholds both miss.
+
+    Scale: a postings-bounded inverted join — one groupBy(span-hash)
+    shuffle, posting lists capped at SPAN_MAX_DF before the
+    expression-only pair expansion, so pair work is Σ min(df, cap)²
+    and boilerplate spans can never go quadratic.  See
+    operators/dedup.py::verbatim_span_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.verbatim_span_pairs(d)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

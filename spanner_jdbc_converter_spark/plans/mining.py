@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
 from spanner_jdbc_converter_spark.operators import clustering as cl
-from spanner_jdbc_converter_spark.plans.extensions import _TOKS_SQL
+from spanner_jdbc_converter_spark.plans.extensions import _TOKS_SQL, _cos_sql
 from spanner_jdbc_converter_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -73,8 +73,9 @@ def _update_cte(asg_cte: str) -> str:
     """
 
 
-def _kmeans_oracle() -> str:
-    k = cl.KMEANS_K
+def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """The unrolled fixed-iteration k-means as CTE clauses; returns the
+    clause list and the name of the final assignment CTE."""
     parts = [
         f"""c0 AS (
       SELECT CAST(vec_id AS BIGINT) AS cluster,
@@ -83,15 +84,20 @@ def _kmeans_oracle() -> str:
     )"""
     ]
     prev_cent = "c0"
-    for it in range(1, cl.KMEANS_ITERS + 1):
+    for it in range(1, iters + 1):
         parts.append(f"a{it} AS ({_assign_cte(prev_cent)})")
-        if it < cl.KMEANS_ITERS:
+        if it < iters:
             parts.append(f"c{it} AS ({_update_cte(f'a{it}')})")
             prev_cent = f"c{it}"
+    return parts, f"a{iters}"
+
+
+def _kmeans_oracle() -> str:
+    parts, final = _kmeans_ctes(cl.KMEANS_K, cl.KMEANS_ITERS)
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist FROM a{cl.KMEANS_ITERS}"
+        + f"\nSELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist FROM {final}"
     )
 
 
@@ -108,6 +114,50 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to K×dims rows.  See operators/clustering.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.kmeans_fixed(emb)
+
+
+# ---------------------------------------------------------------------------
+# SemDedup — embedding-cluster dedup (semantic near-duplicates).
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle() -> str:
+    parts, final = _kmeans_ctes(cl.SEMDEDUP_K, cl.KMEANS_ITERS)
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    asg AS (SELECT vec_id, cluster FROM {final}),
+    dup AS (
+      SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+      FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE ROUND({cos}, 6) >= {cl.SEMDEDUP_THRESHOLD}
+      GROUP BY y.vec_id)
+    SELECT g.vec_id, g.cluster, d.dup_of, d.dup_of IS NULL AS is_kept
+    FROM asg g LEFT JOIN dup d USING (vec_id)
+    """
+    )
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup: k-means-cluster the embeddings
+    (K=SEMDEDUP_K, deterministic seeds, fixed Lloyd rounds), prune cosine-near
+    pairs within each cluster keeping the min id.  Catches semantic
+    near-duplicates that share NO n-grams — invisible to the whole
+    lexical dedup family.
+
+    Scale: the cluster plays the LSH-bucket role — pair work Σ|c|²,
+    one groupBy(cluster) shuffle, numpy bucket-local scoring, no pair
+    join.  The oracle unrolls the identical k-means and replays the
+    within-cluster pruning in SQL, so even the cluster-approximate
+    result is hash-checked value-for-value.  See
+    operators/clustering.py::semantic_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.semantic_dedup(emb)
 
 
 # ---------------------------------------------------------------------------

@@ -1229,3 +1229,94 @@ def test_incremental_near_dedup_id_overlap_fails_fast(spark):
         dd.incremental_near_dedup(
             corpus, batch, corpus_state=dd.signature_state(corpus)
         )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (embedding-cluster dedup) + verbatim-span contamination (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_prunes_within_cluster_min_id(spark):
+    """Identical vectors land in the same cluster; all but the min id
+    are pruned with dup_of pointing at the smallest near id; every
+    input id appears exactly once."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    rows = (
+        # seeds 0..3 on distinct axes (k=4 seeds are ids < 4)
+        [(i, vec(i)) for i in range(4)]
+        # 10 and 11 duplicate seed 0's direction; 12 duplicates seed 1's
+        + [(10, vec(0)), (11, vec(0, 1e-3)), (12, vec(1))]
+        # 20 is alone in its direction: kept
+        + [(20, vec(3))]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cl.semantic_dedup(emb, k=4, iters=2, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert sorted(by_id) == [0, 1, 2, 3, 10, 11, 12, 20]
+    assert by_id[0].is_kept and by_id[0].dup_of is None
+    assert not by_id[10].is_kept and by_id[10].dup_of == 0
+    assert not by_id[11].is_kept and by_id[11].dup_of == 0
+    assert not by_id[12].is_kept and by_id[12].dup_of == 1
+    assert not by_id[20].is_kept and by_id[20].dup_of == 3
+
+
+def test_semantic_dedup_blind_spot_is_cross_cluster_only(spark):
+    """The SemDedup approximation: a near pair SPLIT across clusters is
+    not pruned — document the contract so a threshold/cluster change
+    that silently widens pruning fails here."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+
+    def vec(axis):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        return v
+
+    # k=2 seeds are ids 0 and 1 on orthogonal axes; id 5 matches seed 1's
+    # axis exactly, so it clusters with 1 and prunes; id 6 ALSO matches
+    # axis 1 — all three co-cluster, so 6 prunes against min id 1.
+    rows = [(0, vec(0)), (1, vec(1)), (5, vec(1)), (6, vec(1))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in cl.semantic_dedup(emb, k=2, iters=2, threshold=0.99).collect()}
+    assert out[5].dup_of == 1 and out[6].dup_of == 1
+    assert out[0].is_kept and out[1].is_kept
+
+
+def test_verbatim_span_pairs_catches_mid_document_copy(spark):
+    """A 32-word span embedded mid-document links the two docs even
+    though everything around it differs; whole-doc fingerprints differ."""
+    span = " ".join(f"tok{i}" for i in range(32))
+    docs = [
+        (1, "alpha opening words " + span + " alpha closing words"),
+        (2, "totally different beginning " + span + " and a different end"),
+        (3, "no shared content here at all just filler " * 8),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dd.verbatim_span_pairs(d).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    row = out[0]
+    # the copied passage contributes exactly ONE fully-shared 32-gram
+    # per alignment; both docs' fractions reflect their own span counts
+    assert row.shared_spans >= 1
+    assert row.n_spans_a > row.shared_spans  # doc 1 has unshared spans too
+    assert abs(row.frac_a - row.shared_spans / row.n_spans_a) < 5e-7  # round-6
+
+
+def test_verbatim_span_pairs_caps_boilerplate_postings(spark):
+    """A span present in MORE than max_df docs is boilerplate: its
+    posting list is dropped before pair expansion, so no pair forms."""
+    boiler = " ".join(f"b{i}" for i in range(32))
+    docs = [(i, f"doc {i} unique preamble " + boiler) for i in range(6)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # cap=5 < 6 docs: every posting list for the boilerplate spans
+    # exceeds the cap -> no pairs at all
+    assert dd.verbatim_span_pairs(d, max_df=5).count() == 0
+    # raising the cap re-admits the pairs
+    assert dd.verbatim_span_pairs(d, max_df=6).count() == 15
