@@ -723,6 +723,61 @@ def verbatim_span_pairs(
     )
 
 
+def benchmark_span_hits(
+    df: DataFrame,
+    benchmark_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = SPAN_NGRAM,
+) -> DataFrame:
+    """Hard decontamination at copy-evidence length: for every
+    non-benchmark document, how many of its distinct word-``ngram``
+    spans appear VERBATIM in any benchmark document — the detector for
+    a benchmark string embedded mid-document, which the 3-gram fraction
+    probe (:func:`benchmark_overlap`) dilutes and whole-doc near-dup
+    misses entirely.  A single hit at n=32 is already copy evidence;
+    pipelines drop on ``n_hits >= 1``.
+
+    Scale shape mirrors benchmark_overlap: the benchmark side reduces
+    to a DISTINCT span-hash set and broadcasts (eval suites are tiny
+    next to a 100 TB corpus); the corpus side is one shingle pass +
+    per-doc aggregation, with both the benchmark semi/anti splits
+    riding the same broadcast id frame.  No corpus-sized shuffle
+    beyond the per-doc span dedup.
+
+    Output: id, n_spans, n_hits, is_contaminated (n_hits >= 1), over
+    corpus docs with >= ngram tokens."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    bench_ids = df.filter(benchmark_pred).select(id_col)
+    spans = (
+        shingle_rows(df, text_col, id_col, ngram, fallback_to_text=False)
+        .select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
+        .dropDuplicates([id_col, "__h"])
+    )
+    bench_spans = (
+        spans.join(F.broadcast(bench_ids), on=id_col, how="semi")
+        .select("__h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = spans.join(F.broadcast(bench_ids), on=id_col, how="anti")
+    return (
+        corpus.join(F.broadcast(bench_spans), on="__h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_hits",
+            (F.col("n_hits") >= 1).alias("is_contaminated"),
+        )
+    )
+
+
 # -- embedding near-dup ----------------------------------------------------
 
 

@@ -306,6 +306,39 @@ def _spans_sql(w: int) -> str:
 
 
 @register(
+    "dedup_benchmark_span_hits",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (SELECT DISTINCT doc_id, {md5_long_sql("span")} AS h
+          FROM (SELECT doc_id, unnest({_spans_sql(dd.SPAN_NGRAM)}) AS span
+                FROM tk WHERE len(t) >= {dd.SPAN_NGRAM})),
+    b AS (SELECT DISTINCT h FROM s WHERE doc_id % 7 = 0),
+    c AS (SELECT doc_id, h FROM s WHERE doc_id % 7 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(b.h) AS BIGINT) AS n_hits,
+           COUNT(b.h) >= 1 AS is_contaminated
+    FROM c LEFT JOIN b ON c.h = b.h
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_benchmark_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard decontamination at copy-evidence length: per corpus doc, the
+    count of its distinct word-32-gram spans appearing VERBATIM in the
+    benchmark stand-in (every 7th doc — denser than benchmark_overlap's
+    %101 so the hit path is exercised at every SF).  One hit = drop.
+    Completes the decontamination ladder: 3-gram fraction
+    (dedup_benchmark_overlap) → cross-doc span pairs
+    (dedup_span_contamination) → vs-benchmark span hits (this).
+
+    Scale: the benchmark span-hash set broadcasts (eval suites are
+    tiny); the corpus side is one shingle pass + per-doc aggregation.
+    See operators/dedup.py::benchmark_span_hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.benchmark_span_hits(d, F.col("doc_id") % 7 == 0)
+
+
+@register(
     "dedup_span_contamination",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

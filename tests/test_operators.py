@@ -1320,3 +1320,23 @@ def test_verbatim_span_pairs_caps_boilerplate_postings(spark):
     assert dd.verbatim_span_pairs(d, max_df=5).count() == 0
     # raising the cap re-admits the pairs
     assert dd.verbatim_span_pairs(d, max_df=6).count() == 15
+
+
+def test_benchmark_span_hits_flags_embedded_eval_string(spark):
+    """A benchmark doc's 32-gram embedded mid-corpus-doc flags that doc
+    with n_hits >= 1; clean docs report zero hits; benchmark docs are
+    excluded from the report."""
+    span = " ".join(f"ev{i}" for i in range(32))
+    docs = [
+        (0, "the benchmark item reads " + span + " end of item"),  # benchmark (id % 2 == 0... use pred id==0)
+        (1, "corpus doc that quotes the benchmark " + span + " inside itself"),
+        (3, "clean corpus document with plenty of its own words " * 5),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    out = {r.doc_id: r for r in dd.benchmark_span_hits(d, F.col("doc_id") == 0).collect()}
+    assert sorted(out) == [1, 3]  # benchmark doc 0 excluded
+    assert out[1].is_contaminated and out[1].n_hits >= 1
+    assert not out[3].is_contaminated and out[3].n_hits == 0
+    assert out[3].n_spans > 0
