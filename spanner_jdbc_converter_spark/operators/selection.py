@@ -18,6 +18,61 @@ from spanner_jdbc_converter_spark.functions.hashing import md5_long
 #: Quality-band count for the distributed prefix sum (quality ∈ [0, 1]).
 QUALITY_BANDS = 50
 
+#: 2^60 — the md5_long value range, exact in a double (split thresholds).
+U_DENOM = float(1 << 60)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    train: float = 0.8,
+    val: float = 0.1,
+    tag: str = "split",
+) -> DataFrame:
+    """Train/val/test split that assigns NEAR-DUPLICATE GROUPS atomically:
+    hashing raw doc ids (select_train_val_test_split) leaks when two
+    near-duplicates straddle train and test — the model "memorizes" the
+    eval answer from its twin.  Here every doc's split key is its
+    connected-component anchor over the near-dup pair graph (min
+    reachable id, :func:`dedup.connected_groups`); docs with no near-dup
+    anchor on their own id, so the assignment is IDENTICAL to the plain
+    split for unique docs and group-atomic for duplicates — no group
+    ever straddles a split boundary, by construction.
+
+    Deterministic: portable md5 over 'tag:anchor' against exact
+    2^-60-scaled thresholds, min-id anchors, no rand().
+
+    Scale: the group frame is pair-node-sized (≪ corpus, only docs that
+    appear in some near-dup pair); ONE id-keyed left join attaches it,
+    and the split decision is a per-row expression — no extra shuffle
+    beyond the components computation itself.
+
+    Output: (id, lang-agnostic) one row per input doc —
+    (id_col, anchor_id, split)."""
+    from spanner_jdbc_converter_spark.operators.dedup import connected_groups
+
+    groups = connected_groups(pairs, id_a, id_b).select(
+        F.col("doc_id").alias(id_col), "group_id"
+    )
+    anchored = df.select(id_col).join(groups, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("group_id"), F.col(id_col)).alias("anchor_id"),
+    )
+    u = md5_long(
+        F.concat(F.lit(f"{tag}:"), F.col("anchor_id").cast("string"))
+    ) / F.lit(U_DENOM)
+    return anchored.select(
+        id_col,
+        "anchor_id",
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
 
 def sample_bucket(strata_col: Column, id_col: Column) -> Column:
     """Deterministic 0-99 bucket per row: portable md5 over 'stratum:id'.

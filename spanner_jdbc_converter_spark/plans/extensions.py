@@ -26,6 +26,7 @@ from spanner_jdbc_converter_spark.functions.hashing import (
 from spanner_jdbc_converter_spark.functions.vector import norm
 from spanner_jdbc_converter_spark.operators import dedup as dd
 from spanner_jdbc_converter_spark.operators import multimodal as mm
+from spanner_jdbc_converter_spark.operators import selection as sel
 from spanner_jdbc_converter_spark.operators import similarity as sim
 from spanner_jdbc_converter_spark.operators import text as tx
 from spanner_jdbc_converter_spark.plans.registry import register
@@ -521,6 +522,68 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative algorithm is value-hash-checked."""
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
     return dd.connected_groups(dd.lsh_candidate_pairs(d))
+
+
+#: leakage-safe split thresholds ride the same md5/2^60 uniform as
+#: select_train_val_test_split (plans/mining.py) — same tag, so unique
+#: docs get the IDENTICAL assignment and only near-dup groups move.
+_ANCHOR_SQL = "COALESCE(g.group_id, d.doc_id)"
+_ANCHOR_U_SQL = (
+    md5_long_sql(f"concat('split:', CAST({_ANCHOR_SQL} AS VARCHAR))")
+    + f" / {float(1 << 60)!r}"
+)
+
+
+@register(
+    "select_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+         toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
+         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
+         sigs AS (SELECT doc_id,
+                         [{", ".join(_minhash_sig_sql())}] AS sig
+                  FROM hs),
+         bands AS (SELECT doc_id,
+                          unnest([{_lsh_band_exprs_sql()}]) AS band_key
+                   FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_key)
+                  WHERE a.doc_id < b.doc_id),
+         sym AS (SELECT id_a AS u, id_b AS v FROM cand
+                 UNION SELECT id_b, id_a FROM cand),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+         ),
+         grp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+                 FROM reach GROUP BY u)
+    SELECT doc_id, anchor_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT d.doc_id AS doc_id,
+                 {_ANCHOR_SQL} AS anchor_id,
+                 {_ANCHOR_U_SQL} AS u
+          FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id)
+    """,
+)
+def select_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: every doc's split key is its
+    near-dup connected-component anchor (min reachable id over the LSH
+    candidate graph), so a duplicate cluster lands in ONE split and can
+    never straddle train/test — the leak the plain per-doc hash split
+    (select_train_val_test_split) cannot prevent.  Same 'split:' tag, so
+    docs with no near-dup keep their exact plain-split assignment.
+
+    Scale: the group frame is pair-node-sized; one id-keyed left join
+    attaches anchors; the split decision is a per-row expression.  The
+    oracle recomputes the exact closure with a recursive CTE and replays
+    the anchored hash, so the group-atomicity is value-hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(d.filter(tx.token_count("text") >= 3))
+    return sel.leakage_safe_split(d, pairs)
 
 
 @register(

@@ -1340,3 +1340,34 @@ def test_benchmark_span_hits_flags_embedded_eval_string(spark):
     assert out[1].is_contaminated and out[1].n_hits >= 1
     assert not out[3].is_contaminated and out[3].n_hits == 0
     assert out[3].n_spans > 0
+
+
+def test_leakage_safe_split_is_group_atomic_and_plain_for_uniques(spark):
+    """Near-dup groups land in ONE split (anchored on the min id); docs
+    with no near-dup get exactly the plain per-doc hash assignment."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9, 42)], "doc_id long, text string"
+    )
+    # near-dup graph: {1,2,3} one component (chain), {7,9} another
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in sel.leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 6
+    # group-atomic: every member shares the anchor AND the split
+    assert out[1].anchor_id == out[2].anchor_id == out[3].anchor_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    assert out[7].anchor_id == out[9].anchor_id == 7
+    assert out[7].split == out[9].split
+    # unique doc: anchor = own id, split = the plain per-doc assignment
+    assert out[42].anchor_id == 42
+    u = (
+        spark.range(1)
+        .select((md5_long(F.lit("split:42")) / F.lit(sel.U_DENOM)).alias("u"))
+        .first()["u"]
+    )
+    expected = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+    assert out[42].split == expected
