@@ -24,13 +24,14 @@ U_DENOM = float(1 << 60)
 
 def leakage_safe_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
     train: float = 0.8,
     val: float = 0.1,
     tag: str = "split",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test split that assigns NEAR-DUPLICATE GROUPS atomically:
     hashing raw doc ids (select_train_val_test_split) leaks when two
@@ -51,12 +52,19 @@ def leakage_safe_split(
     beyond the components computation itself.
 
     Output: (id, lang-agnostic) one row per input doc —
-    (id_col, anchor_id, split)."""
-    from spanner_jdbc_converter_spark.operators.dedup import connected_groups
+    (id_col, anchor_id, split).
 
-    groups = connected_groups(pairs, id_a, id_b).select(
-        F.col("doc_id").alias(id_col), "group_id"
-    )
+    Pass either ``pairs`` (the near-dup pair graph; components are
+    computed here) or a precomputed ``groups`` frame (id_col, group_id)
+    — e.g. a session-cached :func:`dedup.connected_groups` result shared
+    with a components entry, so the expensive closure runs once."""
+    if groups is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_split needs either pairs or groups")
+        from spanner_jdbc_converter_spark.operators.dedup import connected_groups
+
+        groups = connected_groups(pairs, id_a, id_b)
+    groups = groups.select(F.col("doc_id").alias(id_col), "group_id")
     anchored = df.select(id_col).join(groups, on=id_col, how="left").select(
         F.col(id_col),
         F.coalesce(F.col("group_id"), F.col(id_col)).alias("anchor_id"),

@@ -617,19 +617,11 @@ def join_doc_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_STORE: dict[tuple[str, str], tuple[DataFrame, dict[str, int]]] = {}
 
 
-def _evict_other_keys(store: dict, key: tuple, unpersist) -> None:
-    """ADVICE r7 (etl.py:617): session caches keyed by (appId, dir)
-    must not pin persisted frames for the life of the process — a
-    long-lived session sweeping many fixture dirs (or restarting its
-    SparkSession) would otherwise accumulate an entry per dead key.
-    Keep only the CURRENT key: unpersist and drop everything else;
-    releases against a dead SparkContext are best-effort."""
-    for k in [k for k in store if k != key]:
-        entry = store.pop(k)
-        try:
-            unpersist(entry)
-        except Exception:
-            pass
+# Session-cache eviction now lives in plans/registry.py::evict_other_keys
+# (shared with extensions.py without a circular import).
+from spanner_jdbc_converter_spark.plans.registry import (  # noqa: E402
+    evict_other_keys as _evict_other_keys,
+)
 
 
 def _curated(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict[str, int]]:

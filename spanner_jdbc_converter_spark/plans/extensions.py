@@ -520,8 +520,41 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact transitive closure with a recursive CTE; the Spark side
     converges to the same min-reachable-id fixpoint, so even this
     iterative algorithm is value-hash-checked."""
+    return _near_dup_groups(spark, sf_dir)
+
+
+#: Session cache for the near-dup component frame — TWO corpus entries
+#: consume the identical closure (dedup_connected_groups and
+#: select_leakage_safe_split), so the iterative label propagation runs
+#: once per (appId, fixture) like the pipeline's _curated / the
+#: increment entry's signature state (plans/etl.py).  Same keying and
+#: eviction discipline.
+_GROUPS_STORE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(_GROUPS_STORE, key, lambda df: df.unpersist())
+    hit = _GROUPS_STORE.get(key)
+    if hit is not None:
+        return hit
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
-    return dd.connected_groups(dd.lsh_candidate_pairs(d))
+    groups = dd.connected_groups(dd.lsh_candidate_pairs(d)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        groups.count()  # materialize the one closure computation
+    except BaseException:
+        groups.unpersist()
+        raise
+    _GROUPS_STORE[key] = groups
+    return groups
 
 
 #: leakage-safe split thresholds ride the same md5/2^60 uniform as
@@ -579,11 +612,13 @@ def select_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the group frame is pair-node-sized; one id-keyed left join
     attaches anchors; the split decision is a per-row expression.  The
-    oracle recomputes the exact closure with a recursive CTE and replays
-    the anchored hash, so the group-atomicity is value-hash-checked."""
+    closure itself is the session-cached _near_dup_groups frame shared
+    with dedup_connected_groups — one components computation per
+    (session, fixture) serves both entries.  The oracle recomputes the
+    exact closure with a recursive CTE and replays the anchored hash,
+    so the group-atomicity is value-hash-checked."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(d.filter(tx.token_count("text") >= 3))
-    return sel.leakage_safe_split(d, pairs)
+    return sel.leakage_safe_split(d, groups=_near_dup_groups(spark, sf_dir))
 
 
 @register(

@@ -32,3 +32,19 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def evict_other_keys(store: dict, key: tuple, unpersist) -> None:
+    """ADVICE r7: session caches keyed by (appId, dir) must not pin
+    persisted frames for the life of the process — a long-lived session
+    sweeping many fixture dirs (or restarting its SparkSession) would
+    otherwise accumulate an entry per dead key.  Keep only the CURRENT
+    key: unpersist and drop everything else; releases against a dead
+    SparkContext are best-effort.  Lives here (not etl.py) so every
+    corpus module can share it without circular imports."""
+    for k in [k for k in store if k != key]:
+        entry = store.pop(k)
+        try:
+            unpersist(entry)
+        except Exception:
+            pass
