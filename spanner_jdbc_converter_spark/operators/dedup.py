@@ -646,12 +646,33 @@ SPAN_NGRAM = 32
 SPAN_MAX_DF = 50
 
 
+def span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = SPAN_NGRAM,
+) -> DataFrame:
+    """Per-doc DISTINCT word-``ngram`` span fingerprints (id, __h) — the
+    shared input of the verbatim-span family (:func:`verbatim_span_pairs`,
+    :func:`benchmark_span_hits`).  One codegen'd shingle pass + md5 +
+    per-doc dedup riding the window's id partitioning; corpus entries
+    session-cache this frame so the pass runs once per fixture."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    return (
+        shingle_rows(df, text_col, id_col, ngram, fallback_to_text=False)
+        .select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
+        .dropDuplicates([id_col, "__h"])
+    )
+
+
 def verbatim_span_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = SPAN_NGRAM,
     max_df: int = SPAN_MAX_DF,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Verbatim-span contamination: document pairs sharing at least one
     word-``ngram`` span, with the shared-span count and each side's
@@ -675,14 +696,12 @@ def verbatim_span_pairs(
 
     Output: id_a < id_b, shared_spans (distinct shared span hashes),
     n_spans_a/b (distinct spans per doc), frac_a/b (shared ÷ own).
-    Docs with < ngram tokens have no spans and never appear."""
-    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    Docs with < ngram tokens have no spans and never appear.
 
-    spans = (
-        shingle_rows(df, text_col, id_col, ngram, fallback_to_text=False)
-        .select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
-        .dropDuplicates([id_col, "__h"])
-    )
+    ``spans`` overrides the internally-derived :func:`span_hashes`
+    frame (e.g. a session-cached copy shared with benchmark_span_hits)."""
+    if spans is None:
+        spans = span_hashes(df, text_col, id_col, ngram)
     doc_counts = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     postings = (
         spans.groupBy("__h")
@@ -729,6 +748,7 @@ def benchmark_span_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = SPAN_NGRAM,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Hard decontamination at copy-evidence length: for every
     non-benchmark document, how many of its distinct word-``ngram``
@@ -746,15 +766,13 @@ def benchmark_span_hits(
     beyond the per-doc span dedup.
 
     Output: id, n_spans, n_hits, is_contaminated (n_hits >= 1), over
-    corpus docs with >= ngram tokens."""
-    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    corpus docs with >= ngram tokens.
 
+    ``spans`` overrides the internally-derived :func:`span_hashes`
+    frame (e.g. a session-cached copy shared with verbatim_span_pairs)."""
     bench_ids = df.filter(benchmark_pred).select(id_col)
-    spans = (
-        shingle_rows(df, text_col, id_col, ngram, fallback_to_text=False)
-        .select(F.col(id_col), md5_long(F.col("__s")).alias("__h"))
-        .dropDuplicates([id_col, "__h"])
-    )
+    if spans is None:
+        spans = span_hashes(df, text_col, id_col, ngram)
     bench_spans = (
         spans.join(F.broadcast(bench_ids), on=id_col, how="semi")
         .select("__h")
