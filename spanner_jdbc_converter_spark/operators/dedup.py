@@ -796,6 +796,33 @@ def benchmark_span_hits(
     )
 
 
+def filter_contaminated(
+    df: DataFrame,
+    benchmark_spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = SPAN_NGRAM,
+) -> DataFrame:
+    """Drop every document containing a verbatim word-``ngram`` span
+    from ``benchmark_spans`` (a frame with a ``__h`` column of span
+    hashes — build it once from the eval suite with
+    ``span_hashes(bench_docs).select("__h").distinct()``).  The
+    ingestion-time complement of :func:`benchmark_span_hits`: one hit
+    at copy-evidence length ⇒ the doc never enters the corpus.
+
+    Scale: the benchmark span set broadcasts (eval suites are tiny);
+    the document side pays one shingle pass and an id anti-join with
+    the batch-bounded contaminated-id set — no corpus-sized shuffle.
+    Docs shorter than ``ngram`` tokens have no spans and always pass."""
+    contaminated = (
+        span_hashes(df, text_col, id_col, ngram)
+        .join(F.broadcast(benchmark_spans.select("__h")), on="__h", how="semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(contaminated), on=id_col, how="anti")
+
+
 # -- embedding near-dup ----------------------------------------------------
 
 

@@ -103,6 +103,7 @@ def ingest_documents_near_dedup(
     quality_min: float = 0.3,
     threshold: float = 0.5,
     signature_store_path: str | None = None,
+    benchmark_spans_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -124,6 +125,14 @@ def ingest_documents_near_dedup(
     Without it, each batch re-signs the whole store — correct, but a
     full-corpus pass per micro-batch.
 
+    ``benchmark_spans_path`` adds ingestion-time HARD decontamination:
+    a parquet of distinct ``__h`` span hashes (build once from the eval
+    suite with ``dedup.span_hashes(bench).select("__h").distinct()``);
+    every batch doc carrying a verbatim 32-gram from it is dropped
+    BEFORE the dedup stages (operators/dedup.py::filter_contaminated),
+    so contaminated docs never enter the store, never cost signature
+    work, and never become dedup keepers that shadow clean twins.
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
     idempotent (asserted in tests/test_streaming.py).
@@ -140,6 +149,10 @@ def ingest_documents_near_dedup(
             .filter(F.col("quality") >= quality_min)
             .select(*out_cols)
         )
+        if benchmark_spans_path is not None:
+            batch = dd.filter_contaminated(
+                batch, spark.read.parquet(benchmark_spans_path)
+            )
         if os.path.exists(store_path):
             corpus = spark.read.parquet(store_path)
         else:

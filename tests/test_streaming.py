@@ -435,3 +435,47 @@ def test_ingest_near_dedup_with_signature_sidecar(spark, tmp_path):
     q3.awaitTermination()
     sig_ids3 = [r.doc_id for r in spark.read.parquet(sidecar).select("doc_id").collect()]
     assert sorted(sig_ids3) == [1, 11]
+
+
+def test_ingest_near_dedup_drops_contaminated_docs(spark, tmp_path):
+    """Ingestion-time hard decontamination: a batch doc carrying a
+    verbatim 32-gram from the benchmark span set never reaches the
+    store; clean docs land; a replay appends nothing."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    eval_span = " ".join(f"evalword{j:02d}" for j in range(40))
+    clean = " ".join(f"cleanword{j:02d}" for j in range(40))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    bench = spark.createDataFrame([(999, eval_span, "en", "b", len(eval_span))], schema)
+    spans_path = str(tmp_path / "bench_spans")
+    dd.span_hashes(bench).select("__h").distinct().write.parquet(spans_path)
+
+    # doc 20 embeds a 32-gram of the eval text mid-document
+    contaminated = "leading words here " + " ".join(
+        f"evalword{j:02d}" for j in range(32)
+    ) + " trailing words"
+    rows = [
+        (20, contaminated, "en", "s0", len(contaminated)),
+        (21, clean, "en", "s1", len(clean)),
+    ]
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir + "/f1.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, benchmark_spans_path=spans_path,
+    )
+    q.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [21]
+
+    # replay with a fresh checkpoint: store unchanged
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0, benchmark_spans_path=spans_path,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [21]
