@@ -1371,3 +1371,85 @@ def test_leakage_safe_split_is_group_atomic_and_plain_for_uniques(spark):
     )
     expected = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
     assert out[42].split == expected
+
+
+# -- property-based: verbatim-span family vs a brute-force reference ---------
+
+_span_docs = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=14),  # token ids per doc
+    min_size=0,
+    max_size=8,
+)
+
+
+def _py_span_pairs(docs, n, max_df):
+    """Brute-force reference: per-doc distinct n-gram span sets, df-capped
+    inverted pairing, shared counts + fractions."""
+    spans = {
+        i: {" ".join(f"w{t}" for t in toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        for i, toks in docs.items()
+        if len(toks) >= n
+    }
+    df_count = {}
+    for s in spans.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    eligible = {h for h, c in df_count.items() if 2 <= c <= max_df}
+    out = {}
+    ids = sorted(spans)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(spans[a] & spans[b] & eligible)
+            if shared:
+                out[(a, b)] = (shared, len(spans[a]), len(spans[b]))
+    return out
+
+
+@given(docs=_span_docs)
+@settings(max_examples=10, deadline=None)
+def test_verbatim_span_pairs_property(spark, docs):
+    """verbatim_span_pairs == the brute-force reference on arbitrary
+    small corpora (ngram=3 so short random docs produce spans), for
+    pair membership, shared counts, and span totals."""
+    n, max_df = 3, 3
+    doc_map = {i: toks for i, toks in enumerate(docs)}
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in doc_map.items()]
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.shared_spans, r.n_spans_a, r.n_spans_b)
+        for r in dd.verbatim_span_pairs(d, ngram=n, max_df=max_df).collect()
+    }
+    assert got == _py_span_pairs(doc_map, n, max_df)
+
+
+@given(docs=_span_docs, bench_toks=st.lists(st.integers(0, 5), min_size=0, max_size=14))
+@settings(max_examples=10, deadline=None)
+def test_filter_contaminated_property(spark, docs, bench_toks):
+    """filter_contaminated == drop exactly the docs sharing a distinct
+    n-gram with the benchmark text, keep everything else."""
+    n = 3
+    bench_spans = {
+        " ".join(f"w{t}" for t in bench_toks[j : j + n])
+        for j in range(len(bench_toks) - n + 1)
+    }
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"w{t}" for t in bench_toks))], "doc_id long, text string"
+    )
+    bset = dd.span_hashes(bench, ngram=n).select("__h").distinct()
+    kept = {r.doc_id for r in dd.filter_contaminated(d, bset, ngram=n).collect()}
+    expect = {
+        i
+        for i, toks in enumerate(docs)
+        if not (
+            {" ".join(f"w{t}" for t in toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            & bench_spans
+        )
+    }
+    assert kept == expect
