@@ -83,15 +83,16 @@ _GATE_PRIORITY = [
     "vector_column_stats",
     "dedup_exact_rows",
     "multimodal_frame_sample",
-    "multimodal_wav_decode",
-    # (2) registered in r10 (the RULE above): the four never-checked new
+    # (2) registered in r10 (the RULE above): the five never-checked new
     # entries take the tail slots, displacing copy_incremental_diff/
-    # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode
-    # (all r6 — the histogram stays "nothing older than r6").
+    # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
+    # multimodal_wav_decode (all r6 — the histogram stays "nothing
+    # older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
     "select_leakage_safe_split",
+    "report_source_data_card",
 ]
 
 

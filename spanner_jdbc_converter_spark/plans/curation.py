@@ -580,3 +580,75 @@ def select_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.temperature_mix_sample(
         d, "source", "doc_id", tau=_MIX_TAU, target_frac=_MIX_FRAC
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Per-source data card — the mixture-planning operations view.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.plans.extensions import _TOKS_SQL  # noqa: E402
+
+#: normalized-content fingerprint, identical to dedup_fingerprint_groups.
+_FP_SQL = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+@register(
+    "report_source_data_card",
+    oracle=f"""
+    WITH t AS (SELECT source, lang,
+                      CAST(len({_TOKS_SQL}) AS BIGINT) AS nt,
+                      {_FP_SQL} AS fp
+               FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+    FROM t GROUP BY source
+    """,
+)
+def report_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: doc/language/token counts, average length,
+    unique-fingerprint and exact-dup counts, short-doc tally — the
+    one-table operations view a data team reads before choosing mixture
+    weights, dedup order, and quality thresholds for each source.
+
+    Parity: counts and token sums are exact integers; the only float is
+    avg_tokens — one exact-long ÷ exact-long IEEE division, rounded to
+    6.  The fingerprint expression is shared verbatim with
+    dedup_fingerprint_groups.
+
+    Scale: one scan computing (source, lang, token count, fingerprint)
+    per row, then a grouped aggregate with two distinct-counts — Spark
+    plans the distincts as one expand + partial aggregation on the
+    source key; output is |sources| rows.  No joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(tx.normalized_text("text"))
+    nt = tx.token_count("text")
+    base = d.select("source", "lang", nt.alias("nt"), fp.alias("fp"))
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(
+                F.sum("nt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.sum(F.when(F.col("nt") < 20, 1).otherwise(0)).alias("short_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "avg_tokens",
+            "n_unique_fp",
+            (F.col("n_docs") - F.col("n_unique_fp")).alias("n_exact_dup_docs"),
+            "short_docs",
+        )
+    )

@@ -453,6 +453,27 @@ def test_span_contamination_postings_bounded(spark, sf_dir):
     assert "size(" in plan
 
 
+def test_benchmark_span_hits_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark span set and id set must BROADCAST onto the corpus
+    shingle pass — a shuffled join on the span hash would re-exchange
+    the corpus-sized span frame for a tiny eval suite."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dd.benchmark_span_hits(d, F.col("doc_id") % 7 == 0)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    head = out._jdf.queryExecution().explainString(jmode).split("\n\n")[0]
+    assert "CartesianProduct" not in head
+    assert "BroadcastNestedLoopJoin" not in head
+    # all three benchmark-side attachments ride broadcasts; the only
+    # sort-merge work allowed is the corpus-side per-doc span dedup
+    assert head.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in head
+
+
 def test_source_overlap_matrix_no_doc_pair_blowup(spark, sf_dir):
     """The inverted index is the DISTINCT (source, gram) projection —
     no cartesian, no doc-level pair join, per-source totals broadcast."""
