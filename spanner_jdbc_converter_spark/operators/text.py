@@ -396,3 +396,164 @@ def encode_tokens(
     return et.join(vocab.select("token", "token_id"), on="token").select(
         id_col, "pos", "token_id"
     )
+
+
+# -- BPE merge learning ------------------------------------------------------
+
+#: Fixed merge-round count so the DuckDB oracle unrolls the identical
+#: computation (the kmeans/pagerank convention).
+BPE_MERGE_ROUNDS = 6
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_MERGE_ROUNDS,
+    materialize: bool = True,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merge rules from the corpus —
+    tokenizer induction, distributed: the classic word-frequency BPE
+    loop (Sennrich et al. 2016, arXiv:1508.07909) where each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    most frequent pair (ties → lexicographically smallest), and applies
+    the merge greedily left-to-right inside every word.
+
+    Scale: everything after the one corpus tokenize/count pass operates
+    on the VOCABULARY frame (distinct words + counts) — millions of
+    rows at 100 TB, not billions; each round is one (a, b) grouped sum
+    with map-side combine, a metadata-sized arg-min, and a broadcast
+    one-row cross join carrying the chosen pair into the per-word merge
+    fold (expression-only — no UDF).  The arg-min rides
+    ``min(struct(-count, a, b))`` so the shuffle reduces map-side.
+
+    Determinism: exact integer pair counts, binary string tie-break —
+    the oracle replays every round with a recursive-CTE merge walk that
+    performs the identical greedy fold.
+
+    ``materialize`` (default) checkpoints the symbol frame each round —
+    the next round's pair count AND fold both consume it, and the lazy
+    tower would otherwise recompute the whole prefix per round.
+
+    Output: (rank, left_sym, right_sym, merged, pair_count), one row
+    per learned merge, rank 1..rounds."""
+    merge_rows, _ = _bpe_rounds(df, text_col, rounds, materialize)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_MERGE_ROUNDS,
+    materialize: bool = True,
+) -> DataFrame:
+    """Apply the ``rounds`` BPE merges :func:`bpe_merges` learns to the
+    vocabulary — the tokenizer's APPLY side: each word's final subword
+    segmentation after the learned merges, with its corpus frequency.
+    (The learn loop already folds each winning merge into the symbol
+    frame; this returns that frame instead of the merge table.)
+
+    Output: (w, cnt, n_pieces, segmentation) — segmentation is the
+    space-joined subword sequence, n_pieces its length."""
+    _, seq = _bpe_rounds(df, text_col, rounds, materialize)
+    return seq.select(
+        "w",
+        "cnt",
+        F.size("syms").cast("long").alias("n_pieces"),
+        F.concat_ws(" ", "syms").alias("segmentation"),
+    )
+
+
+def _bpe_rounds(df, text_col, rounds, materialize):
+    """The shared BPE learn loop: returns (per-round one-row merge
+    frames, final symbol frame with all merges applied)."""
+    from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
+
+    stage = (lambda d: _stage_checkpoint(d)) if materialize else (lambda d: d)
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seq = words.select(
+        "w",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    )
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        seq = stage(seq)
+        pair_idx = F.when(
+            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        pairs = seq.select(
+            F.col("cnt"),
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("a"),
+                        F.element_at(F.col("syms"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pcnt = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("cnt").alias("pcnt")
+        )
+        best = (
+            pcnt.agg(
+                F.min(
+                    F.struct((-F.col("pcnt")).alias("n"), F.col("a"), F.col("b"))
+                ).alias("m")
+            )
+            .select(
+                F.col("m.a").alias("__ma"),
+                F.col("m.b").alias("__mb"),
+                F.concat(F.col("m.a"), F.col("m.b")).alias("__merged"),
+                (-F.col("m.n")).alias("__pcnt"),
+            )
+            # No pairs left (all words single-symbol): the global agg yields
+            # one all-null row — drop it so this round emits nothing, like
+            # the oracle's LIMIT 1 over an empty pair frame.
+            .where(F.col("__pcnt").isNotNull())
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("long").alias("rank"),
+                F.col("__ma").alias("left_sym"),
+                F.col("__mb").alias("right_sym"),
+                F.col("__merged").alias("merged"),
+                F.col("__pcnt").alias("pair_count"),
+            )
+        )
+        fold = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("__ma"))
+                & (x == F.col("__mb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("__merged"))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        # LEFT join against the 0-or-1-row winner frame: with a winner the
+        # fold applies to every word; with merges exhausted (empty best) a
+        # cross join would wipe the vocabulary — the segmentation must
+        # instead carry through unchanged.
+        seq = seq.join(F.broadcast(best), F.lit(True), "left").select(
+            "w",
+            "cnt",
+            F.when(F.col("__ma").isNotNull(), fold)
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+        )
+    return merge_rows, seq

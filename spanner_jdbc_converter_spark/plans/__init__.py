@@ -82,17 +82,17 @@ _GATE_PRIORITY = [
     "multimodal_feature_extract",
     "vector_column_stats",
     "dedup_exact_rows",
-    "multimodal_frame_sample",
-    # (2) registered in r10 (the RULE above): the five never-checked new
+    # (2) registered in r10 (the RULE above): the six never-checked new
     # entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
-    # multimodal_wav_decode (all r6 — the histogram stays "nothing
-    # older than r6").
+    # multimodal_wav_decode/multimodal_frame_sample (all r6 — the
+    # histogram stays "nothing older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
     "select_leakage_safe_split",
     "report_source_data_card",
+    "text_bpe_merges",
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
 from spanner_jdbc_converter_spark.operators import clustering as cl
+from spanner_jdbc_converter_spark.operators import text as tx
 from spanner_jdbc_converter_spark.plans.extensions import _TOKS_SQL, _cos_sql
 from spanner_jdbc_converter_spark.plans.registry import register
 
@@ -1000,3 +1001,80 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — tokenizer induction, oracle-unrolled per round.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unroll `rounds` BPE rounds: pair counts → arg-max (tie → smallest
+    pair) → a recursive-CTE greedy left-to-right merge walk identical to
+    the Spark fold (operators/text.py::bpe_merges).
+
+    Every per-round CTE is ``AS MATERIALIZED``: DuckDB inlines plain
+    CTEs, and each round's symbol frame feeds TWO consumers (the next
+    pair count and the next walk), so inlining doubles the expansion per
+    round — ~7x slower per added round, minutes at 6.  Materialization
+    makes the unroll linear (sub-second)."""
+    parts = [
+        f"""w AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w)""",
+        "s0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(1, length(w)+1),"
+        " i -> w[i:i]) AS syms FROM w)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""p{r} AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
+        SUM(cnt) AS pcnt
+        FROM {prev}, unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT a, b, a || b AS merged, pcnt FROM p{r}"
+            " ORDER BY pcnt DESC, a, b LIMIT 1)"
+        )
+        if r < rounds:
+            parts.append(
+                f"""walk{r}(w, cnt, syms, i, acc) AS (
+        SELECT w, cnt, syms, 1, CAST([] AS VARCHAR[]) FROM {prev}
+        UNION ALL
+        SELECT k.w, k.cnt, k.syms,
+               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = m.a
+                         AND k.syms[k.i+1] = m.b
+                    THEN k.i + 2 ELSE k.i + 1 END,
+               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = m.a
+                         AND k.syms[k.i+1] = m.b
+                    THEN list_append(k.acc, m.merged)
+                    ELSE list_append(k.acc, k.syms[k.i]) END
+        FROM walk{r} k, m{r} m WHERE k.i <= len(k.syms))"""
+            )
+            parts.append(
+                f"s{r} AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM walk{r}"
+                " WHERE i = len(syms) + 1)"
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" merged, CAST(pcnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH RECURSIVE\n" + ",\n".join(parts) + "\n" + sel
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle(tx.BPE_MERGE_ROUNDS))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first BPE merge rules (tokenizer induction):
+    6 fixed rounds of frequency-weighted pair counting, deterministic
+    arg-max, and greedy left-to-right merge application — the algorithm
+    behind every production subword tokenizer, run distributed.
+
+    Scale: after one corpus tokenize pass, every round operates on the
+    VOCABULARY frame (distinct words ≪ corpus); pair counts combine
+    map-side, the winning pair broadcasts into an expression-only merge
+    fold, and the symbol frame checkpoints between rounds.  The oracle
+    unrolls all 6 rounds with a recursive-CTE merge walk performing the
+    identical greedy fold, so the learned rules are hash-checked
+    value-for-value.  See operators/text.py::bpe_merges."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bpe_merges(d)

@@ -1453,3 +1453,83 @@ def test_filter_contaminated_property(spark, docs, bench_toks):
         )
     }
     assert kept == expect
+
+
+# -- BPE merge learning vs a brute-force reference ---------------------------
+
+
+def _py_bpe(word_counts, rounds):
+    """Brute-force BPE reference: exact pair counts, (count desc, pair asc)
+    winner, greedy left-to-right merge — the operator's stated semantics."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        pc = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + word_counts[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, a + b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_classic_corpus(spark):
+    """The Sennrich running example: merges chain (es -> est) and the
+    frequency-weighted counts are exact."""
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_merges(d, rounds=4).orderBy("rank").collect()
+    ]
+    assert got == [(a, b, m, c) for a, b, m, c in _py_bpe(counts, 4)]
+    # es (9) then es+t -> est (9) must chain within the first rounds
+    assert ("e", "s", "es", 9) in got and ("es", "t", "est", 9) in got
+
+
+def test_bpe_merges_exhausts_to_single_symbols(spark):
+    """Once every word is one symbol, later rounds emit NOTHING (no null
+    rows) — mirrors the oracle's empty LIMIT 1."""
+    d = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = [
+        (r["rank"], r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_merges(d, rounds=3).collect()
+    ]
+    assert got == [(1, "a", "b", "ab", 3)]
+
+
+_bpe_docs = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),  # words
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(words=_bpe_docs)
+@settings(max_examples=10, deadline=None)
+def test_bpe_merges_property(spark, words):
+    """bpe_merges == the brute-force reference on arbitrary small corpora:
+    same winners, same tie-breaks, same greedy-fold chaining."""
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    d = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tx.bpe_merges(d, rounds=3, materialize=False).orderBy("rank").collect()
+    ]
+    assert got == [(a, b, m, c) for a, b, m, c in _py_bpe(counts, 3)]

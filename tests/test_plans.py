@@ -536,3 +536,24 @@ def test_q20_part_filter_below_both_aggregates(spark, sf_dir):
     )
     assert "CartesianProduct" not in phys
     assert "BroadcastHashJoin" in phys
+
+
+def test_bpe_merges_winner_broadcast_no_vocab_shuffle_join(spark, sf_dir):
+    """Each BPE round's winning pair must reach the vocabulary fold as a
+    broadcast one-row frame — a shuffled join of the vocab against the
+    arg-max (SortMergeJoin) or a real cartesian would be the regression.
+    Pair counting must partially aggregate (map-side combine) before its
+    exchange."""
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.text import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    df = bpe_merges(d, rounds=2, materialize=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row winner frames
+    assert "partial_sum" in plan  # pair counts combine map-side
