@@ -77,8 +77,11 @@ def _shingle_base(text_col: Column | str, ngram: int = 3) -> Column:
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3,
     extra_cols: list[str] | None = None, fallback_to_text: bool = True,
+    keep_pos: bool = False,
 ) -> DataFrame:
-    """(id, *extras, __s) — one row per word-n-gram shingle occurrence.
+    """(id, *extras, [__pos,] __s) — one row per word-n-gram shingle
+    occurrence; ``keep_pos`` adds the 0-based start position (requires
+    ``fallback_to_text=False`` — degenerate whole-text rows carry none).
 
     Plan shape: posexplode tokens → window lead(1..n-1) over
     (partitionBy id, orderBy pos) → concat.  Everything is
@@ -89,6 +92,8 @@ def shingle_rows(
 
     ``fallback_to_text`` unions one normalized-whole-text row for docs
     with < n tokens (degenerate docs still get a signature)."""
+    if keep_pos and fallback_to_text:
+        raise ValueError("keep_pos requires fallback_to_text=False")
     extras = list(extra_cols or [])
     toks = df.select(
         F.col(id_col), *extras, F.posexplode(tokens(text_col)).alias("__pos", "__tok")
@@ -97,7 +102,8 @@ def shingle_rows(
     g = F.col("__tok")
     for j in range(1, ngram):
         g = F.concat(g, F.lit(" "), F.lead("__tok", j).over(w))
-    grams = toks.select(F.col(id_col), *extras, g.alias("__s")).filter(
+    pos_cols = [F.col("__pos")] if keep_pos else []
+    grams = toks.select(F.col(id_col), *extras, *pos_cols, g.alias("__s")).filter(
         F.col("__s").isNotNull()
     )
     if fallback_to_text:

@@ -348,3 +348,56 @@ def quantized_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-k nearest OTHER-labeled vectors per query — contrastive
+    hard-negative mining: the negatives most likely to confuse a model
+    are the most-similar items with a DIFFERENT label, and training on
+    them is what makes embedding models sharp (the retrieval-training
+    twin of :func:`cosine_topk`).
+
+    Same plan contract as cosine_topk: the query side broadcasts, the
+    corpus never shuffles (each partition scores its rows against all
+    queries), the label-mismatch filter prunes INSIDE the scoring pass
+    before the per-query window top-k reduces partial results.
+
+    Output: (query_id, query_label, match_id, match_label, cosine,
+    rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("query_label"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).cast("long").alias("match_label"),
+        F.col(vec_col).alias("match_vec"),
+        norm(F.col(vec_col)).alias("match_nrm"),
+    )
+    cos = F.round(
+        dot(F.col("query_vec"), F.col("match_vec"))
+        / (F.col("query_nrm") * F.col("match_nrm")),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("match_label"))
+        .select(
+            "query_id", "query_label", "match_id", "match_label",
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -436,11 +436,7 @@ def bpe_merges(
 
     Output: (rank, left_sym, right_sym, merged, pair_count), one row
     per learned merge, rank 1..rounds."""
-    merge_rows, _ = _bpe_rounds(df, text_col, rounds, materialize)
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    return bpe_learn(df, text_col, rounds, materialize)[0]
 
 
 def bpe_segment(
@@ -457,13 +453,30 @@ def bpe_segment(
 
     Output: (w, cnt, n_pieces, segmentation) — segmentation is the
     space-joined subword sequence, n_pieces its length."""
-    _, seq = _bpe_rounds(df, text_col, rounds, materialize)
-    return seq.select(
+    return bpe_learn(df, text_col, rounds, materialize)[1]
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_MERGE_ROUNDS,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """One BPE learn loop, BOTH outputs: (merge table, segmentation) —
+    callers that need the rules and the segmented vocabulary (the two
+    corpus entries) share the checkpointed round stages instead of
+    running the loop twice."""
+    merge_rows, seq = _bpe_rounds(df, text_col, rounds, materialize)
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    segment = seq.select(
         "w",
         "cnt",
         F.size("syms").cast("long").alias("n_pieces"),
         F.concat_ws(" ", "syms").alias("segmentation"),
     )
+    return merges, segment
 
 
 def _bpe_rounds(df, text_col, rounds, materialize):
@@ -557,3 +570,140 @@ def _bpe_rounds(df, text_col, rounds, materialize):
             .alias("syms"),
         )
     return merge_rows, seq
+
+
+# -- Cross-doc boilerplate span scrubbing ------------------------------------
+
+#: Span length and document-frequency threshold for boilerplate: a word
+#: n-gram appearing in >= BOILER_MIN_DF distinct docs is template text
+#: (headers, footers, license blurbs), not content.
+BOILER_NGRAM = 4
+BOILER_MIN_DF = 3
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+) -> DataFrame:
+    """Remove cross-document boilerplate SPANS from every document and
+    reassemble the text — the sub-document cleanup between line-dedup
+    and whole-doc dedup in web-corpus pipelines (C4/RefinedWeb-style):
+    repeated headers/footers/navigation/license text recurs VERBATIM
+    across many otherwise-distinct documents, survives whole-doc
+    fingerprints, and inflates n-gram counts downstream.
+
+    A word is removed iff ANY ``ngram``-span covering it appears in
+    >= ``min_df`` distinct documents; the surviving words re-join in
+    order.  Deterministic — no scoring, no floats.
+
+    Scale: one shingle pass (the shared :func:`~.dedup.shingle_rows`
+    window pipeline, positions kept) → one groupBy(span-hash) shuffle
+    for document frequencies → the boilerplate hash set BROADCASTS
+    (high-df spans are few by definition — df >= min_df bounds the set
+    by corpus_spans / min_df) → hit starts aggregate per doc on the
+    shingle frame's existing id partitioning → one broadcast-start-list
+    join back to the docs, where an expression-only indexed filter
+    (`F.filter(toks, (x, i) -> ...)` + `F.exists`) rebuilds the text.
+    No UDFs, no corpus-sized driver state.
+
+    Output: (id, n_tokens, n_removed, clean_text)."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+
+    sp = shingle_rows(
+        df, text_col, id_col, ngram, fallback_to_text=False, keep_pos=True
+    ).select(F.col(id_col), F.col("__pos"), md5_long(F.col("__s")).alias("__h"))
+    dfreq = (
+        sp.dropDuplicates([id_col, "__h"])
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = dfreq.filter(F.col("__df") >= min_df).select("__h")
+    starts = (
+        sp.join(F.broadcast(boiler), on="__h")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+    toks_col = tokens(text_col)
+    st = F.coalesce(F.col("__starts"), F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(
+        toks_col,
+        lambda x, i: ~F.exists(st, lambda s: (i >= s) & (i < s + F.lit(ngram))),
+    )
+    return df.join(starts, on=id_col, how="left").select(
+        F.col(id_col),
+        F.size(toks_col).cast("long").alias("n_tokens"),
+        (F.size(toks_col) - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+# -- Bigram LM surprisal -----------------------------------------------------
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean surprisal under the corpus's own add-one-smoothed
+    bigram language model — the classic LM-based quality filter: docs far
+    above the corpus mean read as noise/templates/wrong-language, far
+    below as degenerate repetition (KenLM-style perplexity filtering with
+    an engine-internal model, no external artifact).
+
+    P(b|a) = (c(ab) + 1) / (c(a·) + V) with c(a·) the count of bigrams
+    whose left token is `a` and V the distinct-token count; surprisal is
+    −ln P averaged over the doc's bigram occurrences.
+
+    Parity: counts are exact ints, each −ln rounds to 6 at its narrowest
+    point into DECIMAL(18,6), per-doc sums accumulate in DECIMAL (order
+    independent), and the final mean rounds at 6 (the zipf convention).
+
+    Scale: one shingle-window pass yields the per-doc bigram stream; the
+    corpus LM is ONE grouped count of that stream (map-side combine)
+    joined to vocabulary-sized left-counts; scoring is a bigram-keyed
+    shuffle join of occurrences against the LM (both sides partitioned
+    by the bigram string — never a broadcast of a corpus-sized model);
+    the per-doc mean rides a doc-keyed aggregation.
+
+    Output: (id, n_bigrams, avg_surprisal)."""
+    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+
+    bg = shingle_rows(df, text_col, id_col, 2, fallback_to_text=False).select(
+        F.col(id_col), F.col("__s").alias("bg")
+    )
+    cab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+    lefts = cab.select(F.split("bg", " ").getItem(0).alias("a"), "cab")
+    ca = lefts.groupBy("a").agg(F.sum("cab").alias("ca"))
+    v = df.select(F.explode(tokens(text_col)).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    lm = (
+        cab.withColumn("a", F.split("bg", " ").getItem(0))
+        .join(ca, on="a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.round(
+                -F.log(
+                    (F.col("cab") + F.lit(1)).cast("double")
+                    / (F.col("ca") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    per = bg.join(lm, on="bg").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll").alias("s")
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
+            "avg_surprisal"
+        ),
+    )

@@ -78,21 +78,23 @@ _GATE_PRIORITY = [
     "sim_ivf_topk",
     "sim_embedding_near_pairs",
     "sim_embedding_near_pairs_lsh",
-    "multimodal_media_summary",
-    "multimodal_feature_extract",
-    "vector_column_stats",
-    "dedup_exact_rows",
-    # (2) registered in r10 (the RULE above): the six never-checked new
+    # (2) registered in r10 (the RULE above): the ten never-checked new
     # entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
-    # multimodal_wav_decode/multimodal_frame_sample (all r6 — the
-    # histogram stays "nothing older than r6").
+    # multimodal_wav_decode/multimodal_frame_sample/dedup_exact_rows/
+    # vector_column_stats/multimodal_media_summary/
+    # multimodal_feature_extract (all r6 — the histogram stays "nothing
+    # older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
     "select_leakage_safe_split",
     "report_source_data_card",
     "text_bpe_merges",
+    "text_bpe_segment",
+    "text_boilerplate_scrub",
+    "text_bigram_surprisal",
+    "sim_hard_negatives",
 ]
 
 

@@ -730,6 +730,39 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, CAST(a.label AS BIGINT) AS query_label,
+             b.vec_id AS match_id, CAST(b.label AS BIGINT) AS match_label,
+             ROUND({_COS_SQL}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+      WHERE a.vec_id % 50 = 0)
+    SELECT query_id, query_label, match_id, match_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, match_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining for the probe query set: the 5
+    nearest OTHER-labeled vectors per query — the negatives most likely
+    to confuse an embedding model, the standard mining step before
+    contrastive/retrieval training.
+
+    Same scale contract as sim_topk_cosine (queries broadcast, corpus
+    never shuffled, per-partition WindowGroupLimit), with the
+    label-mismatch filter inside the scoring pass.  See
+    operators/similarity.py::hard_negatives."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.hard_negatives(queries, e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _ann_bucket_sql(tables: int = 8, planes: int = 4) -> str:
     """The 8 per-table LSH bucket-key expressions over `embedding`
     (coefficients from the single shared derivation in similarity.py)."""

@@ -1008,10 +1008,12 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, segment: bool = False) -> str:
     """Unroll `rounds` BPE rounds: pair counts → arg-max (tie → smallest
     pair) → a recursive-CTE greedy left-to-right merge walk identical to
-    the Spark fold (operators/text.py::bpe_merges).
+    the Spark fold (operators/text.py::bpe_merges).  ``segment`` selects
+    the APPLY side instead: the per-word symbol frame after all rounds
+    (operators/text.py::bpe_segment).
 
     Every per-round CTE is ``AS MATERIALIZED``: DuckDB inlines plain
     CTEs, and each round's symbol frame feeds TWO consumers (the next
@@ -1024,6 +1026,9 @@ def _bpe_oracle(rounds: int) -> str:
         "s0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(1, length(w)+1),"
         " i -> w[i:i]) AS syms FROM w)",
     ]
+    # The merge entry never reads the last round's folded frame; the
+    # segment entry needs every fold applied.
+    last_walk = rounds if segment else rounds - 1
     for r in range(1, rounds + 1):
         prev = f"s{r - 1}"
         parts.append(
@@ -1035,31 +1040,76 @@ def _bpe_oracle(rounds: int) -> str:
             f"m{r} AS MATERIALIZED (SELECT a, b, a || b AS merged, pcnt FROM p{r}"
             " ORDER BY pcnt DESC, a, b LIMIT 1)"
         )
-        if r < rounds:
+        if r <= last_walk:
+            # LEFT JOIN the 0-or-1-row winner: with merges exhausted the
+            # walk appends every symbol unchanged instead of emptying —
+            # the same carry-through as the Spark fold's left join.
             parts.append(
                 f"""walk{r}(w, cnt, syms, i, acc) AS (
         SELECT w, cnt, syms, 1, CAST([] AS VARCHAR[]) FROM {prev}
         UNION ALL
         SELECT k.w, k.cnt, k.syms,
-               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = m.a
-                         AND k.syms[k.i+1] = m.b
+               CASE WHEN m.a IS NOT NULL AND k.i < len(k.syms)
+                         AND k.syms[k.i] = m.a AND k.syms[k.i+1] = m.b
                     THEN k.i + 2 ELSE k.i + 1 END,
-               CASE WHEN k.i < len(k.syms) AND k.syms[k.i] = m.a
-                         AND k.syms[k.i+1] = m.b
+               CASE WHEN m.a IS NOT NULL AND k.i < len(k.syms)
+                         AND k.syms[k.i] = m.a AND k.syms[k.i+1] = m.b
                     THEN list_append(k.acc, m.merged)
                     ELSE list_append(k.acc, k.syms[k.i]) END
-        FROM walk{r} k, m{r} m WHERE k.i <= len(k.syms))"""
+        FROM walk{r} k LEFT JOIN m{r} m ON true WHERE k.i <= len(k.syms))"""
             )
             parts.append(
                 f"s{r} AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM walk{r}"
                 " WHERE i = len(syms) + 1)"
             )
-    sel = "\nUNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
-        f" merged, CAST(pcnt AS BIGINT) AS pair_count FROM m{r}"
-        for r in range(1, rounds + 1)
-    )
+    if segment:
+        sel = (
+            "SELECT w, cnt, CAST(len(syms) AS BIGINT) AS n_pieces,"
+            f" array_to_string(syms, ' ') AS segmentation FROM s{rounds}"
+        )
+    else:
+        sel = "\nUNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+            f" merged, CAST(pcnt AS BIGINT) AS pair_count FROM m{r}"
+            for r in range(1, rounds + 1)
+        )
     return "WITH RECURSIVE\n" + ",\n".join(parts) + "\n" + sel
+
+
+#: Session cache for the one BPE learn loop — the merge-table and
+#: segmentation entries consume the same checkpointed round stages, so
+#: the loop runs once per (appId, fixture).  Same keying/eviction
+#: discipline as extensions._SPAN_STORE and plans/etl.py's stores.
+_BPE_STORE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    from pyspark import StorageLevel
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(
+        _BPE_STORE, key, lambda t: (t[0].unpersist(), t[1].unpersist())
+    )
+    hit = _BPE_STORE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, sf_dir, "documents")
+    merges, segment = tx.bpe_learn(d)
+    merges = merges.persist(StorageLevel.MEMORY_AND_DISK)
+    segment = segment.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        merges.count()
+        segment.count()
+    except BaseException:
+        merges.unpersist()
+        segment.unpersist()
+        raise
+    _BPE_STORE[key] = (merges, segment)
+    return merges, segment
 
 
 @register("text_bpe_merges", oracle=_bpe_oracle(tx.BPE_MERGE_ROUNDS))
@@ -1076,5 +1126,120 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls all 6 rounds with a recursive-CTE merge walk performing the
     identical greedy fold, so the learned rules are hash-checked
     value-for-value.  See operators/text.py::bpe_merges."""
+    return _bpe_frames(spark, sf_dir)[0]
+
+
+@register(
+    "text_bpe_segment", oracle=_bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's APPLY side: every vocabulary word's subword
+    segmentation after the 6 learned BPE merges, with corpus frequency
+    and piece count — what the trained tokenizer would emit per word.
+
+    Shares the one session-cached learn loop with text_bpe_merges; the
+    oracle extends the round unroll with a final recursive-CTE walk so
+    every segmentation is hash-checked piece-for-piece.  See
+    operators/text.py::bpe_segment."""
+    return _bpe_frames(spark, sf_dir)[1]
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc boilerplate span scrubbing — sub-document cleanup.
+# ---------------------------------------------------------------------------
+
+
+def _boiler_oracle(n: int, min_df: int) -> str:
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+
+    span = f"array_to_string(t[i:i + {n} - 1], ' ')"
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sp AS (SELECT doc_id, i - 1 AS s, {md5_long_sql("span")} AS h
+           FROM (SELECT doc_id, i, {span} AS span
+                 FROM tk, unnest(range(1, len(t) - {n} + 2)) AS r(i))),
+    el AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+           GROUP BY h HAVING COUNT(*) >= {min_df}),
+    st AS (SELECT doc_id, list(s) AS starts FROM sp JOIN el USING (h)
+           GROUP BY doc_id),
+    j AS (SELECT tk.doc_id, tk.t,
+                 list_transform(
+                   list_filter(range(1, len(tk.t) + 1),
+                     i -> len(list_filter(
+                            COALESCE(st.starts, CAST([] AS BIGINT[])),
+                            s -> s <= i - 1 AND i - 1 < s + {n})) = 0),
+                   i -> tk.t[i]) AS kept
+          FROM tk LEFT JOIN st USING (doc_id))
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string of an EMPTY list is NULL in DuckDB; Spark's
+           -- concat_ws is '' — coalesce the fully-scrubbed docs
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM j
+    """
+
+
+@register(
+    "text_boilerplate_scrub",
+    oracle=_boiler_oracle(tx.BOILER_NGRAM, tx.BOILER_MIN_DF),
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (C4/RefinedWeb-style): every word
+    covered by a word-4-gram span appearing in >= 3 distinct documents is
+    template text — headers, footers, license blurbs — and is scrubbed;
+    the surviving words reassemble in order into clean_text.  Catches
+    the repeated-passage pollution that whole-doc dedup (different docs)
+    and span-pair detection (reporting, not cleaning) leave in place.
+
+    Scale: one shingle-window pass with positions, one span-hash
+    groupBy for document frequencies, the (small by definition)
+    boilerplate hash set broadcast, per-doc start lists riding the
+    shingle frame's id partitioning, and an expression-only indexed
+    filter rebuilding the text — no UDFs.  The oracle replays the df
+    count, coverage test, and reassembly with list comprehensions.
+    See operators/text.py::boilerplate_scrub."""
     d = load_table(spark, sf_dir, "documents")
-    return tx.bpe_merges(d)
+    return tx.boilerplate_scrub(d)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal — corpus-internal perplexity quality filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS a
+           FROM tk, unnest(range(1, len(t))) AS r(i)),
+    cab AS (SELECT bg, a, COUNT(*) AS cab FROM bg GROUP BY bg, a),
+    ca AS (SELECT a, SUM(cab) AS ca FROM cab GROUP BY a),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM tk)),
+    lm AS (SELECT bg,
+                  CAST(ROUND(-ln((cab + 1.0) / (ca + v)), 6)
+                       AS DECIMAL(18,6)) AS nll
+           FROM cab JOIN ca USING (a) CROSS JOIN v),
+    per AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS s
+            FROM bg JOIN lm USING (bg) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_surprisal
+    FROM per
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean surprisal under the corpus's own add-one bigram LM —
+    KenLM-style perplexity filtering with no external model artifact:
+    high-surprisal docs are noise/templates/wrong-language, very low
+    ones are degenerate repetition.  Complements the heuristic quality
+    score (length/punct/stopwords) with a statistical signal.
+
+    Parity: exact integer counts, per-bigram −ln rounded to 6 into
+    DECIMAL, DECIMAL per-doc sums, final mean rounded at 6 (the zipf
+    convention).  Scale: one shingle pass, one grouped LM count joined
+    to vocab-sized left counts, one bigram-keyed scoring join — the LM
+    is never broadcast or collected.  See
+    operators/text.py::bigram_surprisal."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bigram_surprisal(d)

@@ -1533,3 +1533,106 @@ def test_bpe_merges_property(spark, words):
         for r in tx.bpe_merges(d, rounds=3, materialize=False).orderBy("rank").collect()
     ]
     assert got == [(a, b, m, c) for a, b, m, c in _py_bpe(counts, 3)]
+
+
+def test_bpe_segment_applies_learned_merges(spark):
+    """The segmentation is the merge table applied in rank order: the
+    classic corpus's 'newest' splits using es->est chains, and counts
+    carry the word frequency."""
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = {r.w: (r.cnt, r.n_pieces, r.segmentation)
+           for r in tx.bpe_segment(d, rounds=4).collect()}
+    assert set(seg) == set(counts)
+    for w, (cnt, n_pieces, s) in seg.items():
+        assert cnt == counts[w]
+        assert s.replace(" ", "") == w  # pieces reassemble the word
+        assert n_pieces == len(s.split(" "))
+    # with 4 merges the example learns es, est, ... : 'newest' segments
+    # with a trailing 'est' piece
+    assert seg["newest"][2].endswith("est")
+
+
+def test_bpe_segment_survives_merge_exhaustion(spark):
+    """After merges exhaust, remaining rounds must carry the vocabulary
+    through unchanged (the left-join fold contract) — not empty it."""
+    d = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    seg = {r.w: r.segmentation for r in tx.bpe_segment(d, rounds=3).collect()}
+    assert seg == {"ab": "ab"}
+
+
+# -- boilerplate span scrubbing ----------------------------------------------
+
+
+def test_boilerplate_scrub_removes_cross_doc_spans(spark):
+    """A 4-gram repeated in >= 3 docs scrubs wherever it sits; covered
+    positions extend n tokens from every boilerplate start; clean docs
+    pass through verbatim."""
+    rows = [
+        (0, "a b x1 x2 x3 x4 c"),
+        (1, "x1 x2 x3 x4 d e"),
+        (2, "f x1 x2 x3 x4"),
+        (3, "g h i j k l m"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.boilerplate_scrub(d, ngram=4, min_df=3).collect()}
+    assert (out[0].n_removed, out[0].clean_text) == (4, "a b c")
+    assert (out[1].n_removed, out[1].clean_text) == (4, "d e")
+    assert (out[2].n_removed, out[2].clean_text) == (4, "f")
+    assert (out[3].n_removed, out[3].clean_text) == (0, "g h i j k l m")
+    assert all(out[i].n_tokens == len(rows[i][1].split()) for i in range(4))
+
+
+def test_boilerplate_scrub_df_below_threshold_keeps_text(spark):
+    """df=2 < min_df=3: nothing is boilerplate, every doc intact —
+    including the fully-duplicated pair (whole-doc dedup's job, not
+    scrubbing's)."""
+    rows = [(0, "p q r s t"), (1, "p q r s t"), (2, "u v w x y")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.boilerplate_scrub(d, ngram=4, min_df=3).collect()}
+    assert all(out[i].n_removed == 0 for i in range(3))
+    assert out[0].clean_text == "p q r s t"
+
+
+# -- bigram surprisal + hard negatives ---------------------------------------
+
+
+def test_bigram_surprisal_matches_hand_model(spark):
+    """Add-one bigram LM on a 2-doc corpus, checked against the formula
+    computed directly: P(b|a) = (c(ab)+1)/(c(a.)+V)."""
+    import math
+
+    d = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tx.bigram_surprisal(d).collect()}
+    # corpus: c(ab)=2 c(ba)=1 c(cc)=1; lefts: a->2 b->1 c->1; V=3
+    nll = lambda cab, ca: round(-math.log((cab + 1) / (ca + 3)), 6)
+    exp0 = round((2 * nll(2, 2) + nll(1, 1)) / 3, 6)
+    exp1 = round(nll(1, 1) / 1, 6)
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+    assert out[0].avg_surprisal == pytest.approx(exp0, abs=1e-9)
+    assert out[1].avg_surprisal == pytest.approx(exp1, abs=1e-9)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest vector overall shares the query's label and must NOT
+    appear; the top negative is the nearest OTHER-labeled one."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),   # query
+        (1, [0.99, 0.14, 0.0], 7),  # same label, nearest overall
+        (2, [0.9, 0.43, 0.0], 3),   # other label -> top negative
+        (3, [0.0, 1.0, 0.0], 3),
+        (50, [0.0, 0.0, 1.0], 1),   # second query (vec_id % 50 == 0)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = d.filter(F.col("vec_id") % 50 == 0)
+    out = sim.hard_negatives(q, d, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    ids0 = [r.match_id for r in sorted(by_q[0], key=lambda r: r.rank)]
+    assert 1 not in ids0 and ids0[0] == 2
+    assert all(r.match_label != r.query_label for r in out)
+    assert all(r.match_id != r.query_id for r in out)

@@ -557,3 +557,55 @@ def test_bpe_merges_winner_broadcast_no_vocab_shuffle_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the one-row winner frames
     assert "partial_sum" in plan  # pair counts combine map-side
+
+
+def test_boilerplate_scrub_broadcasts_boiler_set(spark, sf_dir):
+    """The high-df span set must BROADCAST onto the positioned shingle
+    frame (it is small by definition); the docs-side reassembly join is
+    also broadcast-able at the entry's scale.  A SortMergeJoin of the
+    corpus against the boilerplate set or a cartesian would be the
+    scale regression."""
+    plan = _plan(spark, "text_boilerplate_scrub", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hard_negatives_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Hard-negative mining keeps cosine_topk's contract: queries
+    broadcast, corpus scored in place (no corpus exchange before the
+    window reduction), label filter inside the scoring pass."""
+    plan = _plan(spark, "sim_hard_negatives", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_surprisal_lm_join_is_stats_driven_equi_join(spark, sf_dir):
+    """The LM→scoring join must be a plain EQUI-join on the bigram key —
+    never a forced broadcast (the LM is corpus-sized at 100 TB; at the
+    fixture scale Catalyst's size stats legitimately pick
+    BroadcastHashJoin, at scale the same plan becomes a shuffle join)
+    and never a nested loop.  The only nested-loop join allowed is the
+    one-row V count cross.  Grouped counts must partially aggregate."""
+    plan = _plan(spark, "text_bigram_surprisal", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    # ONE nested-loop join in the plan tree: the V one-row cross
+    head = plan.split("\n\n")[0]
+    assert head.count("BroadcastNestedLoopJoin") == 1
+    # every other join is hash-keyed (equi), stats-free of hints
+    assert "broadcast" not in _bigram_surprisal_hints()
+
+
+def _bigram_surprisal_hints():
+    """Source-level check that bigram_surprisal only force-broadcasts the
+    one-row V frame (plan-level checks can't see hints once stats pick
+    the same strategy)."""
+    import inspect
+
+    from spanner_jdbc_converter_spark.operators.text import bigram_surprisal
+
+    src = inspect.getsource(bigram_surprisal)
+    # exactly one F.broadcast call: the one-row vocabulary-size frame
+    assert src.count("F.broadcast(") == 1 and "F.broadcast(v)" in src
+    return ""
