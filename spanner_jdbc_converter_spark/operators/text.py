@@ -610,34 +610,92 @@ def boilerplate_scrub(
     No UDFs, no corpus-sized driver state.
 
     Output: (id, n_tokens, n_removed, clean_text)."""
-    from spanner_jdbc_converter_spark.functions.hashing import md5_long
-    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
-
-    sp = shingle_rows(
-        df, text_col, id_col, ngram, fallback_to_text=False, keep_pos=True
-    ).select(F.col(id_col), F.col("__pos"), md5_long(F.col("__s")).alias("__h"))
-    dfreq = (
-        sp.dropDuplicates([id_col, "__h"])
-        .groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
-    boiler = dfreq.filter(F.col("__df") >= min_df).select("__h")
-    starts = (
-        sp.join(F.broadcast(boiler), on="__h")
-        .groupBy(id_col)
-        .agg(F.collect_list("__pos").alias("__starts"))
-    )
+    boiler = boilerplate_span_hashes(df, text_col, id_col, ngram, min_df)
+    starts = _boiler_starts(df, boiler, text_col, id_col, ngram)
     toks_col = tokens(text_col)
-    st = F.coalesce(F.col("__starts"), F.expr("CAST(array() AS array<int>)"))
-    kept = F.filter(
-        toks_col,
-        lambda x, i: ~F.exists(st, lambda s: (i >= s) & (i < s + F.lit(ngram))),
-    )
+    kept = _kept_tokens(toks_col, ngram)
     return df.join(starts, on=id_col, how="left").select(
         F.col(id_col),
         F.size(toks_col).cast("long").alias("n_tokens"),
         (F.size(toks_col) - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def boilerplate_span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = BOILER_NGRAM,
+    min_df: int = BOILER_MIN_DF,
+) -> DataFrame:
+    """The (__h) hash set of boilerplate spans: word-``ngram`` spans
+    appearing in >= ``min_df`` distinct documents.  Build once from a
+    reference corpus and persist as the sidecar
+    :func:`scrub_spans` (and the streaming ingest) consume."""
+    sp = _span_pos_hashes(df, text_col, id_col, ngram)
+    return (
+        sp.dropDuplicates([id_col, "__h"])
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h")
+    )
+
+
+def scrub_spans(
+    df: DataFrame,
+    boiler_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = BOILER_NGRAM,
+) -> DataFrame:
+    """Scrub a PRECOMPUTED boilerplate span-hash set (one ``__h`` column)
+    out of ``text_col``, preserving every other column — the
+    sidecar-driven form of :func:`boilerplate_scrub` for streaming
+    ingestion and cross-corpus cleanup, where the df statistics come
+    from a reference corpus rather than the frame being cleaned.
+
+    Same plan shape as boilerplate_scrub minus the df pass: the hash
+    set broadcasts onto the positioned shingle pass, start lists ride
+    the id partitioning, and the indexed filter rebuilds the text in
+    place."""
+    starts = _boiler_starts(df, boiler_hashes, text_col, id_col, ngram)
+    kept = _kept_tokens(tokens(text_col), ngram)
+    out_cols = [
+        F.concat_ws(" ", kept).alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(starts, on=id_col, how="left").select(*out_cols)
+
+
+def _span_pos_hashes(df, text_col, id_col, ngram):
+    """(id, __pos, __h) — one row per span occurrence, md5-hashed."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+
+    return shingle_rows(
+        df, text_col, id_col, ngram, fallback_to_text=False, keep_pos=True
+    ).select(F.col(id_col), F.col("__pos"), md5_long(F.col("__s")).alias("__h"))
+
+
+def _boiler_starts(df, boiler, text_col, id_col, ngram):
+    """Per-doc array of boilerplate span start positions (docs with no
+    hits are absent — callers left-join and coalesce)."""
+    sp = _span_pos_hashes(df, text_col, id_col, ngram)
+    return (
+        sp.join(F.broadcast(boiler), on="__h")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+
+
+def _kept_tokens(toks_col: Column, ngram: int) -> Column:
+    """Tokens NOT covered by any boilerplate span start in __starts."""
+    st = F.coalesce(F.col("__starts"), F.expr("CAST(array() AS array<int>)"))
+    return F.filter(
+        toks_col,
+        lambda x, i: ~F.exists(st, lambda s: (i >= s) & (i < s + F.lit(ngram))),
     )
 
 

@@ -77,14 +77,13 @@ _GATE_PRIORITY = [
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
     "sim_embedding_near_pairs",
-    "sim_embedding_near_pairs_lsh",
-    # (2) registered in r10 (the RULE above): the ten never-checked new
-    # entries take the tail slots, displacing copy_incremental_diff/
+    # (2) registered in r10 (the RULE above): the eleven never-checked
+    # new entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
     # multimodal_wav_decode/multimodal_frame_sample/dedup_exact_rows/
     # vector_column_stats/multimodal_media_summary/
-    # multimodal_feature_extract (all r6 — the histogram stays "nothing
-    # older than r6").
+    # multimodal_feature_extract/sim_embedding_near_pairs_lsh (all r6 —
+    # the histogram stays "nothing older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
@@ -95,6 +94,7 @@ _GATE_PRIORITY = [
     "text_boilerplate_scrub",
     "text_bigram_surprisal",
     "sim_hard_negatives",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -1243,3 +1243,56 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::bigram_surprisal."""
     d = load_table(spark, sf_dir, "documents")
     return tx.bigram_surprisal(d)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source — pieces per token under the learned BPE.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    seg = _bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
+    return f"""
+    WITH seg AS MATERIALIZED ({seg}),
+    tk AS (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
+    sw AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY source, w)
+    SELECT sw.source,
+           CAST(SUM(sw.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.c * seg.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(sw.c * seg.n_pieces) / CAST(SUM(sw.c) AS DOUBLE), 6)
+             AS fertility
+    FROM sw JOIN seg USING (w)
+    GROUP BY sw.source
+    """
+
+
+@register("text_tokenizer_fertility", oracle=_fertility_oracle())
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword pieces per word) by source under the
+    corpus-learned BPE — the data-card metric that tells a training team
+    which sources will inflate sequence lengths and cost: fertility ≈ 1
+    means the tokenizer fits the source, high fertility flags
+    out-of-domain or noisy text.
+
+    Scale: occurrences aggregate to (source, word) counts FIRST (one
+    grouped count with map-side combine, |sources|x|vocab| bounded),
+    then join the vocabulary-sized segmentation frame (shared
+    session-cached BPE loop) — the corpus token stream is never joined
+    row-by-row.  See operators/text.py::bpe_segment."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = _bpe_frames(spark, sf_dir)[1]
+    sw = (
+        d.select("source", F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = sw.join(seg.select("w", "n_pieces"), on="w")
+    return j.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+        F.round(
+            F.sum(F.col("c") * F.col("n_pieces")).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("fertility"),
+    )

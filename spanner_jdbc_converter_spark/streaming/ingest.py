@@ -104,6 +104,7 @@ def ingest_documents_near_dedup(
     threshold: float = 0.5,
     signature_store_path: str | None = None,
     benchmark_spans_path: str | None = None,
+    boilerplate_spans_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -133,6 +134,15 @@ def ingest_documents_near_dedup(
     so contaminated docs never enter the store, never cost signature
     work, and never become dedup keepers that shadow clean twins.
 
+    ``boilerplate_spans_path`` adds ingestion-time SCRUBBING: a parquet
+    of high-df ``__h`` span hashes (build once from a reference corpus
+    with ``text.boilerplate_span_hashes``); every batch doc has the
+    covered words removed and its text rebuilt BEFORE profiling
+    (operators/text.py::scrub_spans), so quality/token stats describe
+    the cleaned text and template spans never enter the store or the
+    fingerprint space.  Scrub, then decontaminate, then dedup — the
+    batch pipeline's stage order.
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
     idempotent (asserted in tests/test_streaming.py).
@@ -144,6 +154,10 @@ def ingest_documents_near_dedup(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if boilerplate_spans_path is not None:
+            batch_df = tx.scrub_spans(
+                batch_df, spark.read.parquet(boilerplate_spans_path)
+            )
         batch = (
             tx.document_profile(batch_df)
             .filter(F.col("quality") >= quality_min)

@@ -375,3 +375,52 @@ def test_temperature_mix_skewed_sources_at_10x(spark):
                 src, kept_counts[src], want,
             )
     assert wall < 240, f"temperature mix at 10x skewed took {wall:.0f}s"
+
+
+def test_boilerplate_scrub_at_10x(spark):
+    """10 shifted replicas multiply every span's df by 10, so scrubbing
+    at min_df=15 must reproduce EXACTLY the base corpus's scrub at
+    min_df=2 (15 <= 10*df iff df >= 2) — per-doc removed counts match
+    replica-for-replica, and the run completes in the envelope."""
+    from spanner_jdbc_converter_spark.operators.text import boilerplate_scrub
+
+    base = load_table(spark, SF_DIR, "documents")
+    expect = {
+        r.doc_id: r.n_removed
+        for r in boilerplate_scrub(base, min_df=2).collect()
+    }
+    docs = _scaled_docs(spark)
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    t0 = time.time()
+    got = boilerplate_scrub(docs, min_df=15)
+    replica0 = {
+        r.doc_id: r.n_removed
+        for r in got.filter(F.col("doc_id") < n).collect()
+    }
+    wall = time.time() - t0
+    assert replica0 == expect
+    assert wall < 300
+
+
+def test_bpe_merges_scale_invariant_at_10x(spark):
+    """Uniform 10x replication scales every pair count by exactly 10 and
+    preserves ties, so the learned merge rules must be IDENTICAL with
+    pair_count x10 — the vocabulary frame (not the corpus) carries the
+    rounds, so wall time stays near the base run."""
+    from spanner_jdbc_converter_spark.operators.text import bpe_merges
+
+    base = load_table(spark, SF_DIR, "documents")
+    base_rules = [
+        (r["rank"], r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_merges(base).orderBy("rank").collect()
+    ]
+    t0 = time.time()
+    scaled_rules = [
+        (r["rank"], r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_merges(_scaled_docs(spark)).orderBy("rank").collect()
+    ]
+    wall = time.time() - t0
+    assert scaled_rules == [
+        (rk, a, b, m, c * COPIES) for rk, a, b, m, c in base_rules
+    ]
+    assert wall < 300

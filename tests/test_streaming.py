@@ -479,3 +479,55 @@ def test_ingest_near_dedup_drops_contaminated_docs(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [21]
+
+
+def test_ingest_near_dedup_scrubs_boilerplate_spans(spark, tmp_path):
+    """Ingestion-time boilerplate scrubbing: a batch doc carrying a
+    high-df 4-gram from the sidecar lands with those words REMOVED
+    (text rebuilt, token stats describing the cleaned text); a doc
+    without hits lands verbatim; replay appends nothing."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # reference corpus: 'tpl00 tpl01 tpl02 tpl03' appears in 3 docs
+    tpl = "tpl00 tpl01 tpl02 tpl03"
+    ref_rows = [
+        (900 + i, f"{tpl} refbody{i:02d} " + " ".join(f"w{i}{j}" for j in range(30)),
+         "en", "r", 100)
+        for i in range(3)
+    ]
+    ref = spark.createDataFrame(ref_rows, schema)
+    boiler_path = str(tmp_path / "boiler_spans")
+    tx.boilerplate_span_hashes(ref).write.parquet(boiler_path)
+
+    body = " ".join(f"bodyword{j:02d}" for j in range(30))
+    clean = " ".join(f"cleanword{j:02d}" for j in range(30))
+    rows = [
+        (30, f"{tpl} {body}", "en", "s0", 100),  # template-prefixed
+        (31, clean, "en", "s1", 100),
+    ]
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir + "/f1.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, boilerplate_spans_path=boiler_path,
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.read.parquet(store).collect()}
+    assert sorted(got) == [30, 31]
+    assert got[30].text == body          # template scrubbed, body intact
+    assert got[30].n_tokens == 30        # stats describe the CLEANED text
+    assert got[31].text == clean
+
+    # replay with a fresh checkpoint: store unchanged
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0, boilerplate_spans_path=boiler_path,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [30, 31]
