@@ -72,18 +72,18 @@ _GATE_PRIORITY = [
     "dedup_lsh_candidates",
     "dedup_jaccard_pairs",
     "dedup_connected_groups",
-    "dedup_simhash_near_pairs",
     "sim_topk_cosine",
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
     "sim_embedding_near_pairs",
-    # (2) registered in r10 (the RULE above): the eleven never-checked
+    # (2) registered in r10 (the RULE above): the twelve never-checked
     # new entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
     # multimodal_wav_decode/multimodal_frame_sample/dedup_exact_rows/
     # vector_column_stats/multimodal_media_summary/
-    # multimodal_feature_extract/sim_embedding_near_pairs_lsh (all r6 —
-    # the histogram stays "nothing older than r6").
+    # multimodal_feature_extract/sim_embedding_near_pairs_lsh/
+    # dedup_simhash_near_pairs (all r6 — the histogram stays "nothing
+    # older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
@@ -95,6 +95,7 @@ _GATE_PRIORITY = [
     "text_bigram_surprisal",
     "sim_hard_negatives",
     "text_tokenizer_fertility",
+    "text_bpe_encode",
 ]
 
 

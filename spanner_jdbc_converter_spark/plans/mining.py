@@ -1296,3 +1296,61 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus encode — the learned tokenizer applied to every document.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    seg = _bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
+    return f"""
+    WITH seg AS MATERIALIZED ({seg}),
+    tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    occ AS (SELECT doc_id, i AS wpos, t[i] AS w
+            FROM tk, unnest(range(1, len(t) + 1)) AS r(i)),
+    pieces AS (SELECT occ.doc_id, occ.wpos, j AS pidx, ps[j] AS piece
+               FROM (SELECT occ.doc_id, occ.wpos,
+                            string_split(seg.segmentation, ' ') AS ps
+                     FROM occ JOIN seg USING (w)) occ,
+                    unnest(range(1, len(ps) + 1)) AS rr(j))
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY wpos, pidx) - 1 AS BIGINT) AS pos,
+           piece
+    FROM pieces
+    """
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the corpus-learned BPE tokenizer over every document: the
+    (doc_id, pos, piece) subword stream a training pipeline actually
+    feeds the model — the piece-level twin of text_vocab_encode's
+    word-id stream.
+
+    Scale: the corpus tokenizes once (posexplode keeps word positions);
+    the segmentation attaches via a VOCABULARY-sized join (stats-driven
+    — never a corpus-sided broadcast decision forced by hand); pieces
+    explode expression-only, and the single doc-keyed window assigns
+    contiguous positions riding one id-hash exchange.  The oracle nests
+    the segment unroll and replays the join + double explode +
+    row_number.  See operators/text.py::bpe_segment."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = _bpe_frames(spark, sf_dir)[1]
+    occ = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("wpos", "w")
+    )
+    j = occ.join(
+        seg.select("w", F.split("segmentation", " ").alias("ps")), on="w"
+    )
+    pieces = j.select(
+        "doc_id", "wpos", F.posexplode("ps").alias("pidx", "piece")
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "pidx")
+    return pieces.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "piece",
+    )
