@@ -765,3 +765,217 @@ def bigram_surprisal(
             "avg_surprisal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-corpus quality classifier + DSIR importance resampling — the
+# two model-based curation stages real pretraining pipelines run after
+# the heuristic filters: "does this doc look like my trusted corpus?"
+# (CCNet / LLaMA-style fastText classifier, here a distributed Naive
+# Bayes with the same bag-of-words decision rule) and "resample the raw
+# pool toward the target distribution" (DSIR, Xie et al. 2023 — hashed
+# n-gram importance weights).
+# ---------------------------------------------------------------------------
+
+#: The trusted/target corpus: docs from this source play the role
+#: Wikipedia plays in CCNet's classifier and DSIR's target distribution.
+REF_SOURCE = "src0"
+
+#: DSIR hashed-bigram bucket count.  The hashing trick bounds BOTH
+#: importance models to a fixed 8192-row frame regardless of corpus
+#: vocabulary — small enough to broadcast, so scoring never shuffles
+#: the corpus-sized n-gram stream.
+DSIR_BUCKETS = 8192
+
+#: Fraction of each source's docs kept by DSIR resampling.
+DSIR_KEEP_FRAC = 0.25
+
+
+def nb_reference_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    reference: str = REF_SOURCE,
+) -> DataFrame:
+    """Train a add-one-smoothed multinomial Naive Bayes on "is this doc
+    from the reference source?" and score EVERY document with the
+    resulting bag-of-words log-odds — the engine-internal equivalent of
+    the fastText quality classifier CCNet/LLaMA-style pipelines train
+    on Wikipedia-vs-crawl.  Positive log-odds reads "more like the
+    trusted corpus than the rest".
+
+    Training IS one grouped count: per-token class counts (c_ref,
+    c_rest) from a single pass over the token stream, plus one-row
+    total/prior aggregates.  log P(w|c) = ln((c+1)/(N_c+V)).
+
+    Parity: counts exact ints; each ln rounds to 6 at its narrowest
+    point into DECIMAL(18,6); per-doc sums accumulate in DECIMAL
+    (order-independent); the final log-odds rounds at 6.
+
+    Scale: ONE vocab-keyed shuffle trains the model; scoring joins the
+    occurrence stream to the vocabulary-sized weight frame on the token
+    key (never broadcast by hand — vocab can be large; stats/AQE
+    decide) and aggregates per doc.  No collects, no cartesians beyond
+    broadcast one-row total frames.  Docs with zero tokens have no
+    occurrences and are absent from the output (both engines agree).
+
+    Output: (id, n_tokens, nb_logodds, pred_ref)."""
+    dec = "decimal(18,6)"
+    occ = df.select(
+        F.col(id_col),
+        (F.col(source_col) == reference).alias("_pos"),
+        F.explode(tokens(text_col)).alias("w"),
+    )
+    wc = occ.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c_rest"),
+    )
+    tot = wc.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_rest").alias("n_rest"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def _ll(c: str, n: str) -> Column:
+        return F.round(
+            F.log(
+                (F.col(c) + F.lit(1)).cast("double")
+                / (F.col(n) + F.col("v")).cast("double")
+            ),
+            6,
+        ).cast(dec)
+
+    lw = wc.crossJoin(F.broadcast(tot)).select(
+        "w", (_ll("c_ref", "n_ref") - _ll("c_rest", "n_rest")).alias("lw")
+    )
+    prior = (
+        df.agg(
+            F.sum(
+                F.when(F.col(source_col) == reference, 1).otherwise(0)
+            ).alias("d_ref"),
+            F.sum(
+                F.when(F.col(source_col) == reference, 0).otherwise(1)
+            ).alias("d_rest"),
+        )
+        .select(
+            (
+                F.round(F.log(F.col("d_ref").cast("double")), 6).cast(dec)
+                - F.round(F.log(F.col("d_rest").cast("double")), 6).cast(dec)
+            ).alias("prior")
+        )
+    )
+    per = occ.join(lw, on="w").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lw").alias("s")
+    )
+    return per.crossJoin(F.broadcast(prior)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round((F.col("s") + F.col("prior")).cast("double"), 6).alias(
+            "nb_logodds"
+        ),
+        ((F.col("s") + F.col("prior")) > 0).alias("pred_ref"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    target: str = REF_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    keep_frac: float = DSIR_KEEP_FRAC,
+    materialize: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every doc by the log importance weight of its hashed-bigram
+    features under target-vs-raw unigram-of-buckets models, then keep
+    the top ``keep_frac`` of each source by weight — the "resample the
+    crawl toward the trusted distribution" curation stage.
+
+    log w(doc) = Σ_bigrams [ln p_tgt(h) − ln p_raw(h)], h = md5(bigram)
+    mod ``buckets``, both models add-one smoothed.  The hashing trick is
+    the scale move: the model is a FIXED 8192-row frame however large
+    the corpus, so it broadcasts and scoring never shuffles the bigram
+    stream.
+
+    Parity: bucket counts exact ints; each ln rounds to 6 into
+    DECIMAL(18,6); per-doc DECIMAL sums; selection is exact top
+    ceil(keep_frac·n) per source by (weight desc, id asc).  Docs with
+    < 2 tokens have no bigrams and are absent (both engines agree).
+
+    Scale: ONE bucket-keyed grouped count trains both models (map-side
+    combine onto ≤ 8192 keys); scoring joins the broadcast weight frame
+    and aggregates per doc; the doc-count-sized per-doc frame is
+    checkpointed before ranking (three downstream references — without
+    it the corpus scoring re-executes per reference); the per-source
+    rank rides :func:`selection.banded_rank` on exact micro-unit scores
+    — no single-task per-source sort.
+
+    Output: (id, source, n_bigrams, log_weight, selected)."""
+    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+
+    dec = "decimal(18,6)"
+    occ = shingle_rows(
+        df, text_col, id_col, 2, extra_cols=[source_col],
+        fallback_to_text=False,
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        (md5_long(F.col("__s")) % F.lit(buckets)).alias("h"),
+    )
+    bc = occ.groupBy("h").agg(
+        F.sum(
+            F.when(F.col(source_col) == target, 1).otherwise(0)
+        ).alias("c_tgt"),
+        F.count(F.lit(1)).alias("c_raw"),
+    )
+    tot = bc.agg(F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw"))
+
+    def _ll(c: str, n: str) -> Column:
+        return F.round(
+            F.log(
+                (F.col(c) + F.lit(1)).cast("double")
+                / (F.col(n) + F.lit(buckets)).cast("double")
+            ),
+            6,
+        ).cast(dec)
+
+    lw = bc.crossJoin(F.broadcast(tot)).select(
+        "h", (_ll("c_tgt", "n_tgt") - _ll("c_raw", "n_raw")).alias("lw")
+    )
+    per = occ.join(F.broadcast(lw), on="h").groupBy(id_col, source_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lw").alias("s")
+    )
+    # The per-doc frame feeds THREE downstream references (banded_rank's
+    # count + join branches and the per-source totals); without a
+    # materialization point the whole corpus-scoring pipeline re-executes
+    # per reference.  The frame is doc-count-sized — checkpoint it.
+    # ``materialize=False`` keeps the plan lazy for plan inspection.
+    if materialize:
+        from spanner_jdbc_converter_spark.operators.dedup import (
+            _stage_checkpoint,
+        )
+
+        per = _stage_checkpoint(per)
+    # Exact micro-unit integer sort key (s has 6 dp, so s·10⁶ is
+    # integral); negated so ascending key = descending weight.  Value
+    # bands aren't as uniform as hash bands, but correctness is exact
+    # and |bands| stays bounded by the score range / 2^shift.
+    t = per.withColumn(
+        "_sk", (-(F.col("s") * F.lit(1_000_000))).cast("long")
+    )
+    r = banded_rank(t, [source_col], "_sk", id_col, shift=30)
+    ns = per.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    return r.join(F.broadcast(ns), on=source_col).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("n_bigrams"),
+        F.round(F.col("s").cast("double"), 6).alias("log_weight"),
+        (
+            F.col("_rk")
+            <= F.ceil(F.col("_n") * F.lit(keep_frac)).cast("long")
+        ).alias("selected"),
+    )

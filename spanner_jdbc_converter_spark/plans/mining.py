@@ -1354,3 +1354,116 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
         "piece",
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based curation: reference-corpus NB classifier + DSIR resampling.
+# ---------------------------------------------------------------------------
+
+_NB_LL = "CAST(ROUND(ln(({c} + 1.0) / ({n} + {v})), 6) AS DECIMAL(18,6))"
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source = '{tx.REF_SOURCE}' AS pos,
+                       unnest({_TOKS_SQL}) AS w
+                FROM documents),
+    wc AS (SELECT w,
+                  SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_ref,
+                  SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_rest
+           FROM tk GROUP BY w),
+    tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_rest) AS n_rest,
+                   COUNT(*) AS v
+            FROM wc),
+    lw AS (SELECT w,
+                  {_NB_LL.format(c='c_ref', n='n_ref', v='v')}
+                - {_NB_LL.format(c='c_rest', n='n_rest', v='v')} AS lw
+           FROM wc CROSS JOIN tot),
+    pr AS (SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN source = '{tx.REF_SOURCE}'
+                                        THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))
+                - CAST(ROUND(ln(CAST(SUM(CASE WHEN source = '{tx.REF_SOURCE}'
+                                        THEN 0 ELSE 1 END) AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS prior
+           FROM documents),
+    per AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lw) AS s
+            FROM tk JOIN lw USING (w) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(s + prior AS DOUBLE), 6) AS nb_logodds,
+           (s + prior) > 0 AS pred_ref
+    FROM per CROSS JOIN pr
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (CCNet/LLaMA-style): a multinomial
+    Naive Bayes trained distributed on "reference source vs rest"
+    labels scores every doc's bag-of-words log-odds of belonging to the
+    trusted corpus — the statistical complement to the heuristic
+    text_quality_scores filter.
+
+    Scale: training is ONE vocab-keyed grouped count of the token
+    stream; totals/priors are broadcast one-row frames; scoring joins
+    occurrences to the vocabulary-sized weight frame on the token key
+    (stats-driven side choice) and aggregates per doc.  The oracle
+    replays the counts, the round-6 DECIMAL ln ladder, and the
+    DECIMAL per-doc sums.  See operators/text.py::nb_reference_classifier."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.nb_reference_classifier(d)
+
+
+_DSIR_LL = (
+    f"CAST(ROUND(ln(({{c}} + 1.0) / ({{n}} + {tx.DSIR_BUCKETS})), 6)"
+    " AS DECIMAL(18,6))"
+)
+
+
+def _dsir_oracle() -> str:
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("t[i] || ' ' || t[i+1]")
+    return f"""
+    WITH tk AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    occ AS (SELECT doc_id, source, {h} % {tx.DSIR_BUCKETS} AS h
+            FROM tk, unnest(range(1, len(t))) AS r(i)),
+    bc AS (SELECT h,
+                  SUM(CASE WHEN source = '{tx.REF_SOURCE}' THEN 1 ELSE 0 END)
+                    AS c_tgt,
+                  COUNT(*) AS c_raw
+           FROM occ GROUP BY h),
+    tot AS (SELECT SUM(c_tgt) AS n_tgt, SUM(c_raw) AS n_raw FROM bc),
+    lw AS (SELECT h,
+                  {_DSIR_LL.format(c='c_tgt', n='n_tgt')}
+                - {_DSIR_LL.format(c='c_raw', n='n_raw')} AS lw
+           FROM bc CROSS JOIN tot),
+    per AS (SELECT doc_id, source, COUNT(*) AS n_bigrams, SUM(lw) AS s
+            FROM occ JOIN lw USING (h) GROUP BY doc_id, source),
+    ns AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
+    rk AS (SELECT per.*, ns.n,
+                  ROW_NUMBER() OVER (PARTITION BY per.source
+                                     ORDER BY s DESC, doc_id) AS rk
+           FROM per JOIN ns USING (source))
+    SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(CAST(s AS DOUBLE), 6) AS log_weight,
+           rk <= CEIL(n * {tx.DSIR_KEEP_FRAC}) AS selected
+    FROM rk
+    """
+
+
+@register("select_dsir_importance", oracle=_dsir_oracle())
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    importance weights (target source vs the whole raw pool), top
+    quarter of each source kept by weight — the "pull the crawl toward
+    the trusted distribution" selection stage.
+
+    Scale: the hashing trick bounds both LMs to one fixed 8192-row
+    frame (broadcast — scoring never shuffles the bigram stream); ONE
+    bucket-keyed grouped count trains both models; the per-source exact
+    top-fraction rides selection.banded_rank on micro-unit integer
+    scores instead of a single-task per-source sort.  The oracle
+    replays the bucket counts, round-6 DECIMAL ln ladder, DECIMAL
+    per-doc sums, and the (weight desc, id) rank.  See
+    operators/text.py::dsir_importance."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dsir_importance(d)

@@ -1636,3 +1636,49 @@ def test_hard_negatives_excludes_same_label(spark):
     assert 1 not in ids0 and ids0[0] == 2
     assert all(r.match_label != r.query_label for r in out)
     assert all(r.match_id != r.query_id for r in out)
+
+
+def test_nb_classifier_matches_hand_model(spark):
+    """NB log-odds on a 3-doc corpus checked against the formula computed
+    directly: log P(w|c) = ln((c+1)/(N_c+V)), prior ln(d_ref)−ln(d_rest),
+    each ln rounded at 6 before the DECIMAL sums."""
+    d = spark.createDataFrame(
+        [(0, "a b", "src0"), (1, "a a", "src1"), (2, "b c", "src1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in tx.nb_reference_classifier(d).collect()}
+    # ref tokens: a,b ; rest tokens: a,a,b,c ; V=3, N_ref=2, N_rest=4
+    c_ref = {"a": 1, "b": 1, "c": 0}
+    c_rest = {"a": 2, "b": 1, "c": 1}
+    lw = lambda w: round(math.log((c_ref[w] + 1) / 5), 6) - round(
+        math.log((c_rest[w] + 1) / 7), 6
+    )
+    prior = round(math.log(1), 6) - round(math.log(2), 6)
+    exp = {
+        0: round(lw("a") + lw("b") + prior, 6),
+        1: round(2 * lw("a") + prior, 6),
+        2: round(lw("b") + lw("c") + prior, 6),
+    }
+    for i in (0, 1, 2):
+        assert out[i].n_tokens == 2
+        assert out[i].nb_logodds == pytest.approx(exp[i], abs=1e-9)
+        assert out[i].pred_ref == (exp[i] > 0)
+
+
+def test_dsir_keeps_exact_top_fraction_per_source(spark):
+    """Per-source kept count is exactly ceil(keep_frac·n) and the kept
+    set is the weight-descending (id-ascending ties) prefix — checked on
+    skewed source sizes (2 target docs vs 8 raw)."""
+    rows = [(i, "t%d u%d" % (i % 3, i % 5), "src0" if i < 2 else "srcA")
+            for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tx.dsir_importance(d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["src0"]) == 2 and len(by_src["srcA"]) == 8
+    for src, k in (("src0", 1), ("srcA", 2)):  # ceil(0.25·n)
+        rs = sorted(by_src[src], key=lambda r: (-r.log_weight, r.doc_id))
+        assert sum(r.selected for r in rs) == k
+        assert all(r.selected for r in rs[:k])
+        assert not any(r.selected for r in rs[k:])

@@ -609,3 +609,63 @@ def _bigram_surprisal_hints():
     # exactly one F.broadcast call: the one-row vocabulary-size frame
     assert src.count("F.broadcast(") == 1 and "F.broadcast(v)" in src
     return ""
+
+
+def test_nb_classifier_scoring_join_is_stats_driven_equi_join(spark, sf_dir):
+    """The weight→scoring join must be a plain EQUI-join on the token
+    key — never a forced broadcast (the vocabulary is corpus-scale at
+    100 TB; fixture-scale stats may legitimately pick broadcast).  The
+    only nested-loop joins allowed are the two one-row crosses (totals,
+    prior).  Training counts must partially aggregate."""
+    plan = _plan(spark, "text_quality_classifier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    head = plan.split("\n\n")[0]
+    assert head.count("BroadcastNestedLoopJoin") == 2
+    # source-level: the ONLY forced broadcasts are the one-row frames
+    import inspect
+
+    from spanner_jdbc_converter_spark.operators.text import (
+        nb_reference_classifier,
+    )
+
+    src = inspect.getsource(nb_reference_classifier)
+    assert src.count("F.broadcast(") == 2
+    assert "F.broadcast(tot)" in src and "F.broadcast(prior)" in src
+
+
+def test_dsir_model_broadcast_and_banded_rank(spark, sf_dir):
+    """DSIR's scale contract: the hashed-bigram model is a FIXED
+    8192-row frame and must broadcast (scoring never shuffles the
+    bigram stream); the per-source top-fraction rides banded_rank, not
+    a per-source single-task sort; one one-row cross (totals); no
+    cartesians, no sort-merge joins anywhere."""
+    # The registry entry materializes the per-doc frame (it feeds three
+    # downstream references), so the executed plan sits entirely above
+    # the checkpoint: rank + selection joins only, all broadcast.
+    plan = _plan(spark, "select_dsir_importance", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the lazy plan (scoring pipeline visible) keeps the same contract:
+    # the h-keyed model join must be broadcast, never sort-merge
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators.text import dsir_importance
+
+    lazy = dsir_importance(
+        load_table(spark, sf_dir, "documents"), materialize=False
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    lplan = lazy._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in lplan
+    assert "SortMergeJoin" not in lplan
+    import inspect
+
+    src = inspect.getsource(dsir_importance)
+    # forced broadcasts: totals (one row), the 8192-row model, the
+    # per-source count frame — and the rank comes from banded_rank,
+    # with the reused per-doc frame checkpointed
+    assert "F.broadcast(lw)" in src and "F.broadcast(ns)" in src
+    assert "banded_rank(" in src and "_stage_checkpoint(per)" in src
