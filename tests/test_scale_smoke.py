@@ -424,3 +424,35 @@ def test_bpe_merges_scale_invariant_at_10x(spark):
         (rk, a, b, m, c * COPIES) for rk, a, b, m, c in base_rules
     ]
     assert wall < 300
+
+
+def test_dsir_importance_at_10x_skewed_sources(spark):
+    """DSIR at 10× with skewed source sizes (head ~32× the tail): the
+    fixed 8192-row model must keep scoring broadcast-sided, the value-
+    banded rank must not degenerate into one giant band task, and the
+    per-source kept counts must be exactly ceil(0.25·n)."""
+    import math
+
+    from spanner_jdbc_converter_spark.operators.text import dsir_importance
+
+    m = F.col("doc_id") % 39
+    docs = _scaled_docs(spark).withColumn(
+        "source",
+        F.when(m < 32, "s0").when(m < 36, "s1").when(m < 38, "s2").otherwise("src0"),
+    )
+    t0 = time.time()
+    out = dsir_importance(docs)
+    kept = {
+        r["source"]: (r["k"], r["n"])
+        for r in out.groupBy("source")
+        .agg(
+            F.sum(F.col("selected").cast("long")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    wall = time.time() - t0
+    assert set(kept) == {"s0", "s1", "s2", "src0"}
+    for src, (k, n) in sorted(kept.items()):
+        assert k == math.ceil(n * 0.25), (src, k, n)
+    assert wall < 300, f"DSIR at 10x skewed took {wall:.0f}s"
