@@ -791,6 +791,128 @@ DSIR_BUCKETS = 8192
 DSIR_KEEP_FRAC = 0.25
 
 
+def nb_model_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    reference: str = REF_SOURCE,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the add-one-smoothed multinomial Naive Bayes "reference
+    source vs rest" model and return it as two frames:
+
+    - ``weights``: (w, lw) — per-token log-likelihood ratio
+      ln P(w|ref) − ln P(w|rest), DECIMAL(19,6), vocabulary-sized;
+    - ``meta``: ONE row (prior, lw_oov) — the class-prior log-ratio and
+      the CONSTANT log-ratio of any token unseen at training time
+      (add-one smoothing gives every OOV token the same
+      ln(1/(N_ref+V)) − ln(1/(N_rest+V))), which makes frozen-model
+      inference over new text exact, not clipped.
+
+    Training IS one vocab-keyed grouped count plus one-row aggregates;
+    both frames are writable as parquet for frozen-model reuse (the
+    streaming ingest path).  Each ln rounds to 6 at its narrowest point
+    into DECIMAL(18,6) — the corpus float-parity convention."""
+    dec = "decimal(18,6)"
+    occ = df.select(
+        (F.col(source_col) == reference).alias("_pos"),
+        F.explode(tokens(text_col)).alias("w"),
+    )
+    wc = occ.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c_rest"),
+    )
+    tot = wc.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_rest").alias("n_rest"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def _ll(c: Column, n: str) -> Column:
+        return F.round(
+            F.log(
+                (c + F.lit(1)).cast("double")
+                / (F.col(n) + F.col("v")).cast("double")
+            ),
+            6,
+        ).cast(dec)
+
+    weights = wc.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (_ll(F.col("c_ref"), "n_ref") - _ll(F.col("c_rest"), "n_rest")).alias(
+            "lw"
+        ),
+    )
+    dc = df.agg(
+        F.sum(F.when(F.col(source_col) == reference, 1).otherwise(0)).alias(
+            "d_ref"
+        ),
+        F.sum(F.when(F.col(source_col) == reference, 0).otherwise(1)).alias(
+            "d_rest"
+        ),
+    )
+    meta = dc.crossJoin(F.broadcast(tot)).select(
+        (
+            F.round(F.log(F.col("d_ref").cast("double")), 6).cast(dec)
+            - F.round(F.log(F.col("d_rest").cast("double")), 6).cast(dec)
+        ).alias("prior"),
+        (_ll(F.lit(0), "n_ref") - _ll(F.lit(0), "n_rest")).alias("lw_oov"),
+    )
+    return weights, meta
+
+
+def nb_score_with_model(
+    df: DataFrame,
+    weights: DataFrame,
+    meta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a (possibly frozen/stored) NB model from
+    :func:`nb_model_frames`: per-doc bag-of-words log-odds, tokens
+    unseen at training time scored with the model's exact OOV constant.
+
+    Scale: occurrences LEFT-join the vocabulary-sized weight frame on
+    the token key (stats/AQE pick the side — never a forced broadcast
+    of a corpus-scale vocabulary); the one-row meta frame broadcasts;
+    per-doc sums accumulate in DECIMAL.  Docs with zero tokens have no
+    occurrences and are absent from the output.
+
+    Output: (id, n_tokens, nb_logodds, pred_ref)."""
+    occ = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    scored = occ.join(weights, on="w", how="left").crossJoin(
+        F.broadcast(meta)
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("lw"), F.col("lw_oov"))).alias("s"),
+        F.first("prior").alias("prior"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round((F.col("s") + F.col("prior")).cast("double"), 6).alias(
+            "nb_logodds"
+        ),
+        ((F.col("s") + F.col("prior")) > 0).alias("pred_ref"),
+    )
+
+
+def nb_model_write(weights: DataFrame, meta: DataFrame, path: str) -> None:
+    """Freeze an NB model to parquet (``<path>/weights`` vocabulary
+    frame + ``<path>/meta`` one-row frame) for reuse by later jobs and
+    the streaming ingest path."""
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def nb_model_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a frozen NB model written by :func:`nb_model_write`."""
+    return (
+        spark.read.parquet(f"{path}/weights"),
+        spark.read.parquet(f"{path}/meta"),
+    )
+
+
 def nb_reference_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -805,77 +927,15 @@ def nb_reference_classifier(
     on Wikipedia-vs-crawl.  Positive log-odds reads "more like the
     trusted corpus than the rest".
 
-    Training IS one grouped count: per-token class counts (c_ref,
-    c_rest) from a single pass over the token stream, plus one-row
-    total/prior aggregates.  log P(w|c) = ln((c+1)/(N_c+V)).
-
-    Parity: counts exact ints; each ln rounds to 6 at its narrowest
-    point into DECIMAL(18,6); per-doc sums accumulate in DECIMAL
-    (order-independent); the final log-odds rounds at 6.
-
-    Scale: ONE vocab-keyed shuffle trains the model; scoring joins the
-    occurrence stream to the vocabulary-sized weight frame on the token
-    key (never broadcast by hand — vocab can be large; stats/AQE
-    decide) and aggregates per doc.  No collects, no cartesians beyond
-    broadcast one-row total frames.  Docs with zero tokens have no
-    occurrences and are absent from the output (both engines agree).
+    Composition of :func:`nb_model_frames` (training: one vocab-keyed
+    grouped count + one-row aggregates) and :func:`nb_score_with_model`
+    (scoring: token-keyed stats-driven join + per-doc DECIMAL sums);
+    self-scoring never hits the OOV branch, so the output is exactly
+    the inner-join formulation the oracle replays.
 
     Output: (id, n_tokens, nb_logodds, pred_ref)."""
-    dec = "decimal(18,6)"
-    occ = df.select(
-        F.col(id_col),
-        (F.col(source_col) == reference).alias("_pos"),
-        F.explode(tokens(text_col)).alias("w"),
-    )
-    wc = occ.groupBy("w").agg(
-        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_ref"),
-        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c_rest"),
-    )
-    tot = wc.agg(
-        F.sum("c_ref").alias("n_ref"),
-        F.sum("c_rest").alias("n_rest"),
-        F.count(F.lit(1)).alias("v"),
-    )
-
-    def _ll(c: str, n: str) -> Column:
-        return F.round(
-            F.log(
-                (F.col(c) + F.lit(1)).cast("double")
-                / (F.col(n) + F.col("v")).cast("double")
-            ),
-            6,
-        ).cast(dec)
-
-    lw = wc.crossJoin(F.broadcast(tot)).select(
-        "w", (_ll("c_ref", "n_ref") - _ll("c_rest", "n_rest")).alias("lw")
-    )
-    prior = (
-        df.agg(
-            F.sum(
-                F.when(F.col(source_col) == reference, 1).otherwise(0)
-            ).alias("d_ref"),
-            F.sum(
-                F.when(F.col(source_col) == reference, 0).otherwise(1)
-            ).alias("d_rest"),
-        )
-        .select(
-            (
-                F.round(F.log(F.col("d_ref").cast("double")), 6).cast(dec)
-                - F.round(F.log(F.col("d_rest").cast("double")), 6).cast(dec)
-            ).alias("prior")
-        )
-    )
-    per = occ.join(lw, on="w").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("lw").alias("s")
-    )
-    return per.crossJoin(F.broadcast(prior)).select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        F.round((F.col("s") + F.col("prior")).cast("double"), 6).alias(
-            "nb_logodds"
-        ),
-        ((F.col("s") + F.col("prior")) > 0).alias("pred_ref"),
-    )
+    weights, meta = nb_model_frames(df, text_col, source_col, reference)
+    return nb_score_with_model(df, weights, meta, text_col, id_col)
 
 
 def dsir_importance(

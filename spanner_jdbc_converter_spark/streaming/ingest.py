@@ -105,6 +105,8 @@ def ingest_documents_near_dedup(
     signature_store_path: str | None = None,
     benchmark_spans_path: str | None = None,
     boilerplate_spans_path: str | None = None,
+    quality_model_path: str | None = None,
+    quality_model_min: float = 0.0,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -143,6 +145,17 @@ def ingest_documents_near_dedup(
     fingerprint space.  Scrub, then decontaminate, then dedup — the
     batch pipeline's stage order.
 
+    ``quality_model_path`` adds ingestion-time MODEL-BASED filtering: a
+    frozen Naive Bayes reference classifier
+    (operators/text.py::nb_model_frames, written once from a labeled
+    reference corpus with ``nb_model_write``); every batch doc is
+    scored against the stored weights — tokens unseen at training time
+    get the model's exact OOV constant — and docs whose log-odds fall
+    below ``quality_model_min`` are dropped alongside the heuristic
+    quality filter, before decontamination and dedup.  The model is a
+    vocabulary-sized parquet read per batch (cluster deployments would
+    cache it); the batch never re-trains.
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
     idempotent (asserted in tests/test_streaming.py).
@@ -163,6 +176,14 @@ def ingest_documents_near_dedup(
             .filter(F.col("quality") >= quality_min)
             .select(*out_cols)
         )
+        if quality_model_path is not None:
+            weights, meta = tx.nb_model_read(spark, quality_model_path)
+            keep = (
+                tx.nb_score_with_model(batch, weights, meta)
+                .filter(F.col("nb_logodds") >= quality_model_min)
+                .select("doc_id")
+            )
+            batch = batch.join(keep, "doc_id")
         if benchmark_spans_path is not None:
             batch = dd.filter_contaminated(
                 batch, spark.read.parquet(benchmark_spans_path)

@@ -620,18 +620,23 @@ def test_nb_classifier_scoring_join_is_stats_driven_equi_join(spark, sf_dir):
     plan = _plan(spark, "text_quality_classifier", sf_dir)
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+    # three one-row crosses: weights×totals, meta×totals, score×meta
     head = plan.split("\n\n")[0]
-    assert head.count("BroadcastNestedLoopJoin") == 2
+    assert head.count("BroadcastNestedLoopJoin") == 3
     # source-level: the ONLY forced broadcasts are the one-row frames
     import inspect
 
     from spanner_jdbc_converter_spark.operators.text import (
-        nb_reference_classifier,
+        nb_model_frames,
+        nb_score_with_model,
     )
 
-    src = inspect.getsource(nb_reference_classifier)
-    assert src.count("F.broadcast(") == 2
-    assert "F.broadcast(tot)" in src and "F.broadcast(prior)" in src
+    train_src = inspect.getsource(nb_model_frames)
+    assert train_src.count("F.broadcast(") == 2  # tot, into weights + meta
+    assert "F.broadcast(tot)" in train_src
+    score_src = inspect.getsource(nb_score_with_model)
+    assert score_src.count("F.broadcast(") == 1  # the one-row meta
+    assert "F.broadcast(meta)" in score_src
 
 
 def test_dsir_model_broadcast_and_banded_rank(spark, sf_dir):

@@ -531,3 +531,59 @@ def test_ingest_near_dedup_scrubs_boilerplate_spans(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [30, 31]
+
+
+def test_ingest_near_dedup_filters_with_frozen_nb_model(spark, tmp_path):
+    """Ingestion-time model-based filtering: a frozen NB reference
+    classifier scores each batch doc (OOV tokens via the model's exact
+    add-one constant); docs below the log-odds floor never reach the
+    store; replay appends nothing."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # training corpus: reference docs speak goodword*, the rest badword*
+    ref_rows = [
+        (800 + i, " ".join(f"goodword{i}{j:02d}" for j in range(20))
+         + " shared common tokens", "en", "src0", 100)
+        for i in range(3)
+    ] + [
+        (810 + i, " ".join(f"badword{i}{j:02d}" for j in range(20))
+         + " shared common tokens", "en", "crawl", 100)
+        for i in range(3)
+    ]
+    train = spark.createDataFrame(ref_rows, schema)
+    model_path = str(tmp_path / "nb_model")
+    tx.nb_model_write(*tx.nb_model_frames(train), model_path)
+
+    good = "shared common tokens " + " ".join(f"goodword0{j:02d}" for j in range(10))
+    bad = "shared common tokens " + " ".join(f"badword0{j:02d}" for j in range(10))
+    oov = " ".join(f"neverseen{j:02d}" for j in range(12))  # pure OOV -> prior decides
+    rows = [
+        (40, good, "en", "s0", len(good)),
+        (41, bad, "en", "s1", len(bad)),
+        (42, oov, "en", "s2", len(oov)),
+    ]
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir + "/f1.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, quality_model_path=model_path,
+    )
+    q.awaitTermination()
+    # good doc scores positive; bad doc negative; the all-OOV doc sums
+    # n_tokens * lw_oov + prior = 0 exactly (balanced classes, identical
+    # OOV constant both sides) -> kept at the default floor of 0.0
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42]
+
+    # replay with a fresh checkpoint: store unchanged
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0, quality_model_path=model_path,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42]
