@@ -15,7 +15,7 @@ are rounded to 6 digits on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spanner_jdbc_converter_spark.catalog import load_table
@@ -116,10 +116,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    WITH f AS (
+def _quality_select_sql() -> str:
+    """(doc_id, quality) for every document — the SQL twin of
+    operators.text.quality_score_from_tokens, shared by every oracle
+    that consumes the heuristic quality score."""
+    return f"""
+    SELECT doc_id,
+           ROUND(
+             0.4 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+           + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4, 1.0)
+           + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
+           6) AS quality
+    FROM (
       SELECT doc_id,
              CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -128,15 +136,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   x -> CASE WHEN x IN ({_STOPWORDS_SQL}) THEN 1 ELSE 0 END)), 0) AS BIGINT)
                AS n_stop
       FROM documents)
-    SELECT doc_id,
-           ROUND(
-             0.4 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
-           + 0.4 * least((CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) * 4, 1.0)
-           + 0.2 * (1 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)),
-           6) AS quality
-    FROM f
-    """,
-)
+    """
+
+
+@register("text_quality_scores", oracle=_quality_select_sql())
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score (length band + stopword density −
     punctuation density); the token array is staged once."""
@@ -523,10 +526,12 @@ _SIMHASH_BANDS_SQL = ", ".join(
 )
 
 
-@register(
-    "dedup_connected_groups",
-    oracle=f"""
-    WITH RECURSIVE
+def _closure_ctes() -> str:
+    """The recursive-CTE near-dup closure (tokens → 3-gram shingles →
+    MinHash → LSH bands → candidate pairs → transitive reach → min-id
+    groups), shared by every oracle that consumes the component frame —
+    the SQL twin of the session-cached _near_dup_groups below."""
+    return f"""
          toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
          grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
          hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
@@ -545,9 +550,16 @@ _SIMHASH_BANDS_SQL = ", ".join(
              SELECT u, v FROM sym
              UNION
              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-         )
-    SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
-    FROM reach GROUP BY u
+         ),
+         grp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+                 FROM reach GROUP BY u)"""
+
+
+@register(
+    "dedup_connected_groups",
+    oracle=f"""
+    WITH RECURSIVE {_closure_ctes()}
+    SELECT doc_id, group_id FROM grp
     """,
 )
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,28 +619,7 @@ _ANCHOR_U_SQL = (
 @register(
     "select_leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE
-         toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-         grams AS (SELECT doc_id, {_GRAMS_SQL} AS g FROM toks WHERE len(t) >= 3),
-         hs AS (SELECT doc_id, {_HASHES_SQL} AS h FROM grams),
-         sigs AS (SELECT doc_id,
-                         [{", ".join(_minhash_sig_sql())}] AS sig
-                  FROM hs),
-         bands AS (SELECT doc_id,
-                          unnest([{_lsh_band_exprs_sql()}]) AS band_key
-                   FROM sigs),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b USING (band_key)
-                  WHERE a.doc_id < b.doc_id),
-         sym AS (SELECT id_a AS u, id_b AS v FROM cand
-                 UNION SELECT id_b, id_a FROM cand),
-         reach(u, v) AS (
-             SELECT u, v FROM sym
-             UNION
-             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-         ),
-         grp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
-                 FROM reach GROUP BY u)
+    WITH RECURSIVE {_closure_ctes()}
     SELECT doc_id, anchor_id,
            CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'val'
@@ -656,6 +647,62 @@ def select_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the group-atomicity is value-hash-checked."""
     d = load_table(spark, sf_dir, "documents")
     return sel.leakage_safe_split(d, groups=_near_dup_groups(spark, sf_dir))
+
+
+@register(
+    "dedup_quality_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_closure_ctes()},
+    f AS ({_quality_select_sql()}),
+    a AS (SELECT f.doc_id AS doc_id,
+                 COALESCE(g.group_id, f.doc_id) AS anchor_id,
+                 f.quality AS quality
+          FROM f LEFT JOIN grp g ON g.doc_id = f.doc_id)
+    SELECT doc_id, anchor_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM a
+    """,
+)
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-dup components: each
+    duplicate cluster keeps its HIGHEST-quality member (heuristic score,
+    min-id tiebreak) instead of the arbitrary min-id keeper — the policy
+    a curation team actually wants when near-dups differ in extraction
+    quality.  Unique docs are their own anchors and always keep.
+
+    Scale: quality is an expression-only projection; the component frame
+    (pair-node-sized, session-cached _near_dup_groups shared with two
+    other entries) attaches via one id-keyed left join; the keeper
+    decision is a row_number over anchor-partitioned groups — duplicate
+    clusters are small by construction, so the window shuffle is the
+    only exchange and no task sees more than a cluster.  The oracle
+    recomputes the closure (shared recursive CTE) and the quality
+    formula (shared fragment) and replays the rank."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.col("text"), tx.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        tx.quality_score_from_tokens("text", F.col("__toks")).alias(
+            "quality"
+        ),
+    )
+    g = _near_dup_groups(spark, sf_dir)
+    a = q.join(g, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("anchor_id"),
+        "quality",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return a.select(
+        "doc_id",
+        "anchor_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 @register(
