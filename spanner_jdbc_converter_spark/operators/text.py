@@ -938,6 +938,63 @@ def nb_reference_classifier(
     return nb_score_with_model(df, weights, meta, text_col, id_col)
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Data-valuation novelty score for a CANDIDATE batch against the
+    existing corpus: per batch doc, the fraction of its distinct word
+    n-grams never seen in the corpus — near-zero means the doc is
+    informationally redundant (buy/crawl something else), high means
+    new material.  The n-gram-level complement of incremental dedup:
+    a doc can be 40% novel yet no near-dup of anything.
+
+    Scale: grams travel as 60-bit md5 longs (8-byte shuffle keys, not
+    strings); the corpus reduces to its DISTINCT gram-hash projection
+    (gram-vocabulary-sized, grows sublinearly in corpus size); the
+    gram-keyed join is stats-driven (batch side is small — Catalyst
+    broadcasts it; at equal sizes it degrades to a hash join, never a
+    cartesian); per-doc counts ride the batch frame's id partitioning.
+    Docs with < n tokens have no shingles and are absent (both engines
+    agree).
+
+    Output: (id, n_grams, n_novel, novelty)."""
+    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+
+    bg = (
+        shingle_rows(batch, text_col, id_col, ngram, fallback_to_text=False)
+        .select(F.col(id_col), md5_long(F.col("__s")).alias("h"))
+        .distinct()
+    )
+    cg = (
+        shingle_rows(corpus, text_col, id_col, ngram, fallback_to_text=False)
+        .select(md5_long(F.col("__s")).alias("h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    per = (
+        bg.join(cg, on="h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_novel"),
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     text_col: str = "text",

@@ -72,7 +72,6 @@ _GATE_PRIORITY = [
     "dedup_lsh_candidates",
     "dedup_jaccard_pairs",
     "dedup_connected_groups",
-    "sim_topk_cosine",
     # (2) registered in r10 (the RULE above): the fourteen never-checked
     # new entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
@@ -80,8 +79,8 @@ _GATE_PRIORITY = [
     # vector_column_stats/multimodal_media_summary/
     # multimodal_feature_extract/sim_embedding_near_pairs_lsh/
     # dedup_simhash_near_pairs/sim_ivf_topk/sim_embedding_near_pairs/
-    # sim_lsh_ann_topk (all r6 — the histogram stays "nothing older
-    # than r6").
+    # sim_lsh_ann_topk/sim_topk_cosine (all r6 — the histogram stays
+    # "nothing older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
@@ -97,6 +96,7 @@ _GATE_PRIORITY = [
     "text_quality_classifier",
     "select_dsir_importance",
     "dedup_quality_keeper",
+    "text_ngram_novelty",
 ]
 
 

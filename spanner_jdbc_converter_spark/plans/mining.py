@@ -1450,6 +1450,49 @@ def _dsir_oracle() -> str:
     """
 
 
+def _novelty_oracle() -> str:
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+    from spanner_jdbc_converter_spark.plans.extensions import _GRAMS_SQL
+
+    h = md5_long_sql("g")
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (SELECT DISTINCT doc_id, {h} AS h
+           FROM (SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+                 FROM tk WHERE len(t) >= 3 AND doc_id % 5 = 0)),
+    cg AS (SELECT DISTINCT {h} AS h
+           FROM (SELECT unnest({_GRAMS_SQL}) AS g
+                 FROM tk WHERE len(t) >= 3 AND doc_id % 5 <> 0)),
+    j AS (SELECT bg.doc_id, CASE WHEN cg.h IS NULL THEN 1 ELSE 0 END AS nov
+          FROM bg LEFT JOIN cg ON bg.h = cg.h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(nov) AS BIGINT) AS n_novel,
+           CAST(SUM(nov) AS DOUBLE) / COUNT(*) AS novelty
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("text_ngram_novelty", oracle=_novelty_oracle())
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty valuation of a candidate batch (every 5th doc)
+    against the existing corpus (the rest): the fraction of each batch
+    doc's distinct word-3-grams never seen in the corpus — the
+    "is this data worth acquiring" signal that catches informational
+    redundancy below the near-dup threshold.
+
+    Scale: grams shuffle as 60-bit md5 longs; the corpus collapses to
+    its distinct gram-hash projection once; the gram-keyed join is
+    stats-driven (small batch side broadcasts); per-doc counts ride the
+    batch id partitioning.  The oracle replays the distinct sets, the
+    left-join novelty marks, and the exact-integer division.  See
+    operators/text.py::ngram_novelty."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.ngram_novelty(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
 @register("select_dsir_importance", oracle=_dsir_oracle())
 def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed-bigram
