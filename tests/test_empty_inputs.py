@@ -181,3 +181,44 @@ def test_temperature_mix_empty_and_single_group(spark):
     kept = sel.temperature_mix_sample(one, "source", "doc_id", target_frac=0.4).count()
     # single group: rate == target_frac exactly (hash-sampled around 80)
     assert 40 <= kept <= 120
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def test_nb_classifier_and_dsir_empty(spark):
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    out = tx.nb_reference_classifier(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "nb_logodds", "pred_ref",
+    ]
+    sel = tx.dsir_importance(empty)
+    assert sel.count() == 0
+    assert [f.name for f in sel.schema.fields] == [
+        "doc_id", "source", "n_bigrams", "log_weight", "selected",
+    ]
+
+
+def test_ngram_novelty_empty_and_all_novel(spark):
+    """Empty batch -> empty output; empty corpus -> every batch gram is
+    novel (novelty exactly 1.0), never a throw or a NULL ratio."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    docs = spark.createDataFrame(
+        [(1, "one two three four", "s")], DOC_SCHEMA
+    )
+    assert tx.ngram_novelty(docs, empty).count() == 0
+    out = tx.ngram_novelty(empty, docs).collect()
+    assert len(out) == 1
+    assert out[0].n_grams == 2 and out[0].n_novel == 2
+    assert out[0].novelty == 1.0

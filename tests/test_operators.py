@@ -1682,3 +1682,32 @@ def test_dsir_keeps_exact_top_fraction_per_source(spark):
         assert sum(r.selected for r in rs) == k
         assert all(r.selected for r in rs[:k])
         assert not any(r.selected for r in rs[k:])
+
+
+def test_ngram_novelty_matches_brute_force(spark):
+    """Novelty fractions checked against Python-set 3-gram arithmetic,
+    including an exact-dup batch doc (novelty 0)."""
+    corpus_rows = [
+        (100, "alpha beta gamma delta epsilon"),
+        (101, "one two three four five six"),
+    ]
+    batch_rows = [
+        (1, "alpha beta gamma delta epsilon"),     # exact dup -> 0
+        (2, "alpha beta gamma new tail words"),    # partial overlap
+        (3, "totally fresh unseen token stream"),  # all novel -> 1
+        (4, "xx yy"),                              # < 3 tokens -> absent
+    ]
+    grams = lambda t: {
+        " ".join(t.split()[i:i + 3]) for i in range(len(t.split()) - 2)
+    }
+    seen = set().union(*(grams(t) for _, t in corpus_rows))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.ngram_novelty(corpus, batch).collect()}
+    assert sorted(out) == [1, 2, 3]
+    for i, t in batch_rows[:3]:
+        g = grams(t)
+        novel = len(g - seen)
+        assert out[i].n_grams == len(g)
+        assert out[i].n_novel == novel
+        assert out[i].novelty == pytest.approx(novel / len(g), abs=1e-12)
