@@ -1450,6 +1450,83 @@ def _dsir_oracle() -> str:
     """
 
 
+def _pack_bpe_oracle() -> str:
+    from spanner_jdbc_converter_spark.plans.etl import (
+        PACK_CAPACITY,
+        _PACK_SHARD_SQL,
+    )
+
+    seg = _bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
+    return f"""
+    WITH RECURSIVE seg AS MATERIALIZED ({seg}),
+    tk AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+    dw AS (SELECT doc_id, lang, w, COUNT(*) AS c
+           FROM (SELECT doc_id, lang, unnest(t) AS w FROM tk)
+           GROUP BY doc_id, lang, w),
+    f AS (SELECT doc_id, lang, {_PACK_SHARD_SQL} AS shard,
+                 CAST(SUM(c * seg.n_pieces) AS BIGINT) AS n_pieces
+          FROM dw JOIN seg USING (w) GROUP BY doc_id, lang),
+    t2 AS (SELECT doc_id, lang, shard, n_pieces,
+                  ROW_NUMBER() OVER (PARTITION BY lang, shard
+                                     ORDER BY doc_id) AS rn
+           FROM f),
+    p(doc_id, lang, shard, n_pieces, rn, bin_idx, bin_fill) AS (
+      SELECT doc_id, lang, shard, n_pieces, rn, CAST(0 AS BIGINT), n_pieces
+      FROM t2 WHERE rn = 1
+      UNION ALL
+      SELECT t2.doc_id, t2.lang, t2.shard, t2.n_pieces, t2.rn,
+             CASE WHEN p.bin_fill + t2.n_pieces > {PACK_CAPACITY}
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.bin_fill + t2.n_pieces > {PACK_CAPACITY}
+                  THEN t2.n_pieces ELSE p.bin_fill + t2.n_pieces END
+      FROM p JOIN t2 ON t2.lang = p.lang AND t2.shard = p.shard
+                    AND t2.rn = p.rn + 1)
+    SELECT doc_id, lang, shard, n_pieces, bin_idx, bin_fill FROM p
+    """
+
+
+@register("select_pack_bpe_sequences", oracle=_pack_bpe_oracle())
+def select_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-aware sequence packing: greedy next-fit into 512-PIECE
+    bins where each doc's length is its subword-piece count under the
+    corpus-learned BPE — the length that actually fills a model's
+    context window.  Word-count packing (select_pack_sequences)
+    under-fills bins for high-fertility sources; this is the packer a
+    training pipeline runs after tokenizer induction.
+
+    Scale: per-doc piece counts reduce (doc, word) occurrence counts
+    against the vocabulary-sized session-cached segmentation frame —
+    the corpus token stream is never joined row-by-row; packing reuses
+    the composite-sharded Arrow packer (lang × 16 hash shards).  The
+    oracle nests the segment unroll and walks the identical next-fit
+    recurrence per composite shard.  See
+    operators/selection.py::pack_token_sequences."""
+    from spanner_jdbc_converter_spark.operators import selection as sel
+    from spanner_jdbc_converter_spark.plans.etl import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = _bpe_frames(spark, sf_dir)[1]
+    dw = (
+        d.select("doc_id", "lang", F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = (
+        dw.join(seg.select("w", "n_pieces"), on="w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"))
+    )
+    out = sel.pack_token_sequences(
+        per, "lang", "n_pieces", "doc_id", PACK_CAPACITY, shards=PACK_SHARDS
+    )
+    return out.select(
+        "doc_id", "lang", "shard", "n_pieces", "bin_idx", "bin_fill"
+    )
+
+
 def _novelty_oracle() -> str:
     from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
     from spanner_jdbc_converter_spark.plans.extensions import _GRAMS_SQL
