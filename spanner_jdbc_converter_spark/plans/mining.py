@@ -1450,6 +1450,82 @@ def _dsir_oracle() -> str:
     """
 
 
+def _quality_drift_oracle() -> str:
+    from spanner_jdbc_converter_spark.plans.extensions import (
+        _quality_select_sql,
+    )
+
+    qb = "(c_batch + 1.0) / (nb + 10)"
+    pc = "(c_corpus + 1.0) / (nc + 10)"
+    return f"""
+    WITH f AS ({_quality_select_sql()}),
+    b AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_batch,
+                 LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS bin
+          FROM f),
+    h AS (SELECT bin, SUM(is_batch) AS c_batch,
+                 SUM(1 - is_batch) AS c_corpus
+          FROM b GROUP BY bin),
+    t AS (SELECT SUM(c_batch) AS nb, SUM(c_corpus) AS nc FROM h)
+    SELECT bin,
+           CAST(c_corpus AS BIGINT) AS c_corpus,
+           CAST(c_batch AS BIGINT) AS c_batch,
+           ROUND(({qb} - {pc})
+                * CAST(CAST(ROUND(ln(({qb}) / ({pc})), 6) AS DECIMAL(18,6))
+                       AS DOUBLE), 6) AS psi_term
+    FROM h CROSS JOIN t
+    """
+
+
+@register("validate_quality_drift", oracle=_quality_drift_oracle())
+def validate_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor for the quality-score
+    distribution of an incoming batch (every 5th doc) vs the corpus —
+    the standard "did this crawl's quality profile shift" check run
+    before a batch is accepted: per decile bin, add-one-smoothed shares
+    and the PSI term (q−p)·ln(q/p); Σ terms > 0.2 is the conventional
+    drift alarm.
+
+    Scale: quality and binning are expression-only; ONE 10-key grouped
+    count with map-side combine carries the whole corpus; totals ride a
+    broadcast one-row frame.  Parity: exact bin counts, IEEE-double
+    smoothed shares, ln rounded at 6 into DECIMAL before the product,
+    the term re-rounded at 6 into DECIMAL."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        (F.col("doc_id") % 5 == 0).alias("_b"),
+        F.col("text"),
+        tx.tokens("text").alias("__toks"),
+    ).select(
+        "_b",
+        F.least(
+            F.floor(
+                tx.quality_score_from_tokens("text", F.col("__toks")) * 10
+            ),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    h = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("c_batch"),
+        F.sum(F.when(F.col("_b"), 0).otherwise(1)).alias("c_corpus"),
+    )
+    t = h.agg(F.sum("c_batch").alias("nb"), F.sum("c_corpus").alias("nc"))
+    q = (F.col("c_batch") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(10)
+    ).cast("double")
+    p = (F.col("c_corpus") + F.lit(1)).cast("double") / (
+        F.col("nc") + F.lit(10)
+    ).cast("double")
+    lnr = F.round(F.log(q / p), 6).cast("decimal(18,6)")
+    return h.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("c_corpus"),
+        F.col("c_batch"),
+        F.round((q - p) * lnr.cast("double"), 6).alias("psi_term"),
+    )
+
+
 def _pack_bpe_oracle() -> str:
     from spanner_jdbc_converter_spark.plans.etl import (
         PACK_CAPACITY,
