@@ -1711,3 +1711,25 @@ def test_ngram_novelty_matches_brute_force(spark):
         assert out[i].n_grams == len(g)
         assert out[i].n_novel == novel
         assert out[i].novelty == pytest.approx(novel / len(g), abs=1e-12)
+
+
+def test_nb_frozen_model_scores_oov_with_exact_constant(spark):
+    """A doc made entirely of tokens unseen at training time must score
+    exactly n_tokens·lw_oov + prior — the frozen-model OOV contract the
+    streaming ingest path relies on."""
+    train = spark.createDataFrame(
+        [(0, "a b", "src0"), (1, "a a", "src1"), (2, "b c", "src1")],
+        "doc_id long, text string, source string",
+    )
+    weights, meta = tx.nb_model_frames(train)
+    m = meta.collect()[0]
+    new = spark.createDataFrame(
+        [(10, "zz yy xx")], "doc_id long, text string"
+    )
+    out = tx.nb_score_with_model(new, weights, meta).collect()[0]
+    # c_ref/c_rest = 0 for unseen tokens: lw_oov = ln(1/(2+3)) − ln(1/(4+3))
+    lw_oov = round(math.log(1 / 5), 6) - round(math.log(1 / 7), 6)
+    assert float(m.lw_oov) == pytest.approx(lw_oov, abs=1e-9)
+    exp = round(3 * lw_oov + float(m.prior), 6)
+    assert out.n_tokens == 3
+    assert out.nb_logodds == pytest.approx(exp, abs=1e-9)
