@@ -183,3 +183,70 @@ def profile_table(df: DataFrame, columns: dict[str, Column]) -> DataFrame:
     return wide.selectExpr(
         f"stack({n}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring (population stability index).
+# ---------------------------------------------------------------------------
+
+
+def quality_bin(col: Column) -> Column:
+    """Decile bin of a [0,1] score (1.0 clamps into the top bin)."""
+    return F.least(F.floor(col * 10), F.lit(9)).cast("long")
+
+
+def psi_terms(h: DataFrame) -> DataFrame:
+    """Append the PSI term to a decile histogram frame
+    ``(bin, c_corpus, c_batch)``: add-one-smoothed shares
+    q=(c_batch+1)/(nb+10), p=(c_corpus+1)/(nc+10) and
+    term = (q−p)·ln(q/p), ln rounded at 6 into DECIMAL before the
+    product (the corpus float-parity ladder), term re-rounded at 6.
+    Σ terms > 0.2 is the conventional drift alarm.
+
+    Scale: the histogram is ≤ 10 rows — totals ride a broadcast one-row
+    frame, everything downstream is metadata-sized."""
+    t = h.agg(F.sum("c_batch").alias("nb"), F.sum("c_corpus").alias("nc"))
+    q = (F.col("c_batch") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(10)
+    ).cast("double")
+    p = (F.col("c_corpus") + F.lit(1)).cast("double") / (
+        F.col("nc") + F.lit(10)
+    ).cast("double")
+    lnr = F.round(F.log(q / p), 6).cast("decimal(18,6)")
+    return h.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("c_corpus"),
+        F.col("c_batch"),
+        F.round((q - p) * lnr.cast("double"), 6).alias("psi_term"),
+    )
+
+
+def quality_psi(corpus: DataFrame, batch: DataFrame, col: str = "quality") -> DataFrame:
+    """One-row PSI summary of two score frames (corpus baseline vs an
+    incoming batch) — the streaming ingest's per-micro-batch drift
+    probe.  Bins each side, full-outer-joins the two ≤10-row
+    histograms with zero fill, sums the PSI terms.
+
+    Output: (n_corpus, n_batch, psi)."""
+    hc = corpus.select(quality_bin(F.col(col)).alias("bin")).groupBy(
+        "bin"
+    ).agg(F.count(F.lit(1)).alias("c_corpus"))
+    hb = batch.select(quality_bin(F.col(col)).alias("bin")).groupBy(
+        "bin"
+    ).agg(F.count(F.lit(1)).alias("c_batch"))
+    h = (
+        hc.join(hb, on="bin", how="full")
+        .select(
+            "bin",
+            F.coalesce("c_corpus", F.lit(0)).alias("c_corpus"),
+            F.coalesce("c_batch", F.lit(0)).alias("c_batch"),
+        )
+    )
+    return psi_terms(h).agg(
+        F.sum("c_corpus").cast("long").alias("n_corpus"),
+        F.sum("c_batch").cast("long").alias("n_batch"),
+        # DECIMAL sum: order-independent across the ≤10 terms
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("psi"),
+    )

@@ -1490,6 +1490,8 @@ def validate_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast one-row frame.  Parity: exact bin counts, IEEE-double
     smoothed shares, ln rounded at 6 into DECIMAL before the product,
     the term re-rounded at 6 into DECIMAL."""
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
     d = load_table(spark, sf_dir, "documents")
     b = d.select(
         (F.col("doc_id") % 5 == 0).alias("_b"),
@@ -1497,33 +1499,17 @@ def validate_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.tokens("text").alias("__toks"),
     ).select(
         "_b",
-        F.least(
-            F.floor(
-                tx.quality_score_from_tokens("text", F.col("__toks")) * 10
-            ),
-            F.lit(9),
-        )
-        .cast("long")
-        .alias("bin"),
+        vd.quality_bin(
+            tx.quality_score_from_tokens("text", F.col("__toks"))
+        ).alias("bin"),
     )
+    # one-scan conditional histogram (the two-frame form is
+    # operators/validate.py::quality_psi, used by the streaming ingest)
     h = b.groupBy("bin").agg(
         F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("c_batch"),
         F.sum(F.when(F.col("_b"), 0).otherwise(1)).alias("c_corpus"),
     )
-    t = h.agg(F.sum("c_batch").alias("nb"), F.sum("c_corpus").alias("nc"))
-    q = (F.col("c_batch") + F.lit(1)).cast("double") / (
-        F.col("nb") + F.lit(10)
-    ).cast("double")
-    p = (F.col("c_corpus") + F.lit(1)).cast("double") / (
-        F.col("nc") + F.lit(10)
-    ).cast("double")
-    lnr = F.round(F.log(q / p), 6).cast("decimal(18,6)")
-    return h.crossJoin(F.broadcast(t)).select(
-        "bin",
-        F.col("c_corpus"),
-        F.col("c_batch"),
-        F.round((q - p) * lnr.cast("double"), 6).alias("psi_term"),
-    )
+    return vd.psi_terms(h)
 
 
 def _pack_bpe_oracle() -> str:

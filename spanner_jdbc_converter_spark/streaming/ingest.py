@@ -107,6 +107,7 @@ def ingest_documents_near_dedup(
     boilerplate_spans_path: str | None = None,
     quality_model_path: str | None = None,
     quality_model_min: float = 0.0,
+    drift_report_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -156,6 +157,17 @@ def ingest_documents_near_dedup(
     vocabulary-sized parquet read per batch (cluster deployments would
     cache it); the batch never re-trains.
 
+    ``drift_report_path`` adds per-batch DRIFT MONITORING: before dedup,
+    the batch's quality-score decile histogram is compared to the
+    store's (operators/validate.py::quality_psi — add-one-smoothed PSI)
+    and one ``(batch_id, n_corpus, n_batch, psi)`` row is appended to
+    the report parquet; PSI > 0.2 is the conventional "this crawl's
+    profile shifted" alarm.  Monitoring only — the batch still ingests
+    (refusing data is a policy call the operator surfaces, not makes).
+    The first batch (empty store) has no baseline and records nothing;
+    the report is an execution log, not state — a replayed batch
+    appends another monitoring row (the STORE stays idempotent).
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
     idempotent (asserted in tests/test_streaming.py).
@@ -192,6 +204,18 @@ def ingest_documents_near_dedup(
             corpus = spark.read.parquet(store_path)
         else:
             corpus = spark.createDataFrame([], batch.schema)
+        if drift_report_path is not None and os.path.exists(store_path):
+            from spanner_jdbc_converter_spark.operators import validate as vd
+
+            report = vd.quality_psi(
+                corpus.select("quality"), batch.select("quality")
+            ).select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_corpus",
+                "n_batch",
+                "psi",
+            )
+            report.write.mode("append").parquet(drift_report_path)
         state = None
         if signature_store_path is not None and os.path.exists(signature_store_path):
             state = spark.read.parquet(signature_store_path)

@@ -587,3 +587,44 @@ def test_ingest_near_dedup_filters_with_frozen_nb_model(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42]
+
+
+def test_ingest_near_dedup_reports_quality_drift(spark, tmp_path):
+    """Per-batch PSI drift monitoring: batch 0 (empty store) records no
+    baseline row; batch 1's quality profile (degenerate short docs vs a
+    clean-store baseline) records one (batch_id, counts, psi) row with
+    a PSI above the 0.2 alarm."""
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # batch 0: 30-token docs with stopwords -> mid/high quality bins
+    clean = [
+        (50 + i, "the a of and to in is that " + " ".join(
+            f"w{i}{j:02d}" for j in range(22)), "en", "s0", 100)
+        for i in range(4)
+    ]
+    # batch 1: 3-token stopword-free docs -> low-quality bins
+    junk = [(60 + i, f"zz{i} yy{i} xx{i}", "en", "s1", 20) for i in range(4)]
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    report = str(tmp_path / "drift")
+    # one part-file per drop => one micro-batch per drop
+    spark.createDataFrame(clean, schema).repartition(1).write.parquet(
+        in_dir + "/f1.parquet"
+    )
+    spark.createDataFrame(junk, schema).repartition(1).write.parquet(
+        in_dir + "/f2.parquet"
+    )
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, drift_report_path=report,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(report).collect()
+    assert len(rows) == 1  # batch 0 had no baseline
+    r = rows[0]
+    assert r.n_batch == 4 and r.n_corpus == 4
+    assert r.psi > 0.2  # the junk batch trips the conventional alarm
