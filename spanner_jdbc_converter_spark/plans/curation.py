@@ -652,3 +652,65 @@ def report_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "short_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — the reproducible global training order.
+# ---------------------------------------------------------------------------
+
+#: epoch number folded into the hash so every epoch gets an independent
+#: but fully reproducible order
+_EPOCH = 1
+
+#: docs per output shard (fixed-size training files)
+_EPOCH_SHARD_DOCS = 128
+
+_EPOCH_KEY_SQL = md5_long_sql(
+    f"concat('epoch:{_EPOCH}:', CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "select_epoch_shuffle",
+    oracle=f"""
+    WITH r AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY {_EPOCH_KEY_SQL}, doc_id)
+                        - 1 AS epoch_pos
+               FROM documents)
+    SELECT doc_id,
+           CAST(epoch_pos AS BIGINT) AS epoch_pos,
+           CAST(epoch_pos // {_EPOCH_SHARD_DOCS} AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def select_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global epoch shuffle: every doc gets a reproducible
+    position in the epoch-seeded md5 order and a fixed-size shard
+    assignment (128 docs/shard) — the "same data order on every rerun,
+    different order every epoch" contract training pipelines need,
+    without `ORDER BY rand()` (irreproducible) or a global sort task.
+
+    Scale: the global rank rides selection.banded_rank — 64 uniform
+    hash bands with broadcast per-band offsets; the only exchange is
+    the band-keyed window shuffle, and no task ever sorts more than
+    one band.  Writing shard files is then a shard-keyed repartition.
+    The oracle replays the md5 order with one ROW_NUMBER."""
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    t = d.withColumn(
+        "_ek",
+        md5_long(
+            F.concat(
+                F.lit(f"epoch:{_EPOCH}:"), F.col("doc_id").cast("string")
+            )
+        ),
+    )
+    r = banded_rank(t, [], "_ek", "doc_id")
+    return r.select(
+        "doc_id",
+        (F.col("_rk") - 1).alias("epoch_pos"),
+        F.floor((F.col("_rk") - 1) / F.lit(_EPOCH_SHARD_DOCS))
+        .cast("long")
+        .alias("shard"),
+    )
