@@ -900,7 +900,18 @@ def nb_score_with_model(
 def nb_model_write(weights: DataFrame, meta: DataFrame, path: str) -> None:
     """Freeze an NB model to parquet (``<path>/weights`` vocabulary
     frame + ``<path>/meta`` one-row frame) for reuse by later jobs and
-    the streaming ingest path."""
+    the streaming ingest path.
+
+    Fails fast on a degenerate model: a training corpus where one class
+    has zero documents or zero tokens yields NULL prior/lw_oov
+    (ln(0) is NULL in Spark), and freezing that would silently filter
+    EVERY later batch to nothing."""
+    row = meta.collect()[0]  # one row by construction — trivial action
+    if row.prior is None or row.lw_oov is None:
+        raise ValueError(
+            "degenerate NB model: a class has zero documents or zero "
+            "tokens (prior/lw_oov is NULL) — check the reference label"
+        )
     weights.write.mode("overwrite").parquet(f"{path}/weights")
     meta.write.mode("overwrite").parquet(f"{path}/meta")
 

@@ -69,7 +69,7 @@ _GATE_PRIORITY = [
     "text_bpe_tokens_fingerprint",
     "dedup_fingerprint_groups",
     "dedup_connected_groups",
-    # (2) registered in r10 (the RULE above): the fourteen never-checked
+    # (2) registered in r10 (the RULE above): the nineteen never-checked
     # new entries take the tail slots, displacing copy_incremental_diff/
     # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
     # multimodal_wav_decode/multimodal_frame_sample/dedup_exact_rows/

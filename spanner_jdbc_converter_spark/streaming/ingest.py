@@ -151,18 +151,21 @@ def ingest_documents_near_dedup(
     (operators/text.py::nb_model_frames, written once from a labeled
     reference corpus with ``nb_model_write``); every batch doc is
     scored against the stored weights — tokens unseen at training time
-    get the model's exact OOV constant — and docs whose log-odds fall
-    below ``quality_model_min`` are dropped alongside the heuristic
-    quality filter, before decontamination and dedup.  The model is a
+    get the model's exact OOV constant, and a zero-token doc scores its
+    exact log-odds (the prior) rather than being silently dropped — and
+    docs whose log-odds fall below ``quality_model_min`` are dropped
+    alongside the heuristic quality filter, before decontamination and
+    dedup.  The model is a
     vocabulary-sized parquet read per batch (cluster deployments would
     cache it); the batch never re-trains.
 
-    ``drift_report_path`` adds per-batch DRIFT MONITORING: before dedup,
-    the batch's quality-score decile histogram is compared to the
-    store's (operators/validate.py::quality_psi — add-one-smoothed PSI)
-    and one ``(batch_id, n_corpus, n_batch, psi)`` row is appended to
-    the report parquet; PSI > 0.2 is the conventional "this crawl's
-    profile shifted" alarm.  Monitoring only — the batch still ingests
+    ``drift_report_path`` adds per-batch DRIFT MONITORING: the ARRIVING
+    batch's quality-score decile histogram — profiled but NOT yet
+    filtered, so a collapse below the quality_min cutoff is visible —
+    is compared to the store's (operators/validate.py::quality_psi,
+    add-one-smoothed PSI) and one ``(batch_id, n_corpus, n_batch,
+    psi)`` row is appended to the report parquet; PSI > 0.2 is the
+    conventional "this crawl's profile shifted" alarm.  Monitoring only — the batch still ingests
     (refusing data is a policy call the operator surfaces, not makes).
     The first batch (empty store) has no baseline and records nothing;
     the report is an execution log, not state — a replayed batch
@@ -183,19 +186,45 @@ def ingest_documents_near_dedup(
             batch_df = tx.scrub_spans(
                 batch_df, spark.read.parquet(boilerplate_spans_path)
             )
-        batch = (
-            tx.document_profile(batch_df)
-            .filter(F.col("quality") >= quality_min)
-            .select(*out_cols)
+        profiled = tx.document_profile(batch_df)
+        if drift_report_path is not None and os.path.exists(store_path):
+            # measured on the ARRIVING profile, before any filter — a
+            # post-filter PSI would be blind to a quality collapse the
+            # quality_min cutoff censors away
+            from spanner_jdbc_converter_spark.operators import validate as vd
+
+            report = vd.quality_psi(
+                spark.read.parquet(store_path).select("quality"),
+                profiled.select("quality"),
+            ).select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_corpus",
+                "n_batch",
+                "psi",
+            )
+            report.write.mode("append").parquet(drift_report_path)
+        batch = profiled.filter(F.col("quality") >= quality_min).select(
+            *out_cols
         )
         if quality_model_path is not None:
             weights, meta = tx.nb_model_read(spark, quality_model_path)
-            keep = (
-                tx.nb_score_with_model(batch, weights, meta)
-                .filter(F.col("nb_logodds") >= quality_model_min)
-                .select("doc_id")
+            scores = tx.nb_score_with_model(batch, weights, meta).select(
+                "doc_id", "nb_logodds"
             )
-            batch = batch.join(keep, "doc_id")
+            # LEFT join + prior fallback: a zero-token doc has no score
+            # rows (nothing to explode) but its log-odds IS the prior
+            # (s = 0) — decide on that, never silently drop
+            batch = (
+                batch.join(scores, on="doc_id", how="left")
+                .crossJoin(F.broadcast(meta.select("prior")))
+                .filter(
+                    F.coalesce(
+                        F.col("nb_logodds"), F.col("prior").cast("double")
+                    )
+                    >= quality_model_min
+                )
+                .drop("nb_logodds", "prior")
+            )
         if benchmark_spans_path is not None:
             batch = dd.filter_contaminated(
                 batch, spark.read.parquet(benchmark_spans_path)
@@ -204,18 +233,6 @@ def ingest_documents_near_dedup(
             corpus = spark.read.parquet(store_path)
         else:
             corpus = spark.createDataFrame([], batch.schema)
-        if drift_report_path is not None and os.path.exists(store_path):
-            from spanner_jdbc_converter_spark.operators import validate as vd
-
-            report = vd.quality_psi(
-                corpus.select("quality"), batch.select("quality")
-            ).select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                "n_corpus",
-                "n_batch",
-                "psi",
-            )
-            report.write.mode("append").parquet(drift_report_path)
         state = None
         if signature_store_path is not None and os.path.exists(signature_store_path):
             state = spark.read.parquet(signature_store_path)

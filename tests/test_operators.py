@@ -1733,3 +1733,15 @@ def test_nb_frozen_model_scores_oov_with_exact_constant(spark):
     exp = round(3 * lw_oov + float(m.prior), 6)
     assert out.n_tokens == 3
     assert out.nb_logodds == pytest.approx(exp, abs=1e-9)
+
+
+def test_nb_model_write_rejects_degenerate_model(spark, tmp_path):
+    """Freezing a model whose reference class has zero documents must
+    fail fast — a NULL prior would silently filter every later batch."""
+    train = spark.createDataFrame(
+        [(0, "a b", "crawl"), (1, "b c", "crawl")],
+        "doc_id long, text string, source string",
+    )
+    weights, meta = tx.nb_model_frames(train, reference="src0")
+    with pytest.raises(ValueError, match="degenerate NB model"):
+        tx.nb_model_write(weights, meta, str(tmp_path / "m"))

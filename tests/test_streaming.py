@@ -566,6 +566,7 @@ def test_ingest_near_dedup_filters_with_frozen_nb_model(spark, tmp_path):
         (40, good, "en", "s0", len(good)),
         (41, bad, "en", "s1", len(bad)),
         (42, oov, "en", "s2", len(oov)),
+        (43, "", "en", "s3", 0),  # zero tokens -> log-odds IS the prior
     ]
     in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
     spark.createDataFrame(rows, schema).write.parquet(in_dir + "/f1.parquet")
@@ -577,8 +578,10 @@ def test_ingest_near_dedup_filters_with_frozen_nb_model(spark, tmp_path):
     q.awaitTermination()
     # good doc scores positive; bad doc negative; the all-OOV doc sums
     # n_tokens * lw_oov + prior = 0 exactly (balanced classes, identical
-    # OOV constant both sides) -> kept at the default floor of 0.0
-    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42]
+    # OOV constant both sides) -> kept at the default floor of 0.0; the
+    # zero-token doc falls back to the prior (0 here) -> kept, not
+    # silently dropped by the scoring join
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42, 43]
 
     # replay with a fresh checkpoint: store unchanged
     q2 = ingest_documents_near_dedup(
@@ -586,7 +589,7 @@ def test_ingest_near_dedup_filters_with_frozen_nb_model(spark, tmp_path):
         quality_min=0.0, quality_model_path=model_path,
     )
     q2.awaitTermination()
-    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42]
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [40, 42, 43]
 
 
 def test_ingest_near_dedup_reports_quality_drift(spark, tmp_path):
