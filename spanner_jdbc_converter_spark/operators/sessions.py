@@ -179,3 +179,68 @@ def resample_ffill(
             F.last("bucket_sum", ignorenulls=True).over(w_fill).alias("filled_sum"),
         )
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    k_col: str = "_k",
+    h_col: str = "_h",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-sided upper CUSUM change detection per entity: walking each
+    entity's events in (ts, id) order, s_i = max(0, s_{i-1} + v_i − k);
+    an alarm fires while s exceeds h — the sequential change-point test
+    that catches a sustained mean SHIFT long before any single point
+    trips a z-score/MAD outlier rule.  ``k`` (slack) and ``h``
+    (decision interval) arrive as columns (broadcast one-row stats
+    frames upstream), so the recurrence itself is stats-free.
+
+    Scale: the recurrence is inherently sequential PER ENTITY — one
+    Arrow-batched applyInPandas group per entity, parallel across the
+    millions of entities a real stream has (the packer's argument,
+    operators/selection.py::pack_token_sequences).  Each step is plain
+    IEEE double arithmetic evaluated in the same order as the oracle's
+    recursive CTE, so values are bit-reproducible.
+
+    Output: (id, event, cusum RAW — callers round at 6 JVM-side for
+    cross-engine hashing — and alarm, decided on the raw value)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(event_col, T.LongType()),
+            T.StructField("cusum", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+
+    def _walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col, event_col])
+        k = float(pdf[k_col].iloc[0])
+        h = float(pdf[h_col].iloc[0])
+        s = 0.0
+        out, alarms = [], []
+        for v in pdf[value_col]:
+            s = max(0.0, s + float(v) - k)
+            # raw value out — rounding happens JVM-side (F.round is
+            # HALF_UP like the oracle's ROUND; python round() is
+            # banker's and would diverge at exact .5 boundaries)
+            out.append(s)
+            alarms.append(s > h)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                event_col: pdf[event_col].values,
+                "cusum": out,
+                "alarm": alarms,
+            }
+        )
+
+    cols = [id_col, event_col, ts_col, value_col, k_col, h_col]
+    return events.select(*cols).groupBy(id_col).applyInPandas(_walk, schema)

@@ -67,7 +67,6 @@ _GATE_PRIORITY = [
     "text_quality_scores",
     "text_lang_id",
     "text_bpe_tokens_fingerprint",
-    "dedup_fingerprint_groups",
     "dedup_connected_groups",
     # (2) registered in r10 (the RULE above): the nineteen never-checked
     # new entries take the tail slots, displacing copy_incremental_diff/
@@ -77,8 +76,9 @@ _GATE_PRIORITY = [
     # multimodal_feature_extract/sim_embedding_near_pairs_lsh/
     # dedup_simhash_near_pairs/sim_ivf_topk/sim_embedding_near_pairs/
     # sim_lsh_ann_topk/sim_topk_cosine/dedup_jaccard_pairs/
-    # dedup_lsh_candidates/dedup_minhash_signatures (all r6 — the
-    # histogram stays "nothing older than r6").
+    # dedup_lsh_candidates/dedup_minhash_signatures/
+    # dedup_fingerprint_groups (all r6 — the histogram stays "nothing
+    # older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
@@ -98,6 +98,7 @@ _GATE_PRIORITY = [
     "select_pack_bpe_sequences",
     "validate_quality_drift",
     "select_epoch_shuffle",
+    "events_cusum_alarms",
 ]
 
 

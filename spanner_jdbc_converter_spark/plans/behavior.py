@@ -662,3 +662,82 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(slope, 6).alias("slope_per_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point alarms — sequential mean-shift detection per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_alarms",
+    oracle="""
+    WITH RECURSIVE
+    st AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                    / COUNT(*) AS mean,
+                  CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE)
+                    / COUNT(*) AS m2
+           FROM events),
+    kh AS (SELECT ROUND(mean + 0.5 * sqrt(m2 - mean * mean), 6) AS k,
+                  ROUND(4 * sqrt(m2 - mean * mean), 6) AS h
+           FROM st),
+    r AS (SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+    p(user_id, event_id, rn, s) AS (
+      SELECT r.user_id, r.event_id, r.rn,
+             GREATEST(0.0, 0.0 + r.value - kh.k)
+      FROM r CROSS JOIN kh WHERE r.rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.rn,
+             GREATEST(0.0, p.s + r.value - kh.k)
+      FROM p JOIN r ON r.user_id = p.user_id AND r.rn = p.rn + 1
+      CROSS JOIN kh)
+    SELECT p.user_id, p.event_id, ROUND(p.s, 6) AS cusum,
+           p.s > kh.h AS alarm
+    FROM p CROSS JOIN kh
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM per user (k = μ + σ/2 slack, h = 4σ
+    decision interval from corpus moments): the sequential change-point
+    test that flags a SUSTAINED mean shift in an entity's value stream
+    — a drift no single point trips the z-score/MAD outlier rules on.
+
+    Parity: moments ride the DECIMAL(28,12) power-sum ladder (the
+    zscore convention), k/h round at 6, and the recurrence itself is
+    plain IEEE double arithmetic evaluated in the exact order the
+    oracle's recursive CTE replays — pandas float64 and DuckDB DOUBLE
+    are the same machine ops, so values match bit-for-bit before the
+    output round.  Scale: one stats agg broadcast back; the inherently
+    sequential walk runs as one Arrow group per user, parallel across
+    entities (the packer's argument).  See
+    operators/sessions.py::cusum_alarms."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    dec = "decimal(28,12)"
+    st = ev.agg(
+        (
+            F.sum(F.col("value").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    kh = st.select(
+        F.round(F.col("mean") + F.lit(0.5) * std, 6).alias("_k"),
+        F.round(F.lit(4) * std, 6).alias("_h"),
+    )
+    t = ev.crossJoin(F.broadcast(kh))
+    out = ss.cusum_alarms(t)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("cusum", 6).alias("cusum"),
+        "alarm",
+    )
