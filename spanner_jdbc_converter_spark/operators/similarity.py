@@ -401,3 +401,120 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact top-``k_candidates`` cosine matches,
+    greedily select ``k_select`` trading relevance against redundancy —
+    score(c) = 0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s), ties by
+    min id — the diversity-aware context selection a RAG / few-shot
+    training pipeline runs so near-duplicate passages don't crowd a
+    context window.
+
+    Scale: candidate recall is :func:`cosine_topk`'s contract (queries
+    broadcast, corpus scored in place, window top-k); the greedy walk
+    is inherently sequential PER QUERY over only k_candidates rows —
+    one tiny Arrow group per query, parallel across queries.  The
+    kernel's dots are explicit left-to-right folds over
+    double-upcast float32 elements, bit-identical to the SQL oracle's
+    list_sum fold; relevance and pairwise sims round at 6, then the
+    7:3 blend runs in EXACT integer micro-units (6-dp inputs blended
+    7:3 land precisely on 7th-decimal .5 boundaries where double
+    rounding diverges between engines) and the score emerges as the
+    exact division score_int / 1e7.
+
+    Output: (query_id, match_id, mmr_rank, relevance, mmr_score)."""
+    from pyspark.sql import types as T
+
+    cand = cosine_topk(queries, corpus, k_candidates, vec_col, id_col)
+    withvec = cand.join(
+        corpus.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("mv")
+        ),
+        on="match_id",
+    ).select("query_id", "match_id", "cosine", "mv")
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("match_id", T.LongType()),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+
+    def _fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def _round6(x):
+        # Spark's ROUND(double, 6): BigDecimal(shortest-repr) HALF_UP —
+        # python's round() is banker's and would diverge at .5 ties
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _cos(a, b):
+        import math
+
+        return _round6(
+            _fold_dot(a, b)
+            / (math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b)))
+        )
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rows = list(
+            pdf[["match_id", "cosine", "mv"]].itertuples(index=False)
+        )
+        rel = {r.match_id: float(r.cosine) for r in rows}
+        vec = {r.match_id: r.mv for r in rows}
+        qid = int(pdf["query_id"].iloc[0])
+        # EXACT integer micro-unit scoring: 6-dp inputs blended 7:3
+        # land precisely on 7th-decimal .5 boundaries, where double
+        # ROUND diverges between engines — integers never round
+        rel6 = {m: int(round(v * 1e6)) for m, v in rel.items()}
+        remaining = sorted(rel)
+        selected, out = [], []
+        while remaining and len(selected) < k_select:
+            best, best_score = None, None
+            for c in remaining:
+                pen6 = max(
+                    (
+                        int(round(_cos(vec[c], vec[s]) * 1e6))
+                        for s in selected
+                    ),
+                    default=0,
+                )
+                score = 7 * rel6[c] - 3 * pen6
+                if best is None or score > best_score or (
+                    score == best_score and c < best
+                ):
+                    best, best_score = c, score
+            selected.append(best)
+            remaining.remove(best)
+            out.append(
+                (qid, best, len(selected), rel[best], best_score / 1e7)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id", "match_id", "mmr_rank", "relevance", "mmr_score",
+            ],
+        )
+
+    return withvec.groupBy("query_id").applyInPandas(_greedy, schema)

@@ -1452,3 +1452,91 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.col("token_id").cast("long").alias("token_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking — the oracle unrolls the greedy rounds.
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(k_cand: int = 10, m: int = 5) -> str:
+    cos_ab = _cos_sql("ea.embedding", "eb.embedding")
+    ctes = [
+        f"""
+    cand0 AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             ROUND({_COS_SQL}, 6) AS rel
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 50 = 0),
+    cand AS MATERIALIZED (
+      SELECT query_id, match_id, rel,
+             CAST(ROUND(rel * 1000000) AS BIGINT) AS rel6
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, match_id) AS rn FROM cand0)
+      WHERE rn <= {k_cand}),
+    ps AS MATERIALIZED (
+      SELECT c1.query_id, c1.match_id AS a, c2.match_id AS b,
+             CAST(ROUND(ROUND({cos_ab}, 6) * 1000000) AS BIGINT) AS s6
+      FROM cand c1
+      JOIN cand c2 ON c1.query_id = c2.query_id
+                  AND c1.match_id <> c2.match_id
+      JOIN embeddings ea ON ea.vec_id = c1.match_id
+      JOIN embeddings eb ON eb.vec_id = c2.match_id),
+    sel1 AS (
+      SELECT query_id, match_id, rel, 7 * rel6 AS score, 1 AS mmr_rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, match_id) AS rn FROM cand)
+      WHERE rn = 1)"""
+    ]
+    prev = "sel1"
+    for t in range(2, m + 1):
+        ctes.append(f"""
+    rem{t} AS (SELECT c.* FROM cand c
+               WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                                 WHERE s.query_id = c.query_id
+                                   AND s.match_id = c.match_id)),
+    sc{t} AS (SELECT r.query_id, r.match_id, r.rel,
+                     7 * r.rel6 - 3 * MAX(ps.s6) AS score
+              FROM rem{t} r
+              JOIN {prev} s ON s.query_id = r.query_id
+              JOIN ps ON ps.query_id = r.query_id
+                     AND ps.a = r.match_id AND ps.b = s.match_id
+              GROUP BY r.query_id, r.match_id, r.rel, r.rel6),
+    pick{t} AS (SELECT query_id, match_id, rel, score, {t} AS mmr_rank
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, match_id) AS rn FROM sc{t})
+                WHERE rn = 1),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})""")
+        prev = f"sel{t}"
+    body = ",".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, match_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           rel AS relevance,
+           CAST(score AS DOUBLE) / 10000000 AS mmr_score
+    FROM {prev}
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking for the probe query set: from each
+    query's exact cosine top-10, greedily keep 5 trading relevance
+    against redundancy (0.7·rel − 0.3·max-sim-to-selected) — the
+    context-selection step that stops near-duplicate passages crowding
+    a RAG / few-shot window, where plain top-k happily returns five
+    copies of the same paragraph.
+
+    Scale: candidate recall is cosine_topk's plan contract; the greedy
+    walk is one tiny Arrow group per query (k_candidates rows),
+    parallel across queries.  The oracle unrolls all 5 greedy rounds
+    over MATERIALIZED candidate/pairwise-sim frames, replaying the
+    identical blend arithmetic and (score desc, id) tie-break.  See
+    operators/similarity.py::mmr_rerank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.mmr_rerank(queries, e, k_candidates=10, k_select=5)
+    return out.select(
+        "query_id", "match_id", "mmr_rank", "relevance", "mmr_score"
+    )

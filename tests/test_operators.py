@@ -1745,3 +1745,22 @@ def test_nb_model_write_rejects_degenerate_model(spark, tmp_path):
     weights, meta = tx.nb_model_frames(train, reference="src0")
     with pytest.raises(ValueError, match="degenerate NB model"):
         tx.nb_model_write(weights, meta, str(tmp_path / "m"))
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Plain top-2 would return the two near-identical vectors; MMR's
+    redundancy penalty must swap the near-twin for the diverse
+    equally-relevant candidate."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query (vec_id % 50 == 0)
+        (1, [0.95, 0.312, 0.0]),     # top relevance
+        (2, [0.95, 0.313, 0.0]),     # near-twin of 1 (sim ~1)
+        (3, [0.95, -0.312, 0.0]),    # same relevance, diverse from 1
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = d.filter(F.col("vec_id") % 50 == 0)
+    out = sim.mmr_rerank(q, d, k_candidates=3, k_select=2).collect()
+    picks = [r.match_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert picks[0] in (1, 2)        # rank 1 is pure relevance
+    assert picks[1] == 3             # rank 2 must be the DIVERSE one
+    assert all(r.mmr_score <= 0.7 * r.relevance + 1e-12 for r in out)
