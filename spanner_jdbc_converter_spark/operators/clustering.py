@@ -232,3 +232,49 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point-sampling k-center coreset (Gonzalez 1985): seed at
+    the min id, then k−1 rounds of "pick the point farthest (squared
+    L2) from every chosen center" — the classic 2-approximation whose
+    chosen set maximizes coverage diversity; the selection distances
+    are the corpus's coverage-radius curve.  Complements SemDedup
+    (which REMOVES redundancy) by SELECTING a maximally-spread
+    representative subset — coreset seeding for curriculum/eval-set
+    design.
+
+    Scale: k fixed driver rounds; each round is one broadcast-literal
+    distance map over the remaining points (running min via LEAST — no
+    recompute against all centers) plus a top-1 TakeOrdered reduction;
+    only k single rows ever reach the driver (planning-scale, the
+    delete-boundary precedent).  Distances ride the oracle-exact
+    left-fold :func:`_sq_dist`.
+
+    Output: (id, center_rank 1..k, mindist — the selection distance,
+    0.0 for the seed; raw IEEE doubles, deterministic)."""
+    pts = emb.select(F.col(id_col), F.col(vec_col))
+    seed = pts.orderBy(F.asc(id_col)).first()
+    centers = [(int(seed[id_col]), 1, 0.0)]
+    cvec = F.array(*[F.lit(float(x)) for x in seed[vec_col]])
+    cur = pts.filter(F.col(id_col) != seed[id_col]).withColumn(
+        "mind", _sq_dist(F.col(vec_col), cvec)
+    )
+    for t in range(2, k + 1):
+        row = cur.orderBy(F.desc("mind"), F.asc(id_col)).first()
+        if row is None:
+            break
+        centers.append((int(row[id_col]), t, float(row["mind"])))
+        cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+        cur = cur.filter(F.col(id_col) != row[id_col]).withColumn(
+            "mind", F.least(F.col("mind"), _sq_dist(F.col(vec_col), cvec))
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        centers, f"{id_col} long, center_rank long, mindist double"
+    )

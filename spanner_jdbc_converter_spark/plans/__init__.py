@@ -62,7 +62,6 @@ _GATE_PRIORITY = [
     "events_banded_range_join",
     "events_hypertable_rollup",
     "skew_salted_aggregation",
-    "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
     "text_bpe_tokens_fingerprint",
@@ -76,8 +75,8 @@ _GATE_PRIORITY = [
     # dedup_simhash_near_pairs/sim_ivf_topk/sim_embedding_near_pairs/
     # sim_lsh_ann_topk/sim_topk_cosine/dedup_jaccard_pairs/
     # dedup_lsh_candidates/dedup_minhash_signatures/
-    # dedup_fingerprint_groups/text_top_tokens (all r6 — the histogram
-    # stays "nothing older than r6").
+    # dedup_fingerprint_groups/text_top_tokens/text_token_stats (all
+    # r6 — the histogram stays "nothing older than r6").
     "dedup_semantic_clusters",
     "dedup_span_contamination",
     "dedup_benchmark_span_hits",
@@ -99,6 +98,7 @@ _GATE_PRIORITY = [
     "select_epoch_shuffle",
     "events_cusum_alarms",
     "sim_mmr_rerank",
+    "cluster_kcenter_coreset",
 ]
 
 

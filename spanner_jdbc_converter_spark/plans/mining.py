@@ -1649,3 +1649,63 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::dsir_importance."""
     d = load_table(spark, sf_dir, "documents")
     return tx.dsir_importance(d)
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset — farthest-point sampling, oracle unrolls the rounds.
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    def sq(e: str, c: str) -> str:
+        d = f"(CAST({e}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_transform(range(1, len({e}.embedding) + 1), "
+            f"i -> {d} * {d}), (a, b) -> a + b)"
+        )
+
+    ctes = [
+        """
+    c1 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    m1 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, {sq} AS mind
+      FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id <> c.vec_id)""".format(
+            sq=sq("e", "c")
+        )
+    ]
+    sels = ["SELECT vec_id, CAST(1 AS BIGINT) AS center_rank, 0.0 AS mindist FROM c1"]
+    for t in range(2, k + 1):
+        ctes.append(f"""
+    c{t} AS (SELECT * FROM m{t - 1} ORDER BY mind DESC, vec_id LIMIT 1)""")
+        sels.append(
+            f"SELECT vec_id, CAST({t} AS BIGINT), mind FROM c{t}"
+        )
+        if t < k:
+            ctes.append(
+                """
+    m{t} AS MATERIALIZED (
+      SELECT m.vec_id, m.embedding, LEAST(m.mind, {sq}) AS mind
+      FROM m{p} m CROSS JOIN c{t} c WHERE m.vec_id <> c.vec_id)""".format(
+                    t=t, p=t - 1, sq=sq("m", "c")
+                )
+            )
+    return "WITH " + ",".join(ctes) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@register("cluster_kcenter_coreset", oracle=_kcenter_oracle())
+def cluster_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point-sampling k-center coreset (8 centers, squared L2,
+    min-id seed): the maximally-spread representative subset + the
+    corpus coverage-radius curve — coreset seeding for curriculum and
+    eval-set design, the SELECTING complement to SemDedup's redundancy
+    REMOVAL.
+
+    Scale: 8 fixed driver rounds, each a broadcast-literal distance map
+    with a running LEAST min (never recomputed against all centers) and
+    one top-1 TakeOrdered reduction; only 8 single rows reach the
+    driver (planning-scale).  The oracle unrolls the identical rounds —
+    same left-fold squared distances, same (mind desc, id) argmax.
+    See operators/clustering.py::kcenter_coreset."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cl.kcenter_coreset(e, k=8)
