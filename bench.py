@@ -153,22 +153,21 @@ def main() -> None:
         "runs_per_query": BENCH_RUNS,
         "calibration_seconds": calibration,
         "queries": timings,
+        "cold_queries": cold,
+    }
+    if calibration > 0:
         # Machine-load-normalized warm medians (seconds / calibration
         # probe) — the unit regressions are adjudicated in, so history
         # files carry it precomputed (VERDICT r8 "Next round #4").
         # scripts/bench_compare.py diffs two history files on this.
-        "queries_normalized": {
+        # Guarded BEFORE building the dict: calibration == 0.0 must omit
+        # the key (routing bench_compare to its explicit "no calibration
+        # probe" SystemExit), not die on ZeroDivisionError mid-payload
+        # (ADVICE r10 low).
+        payload["queries_normalized"] = {
             k: (round(v / calibration, 3) if v >= 0 else -1.0)
             for k, v in timings.items()
-        },
-        "cold_queries": cold,
-    }
-    if calibration <= 0:
-        # A dead probe must ERROR downstream, not compare silently:
-        # bench_compare treats -1.0 entries as absent and would exit 0
-        # on an all--1.0 record; omitting the key routes it to the
-        # explicit "no calibration probe" SystemExit (ADVICE r9 low).
-        del payload["queries_normalized"]
+        }
     # The driver's recorded line truncates on long corpora; ALSO write the
     # full timing dict to a committed history file so every entry stays
     # comparable round-over-round (VERDICT r4 #7).  Overridable so local

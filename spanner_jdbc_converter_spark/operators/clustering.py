@@ -239,6 +239,7 @@ def kcenter_coreset(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _debug_rounds: list | None = None,
 ) -> DataFrame:
     """Farthest-point-sampling k-center coreset (Gonzalez 1985): seed at
     the min id, then k−1 rounds of "pick the point farthest (squared
@@ -256,25 +257,67 @@ def kcenter_coreset(
     delete-boundary precedent).  Distances ride the oracle-exact
     left-fold :func:`_sq_dist`.
 
+    The per-round frame is PERSISTED and the grandparent unpersisted
+    once its child is materialized, so round t's top-1 reduction reads
+    round t−1's cache — ONE pass over the survivors per round, scans
+    linear in k (VERDICT r10 #1: the unpersisted version replayed the
+    whole lineage every round, O(k²) source scans — the
+    graph.py::pagerank_fixed lineage-cut discipline).  At most two
+    survivor snapshots are cached at any moment.  Caching changes no
+    values: the expressions are identical, only recomputation is
+    avoided.
+
+    ``_debug_rounds`` (tests only): a list that receives each round's
+    survivor frame's FORMATTED physical-plan string, captured while the
+    predecessor is still persisted, so plan tests can lock the
+    cache-read shape (the frames themselves are unpersisted before
+    return, which would re-plan without the cache substitution).
+
     Output: (id, center_rank 1..k, mindist — the selection distance,
-    0.0 for the seed; raw IEEE doubles, deterministic)."""
+    0.0 for the seed; raw IEEE doubles, deterministic).  k larger than
+    the corpus returns one row per point; an empty corpus returns an
+    empty frame."""
+    spark = emb.sparkSession
+    schema = f"{id_col} long, center_rank long, mindist double"
     pts = emb.select(F.col(id_col), F.col(vec_col))
     seed = pts.orderBy(F.asc(id_col)).first()
+    if seed is None:
+        return spark.createDataFrame([], schema)
     centers = [(int(seed[id_col]), 1, 0.0)]
     cvec = F.array(*[F.lit(float(x)) for x in seed[vec_col]])
-    cur = pts.filter(F.col(id_col) != seed[id_col]).withColumn(
-        "mind", _sq_dist(F.col(vec_col), cvec)
+    cur = (
+        pts.filter(F.col(id_col) != seed[id_col])
+        .withColumn("mind", _sq_dist(F.col(vec_col), cvec))
+        .persist()
     )
-    for t in range(2, k + 1):
-        row = cur.orderBy(F.desc("mind"), F.asc(id_col)).first()
-        if row is None:
-            break
-        centers.append((int(row[id_col]), t, float(row["mind"])))
-        cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
-        cur = cur.filter(F.col(id_col) != row[id_col]).withColumn(
-            "mind", F.least(F.col("mind"), _sq_dist(F.col(vec_col), cvec))
-        )
-    spark = emb.sparkSession
-    return spark.createDataFrame(
-        centers, f"{id_col} long, center_rank long, mindist double"
-    )
+    prev: DataFrame | None = None
+    try:
+        for t in range(2, k + 1):
+            if _debug_rounds is not None:
+                jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+                _debug_rounds.append(cur._jdf.queryExecution().explainString(jmode))
+            # TakeOrdered touches every partition, so this action fully
+            # populates cur's cache — the predecessor is then safe to drop.
+            row = cur.orderBy(F.desc("mind"), F.asc(id_col)).first()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if row is None:
+                break
+            centers.append((int(row[id_col]), t, float(row["mind"])))
+            cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+            prev = cur
+            cur = (
+                cur.filter(F.col(id_col) != row[id_col])
+                .withColumn(
+                    "mind", F.least(F.col("mind"), _sq_dist(F.col(vec_col), cvec))
+                )
+                .persist()
+            )
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return spark.createDataFrame(centers, schema)

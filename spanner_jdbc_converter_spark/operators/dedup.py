@@ -213,6 +213,14 @@ def lsh_candidate_pairs(
     )
 
 
+#: Default posting-list cap for the exact pair kernels (jaccard_pairs /
+#: containment_pairs): shingles seen in more than this many docs (within
+#: a block) are boilerplate — they carry ~no pair signal but cost df² in
+#: the self-join.  Oracles f-string this constant so both engines cap
+#: identically.
+PAIRS_MAX_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -220,21 +228,42 @@ def jaccard_pairs(
     ngram: int = 3,
     block_cols: list[str] | None = None,
     threshold: float = 0.2,
+    max_df: int | None = PAIRS_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold for document pairs via an
     inverted index — never materializes the all-pairs space.
 
-    Plan shape: explode distinct shingles, each posting row carrying its
-    doc's distinct-shingle count as a window COUNT (the shingle window,
-    the dedup aggregate, and the count window all share the hash(id)
-    partitioning — ONE exchange produces the posting list) → self-join
-    postings on the shingle (+ optional block columns); the two sides
-    are identical subplans shuffled on the same key, so the exchange is
-    computed once and reused → count shared shingles per pair (= |A∩B|)
-    → J = i / (|A|+|B|-i) with the sizes already on the row.  Cost is
-    Σ_shingle df(shingle)² — proportional to actual overlap, not
-    |docs|²; rare shingles (the common case) contribute ~nothing.  This
-    is the 100 TB shape: no cross join, no second scan of the corpus.
+    Plan shape — ONE linear posting pipeline, so the self-join's two
+    sides are byte-identical subplans and the whole chain computes once
+    (ReusedExchange; the corpus is scanned at most twice — plan-locked):
+    explode distinct shingles (the shingle window and the dedup
+    aggregate share the hash(id) partitioning) → within-block df as a
+    window COUNT on the (shingle, blocks) partitioning → drop shingles
+    with df > ``max_df`` → per-doc post-cap set size as a window COUNT
+    back on the id partitioning → self-join on the shingle (+ optional
+    block columns) → count shared shingles per pair (= |A∩B|) →
+    J = i / (|A|+|B|-i) with the sizes already on the row.
+
+    The df window does buffer the hottest shingle's posting group in
+    one task before the cap filters it — LINEAR work with spill,
+    bounded by the hottest df, versus the QUADRATIC join that group
+    would otherwise cost; if the hottest df itself ever becomes
+    task-hostile (billions of docs sharing one shingle), the variant is
+    a map-side-combined groupBy df + broadcast anti-join, which drops
+    hot rows before any shingle shuffle but costs a second corpus scan
+    per branch.
+
+    Cost is Σ_shingle min-capped df² — proportional to actual overlap,
+    not |docs|².  ``max_df`` is what makes that claim hold on real
+    corpora (VERDICT r10 #4): ONE boilerplate-hot shingle (df in the
+    millions at 100 TB) would otherwise pay df² in the self-join even
+    with ``block_cols``; the cap is the :func:`verbatim_span_pairs`
+    [2, max_df] postings discipline.  Semantics stay self-consistent: a
+    capped shingle leaves the shingle UNIVERSE (both the intersection
+    and the per-doc set sizes), so the result is exact Jaccard over the
+    sub-``max_df`` vocabulary — hot boilerplate shingles carry ~no
+    dedup signal, and an oracle replays the identical cap.  Pass
+    ``max_df=None`` for the uncapped exact cross-check kernel.
 
     Requires threshold > 0: pairs sharing zero shingles never surface
     (their Jaccard is 0 by definition, so the result set is identical).
@@ -244,10 +273,11 @@ def jaccard_pairs(
     if threshold <= 0:
         raise ValueError("jaccard_pairs needs threshold > 0 (zero-overlap pairs never surface)")
     blocks = list(block_cols or [])
-    posts = (
-        shingle_rows(df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False)
-        .dropDuplicates([id_col, "__s"])
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    posts = shingle_rows(
+        df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False
+    ).dropDuplicates([id_col, "__s"])
+    posts = _cap_postings(posts, blocks, max_df).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -272,6 +302,24 @@ def jaccard_pairs(
     )
 
 
+def _cap_postings(posts: DataFrame, blocks: list[str], max_df: int | None) -> DataFrame:
+    """Drop posting rows whose shingle's within-block document frequency
+    exceeds ``max_df`` (None = no cap) — a window COUNT on the
+    (shingle, blocks) partitioning, keeping the pipeline LINEAR so the
+    downstream self-join's identical sides reuse one computed chain
+    (an aggregate+anti-join branch reads the corpus once per branch:
+    measured 8 parquet scans vs this shape's ≤ 2)."""
+    if max_df is None:
+        return posts
+    return (
+        posts.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__s", *blocks))
+        )
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -279,9 +327,10 @@ def containment_pairs(
     ngram: int = 3,
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
+    max_df: int | None = PAIRS_MAX_DF,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT for document pairs — |A∩B|/|A| and
-    |A∩B|/|B| — via the same one-exchange inverted index as
+    |A∩B|/|B| — via the same postings-bounded inverted index as
     :func:`jaccard_pairs`.  Containment catches what symmetric Jaccard
     structurally cannot: a short document quoted inside a long one has
     near-1 containment but tiny Jaccard (the union is dominated by the
@@ -290,7 +339,11 @@ def containment_pairs(
 
     Keeps pairs where EITHER direction ≥ threshold; both directions are
     emitted so the caller can tell container from contained.  Cost and
-    plan shape identical to jaccard_pairs (Σ df², no cross join).
+    plan shape identical to jaccard_pairs — Σ min-capped df², no cross
+    join, one linear posting chain reused by both self-join sides;
+    ``max_df`` drops boilerplate-hot shingles from the shingle universe
+    (intersection AND per-doc sizes — see jaccard_pairs; None =
+    uncapped).
 
     Output: id_a, id_b (id_a < id_b), containment_a (|A∩B|/|A|),
     containment_b (|A∩B|/|B|) — single exact-int divisions, bit-equal
@@ -298,10 +351,11 @@ def containment_pairs(
     if threshold <= 0:
         raise ValueError("containment_pairs needs threshold > 0")
     blocks = list(block_cols or [])
-    posts = (
-        shingle_rows(df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False)
-        .dropDuplicates([id_col, "__s"])
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    posts = shingle_rows(
+        df, text_col, id_col, ngram, extra_cols=blocks, fallback_to_text=False
+    ).dropDuplicates([id_col, "__s"])
+    posts = _cap_postings(posts, blocks, max_df).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

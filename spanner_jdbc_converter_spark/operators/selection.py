@@ -57,14 +57,19 @@ def leakage_safe_split(
     Pass either ``pairs`` (the near-dup pair graph; components are
     computed here) or a precomputed ``groups`` frame (id_col, group_id)
     — e.g. a session-cached :func:`dedup.connected_groups` result shared
-    with a components entry, so the expensive closure runs once."""
+    with a components entry, so the expensive closure runs once.  A
+    precomputed frame may key on either the caller's ``id_col`` or
+    ``connected_groups``' literal ``doc_id`` output column (ADVICE r10:
+    the hardcoded ``doc_id`` broke custom id_col + matching-keyed
+    groups)."""
     if groups is None:
         if pairs is None:
             raise ValueError("leakage_safe_split needs either pairs or groups")
         from spanner_jdbc_converter_spark.operators.dedup import connected_groups
 
         groups = connected_groups(pairs, id_a, id_b)
-    groups = groups.select(F.col("doc_id").alias(id_col), "group_id")
+    group_key = id_col if id_col in groups.columns else "doc_id"
+    groups = groups.select(F.col(group_key).alias(id_col), "group_id")
     anchored = df.select(id_col).join(groups, on=id_col, how="left").select(
         F.col(id_col),
         F.coalesce(F.col("group_id"), F.col(id_col)).alias("anchor_id"),

@@ -20,85 +20,76 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-10 window, derived verbatim from that proposal after
-# the r9 rounds were recorded, and tests/test_config.py asserts the
+# list is the round-11 window, derived verbatim from that proposal after
+# the r10 rounds were recorded, and tests/test_config.py asserts the
 # window stays consistent with the history):
-#   (0) all 19 entries whose last driver row is r5 — the stale tail
-#       VERDICT r9 "Next round #1" requires front-loaded (the r9 window
-#       was mistakenly NOT rotated, so these are 4 driver-rounds stale);
-#   (1) the oldest r6 entries, in proposal (registration) order, trimmed
+#   (0) all 39 entries whose last driver row is r6 — the stale tail
+#       (VERDICT r10 "Next round #3");
+#   (1) the oldest r7 entries, in proposal (registration) order, trimmed
 #       so the list is EXACTLY the 50-slot window — membership explicit,
 #       not positional.  After this window lands, nothing in the corpus
-#       is older than r6.
+#       is older than r7.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
 # entries of group (1)) and the final commit of the round re-runs the
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r5 (all 19 — the stale tail, proposal order)
-    "events_sessionization",
-    "events_markov_transitions",
-    "events_mad_outliers",
-    "events_hourly_resample_ffill",
-    "events_lag1_autocorr",
-    "events_session_features",
-    "events_seasonal_deviation",
-    "text_bm25_ranking",
-    "select_interleave_sources",
-    "join_copurchase_lift",
-    "agg_cms_heavy_hitters",
-    "agg_decile_binning",
-    "events_time_weighted_avg",
-    "graph_pagerank_brands",
-    "agg_incremental_rollup_merge",
-    "agg_cms_join_cardinality",
-    "join_bloom_prefilter",
-    "events_latest_per_user",
-    "agg_hll_hourly_users",
-    # (1) last driver row r6, proposal order
-    "q11_important_parts",
-    "grouping_sets_priority_status",
-    "events_banded_range_join",
-    "events_hypertable_rollup",
-    "skew_salted_aggregation",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_bpe_tokens_fingerprint",
-    "dedup_connected_groups",
-    # (2) registered in r10 (the RULE above): the nineteen never-checked
-    # new entries take the tail slots, displacing copy_incremental_diff/
-    # copy_merge_upsert/multimodal_video_decode/multimodal_pgm_decode/
-    # multimodal_wav_decode/multimodal_frame_sample/dedup_exact_rows/
-    # vector_column_stats/multimodal_media_summary/
-    # multimodal_feature_extract/sim_embedding_near_pairs_lsh/
-    # dedup_simhash_near_pairs/sim_ivf_topk/sim_embedding_near_pairs/
-    # sim_lsh_ann_topk/sim_topk_cosine/dedup_jaccard_pairs/
-    # dedup_lsh_candidates/dedup_minhash_signatures/
-    # dedup_fingerprint_groups/text_top_tokens/text_token_stats (all
-    # r6 — the histogram stays "nothing older than r6").
-    "dedup_semantic_clusters",
-    "dedup_span_contamination",
-    "dedup_benchmark_span_hits",
-    "select_leakage_safe_split",
-    "report_source_data_card",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_boilerplate_scrub",
-    "text_bigram_surprisal",
-    "sim_hard_negatives",
-    "text_tokenizer_fertility",
-    "text_bpe_encode",
-    "text_quality_classifier",
-    "select_dsir_importance",
-    "dedup_quality_keeper",
-    "text_ngram_novelty",
-    "select_pack_bpe_sequences",
-    "validate_quality_drift",
-    "select_epoch_shuffle",
-    "events_cusum_alarms",
-    "sim_mmr_rerank",
-    "cluster_kcenter_coreset",
+    # (0) last driver row r6 (all 39 — the stale tail, proposal order)
+    "text_top_tokens",
+    "text_token_stats",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "dedup_simhash_near_pairs",
+    "sim_topk_cosine",
+    "sim_lsh_ann_topk",
+    "sim_ivf_topk",
+    "sim_embedding_near_pairs",
+    "sim_embedding_near_pairs_lsh",
+    "multimodal_media_summary",
+    "multimodal_feature_extract",
+    "vector_column_stats",
+    "dedup_exact_rows",
+    "multimodal_frame_sample",
+    "multimodal_wav_decode",
+    "multimodal_pgm_decode",
+    "multimodal_video_decode",
+    "copy_incremental_diff",
+    "copy_merge_upsert",
+    "select_stratified_sample",
+    "select_token_budget",
+    "dedup_survivor_docs",
+    "sim_quantized_topk",
+    "pipeline_curate_report",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_user_totals",
+    "events_level_shift_detect",
+    "text_pii_scan_redact",
+    "select_length_bucketed_batches",
+    "profile_key_skew",
+    "reshape_unpivot_customer",
+    "profile_source_lang_entropy",
+    "graph_triangle_brands",
+    "window_percent_rank_scalable",
+    # (1) last driver row r7, proposal order (trimmed to fill 50)
+    "flagship_revenue_by_nation",
+    "s8_cardinality_probes",
+    "w6_delete_strategy_probe",
+    "p1_explicit_projection",
+    "p2_pk_only_projection",
+    "p4_composite_pk_range_scan",
+    "w5_ranged_delete_survivors",
+    "o1_o2_pk_ordered_chunk",
+    "o3_offset_pagination",
+    # (2) registered in r11 (the RULE above): never-checked entries take
+    # the tail slots, displacing the newest group-(1) r7 entries
+    # (q1_pricing_summary, then a4_row_size_estimate).
+    "sim_ann_recall_report",
+    "multimodal_png_decode",
 ]
 
 

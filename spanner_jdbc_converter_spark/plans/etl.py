@@ -30,10 +30,13 @@ from spanner_jdbc_converter_spark.operators import similarity as sim
 from spanner_jdbc_converter_spark.operators import text as tx
 from spanner_jdbc_converter_spark.operators import validate as vd
 from spanner_jdbc_converter_spark.plans.extensions import (
+    _COS_SQL,
     _GRAMS_SQL,
     _HASHES_SQL,
     _STOPWORDS_SQL,
     _TOKS_SQL,
+    _ann_bucket_sql,
+    _cos_sql,
     _lsh_band_exprs_sql,
     _minhash_sig_sql,
 )
@@ -332,6 +335,103 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.quantized_topk(queries, e, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+#: Recall grading depth — deeper than the entries' k=5 so boundary ties
+#: don't dominate the recall signal.
+_RECALL_K = 10
+
+_ANN_RECALL_ORACLE = f"""
+    WITH {_QCODES_SQL},
+    exact AS (
+      SELECT query_id, match_id
+      FROM (SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({_COS_SQL}, 6) DESC,
+                                               b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 50 = 0) t
+      WHERE rank <= {_RECALL_K}),
+    keyed AS (SELECT vec_id, unnest([{_ann_bucket_sql()}]) AS bucket
+              FROM embeddings),
+    lsh_cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+                 FROM keyed q JOIN keyed c USING (bucket)
+                 WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+    lsh_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND({_COS_SQL}, 6) DESC,
+                                               match_id) AS rank
+            FROM lsh_cand
+            JOIN embeddings a ON a.vec_id = query_id
+            JOIN embeddings b ON b.vec_id = match_id) t
+      WHERE rank <= {_RECALL_K}),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+              FROM embeddings WHERE vec_id % 100 = 1),
+    assign AS (SELECT e.vec_id, c.cent_id,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY ROUND({_cos_sql("e.embedding", "c.cvec")}, 6) DESC,
+                                 c.cent_id) AS r
+               FROM embeddings e CROSS JOIN cents c),
+    corp AS (SELECT vec_id AS match_id, cent_id FROM assign WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM assign
+               WHERE r <= 3 AND vec_id % 50 = 0),
+    ivf_cand AS (SELECT DISTINCT query_id, match_id
+                 FROM probes JOIN corp USING (cent_id)
+                 WHERE query_id <> match_id),
+    ivf_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND({_COS_SQL}, 6) DESC,
+                                               match_id) AS rank
+            FROM ivf_cand
+            JOIN embeddings a ON a.vec_id = query_id
+            JOIN embeddings b ON b.vec_id = match_id) t
+      WHERE rank <= {_RECALL_K}),
+    q_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY ROUND(CAST(list_sum(list_transform(
+                                range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))
+                              AS DOUBLE) * a.s * b.s / (a.l2 * b.l2), 6) DESC,
+                              b.vec_id) AS rank
+            FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 50 = 0) t
+      WHERE rank <= {_RECALL_K}),
+    un AS (SELECT 'ivf' AS method, query_id, match_id FROM ivf_top
+           UNION ALL SELECT 'lsh', query_id, match_id FROM lsh_top
+           UNION ALL SELECT 'quantized', query_id, match_id FROM q_top),
+    hits AS (SELECT method, count(*) AS n_hits
+             FROM un JOIN exact USING (query_id, match_id)
+             GROUP BY method),
+    tot AS (SELECT count(DISTINCT query_id) AS n_queries,
+                   count(*) AS n_exact
+            FROM exact),
+    methods AS (SELECT unnest(['ivf', 'lsh', 'quantized']) AS method)
+    SELECT m.method, t.n_queries, t.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact, 6) AS recall
+    FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot t
+"""
+
+
+@register("sim_ann_recall_report", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of all three approximate similarity paths (hyperplane
+    LSH, IVF, int8 quantization — each at its own entry's parameters)
+    against the exact brute-force top-10 for the probe query set — the
+    tuning number for tables/planes/nprobe that VERDICT r10 #5 flagged
+    as missing.  Every path is oracle-reproducible, so the recall itself
+    is deterministic: the oracle replays all four pipelines and the same
+    hit-join/ratio.  See operators/similarity.py::ann_recall_report."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return sim.ann_recall_report(queries, e, k=_RECALL_K)
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,61 @@ def test_ngram_novelty_empty_and_all_novel(spark):
     assert len(out) == 1
     assert out[0].n_grams == 2 and out[0].n_novel == 2
     assert out[0].novelty == 1.0
+
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def test_kcenter_coreset_empty_and_k_exceeds_corpus(spark):
+    """Empty corpus -> empty (id, rank, mindist) frame, no TypeError on
+    the missing seed (ADVICE r10); k > |corpus| -> one row per point,
+    ranks dense from 1."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = cl.kcenter_coreset(empty, k=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "center_rank", "mindist",
+    ]
+
+    three = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0])], EMB_SCHEMA
+    )
+    rows = cl.kcenter_coreset(three, k=10).orderBy("center_rank").collect()
+    assert [r.center_rank for r in rows] == [1, 2, 3]
+    assert {r.vec_id for r in rows} == {1, 2, 3}
+    # seed = min id; farthest-first: 3 (dist 4) before 2 (dist 1)
+    assert [r.vec_id for r in rows] == [1, 3, 2]
+    assert rows[0].mindist == 0.0 and rows[1].mindist == 4.0
+
+
+def test_mmr_rerank_empty_and_k_select_exceeds_candidates(spark):
+    """Empty queries/corpus -> empty frame with the contract schema;
+    k_select > available candidates -> all candidates selected, ranks
+    dense, no infinite loop."""
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], EMB_SCHEMA
+    )
+    out_cols = ["query_id", "match_id", "mmr_rank", "relevance", "mmr_score"]
+    for q, c in ((empty, pts), (pts, empty), (empty, empty)):
+        out = sim.mmr_rerank(q, c, k_candidates=5, k_select=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == out_cols
+
+    one_q = spark.createDataFrame([(7, [1.0, 0.0])], EMB_SCHEMA)
+    got = (
+        sim.mmr_rerank(one_q, pts, k_candidates=10, k_select=50)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.mmr_rank for r in got] == [1, 2, 3]
+    assert {r.match_id for r in got} == {1, 2, 3}

@@ -1764,3 +1764,64 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert picks[0] in (1, 2)        # rank 1 is pure relevance
     assert picks[1] == 3             # rank 2 must be the DIVERSE one
     assert all(r.mmr_score <= 0.7 * r.relevance + 1e-12 for r in out)
+
+
+def test_png_round_trip_all_filter_types():
+    """Encode → decode is an exact raster round trip; doc_ids 0..4 shift
+    the per-scanline filter cycle so every one of the five predictors
+    (None/Sub/Up/Average/Paeth) carries live data on some row."""
+    for doc_id in range(5):
+        w, h, rows = mm._synth_rgb_image(doc_id)
+        dw, dh, bpp, drows = mm._png_decode(mm._png_bytes(w, h, rows, doc_id))
+        assert (dw, dh, bpp) == (w, h, 3)
+        assert drows == rows
+
+
+def test_png_features_match_direct_compute(spark):
+    """The Spark decode path (attach → mapInPandas decode) agrees with a
+    driver-side recompute from the synthesis formula."""
+    df = spark.range(6).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: r
+        for r in mm.decode_png_features(mm.attach_png_payload(df)).collect()
+    }
+    for d in range(6):
+        w, h, rows = mm._synth_rgb_image(d)
+        r = got[d]
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert r.mean_px == round(sum(sum(x) for x in rows) / (w * h * 3), 6)
+        grad = sum(
+            abs(x[k + 3] - x[k]) for x in rows for k in range(w * 3 - 3)
+        )
+        assert r.grad_energy == grad
+
+
+def test_png_decode_rejects_malformed():
+    """Corrupt streams raise explicit ValueErrors: bad signature,
+    CRC-mismatched chunk, truncation, unsupported variants."""
+    import struct
+    import zlib
+
+    w, h, rows = mm._synth_rgb_image(2)
+    good = mm._png_bytes(w, h, rows, 2)
+    assert mm._png_decode(good)[0] == w
+    with pytest.raises(ValueError, match="signature"):
+        mm._png_decode(b"\x89PNX" + good[4:])
+    bad = bytearray(good)
+    bad[44] ^= 0xFF  # inside the IDAT body
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm._png_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mm._png_decode(good[:-5])
+    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    stream = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr16)
+        + mm._png_chunk(b"IDAT", zlib.compress(b""))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        mm._png_decode(stream)
+    no_end = good[: len(good) - 12]  # IEND chunk stripped
+    with pytest.raises(ValueError, match="IEND"):
+        mm._png_decode(no_end)

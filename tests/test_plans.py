@@ -674,3 +674,32 @@ def test_dsir_model_broadcast_and_banded_rank(spark, sf_dir):
     # with the reused per-doc frame checkpointed
     assert "F.broadcast(lw)" in src and "F.broadcast(ns)" in src
     assert "banded_rank(" in src and "_stage_checkpoint(per)" in src
+
+
+def test_kcenter_coreset_rounds_read_cache_not_lineage(spark):
+    """VERDICT r10 #1: every FPS round after the first must read the
+    PREDECESSOR round's persisted survivors (InMemoryTableScan), not
+    replay the whole lineage back to the source — unpersisted, round t
+    recomputed ALL prior rounds' distance maps from the source scan
+    (O(k²) scans; ~36 instead of 8 at k=8).  Scans stay linear in k iff
+    each round's plan is one pass over the cached predecessor."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("embedding"),
+    )
+    plans: list[str] = []
+    out = cl.kcenter_coreset(emb, k=5, _debug_rounds=plans)
+    assert out.count() == 5
+    assert len(plans) == 4  # rounds 2..5
+    # round 2's frame is the first persisted snapshot (built directly
+    # from the source); every LATER round must scan its predecessor's
+    # cache and never reach back to the source relation
+    for plan in plans[1:]:
+        assert "InMemoryTableScan" in plan, plan
+        assert "Scan ExistingRDD" not in plan and "Scan parquet" not in plan, plan

@@ -456,3 +456,34 @@ def test_dsir_importance_at_10x_skewed_sources(spark):
     for src, (k, n) in sorted(kept.items()):
         assert k == math.ceil(n * 0.25), (src, k, n)
     assert wall < 300, f"DSIR at 10x skewed took {wall:.0f}s"
+
+
+def test_jaccard_pairs_hot_shingle_bounded(spark):
+    """VERDICT r10 #4: ONE boilerplate-hot shingle must not explode the
+    pair join.  20k docs, otherwise pairwise-disjoint, half carrying the
+    same appended boilerplate sentence — uncapped, that single shingle
+    alone is a 10k²/2 ≈ 50M-row self-join; with the PAIRS_MAX_DF cap it
+    leaves the shingle universe and the run is posting-bounded.  Docs
+    0..199 are 100 identical twin pairs (i, i+100) whose signal rides
+    rare shingles — the cap must NOT cost them."""
+    from spanner_jdbc_converter_spark.operators.dedup import jaccard_pairs
+
+    n = 20_000
+    base = F.when(F.col("id") < 200, F.col("id") % 100).otherwise(F.col("id"))
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"t{s}"), base.cast("string")) for s in "abcde"]
+    )
+    hot = F.when(
+        F.col("id") % 2 == 0,
+        F.concat(uniq, F.lit(" zzhot1 zzhot2 zzhot3")),
+    ).otherwise(uniq)
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), hot.alias("text"))
+    t0 = time.time()
+    rows = jaccard_pairs(docs, threshold=0.2).collect()
+    wall = time.time() - t0
+    # twin pairs share the same parity (i vs i+100), hence identical text
+    assert sorted((r.id_a, r.id_b) for r in rows) == [
+        (i, i + 100) for i in range(100)
+    ]
+    assert all(r.jaccard == 1.0 for r in rows)
+    assert wall < 120, f"hot-shingle jaccard took {wall:.0f}s"
