@@ -705,6 +705,68 @@ def source_overlap_matrix(
 SPAN_NGRAM = 32
 SPAN_MAX_DF = 50
 
+#: Winnowing defaults (Schleimer-Wilkerson-Aiken 2003, the MOSS
+#: fingerprinter): 4-word grams, guarantee window 4 — any shared run of
+#: ≥ window + ngram − 1 = 7 words is GUARANTEED to share a fingerprint,
+#: at an expected density of 2/(window+1) ≈ 0.4 fingerprints per gram.
+WINNOW_NGRAM = 4
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = WINNOW_NGRAM,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003):
+    hash every word-``ngram``, slide a ``window`` of consecutive gram
+    hashes, keep each window's MINIMUM — the deduplicated minima are the
+    doc's fingerprint set.  Unlike whole-doc md5 (exact dup only) or
+    MinHash (similarity estimate), winnowing gives a POSITIONAL
+    guarantee: two docs sharing any run of ≥ window+ngram−1 words share
+    a fingerprint — the local-plagiarism/copy detector between
+    fingerprint_dedup's exactness and the 32-gram span family's
+    copy-evidence length.  Hash ties inside a window are resolved by
+    MIN over the 60-bit md5 value itself (cryptographically improbable
+    to tie), making the selection engine-agnostic.
+
+    Docs with at least one gram but fewer than ``window`` grams keep
+    the minimum over what they have (anchored at position 0), so short
+    docs still fingerprint; docs with < ngram tokens have no grams and
+    emit nothing.
+
+    Plan shape: the posexplode/lead shingle pass, the md5, BOTH window
+    functions (the sliding min+count and the per-doc total), and the
+    final per-doc dedup all ride ONE hash(id) exchange — zero extra
+    shuffles.  Output: (id_col, __h) distinct — the :func:`span_hashes`
+    contract, so :func:`verbatim_span_pairs` consumes it directly for
+    the postings-capped shared-fingerprint pair join."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    g = shingle_rows(
+        df, text_col, id_col, ngram, fallback_to_text=False, keep_pos=True
+    )
+    h = g.select(F.col(id_col), F.col("__pos"), md5_long(F.col("__s")).alias("__h"))
+    frame = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        h.select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.min("__h").over(frame).alias("__fp"),
+            F.count(F.lit(1)).over(frame).alias("__c"),
+            F.count(F.lit(1)).over(whole).alias("__t"),
+        )
+        .filter(
+            (F.col("__c") == window)
+            | ((F.col("__t") < window) & (F.col("__pos") == 0))
+        )
+        .select(F.col(id_col), F.col("__fp").alias("__h"))
+        .dropDuplicates([id_col, "__h"])
+    )
+
 
 def span_hashes(
     df: DataFrame,

@@ -203,9 +203,21 @@ def psi_terms(h: DataFrame) -> DataFrame:
     product (the corpus float-parity ladder), term re-rounded at 6.
     Σ terms > 0.2 is the conventional drift alarm.
 
-    Scale: the histogram is ≤ 10 rows — totals ride a broadcast one-row
-    frame, everything downstream is metadata-sized."""
+    All 10 decile bins are ALWAYS emitted (zero fill via a literal 0–9
+    frame): a bin absent from both inputs still carries a nonzero
+    smoothed term whenever the totals differ (q=1/(nb+10) ≠
+    p=1/(nc+10)), and omitting it understated the conventional
+    all-bins PSI — a marginally less sensitive alarm (ADVICE r10).
+
+    Scale: the histogram is exactly 10 rows — totals ride a broadcast
+    one-row frame, everything downstream is metadata-sized."""
     t = h.agg(F.sum("c_batch").alias("nb"), F.sum("c_corpus").alias("nc"))
+    bins = h.sparkSession.range(10).select(F.col("id").alias("bin"))
+    h = bins.join(h, on="bin", how="left").select(
+        "bin",
+        F.coalesce("c_corpus", F.lit(0)).alias("c_corpus"),
+        F.coalesce("c_batch", F.lit(0)).alias("c_batch"),
+    )
     q = (F.col("c_batch") + F.lit(1)).cast("double") / (
         F.col("nb") + F.lit(10)
     ).cast("double")

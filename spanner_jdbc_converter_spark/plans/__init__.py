@@ -82,14 +82,15 @@ _GATE_PRIORITY = [
     "p1_explicit_projection",
     "p2_pk_only_projection",
     "p4_composite_pk_range_scan",
-    "w5_ranged_delete_survivors",
-    "o1_o2_pk_ordered_chunk",
-    "o3_offset_pagination",
     # (2) registered in r11 (the RULE above): never-checked entries take
     # the tail slots, displacing the newest group-(1) r7 entries
-    # (q1_pricing_summary, then a4_row_size_estimate).
+    # (q1_pricing_summary, a4_row_size_estimate, o3_offset_pagination,
+    # o1_o2_pk_ordered_chunk, w5_ranged_delete_survivors).
     "sim_ann_recall_report",
     "multimodal_png_decode",
+    "text_pii_email_ip_redact",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -417,6 +417,116 @@ def dedup_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.verbatim_span_pairs(d, spans=_span_hash_frame(spark, sf_dir))
 
 
+#: Session cache for the winnowing fingerprint frame — shared by the
+#: two winnow entries below (same keying/eviction discipline as
+#: _SPAN_STORE above).
+_WINNOW_STORE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _winnow_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(_WINNOW_STORE, key, lambda df: df.unpersist())
+    hit = _WINNOW_STORE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, sf_dir, "documents")
+    fps = dd.winnow_fingerprints(d).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fps.count()  # materialize the one shingle+md5+window pass
+    except BaseException:
+        fps.unpersist()
+        raise
+    _WINNOW_STORE[key] = fps
+    return fps
+
+
+#: Winnowing oracle CTEs: k-gram hashes with positions, the sliding
+#: window-min selection, and the short-doc (grams < window) anchor —
+#: generated from the SAME constants as operators/dedup.py.
+_WINNOW_FPS_CTES = f"""
+    tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id, r.i AS pos,
+                 {md5_long_sql(f"array_to_string(t[i:i + {dd.WINNOW_NGRAM} - 1], ' ')")}
+                   AS h
+          FROM tk, unnest(range(1, len(t) - {dd.WINNOW_NGRAM} + 2)) AS r(i)),
+    win AS (SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {dd.WINNOW_WINDOW - 1} FOLLOWING) AS fp,
+                   COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {dd.WINNOW_WINDOW - 1} FOLLOWING) AS c,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS tot
+            FROM g),
+    s AS (SELECT DISTINCT doc_id, fp AS h FROM win
+          WHERE c = {dd.WINNOW_WINDOW}
+             OR (tot < {dd.WINNOW_WINDOW} AND pos = 1))
+"""
+
+
+@register(
+    "dedup_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES}
+    SELECT doc_id, h AS fp FROM s
+    """,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003 / MOSS):
+    per document, the deduplicated window-minima of its word-4-gram
+    hashes — a positional copy detector with the guarantee that any
+    shared ≥7-word run shares a fingerprint, at ~2/(w+1) the storage of
+    the full gram set.  The whole selection (shingle pass, md5, sliding
+    min, short-doc anchor, per-doc dedup) rides ONE hash(doc_id)
+    exchange and is replayed value-for-value by the oracle's window
+    SQL.  See operators/dedup.py::winnow_fingerprints."""
+    return _winnow_frame(spark, sf_dir).select(
+        "doc_id", F.col("__h").alias("fp")
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    n AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id),
+    el AS (SELECT h FROM s GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND {dd.SPAN_MAX_DF}),
+    p AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                 COUNT(*) AS shared_spans
+          FROM s sa JOIN s sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+          JOIN el ON el.h = sa.h
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.shared_spans,
+           na.n_spans AS n_spans_a, nb.n_spans AS n_spans_b,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / na.n_spans, 6) AS frac_a,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / nb.n_spans, 6) AS frac_b
+    FROM p JOIN n na ON na.doc_id = p.id_a
+           JOIN n nb ON nb.doc_id = p.id_b
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints, with shared counts
+    and per-side fractions — local plagiarism/copy detection at
+    ≥7-shared-words granularity, between near-dup Jaccard (whole-doc
+    similarity) and the 32-gram span family (copy-evidence length).
+
+    Scale: the fingerprint frame (session-cached, shared with
+    dedup_winnow_fingerprints) is ~0.4× the gram count; pairing is the
+    SAME postings-capped machinery as dedup_span_contamination
+    (verbatim_span_pairs with the winnow frame as the spans input) —
+    [2, SPAN_MAX_DF]-bounded posting lists, expression-only pair
+    expansion, never quadratic in boilerplate."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.verbatim_span_pairs(d, spans=_winnow_frame(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

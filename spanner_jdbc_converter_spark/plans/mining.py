@@ -1465,14 +1465,18 @@ def _quality_drift_oracle() -> str:
     h AS (SELECT bin, SUM(is_batch) AS c_batch,
                  SUM(1 - is_batch) AS c_corpus
           FROM b GROUP BY bin),
-    t AS (SELECT SUM(c_batch) AS nb, SUM(c_corpus) AS nc FROM h)
+    t AS (SELECT SUM(c_batch) AS nb, SUM(c_corpus) AS nc FROM h),
+    hh AS (SELECT a.bin, COALESCE(h.c_corpus, 0) AS c_corpus,
+                  COALESCE(h.c_batch, 0) AS c_batch
+           FROM (SELECT unnest(generate_series(0, 9)) AS bin) a
+           LEFT JOIN h USING (bin))
     SELECT bin,
            CAST(c_corpus AS BIGINT) AS c_corpus,
            CAST(c_batch AS BIGINT) AS c_batch,
            ROUND(({qb} - {pc})
                 * CAST(CAST(ROUND(ln(({qb}) / ({pc})), 6) AS DECIMAL(18,6))
                        AS DOUBLE), 6) AS psi_term
-    FROM h CROSS JOIN t
+    FROM hh CROSS JOIN t
     """
 
 

@@ -1825,3 +1825,29 @@ def test_png_decode_rejects_malformed():
     no_end = good[: len(good) - 12]  # IEND chunk stripped
     with pytest.raises(ValueError, match="IEND"):
         mm._png_decode(no_end)
+
+
+def test_winnow_fingerprints_guarantee_and_short_docs(spark):
+    """The winnowing guarantee: docs sharing a run of >= window+ngram-1
+    words share a fingerprint.  Short docs (>=1 gram but < window grams)
+    anchor one fingerprint; sub-ngram docs emit nothing; every
+    fingerprint is one of the doc's own gram minima (subset sanity)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five " + shared),
+            (2, shared + " xray yankee zulu omega kappa"),
+            (3, "p q r s t"),
+            (4, "u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.winnow_fingerprints(docs).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], set()).add(r["__h"])
+    assert by[1] & by[2], "8 shared words (>= w+k-1=7) must share a fingerprint"
+    assert len(by.get(3, set())) == 1  # 2 grams < window -> one anchored min
+    assert 4 not in by  # 3 tokens < ngram -> no grams, no fingerprints
+    # density: never more fingerprints than grams
+    assert len(by[1]) <= 5 + 8 - 3  # n_tokens - ngram + 1
