@@ -278,6 +278,74 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+_CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cusum", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def running_user_cusum(events: DataFrame, k: float, h: float) -> DataFrame:
+    """Custom stateful streaming operator #3: one-sided upper CUSUM
+    change-point detection per user — s_i = max(0, s_{i-1} + v_i − k),
+    alarm while s > h — via applyInPandasWithState.
+
+    This is the streaming twin of the BATCH entry events_cusum_alarms
+    (operators/sessions.py::cusum_alarms): the recurrence is inherently
+    sequential per entity, which a stream gets for free in arrival
+    order at O(1) state per key — (n, s), two numbers — where the batch
+    form pays one Arrow group per entity.  ``k`` (slack) and ``h``
+    (decision interval) arrive as plain floats: change detection runs
+    against a FROZEN baseline (computed batch-side from the corpus
+    moments), never against the drifting stream itself.  Rows within a
+    micro-batch fold in (ts, event_id) order so the walk is
+    deterministic and bit-identical to the batch recurrence on the same
+    data."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            for x in pdf.sort_values(["ts", "event_id"])["value"]:
+                s = max(0.0, s + float(x) - k)
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum": [s],
+                "alarm": [s > h],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # -- incremental sink -------------------------------------------------------
 
 

@@ -631,3 +631,65 @@ def test_ingest_near_dedup_reports_quality_drift(spark, tmp_path):
     r = rows[0]
     assert r.n_batch == 4 and r.n_corpus == 4
     assert r.psi > 0.2  # the junk batch trips the conventional alarm
+
+
+def test_running_user_cusum_stateful_matches_batch_walk(spark, sf_dir):
+    """The stateful streaming CUSUM (O(1) state per key) must land on
+    exactly the batch operator's final per-user cusum/alarm — the same
+    IEEE recurrence in the same (ts, event_id) order, so equality is
+    bitwise, not approximate."""
+    from pyspark.sql import Window
+
+    from spanner_jdbc_converter_spark.operators.sessions import cusum_alarms
+
+    ev = ops.load_events_batch(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    dec = "decimal(28,12)"
+    mean, m2 = ev.agg(
+        (F.sum(F.col("value").cast(dec)).cast("double") / F.count(F.lit(1))),
+        (
+            F.sum((F.col("value") * F.col("value")).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ),
+    ).first()
+    import math
+
+    sigma = math.sqrt(m2 - mean * mean)
+    k, h = round(mean + 0.5 * sigma, 6), round(4 * sigma, 6)
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.running_user_cusum(stream, k=k, h=h), "cusum_mem", output_mode="update"
+    )
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    final = {
+        r.user_id: (r.n_events, r.cusum, r.alarm)
+        for r in result.withColumn("_r", w).filter(F.col("_r") == 1).collect()
+    }
+
+    batch = cusum_alarms(
+        ev.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(k, h)], "_k double, _h double")
+            )
+        )
+    )
+    # batch output has no ts — join it back so "final step" is the true
+    # walk order (ts, event_id), not an event_id-correlates-with-ts guess
+    batch_ts = batch.join(ev.select("user_id", "event_id", "ts"), ["user_id", "event_id"])
+    wb = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    last = {
+        r.user_id: (r.cusum, r.alarm)
+        for r in batch_ts.withColumn("_r", wb).filter(F.col("_r") == 1).collect()
+    }
+    assert set(final) == set(last)
+    n_by_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for uid, (n, s, a) in final.items():
+        assert n == n_by_user[uid]
+        bs, ba = last[uid]
+        assert s == bs and a == ba, (uid, s, bs)
