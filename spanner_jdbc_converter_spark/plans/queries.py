@@ -915,3 +915,48 @@ def exists_suppliers_of_large_orders(spark: SparkSession, sf_dir: str) -> DataFr
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈fact join over STORAGE-BUCKETED copies: orders and
+    lineitem each materialize once as 8-bucket, per-bucket-sorted
+    managed tables hash-bucketed on the order key
+    (sources.py::ensure_bucketed), after which the orderkey merge join
+    runs with ZERO exchange — both sides scan pre-partitioned buckets
+    (the merge sorts remain: Spark cannot trust intra-bucket file
+    order, but they are partition-local CPU, not network).  At 100 TB
+    this is the
+    amortized answer to the one shuffle flagship_revenue_by_nation
+    still pays: lay the fact tables out once, every downstream
+    orderkey join is exchange-free (plan-locked in
+    tests/test_plans.py).  The merge hint only pins the join STRATEGY
+    so tiny test fixtures don't broadcast away the evidence;
+    co-location itself comes from the layout.  Values are identical to
+    the plain-parquet join — the oracle never sees the bucketed copies."""
+    from spanner_jdbc_converter_spark import sources as src
+
+    o = spark.table(src.ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(src.ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"))
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                "revenue",
+            ),
+        )
+    )

@@ -21,6 +21,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Lossless round-trip format for csv/json timestamps (UTC, µs).
@@ -87,6 +88,92 @@ def write_partitioned(
     columns (date buckets, region); high-cardinality partitioning
     creates the small-file problem ``compact`` exists to fix."""
     write_table(df, path, "parquet", mode=mode, partition_by=partition_cols)
+
+
+def bucketed_table_name(sf_dir: str, table: str, key: str, buckets: int) -> str:
+    """Managed-table name for one fixture table's bucketed copy.
+
+    Carries a content key (fixture path + the table parquet's
+    size/nanosecond-mtime — the media_store discipline) so a
+    regenerated fixture MISSES and rebuilds instead of serving stale
+    bucketed rows; sanitized to a valid lowercase SQL identifier."""
+    import hashlib
+    import re
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/") or sf_dir)
+    try:
+        st = os.stat(os.path.join(abs_dir, f"{table}.parquet"))
+        content = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        content = "absent"
+    h = hashlib.md5(f"{abs_dir}|{table}|{content}".encode()).hexdigest()[:10]
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(abs_dir).lower()) or "sf"
+    return f"bkt_{table}_{key}_{buckets}_{tag}_{h}"
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    buckets: int = 8,
+) -> str:
+    """Materialize (once) a hash-BUCKETED, per-bucket-SORTED managed
+    copy of a fixture table, keyed on the join column; returns the
+    table name.
+
+    Bucketing is the storage-level half of the co-located-join story:
+    both sides of a key-equi-join written with the same bucket count on
+    the join key scan as pre-partitioned inputs, so the join runs with
+    ZERO Exchange — at 100 TB this removes the single largest shuffle a
+    fact⋈fact join pays, and it amortizes: pay the layout once, every
+    downstream join on that key rides it.
+
+    The frame is repartitioned into ``buckets`` partitions ON the key
+    before the bucketed write: Spark's repartition and bucket
+    assignment use the same murmur3-pmod hash, so each task holds
+    exactly one bucket's rows and every bucket lands in ONE file.  The
+    per-bucket sortBy keeps the key clustered for row-group min/max
+    skipping and better compression (Spark still re-sorts merge-join
+    inputs — it cannot trust intra-bucket order across files — but
+    those sorts are partition-local CPU, not network).  Superseded
+    builds of the same (table, key, buckets, fixture-tag) are dropped
+    when a new content key builds."""
+    from spanner_jdbc_converter_spark.catalog import load_table
+
+    name = bucketed_table_name(sf_dir, table, key, buckets)
+    if not spark.catalog.tableExists(name):
+        # The default (non-Hive) catalog is in-memory per session, but
+        # managed-table LOCATIONS persist in the warehouse dir — and the
+        # bucket spec lives only in catalog metadata, so a previous
+        # session's directory is unusable as-is (registering it by path
+        # would silently lose the bucketing).  Clear this name's stale
+        # location and sweep superseded content keys of the same
+        # (table, key, buckets, fixture-tag), then rebuild: the layout
+        # pass is the price of one session-scoped repartition+write.
+        import glob
+        import shutil
+
+        prefix = name.rsplit("_", 1)[0] + "_"
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != name:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+        if os.path.isdir(wh_path):
+            for stale in glob.glob(os.path.join(wh_path, f"{prefix}*")):
+                shutil.rmtree(stale, ignore_errors=True)
+            shutil.rmtree(os.path.join(wh_path, name), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, table)
+            .repartition(buckets, F.col(key))
+            .write.bucketBy(buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return name
 
 
 def dir_bytes(path: str) -> int:

@@ -703,3 +703,23 @@ def test_kcenter_coreset_rounds_read_cache_not_lineage(spark):
     for plan in plans[1:]:
         assert "InMemoryTableScan" in plan, plan
         assert "Scan ExistingRDD" not in plan and "Scan parquet" not in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The storage-bucketing contract: both sides of the orderkey join
+    scan 8-bucket layouts, so the merge join needs NO Exchange on
+    either input — the only exchange in the whole plan is the 5-key
+    priority aggregation's.  (Per-bucket sort metadata does NOT elide
+    the merge-join sorts — Spark cannot trust intra-bucket order across
+    files — but the sorts are partition-local CPU, not network.)"""
+    import re
+
+    plan = _plan(spark, "join_bucketed_colocated", sf_dir)
+    assert "SortMergeJoin" in plan
+    # exactly ONE Exchange node in the whole plan — the groupBy's; the
+    # join inputs shuffle nothing (tree order puts the agg exchange
+    # ABOVE the join, so node-count, don't substring-split)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    # both scans really read the bucketed layout
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
