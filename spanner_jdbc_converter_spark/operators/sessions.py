@@ -244,3 +244,46 @@ def cusum_alarms(
 
     cols = [id_col, event_col, ts_col, value_col, k_col, h_col]
     return events.select(*cols).groupBy(id_col).applyInPandas(_walk, schema)
+
+
+def scd2_intervals(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction of a change stream:
+    per entity, collapse consecutive repeats of ``state_col`` and emit
+    one VALIDITY INTERVAL per state run — (valid_from = the run's first
+    event, valid_to = the next run's start, NULL while current).  The
+    standard warehouse build for "what was this entity's state at time
+    t" queries, and the interval side of an as-of join.
+
+    Plan shape: both windows — the lag that finds run starts and the
+    lead that closes each interval — ride the SAME (id) partitioning
+    ordered by (ts, seq), so the whole build is ONE exchange + two
+    partition-local window passes over it; nothing else shuffles.
+    Determinism: run boundaries compare exact values on a total
+    (ts, seq) order — no floats.
+
+    Output: (id_col, state_col, valid_from, valid_to, is_current)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    runs = (
+        events.select(id_col, ts_col, seq_col, state_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    return (
+        runs.withColumn("__to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(id_col),
+            F.col(state_col),
+            F.col(ts_col).alias("valid_from"),
+            F.col("__to").alias("valid_to"),
+            F.col("__to").isNull().alias("is_current"),
+        )
+    )

@@ -741,3 +741,47 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 6).alias("cusum"),
         "alarm",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals — change-stream compaction into state history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM r WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+    FROM runs
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event stream:
+    per user, consecutive repeats of event_type collapse into one
+    validity interval (valid_from, valid_to, is_current) — the
+    warehouse compaction that answers "what was this entity's state at
+    time t" and feeds the interval side of time joins.  Complements
+    events_latest_per_user (current state only) with the full state
+    HISTORY.
+
+    Scale: one hash(user_id) exchange; the run-start lag, the
+    interval-closing lead, and the filter between them are
+    partition-local passes on that ordering — nothing else shuffles.
+    Parity: boundaries compare exact (µs, event_id) totals; no floats.
+    See operators/sessions.py::scd2_intervals."""
+    ev = load_table(spark, sf_dir, "events")
+    return ss.scd2_intervals(ev)
