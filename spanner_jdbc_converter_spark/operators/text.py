@@ -1107,3 +1107,67 @@ def dsir_importance(
             <= F.ceil(F.col("_n") * F.lit(keep_frac)).cast("long")
         ).alias("selected"),
     )
+
+
+#: Mixed-language window width (tokens) — long enough that the stopword
+#: profiles get signal, short enough to localize a language switch.
+LANG_WINDOW = 32
+
+
+def mixed_lang_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = LANG_WINDOW,
+) -> DataFrame:
+    """Per-document language-consistency probe: language-ID every
+    ``window``-token slice independently, then report the majority
+    window language and the fraction of windows agreeing with it.
+    Whole-doc lang-id (text_lang_id) sees only the AGGREGATE stopword
+    profile — two languages concatenated (a scrape artifact, a quoted
+    translation, pasted boilerplate) still score as one; windowed
+    ID catches the switch, and consistency < 1 is the curation flag.
+
+    Plan shape: the token array stages once; the window slices are an
+    expression-only transform+posexplode (no shuffle); per-(doc, lang)
+    window counts and the majority argmax ride ONE hash(doc_id)
+    exchange (min_by over an exact (−count, lang) struct — ties break
+    to the alphabetically-first language, matching the oracle's window
+    rank).  Docs with zero tokens emit nothing.
+
+    Output: (id_col, majority_lang, n_majority, n_windows,
+    consistency — rounded 6)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_slices = F.floor((F.size("__toks") - 1) / window).cast("int")
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_slices),
+                lambda i: F.slice(F.col("__toks"), i * window + 1, window),
+            )
+        ).alias("__wt"),
+    )
+    per = (
+        wins.select(F.col(id_col), lang_id_from_tokens(F.col("__wt")).alias("win_lang"))
+        .groupBy(id_col, "win_lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = per.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("win_lang"), F.col("__c")),
+            F.struct((-F.col("__c")).alias("nc"), F.col("win_lang")),
+        ).alias("__m"),
+        F.sum("__c").alias("n_windows"),
+    )
+    return top.select(
+        F.col(id_col),
+        F.col("__m.win_lang").alias("majority_lang"),
+        F.col("__m.__c").alias("n_majority"),
+        F.col("n_windows"),
+        F.round(
+            F.col("__m.__c").cast("double") / F.col("n_windows"), 6
+        ).alias("consistency"),
+    )

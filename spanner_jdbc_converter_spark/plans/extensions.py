@@ -170,6 +170,45 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_mixed_lang_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    w AS (SELECT doc_id,
+                 t[r.i * {tx.LANG_WINDOW} + 1 : r.i * {tx.LANG_WINDOW}
+                   + {tx.LANG_WINDOW}] AS t2
+          FROM toks,
+               unnest(range(0, (len(t) - 1) // {tx.LANG_WINDOW} + 1)) AS r(i)
+          WHERE len(t) > 0),
+    s AS (SELECT doc_id, {_lang_score_sql()}
+          FROM (SELECT doc_id, t2 AS t FROM w)),
+    l AS (SELECT doc_id, {_lang_case_sql()} AS win_lang FROM s),
+    per AS (SELECT doc_id, win_lang, COUNT(*) AS c FROM l GROUP BY 1, 2),
+    top AS (SELECT doc_id, win_lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, win_lang) AS rk,
+                   SUM(c) OVER (PARTITION BY doc_id) AS n_windows
+            FROM per)
+    SELECT doc_id, win_lang AS majority_lang,
+           CAST(c AS BIGINT) AS n_majority,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           ROUND(c / CAST(n_windows AS DOUBLE), 6) AS consistency
+    FROM top WHERE rk = 1
+    """,
+)
+def text_mixed_lang_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: language-ID every 32-token window
+    independently and report the majority language + the fraction of
+    windows agreeing with it — whole-doc lang-id scores concatenated
+    languages (scrape artifacts, pasted translations) as ONE profile,
+    and consistency < 1 is the curation flag it cannot raise.  Window
+    slicing is expression-only; counts and the (−count, lang) argmax
+    ride one doc_id exchange.  See
+    operators/text.py::mixed_lang_windows."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.mixed_lang_windows(d)
+
+
 _BPE_PATTERN_SQL = tx.BPE_ISH_PATTERN.replace("'", "''")
 _FP64_SQL = md5_long_sql(r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))")
 

@@ -1713,3 +1713,113 @@ def cluster_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/clustering.py::kcenter_coreset."""
     e = load_table(spark, sf_dir, "embeddings")
     return cl.kcenter_coreset(e, k=8)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level bigram association strength.
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count for the PMI ranking — below this, PMI degenerates
+#: to a rare-pair detector (a hapax bigram of two hapax words maxes it).
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        AS bigram
+      FROM tk
+    ),
+    c2t AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+    c1t AS (SELECT w, COUNT(*) AS c1
+            FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+    tot AS (SELECT (SELECT SUM(c1) FROM c1t) AS n1,
+                   (SELECT SUM(c2) FROM c2t) AS n2),
+    j AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2, c2,
+             ca.c1 AS ca, cb.c1 AS cb
+      FROM c2t
+      JOIN c1t ca ON string_split(bigram, ' ')[1] = ca.w
+      JOIN c1t cb ON string_split(bigram, ' ')[2] = cb.w
+      WHERE c2 >= {PMI_MIN_COUNT}
+    ),
+    p AS (
+      SELECT w1, w2, c2,
+             ROUND(ln((CAST(c2 AS DOUBLE) / n2)
+                      / ((CAST(ca AS DOUBLE) / n1)
+                         * (CAST(cb AS DOUBLE) / n1))), 6) AS pmi
+      FROM j CROSS JOIN tot
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM p)
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS c2, pmi, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information —
+    PMI(w1,w2) = ln(P(w1 w2) / (P(w1)·P(w2))) with a ≥5-count support
+    floor: the association-strength ranking (Church & Hanks 1990) that
+    surfaces multiword units where raw bigram counts (text_bigram_stats)
+    just surface frequent words.
+
+    Scale: both count frames are vocabulary-sized with map-side combine;
+    the two unigram attachments are broadcast joins; totals ride a
+    broadcast one-row frame; the top-20 window sorts the (floored)
+    bigram vocabulary, never the corpus.  Parity: exact-integer counts;
+    the probability ratio is a fixed-order IEEE expression and the ln
+    rounds at 6 (the corpus ladder), so the rank ordering — rounded pmi
+    desc, then words — is engine-identical."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").select(
+        tx.tokens("text").alias("__toks")
+    )
+    c2 = (
+        d.select(
+            F.explode(tx.word_ngrams_from_tokens(F.col("__toks"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        d.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = c1.agg(F.sum("c1").alias("n1")).crossJoin(
+        F.broadcast(c2.agg(F.sum("c2").alias("n2")))
+    )
+    ca = c1.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    cb = c1.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    j = (
+        c2.filter(F.col("c2") >= PMI_MIN_COUNT)
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+            "c2",
+        )
+        .join(F.broadcast(ca), on="w1")
+        .join(F.broadcast(cb), on="w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c2").cast("double") / F.col("n2"))
+            / (
+                (F.col("ca").cast("double") / F.col("n1"))
+                * (F.col("cb").cast("double") / F.col("n1"))
+            )
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        j.select("w1", "w2", "c2", pmi.alias("pmi"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("w1", "w2", "c2", "pmi", "rank")
+    )
