@@ -785,3 +785,77 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/sessions.py::scd2_intervals."""
     ev = load_table(spark, sf_dir, "events")
     return ss.scd2_intervals(ev)
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution — conversions credited to the earliest touch
+# inside a lookback window.
+# ---------------------------------------------------------------------------
+
+#: Attribution lookback, µs (24 h).
+ATTRIBUTION_WINDOW_US = 86_400_000_000
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+               FROM events),
+    a AS (
+      SELECT user_id, event_id, us, event_type,
+             MIN(CASE WHEN event_type IN ('click', 'view')
+                      THEN printf('%020d:%012d:%s', us, event_id, event_type)
+                 END) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN {ATTRIBUTION_WINDOW_US} PRECEDING
+                                      AND 1 PRECEDING) AS k
+      FROM e
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           CAST(string_split(k, ':')[2] AS BIGINT) AS touch_event_id,
+           string_split(k, ':')[3] AS touch_type,
+           us - CAST(string_split(k, ':')[1] AS BIGINT) AS lag_us
+    FROM a
+    WHERE event_type = 'purchase' AND k IS NOT NULL
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the user's
+    EARLIEST click/view in the preceding 24 h (strictly before the
+    purchase instant) — the marketing-attribution join that naive
+    formulations write as a per-user range self-join.
+
+    Plan shape: ONE hash(user_id) exchange; the lookback is a
+    RANGE-frame window over exact epoch-µs, and the "earliest touch"
+    is a MIN over a zero-padded (µs, event_id, type) string key — a
+    total lexicographic order both engines compare byte-identically,
+    so ties at the same microsecond break on event_id.  No self-join,
+    no row explosion; purchases without a touch in range drop out.
+
+    Output: (user_id, purchase_event_id, touch_event_id, touch_type,
+    lag_us — exact integer µs)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_type",
+    )
+    key = F.format_string("%020d:%012d:%s", F.col("us"), F.col("event_id"), F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTRIBUTION_WINDOW_US, -1)
+    )
+    touch = F.min(
+        F.when(F.col("event_type").isin("click", "view"), key)
+    ).over(w)
+    a = ev.withColumn("k", touch).filter(
+        (F.col("event_type") == "purchase") & F.col("k").isNotNull()
+    )
+    parts = F.split(F.col("k"), ":")
+    return a.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        parts.getItem(1).cast("long").alias("touch_event_id"),
+        parts.getItem(2).alias("touch_type"),
+        (F.col("us") - parts.getItem(0).cast("long")).alias("lag_us"),
+    )

@@ -1851,3 +1851,25 @@ def test_winnow_fingerprints_guarantee_and_short_docs(spark):
     assert 4 not in by  # 3 tokens < ngram -> no grams, no fingerprints
     # density: never more fingerprints than grams
     assert len(by[1]) <= 5 + 8 - 3  # n_tokens - ngram + 1
+
+
+def test_png_decode_grayscale_color_type_0():
+    """The decoder's grayscale (color type 0, bpp=1) branch: a hand-built
+    4x2 PNG with one None-filtered and one Up-filtered scanline decodes
+    to the exact raster."""
+    import struct
+    import zlib
+
+    rows = [bytes([0, 10, 20, 30]), bytes([40, 50, 60, 70])]
+    raw = bytes([0]) + rows[0]  # filter None
+    raw += bytes([2]) + bytes((rows[1][i] - rows[0][i]) & 255 for i in range(4))  # Up
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    stream = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    w, h, bpp, out = mm._png_decode(stream)
+    assert (w, h, bpp) == (4, 2, 1)
+    assert out == rows
