@@ -723,3 +723,41 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert len(exchanges) == 1, plan
     # both scans really read the bucketed layout
     assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+
+
+def test_winnow_fingerprints_single_exchange(spark, sf_dir):
+    """The winnowing pipeline promise: shingles, md5, BOTH window
+    functions, and the per-doc dedup all ride one hash(doc_id)
+    exchange; no join anywhere."""
+    head = _plan(spark, "dedup_winnow_fingerprints", sf_dir).split("\n\n")[0]
+    assert head.count("Exchange") <= 2  # the one shuffle (+AQE wrapper)
+    assert "Join" not in head
+    assert "CartesianProduct" not in head
+
+
+def test_first_touch_attribution_no_self_join(spark, sf_dir):
+    """Attribution is ONE range-frame window on one user_id exchange —
+    never the per-user range self-join naive formulations write."""
+    head = _plan(spark, "events_first_touch_attribution", sf_dir).split("\n\n")[0]
+    assert "Join" not in head
+    assert head.count("Exchange") <= 2
+    assert "Window" in head
+
+
+def test_scd2_two_windows_one_exchange(spark, sf_dir):
+    """SCD2's run-start lag and interval-closing lead share the (user)
+    partitioning: two Window nodes, one exchange, no join."""
+    head = _plan(spark, "events_scd2_intervals", sf_dir).split("\n\n")[0]
+    assert head.count("Window") >= 2
+    assert head.count("Exchange") <= 2
+    assert "Join" not in head
+
+
+def test_ann_recall_exact_set_broadcast_no_cartesian(spark, sf_dir):
+    """The recall report's hit-join takes the tiny exact top-k set
+    broadcast; nothing in the union of three approximate pipelines may
+    degenerate to a cartesian/nested-loop product (the scoring
+    crossJoins are all broadcast-one-side by construction)."""
+    plan = _plan(spark, "sim_ann_recall_report", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
