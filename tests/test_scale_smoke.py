@@ -539,3 +539,28 @@ def test_cusum_alarms_at_10x_entities(spark):
     assert len(set(per_copy.values())) == 1  # every copy walks identically
     assert sum(v[0] for v in per_copy.values()) == COPIES * ev.count()
     assert wall < 300, f"CUSUM at 10x entities took {wall:.0f}s"
+
+
+def test_winnow_pairs_at_10x(spark):
+    """Winnowing at 10×: the fingerprint pass is linear (one doc_id
+    exchange) and the pair join stays postings-capped — replicas are
+    exact dups, so every base doc's twin set shares ALL fingerprints
+    and pair output is bounded by the [2, SPAN_MAX_DF] posting cap."""
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        verbatim_span_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = _scaled_docs(spark)
+    t0 = time.time()
+    fps = winnow_fingerprints(docs)
+    pairs = verbatim_span_pairs(docs, spans=fps)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    assert n_pairs > 0  # replicas guarantee shared fingerprints
+    bad = pairs.filter(
+        (F.col("frac_a") <= 0) | (F.col("frac_a") > 1)
+        | (F.col("frac_b") <= 0) | (F.col("frac_b") > 1)
+    ).count()
+    assert bad == 0
+    assert wall < 300, f"winnow pairs at 10x took {wall:.0f}s"
