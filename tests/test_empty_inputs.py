@@ -280,3 +280,43 @@ def test_mmr_rerank_empty_and_k_select_exceeds_candidates(spark):
     )
     assert [r.mmr_rank for r in got] == [1, 2, 3]
     assert {r.match_id for r in got} == {1, 2, 3}
+
+
+def test_scd2_and_attribution_empty(spark):
+    from spanner_jdbc_converter_spark.operators.sessions import scd2_intervals
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], ev_schema)
+    out = scd2_intervals(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "event_type", "valid_from", "valid_to", "is_current",
+    ]
+
+
+def test_mixed_lang_windows_empty_and_short(spark):
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert tx.mixed_lang_windows(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, "the of and", "s")], DOC_SCHEMA
+    )
+    rows = tx.mixed_lang_windows(docs).collect()
+    # zero-token doc emits nothing; the 3-token doc is one consistent window
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.doc_id, r.majority_lang, r.n_windows, r.consistency) == (2, "en", 1, 1.0)
+
+
+def test_winnow_fingerprints_empty(spark):
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    assert dd.winnow_fingerprints(spark.createDataFrame([], DOC_SCHEMA)).count() == 0
