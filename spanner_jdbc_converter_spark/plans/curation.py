@@ -819,3 +819,80 @@ def select_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — quality-banded training order without a global sort.
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_key_sql() -> str:
+    from spanner_jdbc_converter_spark.plans.extensions import _quality_select_sql
+
+    m = md5_long_sql("'curriculum:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH f AS ({_quality_select_sql()}),
+    b AS (SELECT doc_id,
+                 LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS decile,
+                 {m} AS m
+          FROM f),
+    r AS (SELECT doc_id, decile,
+                 ROW_NUMBER() OVER (
+                   ORDER BY (9 - decile) * {1 << 56} + (m >> 4), doc_id) - 1
+                   AS pos
+          FROM b)
+    """
+
+
+@register(
+    "select_curriculum_order",
+    oracle=f"""
+    {_curriculum_key_sql()}
+    SELECT doc_id, decile,
+           CAST(pos AS BIGINT) AS curriculum_pos,
+           CAST(pos // {_EPOCH_SHARD_DOCS} AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents ranked clean-first by
+    quality DECILE, deterministically md5-shuffled WITHIN each decile —
+    the quality-curriculum schedule (high-quality data early, noisier
+    bands later) with epoch-shuffle reproducibility, plus the 128-doc
+    shard assignment.
+
+    Scale: the (9−decile)·2⁵⁶ + md5≫4 composite is a single exact long
+    whose top bits are the decile, so selection.banded_rank's hash-top
+    banding is ORDER-MONOTONE over it (4 uniform bands per decile, 40
+    total) and the global rank needs no global sort task — the epoch-
+    shuffle discipline with the curriculum key.  The oracle replays the
+    identical key with one ROW_NUMBER."""
+    from spanner_jdbc_converter_spark.operators import validate as vd
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", F.col("text"), tx.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        vd.quality_bin(
+            tx.quality_score_from_tokens("text", F.col("__toks"))
+        ).alias("decile"),
+        md5_long(
+            F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))
+        ).alias("__m"),
+    )
+    t = b.withColumn(
+        "_ck",
+        (F.lit(9) - F.col("decile")) * F.lit(1 << 56)
+        + F.shiftright(F.col("__m"), 4),
+    )
+    r = banded_rank(t, [], "_ck", "doc_id")
+    return r.select(
+        "doc_id",
+        "decile",
+        (F.col("_rk") - 1).alias("curriculum_pos"),
+        F.floor((F.col("_rk") - 1) / F.lit(_EPOCH_SHARD_DOCS))
+        .cast("long")
+        .alias("shard"),
+    )
