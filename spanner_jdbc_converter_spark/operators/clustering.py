@@ -321,3 +321,78 @@ def kcenter_coreset(
             prev.unpersist()
         cur.unpersist()
     return spark.createDataFrame(centers, schema)
+
+
+def silhouette_report(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-cluster centroid-silhouette quality report for the fixed
+    k-means: for each point, a = squared distance to its OWN (final)
+    centroid, b = the minimum over OTHER centroids, s = (b−a)/max(a,b)
+    — the scalable centroid variant of the silhouette coefficient
+    (point-pairwise silhouette is N² and never runs at corpus scale).
+    Mean s per cluster is THE number k (and the embedding space) gets
+    judged on: near 1 = tight and separated, near 0 = clusters touch,
+    negative = misassigned mass.
+
+    Scale: one broadcast of K centroid rows scores every point against
+    all clusters (map-side, the assignment's own shape); a rides the
+    final assignment; b is a per-point min with map-side combine.  The
+    assignment feeds two consumers (a and the b-join), so
+    ``materialize=True`` checkpoints it once.  Parity: a and b are the
+    oracle-exact _sq_dist folds, s is a fixed-order IEEE expression
+    rounded at 6, and the per-cluster mean routes through DECIMAL(18,6)
+    sums (order-independent) before one division.
+
+    Output: (cluster, n_points, mean_silhouette)."""
+    from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
+
+    cents = seed_centroids(emb, k, id_col, vec_col)
+    asg = assign_clusters(emb, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = update_centroids(emb, asg, id_col, vec_col)
+        asg = assign_clusters(emb, cents, id_col, vec_col)
+    if materialize:
+        asg = _stage_checkpoint(asg)
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            _sq_dist(F.col(vec_col), F.col("cvec")).alias("__sq"),
+        )
+    )
+    own = asg.select(
+        F.col(id_col), F.col("cluster").alias("__own"), F.col("sq_dist").alias("__a")
+    )
+    other = (
+        scored.join(own, on=id_col)
+        .filter(F.col("cluster") != F.col("__own"))
+        .groupBy(id_col)
+        .agg(F.min("__sq").alias("__b"))
+    )
+    sil = F.round(
+        F.when(F.greatest("__a", "__b") == 0, F.lit(0.0)).otherwise(
+            (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b")
+        ),
+        6,
+    )
+    return (
+        own.join(other, on=id_col)
+        .select(F.col("__own").alias("cluster"), sil.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )

@@ -1823,3 +1823,52 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("w1", "w2", "c2", "pmi", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster quality — centroid silhouette per cluster.
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    parts, final = _kmeans_ctes(cl.KMEANS_K, cl.KMEANS_ITERS)
+    cents = f"c{cl.KMEANS_ITERS - 1}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    scored AS (
+      SELECT e.vec_id AS vec_id, c.cluster AS cluster, {_SQ_SQL} AS sq
+      FROM embeddings e CROSS JOIN {cents} c),
+    own AS (SELECT vec_id, cluster AS own_c, sq AS a FROM {final}),
+    oth AS (SELECT s.vec_id, MIN(s.sq) AS b
+            FROM scored s JOIN own o
+              ON s.vec_id = o.vec_id AND s.cluster <> o.own_c
+            GROUP BY s.vec_id),
+    pt AS (SELECT o.own_c AS cluster,
+                  ROUND(CASE WHEN GREATEST(o.a, t.b) = 0 THEN 0.0
+                             ELSE (t.b - o.a) / GREATEST(o.a, t.b) END, 6) AS s
+           FROM own o JOIN oth t USING (vec_id))
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_silhouette
+    FROM pt GROUP BY cluster
+    """
+    )
+
+
+@register("cluster_silhouette_report", oracle=_silhouette_oracle())
+def cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette quality per k-means cluster — for every point
+    a = squared distance to its own final centroid, b = min over other
+    centroids, s = (b−a)/max(a,b); the per-cluster mean is the number k
+    and the embedding space get judged on (point-pairwise silhouette is
+    N² and never runs at corpus scale).
+
+    Scale: K broadcast centroid rows score every point map-side; a
+    rides the (checkpointed) final assignment; b is a per-point min
+    with map-side combine.  Parity: oracle-exact distance folds, a
+    fixed-order IEEE ratio rounded at 6, DECIMAL-routed cluster means.
+    See operators/clustering.py::silhouette_report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.silhouette_report(emb)
