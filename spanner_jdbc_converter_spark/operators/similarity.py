@@ -586,6 +586,11 @@ def ann_recall_report(
         [(m,) for m, _ in paths], "method string"
     )
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    # n_exact = 0 (empty corpus / no queries) must report recall 0.0,
+    # not a 0/0 whose NaN-vs-NULL rendering differs between engines
+    recall = F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
+        F.round(n_hits.cast("double") / F.col("n_exact"), 6)
+    )
     return (
         methods.join(hits, on="method", how="left")
         .crossJoin(F.broadcast(totals))
@@ -594,6 +599,6 @@ def ann_recall_report(
             "n_queries",
             "n_exact",
             n_hits.alias("n_hits"),
-            F.round(n_hits.cast("double") / F.col("n_exact"), 6).alias("recall"),
+            recall.alias("recall"),
         )
     )

@@ -415,7 +415,9 @@ _ANN_RECALL_ORACLE = f"""
     methods AS (SELECT unnest(['ivf', 'lsh', 'quantized']) AS method)
     SELECT m.method, t.n_queries, t.n_exact,
            COALESCE(h.n_hits, 0) AS n_hits,
-           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_exact, 6) AS recall
+           CASE WHEN t.n_exact = 0 THEN 0.0
+                ELSE ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                           / t.n_exact, 6) END AS recall
     FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot t
 """
 

@@ -320,3 +320,14 @@ def test_winnow_fingerprints_empty(spark):
     from spanner_jdbc_converter_spark.operators import dedup as dd
 
     assert dd.winnow_fingerprints(spark.createDataFrame([], DOC_SCHEMA)).count() == 0
+
+
+def test_ann_recall_report_empty_corpus(spark):
+    """Empty queries/corpus: the report still emits one row per method
+    with recall exactly 0.0 — never a 0/0 NaN."""
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    rows = sim.ann_recall_report(empty, empty, k=5).orderBy("method").collect()
+    assert [r.method for r in rows] == ["ivf", "lsh", "quantized"]
+    assert all((r.n_exact, r.n_hits, r.recall) == (0, 0, 0.0) for r in rows)
