@@ -276,9 +276,8 @@ def scd2_intervals(
             F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
         )
     )
-    w2 = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
     return (
-        runs.withColumn("__to", F.lead(ts_col).over(w2))
+        runs.withColumn("__to", F.lead(ts_col).over(w))
         .select(
             F.col(id_col),
             F.col(state_col),
