@@ -826,7 +826,7 @@ def select_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curriculum_key_sql() -> str:
+def _curriculum_ctes() -> str:
     from spanner_jdbc_converter_spark.plans.extensions import _quality_select_sql
 
     m = md5_long_sql("'curriculum:' || CAST(doc_id AS VARCHAR)")
@@ -847,7 +847,7 @@ def _curriculum_key_sql() -> str:
 @register(
     "select_curriculum_order",
     oracle=f"""
-    {_curriculum_key_sql()}
+    {_curriculum_ctes()}
     SELECT doc_id, decile,
            CAST(pos AS BIGINT) AS curriculum_pos,
            CAST(pos // {_EPOCH_SHARD_DOCS} AS BIGINT) AS shard
