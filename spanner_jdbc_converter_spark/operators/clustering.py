@@ -396,3 +396,83 @@ def silhouette_report(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def perceptron_probe(
+    emb: DataFrame,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distributed linear-probe training — the BATCH perceptron
+    (Rosenblatt's rule with a full-batch update): w_{t} = w_{t-1} +
+    Σ_{misclassified} y·x, misclassified ⇔ y·⟨w_{t-1}, x⟩ ≤ 0, y = ±1
+    from the label's parity.  Linear probes are the standard cheap
+    check of whether an embedding space SEPARATES a property; the batch
+    form (unlike the sequential perceptron) is order-independent and
+    therefore both distributable and oracle-replayable.
+
+    Determinism contract (the k-means discipline): per-dimension
+    gradient sums route through DECIMAL(28,12) (order-independent),
+    margins are the oracle-exact left-to-right dot fold against a
+    broadcast LITERAL weight array (only 64 doubles ever reach the
+    driver per round — planning-scale), and the misclassified set is
+    decided on bit-identical margins.  The oracle unrolls the same
+    ``iters`` rounds in SQL.
+
+    Scale: each round is one agg (count) + one map-side-combined
+    (dim-keyed) gradient agg over the persisted point frame; nothing
+    shuffles wider than 64 rows.  Output: one row per round t =
+    1..iters reporting the error BEFORE that round's update (t = 1 is
+    all-misclassified by construction: w₀ = 0 gives margin 0), plus a
+    final row t = iters+1 under the trained weights —
+    (iter, n_mis, error_rate rounded 6)."""
+    from spanner_jdbc_converter_spark.functions.vector import dot
+
+    spark = emb.sparkSession
+    y = F.when(F.col(label_col) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    pts = emb.select(F.col(vec_col).alias("__x"), y.alias("__y")).persist()
+    try:
+        w = [0.0] * dim
+        rows: list[tuple[int, int, int]] = []
+        for t in range(1, iters + 2):
+            w_arr = F.array(*[F.lit(v) for v in w])
+            mis = (F.col("__y") * dot(F.col("__x"), w_arr)) <= 0
+            n_mis, n = pts.agg(
+                F.coalesce(F.sum(mis.cast("long")), F.lit(0)).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            rows.append((t, int(n_mis), int(n)))
+            if t > iters:
+                break
+            grad = {
+                r["__pos"]: r["__g"]
+                for r in (
+                    pts.filter(mis)
+                    .select(
+                        F.col("__y"), F.posexplode(F.col("__x")).alias("__pos", "__v")
+                    )
+                    .groupBy("__pos")
+                    .agg(
+                        F.sum(
+                            (F.col("__y") * F.col("__v").cast("double")).cast(_DEC)
+                        )
+                        .cast("double")
+                        .alias("__g")
+                    )
+                    .collect()
+                )
+            }
+            w = [w[d] + grad.get(d, 0.0) for d in range(dim)]
+    finally:
+        pts.unpersist()
+    rep = spark.createDataFrame(rows, "iter long, n_mis long, __n long")
+    return rep.select(
+        "iter",
+        "n_mis",
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_mis").cast("double") / F.col("__n"), 6))
+        .alias("error_rate"),
+    )

@@ -1872,3 +1872,77 @@ def cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/clustering.py::silhouette_report."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.silhouette_report(emb)
+
+
+# ---------------------------------------------------------------------------
+# Linear-probe training — distributed batch perceptron, oracle-unrolled.
+# ---------------------------------------------------------------------------
+
+
+def _perceptron_ctes(iters: int, dim: int = 64) -> str:
+    """The unrolled batch-perceptron recurrence as SQL: per round t,
+    margins under w_{t-1}, DECIMAL per-dimension gradient sums over the
+    misclassified set, w_t = w_{t-1} + g_t — the k-means unroll
+    discipline applied to model training."""
+    parts = [
+        """pts AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+                 CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y
+          FROM embeddings)""",
+        f"w0 AS (SELECT unnest(range(1, {dim} + 1)) AS pos, 0.0 AS wval)",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"w{t - 1}"
+        parts.append(
+            f"wl{t} AS (SELECT list(wval ORDER BY pos) AS wv FROM {prev})"
+        )
+        parts.append(
+            f"""m{t} AS (SELECT p.vec_id, p.y, p.x,
+                   p.y * list_sum(list_transform(range(1, {dim} + 1),
+                        i -> p.x[i] * w.wv[i])) AS margin
+            FROM pts p CROSS JOIN wl{t} w)"""
+        )
+        if t <= iters:
+            parts.append(
+                f"""g{t} AS (SELECT pos,
+                     CAST(SUM(CAST(y * xv AS DECIMAL(28,12))) AS DOUBLE) AS g
+              FROM (SELECT y, unnest(range(1, {dim} + 1)) AS pos,
+                           unnest(x) AS xv
+                    FROM m{t} WHERE margin <= 0)
+              GROUP BY pos)"""
+            )
+            parts.append(
+                f"""w{t} AS (SELECT w.pos, w.wval + COALESCE(g.g, 0.0) AS wval
+              FROM {prev} w LEFT JOIN g{t} g USING (pos))"""
+            )
+    selects = [
+        f"SELECT CAST({t} AS BIGINT) AS iter,"
+        f" CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_mis,"
+        f" ROUND(CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / COUNT(*), 6) AS error_rate"
+        f" FROM m{t}"
+        for t in range(1, iters + 2)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("ml_linear_probe", oracle=_perceptron_ctes(3))
+def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe training ON the engine: a fixed-3-round BATCH
+    perceptron separating the label's parity from the embeddings —
+    per-round error rates before each full-batch update plus the final
+    trained-weights error.  Linear probes are the standard cheap test
+    of whether an embedding space encodes a property; the batch update
+    (Σ y·x over the misclassified set) is order-independent, so the
+    training loop itself is distributable AND every round is
+    hash-checked against the oracle's unrolled recurrence.
+
+    Scale: per round, one count agg + one map-side-combined 64-key
+    gradient agg over the persisted point frame; only 64 doubles reach
+    the driver per round (the kcenter planning-scale discipline);
+    margins broadcast as literal weights — nothing shuffles wider than
+    the dimension count.  See
+    operators/clustering.py::perceptron_probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.perceptron_probe(emb, iters=3)
