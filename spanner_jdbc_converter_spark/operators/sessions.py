@@ -286,3 +286,65 @@ def scd2_intervals(
             F.col("__to").isNull().alias("is_current"),
         )
     )
+
+
+#: Default debounce gap: 30 minutes, µs.
+DEBOUNCE_GAP_US = 30 * 60 * 1_000_000
+
+
+def debounce_events(
+    events: DataFrame,
+    gap_us: int = DEBOUNCE_GAP_US,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry debounce: within each (entity, event type) stream, an
+    event is KEPT iff it is the first or at least ``gap_us`` after the
+    last KEPT event — the retry/double-fire/chatter cleanup run before
+    events feed counts or funnels.  A lag-based filter cannot express
+    this: the decision depends on the last SURVIVOR, not the previous
+    event (three events 20 min apart under a 30-min gap keep the 1st
+    and 3rd; lag-filtering would drop both followers).
+
+    Scale: the recurrence is inherently sequential per (entity, type) —
+    one Arrow group each, parallel across groups (the CUSUM shape);
+    state is one integer µs.  Exact integer arithmetic end-to-end, so
+    the oracle's recursive CTE replays it bit-for-bit.
+
+    Output: one row per input event — (id, type, seq, kept)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(type_col, T.StringType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def _walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__us", seq_col])
+        kept, last = [], None
+        for us in pdf["__us"]:
+            ok = last is None or int(us) - last >= gap_us
+            kept.append(bool(ok))
+            if ok:
+                last = int(us)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                type_col: pdf[type_col].values,
+                seq_col: pdf[seq_col].values,
+                "kept": kept,
+            }
+        )
+
+    prepped = events.select(
+        id_col, type_col, seq_col, F.unix_micros(F.col(ts_col)).alias("__us")
+    )
+    return prepped.groupBy(id_col, type_col).applyInPandas(_walk, schema)

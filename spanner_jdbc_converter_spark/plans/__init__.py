@@ -72,18 +72,17 @@ _GATE_PRIORITY = [
     "select_length_bucketed_batches",
     "profile_key_skew",
     "reshape_unpivot_customer",
-    "profile_source_lang_entropy",
     # (1) registered in r11 (the RULE above): never-checked entries take
-    # the tail slots — this round's 13 new entries displaced the entire
+    # the tail slots — this round's 14 new entries displaced the entire
     # r7 proposal fill (q1_pricing_summary, a4_row_size_estimate,
     # o3_offset_pagination, o1_o2_pk_ordered_chunk,
     # w5_ranged_delete_survivors, p4_composite_pk_range_scan,
     # p2_pk_only_projection, p1_explicit_projection,
     # w6_delete_strategy_probe, s8_cardinality_probes,
-    # flagship_revenue_by_nation) plus the two newest-registered
+    # flagship_revenue_by_nation) plus the three newest-registered
     # group-(0) r6 entries (window_percent_rank_scalable,
-    # graph_triangle_brands) — all next-stalest after this window
-    # lands.
+    # graph_triangle_brands, profile_source_lang_entropy) — all
+    # next-stalest after this window lands.
     "sim_ann_recall_report",
     "multimodal_png_decode",
     "text_pii_email_ip_redact",
@@ -97,6 +96,7 @@ _GATE_PRIORITY = [
     "select_curriculum_order",
     "cluster_silhouette_report",
     "ml_linear_probe",
+    "events_debounce",
 ]
 
 

@@ -859,3 +859,47 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         parts.getItem(2).alias("touch_type"),
         (F.col("us") - parts.getItem(0).cast("long")).alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce — retry/chatter cleanup with last-SURVIVOR semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    WITH RECURSIVE
+    r AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+    p(user_id, event_type, event_id, rn, kept, last_kept) AS (
+      SELECT user_id, event_type, event_id, rn, TRUE, us
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_type, r.event_id, r.rn,
+             r.us - p.last_kept >= {ss.DEBOUNCE_GAP_US},
+             CASE WHEN r.us - p.last_kept >= {ss.DEBOUNCE_GAP_US}
+                  THEN r.us ELSE p.last_kept END
+      FROM p JOIN r ON r.user_id = p.user_id
+                   AND r.event_type = p.event_type
+                   AND r.rn = p.rn + 1)
+    SELECT user_id, event_type, event_id, kept FROM p
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce per (user, event type): an event is kept iff
+    it is ≥30 min after the last KEPT event — retry/double-fire
+    cleanup.  A lag filter cannot express this (the decision depends on
+    the last survivor, not the previous event: three events 20 min
+    apart keep the 1st and 3rd; lag-filtering drops both followers).
+
+    Scale: inherently sequential per (user, type) — one Arrow group
+    each, parallel across the 7.5k fixture groups (millions at corpus
+    scale); state is one integer µs, and the walk is exact integer
+    arithmetic, so the recursive-CTE oracle replays it bit-for-bit
+    (the CUSUM discipline).  See
+    operators/sessions.py::debounce_events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ss.debounce_events(ev)

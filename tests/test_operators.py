@@ -1873,3 +1873,25 @@ def test_png_decode_grayscale_color_type_0():
     w, h, bpp, out = mm._png_decode(stream)
     assert (w, h, bpp) == (4, 2, 1)
     assert out == rows
+
+
+def test_debounce_keeps_last_survivor_semantics(spark):
+    """Three events 20 min apart under a 30-min gap: the 1st and 3rd
+    survive — a lag-based filter would drop BOTH followers (each is
+    within gap of its predecessor), which is exactly why debounce
+    tracks the last SURVIVOR."""
+    import datetime as dt
+
+    from spanner_jdbc_converter_spark.operators.sessions import debounce_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "click", i, t0 + dt.timedelta(minutes=20 * i)) for i in range(3)
+    ] + [(2, "click", 10, t0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    got = {
+        (r.user_id, r.event_id): r.kept for r in debounce_events(ev).collect()
+    }
+    assert got == {(1, 0): True, (1, 1): False, (1, 2): True, (2, 10): True}
