@@ -23,12 +23,11 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # list is the round-11 window, derived verbatim from that proposal after
 # the r10 rounds were recorded, and tests/test_config.py asserts the
 # window stays consistent with the history):
-#   (0) all 39 entries whose last driver row is r6 — the stale tail
-#       (VERDICT r10 "Next round #3");
-#   (1) the oldest r7 entries, in proposal (registration) order, trimmed
-#       so the list is EXACTLY the 50-slot window — membership explicit,
-#       not positional.  After this window lands, nothing in the corpus
-#       is older than r7.
+#   (0) the 35 stalest r6 entries, proposal order (the stale tail
+#       VERDICT r10 "Next round #3" requires front-loaded; the proposal's
+#       r7 fill and its 4 newest r6 entries were displaced by group (1));
+#   (1) every entry registered THIS round — membership explicit, the
+#       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
 # entries of group (1)) and the final commit of the round re-runs the
@@ -71,18 +70,18 @@ _GATE_PRIORITY = [
     "text_pii_scan_redact",
     "select_length_bucketed_batches",
     "profile_key_skew",
-    "reshape_unpivot_customer",
     # (1) registered in r11 (the RULE above): never-checked entries take
-    # the tail slots — this round's 14 new entries displaced the entire
+    # the tail slots — this round's 15 new entries displaced the entire
     # r7 proposal fill (q1_pricing_summary, a4_row_size_estimate,
     # o3_offset_pagination, o1_o2_pk_ordered_chunk,
     # w5_ranged_delete_survivors, p4_composite_pk_range_scan,
     # p2_pk_only_projection, p1_explicit_projection,
     # w6_delete_strategy_probe, s8_cardinality_probes,
-    # flagship_revenue_by_nation) plus the three newest-registered
+    # flagship_revenue_by_nation) plus the four newest-registered
     # group-(0) r6 entries (window_percent_rank_scalable,
-    # graph_triangle_brands, profile_source_lang_entropy) — all
-    # next-stalest after this window lands.
+    # graph_triangle_brands, profile_source_lang_entropy,
+    # reshape_unpivot_customer) — all next-stalest after this window
+    # lands.
     "sim_ann_recall_report",
     "multimodal_png_decode",
     "text_pii_email_ip_redact",
@@ -97,6 +96,7 @@ _GATE_PRIORITY = [
     "cluster_silhouette_report",
     "ml_linear_probe",
     "events_debounce",
+    "validate_split_leakage",
 ]
 
 

@@ -819,6 +819,121 @@ def select_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "validate_split_leakage",
+    oracle=f"""
+    WITH RECURSIVE {_closure_ctes()},
+    asg AS (SELECT d.doc_id AS doc_id,
+                   {md5_long_sql("concat('split:', CAST(d.doc_id AS VARCHAR))")}
+                     / {float(1 << 60)!r} AS un,
+                   {_ANCHOR_U_SQL} AS ua
+            FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+    sp AS (SELECT doc_id,
+                  CASE WHEN un < 0.8 THEN 'train'
+                       WHEN un < 0.9 THEN 'val' ELSE 'test' END AS nsp,
+                  CASE WHEN ua < 0.8 THEN 'train'
+                       WHEN ua < 0.9 THEN 'val' ELSE 'test' END AS ssp
+           FROM asg),
+    j AS (SELECT a.nsp AS na, a.ssp AS sa, b.nsp AS nb, b.ssp AS sb
+          FROM cand c JOIN sp a ON a.doc_id = c.id_a
+                      JOIN sp b ON b.doc_id = c.id_b),
+    st AS (SELECT COUNT(*) AS n_pairs,
+                  SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS vn,
+                  SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS vs
+           FROM j)
+    SELECT 'leakage_safe' AS method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(vs AS BIGINT) AS n_violations,
+           CASE WHEN n_pairs = 0 THEN 0.0
+                ELSE ROUND(CAST(vs AS DOUBLE) / n_pairs, 6) END
+             AS violation_rate
+    FROM st
+    UNION ALL
+    SELECT 'naive', CAST(n_pairs AS BIGINT), CAST(vn AS BIGINT),
+           CASE WHEN n_pairs = 0 THEN 0.0
+                ELSE ROUND(CAST(vn AS DOUBLE) / n_pairs, 6) END
+    FROM st
+    """,
+)
+def validate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the MEASUREMENT behind the leakage-safe
+    split's claim: over every near-dup candidate pair, count pairs
+    whose two sides land in different train/val/test splits.  The
+    per-doc hash split leaks (a duplicate pair straddling train and
+    test teaches the model the eval answer); the component-anchored
+    split must measure EXACTLY zero — and this entry is the check a
+    pipeline runs before shipping a split, not a by-construction
+    assumption.
+
+    Scale: the pair frame is candidate-sized; assignments attach by two
+    id-keyed joins (the pair side is the small side); the verdict is
+    one tiny aggregate.  The component frame is the session-cached
+    _near_dup_groups shared with the split/keeper entries.
+
+    Output: (method ∈ naive|leakage_safe, n_pairs, n_violations,
+    violation_rate)."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+    from spanner_jdbc_converter_spark.operators.selection import U_DENOM
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(d.filter(tx.token_count("text") >= 3))
+    safe = sel.leakage_safe_split(
+        d, groups=_near_dup_groups(spark, sf_dir)
+    ).select("doc_id", F.col("split").alias("ssp"))
+    u_n = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) / F.lit(U_DENOM)
+    naive = d.select(
+        "doc_id",
+        F.when(u_n < 0.8, F.lit("train"))
+        .when(u_n < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("nsp"),
+    )
+    sp = naive.join(safe, on="doc_id")
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("nsp").alias("na"),
+        F.col("ssp").alias("sa"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("nsp").alias("nb"),
+        F.col("ssp").alias("sb"),
+    )
+    st = (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("na") != F.col("nb")).cast("long")), F.lit(0)
+            ).alias("vn"),
+            F.coalesce(
+                F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+            ).alias("vs"),
+        )
+    )
+    rate = lambda v: F.when(F.col("n_pairs") == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.round(v.cast("double") / F.col("n_pairs"), 6)
+    )
+    return st.select(
+        "n_pairs",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("leakage_safe").alias("method"), F.col("vs").alias("v")
+                ),
+                F.struct(F.lit("naive").alias("method"), F.col("vn").alias("v")),
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.method").alias("method"),
+        "n_pairs",
+        F.col("r.v").alias("n_violations"),
+        rate(F.col("r.v")).alias("violation_rate"),
+    )
+
+
+@register(
     "dedup_quality_keeper",
     oracle=f"""
     WITH RECURSIVE {_closure_ctes()},
