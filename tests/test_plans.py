@@ -761,3 +761,21 @@ def test_ann_recall_exact_set_broadcast_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "sim_ann_recall_report", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_silhouette_broadcasts_centroids_no_shuffled_cartesian(spark, sf_dir):
+    """Silhouette scoring is point × K broadcast centroid rows — a
+    broadcast nested-loop over metadata, never a shuffled cartesian."""
+    plan = _plan(spark, "cluster_silhouette_report", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_debounce_single_entity_exchange(spark, sf_dir):
+    """Debounce groups Arrow batches on the ENTITY alone (the 14.1s →
+    3.0s lesson: per-group overhead beats group size) — one exchange,
+    one FlatMapGroupsInPandas, no join."""
+    head = _plan(spark, "events_debounce", sf_dir).split("\n\n")[0]
+    assert head.count("Exchange") <= 2
+    assert "FlatMapGroupsInPandas" in head
+    assert "Join" not in head
