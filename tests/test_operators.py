@@ -1895,3 +1895,44 @@ def test_debounce_keeps_last_survivor_semantics(spark):
         (r.user_id, r.event_id): r.kept for r in debounce_events(ev).collect()
     }
     assert got == {(1, 0): True, (1, 1): False, (1, 2): True, (2, 10): True}
+
+
+def test_debounce_matches_bruteforce_on_adversarial_gaps(spark):
+    """Randomized-ish adversarial streams (bursts, exact-gap boundaries,
+    duplicate timestamps) against a driver-side brute-force replay of
+    the survivor recurrence — boundary semantics (>= gap keeps) pinned
+    exactly."""
+    import datetime as dt
+
+    from spanner_jdbc_converter_spark.operators.sessions import (
+        DEBOUNCE_GAP_US,
+        debounce_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap_s = DEBOUNCE_GAP_US // 1_000_000
+    # deterministic pseudo-random offsets incl. exact-boundary multiples
+    offs = sorted((i * 7919) % (4 * gap_s) + (i % 3) * gap_s for i in range(60))
+    rows = [
+        (i % 4, "t" + str(i % 2), i, t0 + dt.timedelta(seconds=off))
+        for i, off in enumerate(offs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    got = {r.event_id: r.kept for r in debounce_events(ev).collect()}
+
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for uid, et, eid, ts in rows:
+        streams[(uid, et)].append((int(ts.timestamp() * 1_000_000), eid))
+    want = {}
+    for evs in streams.values():
+        last = None
+        for us, eid in sorted(evs):
+            ok = last is None or us - last >= DEBOUNCE_GAP_US
+            want[eid] = ok
+            if ok:
+                last = us
+    assert got == want
