@@ -476,3 +476,55 @@ def perceptron_probe(
         .otherwise(F.round(F.col("n_mis").cast("double") / F.col("__n"), 6))
         .alias("error_rate"),
     )
+
+
+def vector_dim_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension standardization profile of an embedding column —
+    mean, standard deviation, and the standardized extremes
+    (z = (x−μ)/σ) for every dimension: the feature-preprocessing pass
+    (and its audit) run before whitening, quantization-range selection,
+    or probe training; a dead dimension shows σ≈0, a heavy-tailed one
+    shows |z| extremes far beyond the Gaussian envelope.
+
+    Scale: ONE posexplode pass reduced by a map-side-combined
+    64-key aggregate — the corpus never shuffles more than
+    (dims × partitions) partial rows.  Parity: the DECIMAL(28,12)
+    power-sum ladder (order-independent) for μ/σ, σ rounded at 6
+    BEFORE the z divisions (the corpus libm convention), min/max are
+    exact comparisons on doubles, and a σ=0 dimension reports z
+    extremes of 0.0 instead of a division blow-up.
+
+    Output: (pos 0-based, mean, std, z_min, z_max — all rounded 6)."""
+    pts = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "__v")).select(
+        "pos", F.col("__v").cast("double").alias("__v")
+    )
+    agg = pts.groupBy("pos").agg(
+        (
+            F.sum(F.col("__v").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("__mean"),
+        (
+            F.sum((F.col("__v") * F.col("__v")).cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m2"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    std6 = F.round(
+        F.sqrt(F.col("__m2") - F.col("__mean") * F.col("__mean")), 6
+    )
+    z = lambda v: F.when(F.col("std") == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.round((v - F.col("__mean")) / F.col("std"), 6)
+    )
+    return (
+        agg.withColumn("std", std6)
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("__mean"), 6).alias("mean"),
+            F.col("std"),
+            z(F.col("__lo")).alias("z_min"),
+            z(F.col("__hi")).alias("z_max"),
+        )
+    )

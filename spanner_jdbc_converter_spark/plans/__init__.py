@@ -23,9 +23,9 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # list is the round-11 window, derived verbatim from that proposal after
 # the r10 rounds were recorded, and tests/test_config.py asserts the
 # window stays consistent with the history):
-#   (0) the 35 stalest r6 entries, proposal order (the stale tail
+#   (0) the 34 stalest r6 entries, proposal order (the stale tail
 #       VERDICT r10 "Next round #3" requires front-loaded; the proposal's
-#       r7 fill and its 4 newest r6 entries were displaced by group (1));
+#       r7 fill and its 5 newest r6 entries were displaced by group (1));
 #   (1) every entry registered THIS round — membership explicit, the
 #       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
@@ -34,7 +34,7 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r6 (all 39 — the stale tail, proposal order)
+    # (0) last driver row r6 (the 34 stalest — the tail, proposal order)
     "text_top_tokens",
     "text_token_stats",
     "dedup_fingerprint_groups",
@@ -69,19 +69,18 @@ _GATE_PRIORITY = [
     "events_level_shift_detect",
     "text_pii_scan_redact",
     "select_length_bucketed_batches",
-    "profile_key_skew",
     # (1) registered in r11 (the RULE above): never-checked entries take
-    # the tail slots — this round's 15 new entries displaced the entire
+    # the tail slots — this round's 16 new entries displaced the entire
     # r7 proposal fill (q1_pricing_summary, a4_row_size_estimate,
     # o3_offset_pagination, o1_o2_pk_ordered_chunk,
     # w5_ranged_delete_survivors, p4_composite_pk_range_scan,
     # p2_pk_only_projection, p1_explicit_projection,
     # w6_delete_strategy_probe, s8_cardinality_probes,
-    # flagship_revenue_by_nation) plus the four newest-registered
+    # flagship_revenue_by_nation) plus the five newest-registered
     # group-(0) r6 entries (window_percent_rank_scalable,
     # graph_triangle_brands, profile_source_lang_entropy,
-    # reshape_unpivot_customer) — all next-stalest after this window
-    # lands.
+    # reshape_unpivot_customer, profile_key_skew) — all next-stalest
+    # after this window lands.
     "sim_ann_recall_report",
     "multimodal_png_decode",
     "text_pii_email_ip_redact",
@@ -97,6 +96,7 @@ _GATE_PRIORITY = [
     "ml_linear_probe",
     "events_debounce",
     "validate_split_leakage",
+    "vector_dim_profile",
 ]
 
 

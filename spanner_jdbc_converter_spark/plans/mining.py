@@ -1946,3 +1946,50 @@ def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/clustering.py::perceptron_probe."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.perceptron_probe(emb, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization profile.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_dim_profile",
+    oracle="""
+    WITH pts AS (
+      SELECT unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_raw,
+             CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS m2,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM pts GROUP BY pos
+    ),
+    s AS (SELECT pos, mean_raw, lo, hi,
+                 ROUND(sqrt(m2 - mean_raw * mean_raw), 6) AS std
+          FROM agg)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           ROUND(mean_raw, 6) AS mean, std,
+           CASE WHEN std = 0 THEN 0.0
+                ELSE ROUND((lo - mean_raw) / std, 6) END AS z_min,
+           CASE WHEN std = 0 THEN 0.0
+                ELSE ROUND((hi - mean_raw) / std, 6) END AS z_max
+    FROM s
+    """,
+)
+def vector_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization profile of the embedding column —
+    mean, σ, and the standardized extremes per dimension: the
+    feature-preprocessing audit before whitening, quantization-range
+    selection, or probe training (dead dimensions show σ≈0, heavy
+    tails show |z| beyond the Gaussian envelope).  One posexplode pass,
+    map-side-combined 64-key aggregate, DECIMAL power sums, σ rounded
+    at 6 before the z divisions.  See
+    operators/clustering.py::vector_dim_profile."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.vector_dim_profile(emb)
