@@ -20,13 +20,16 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-11 window, derived verbatim from that proposal after
-# the r10 rounds were recorded, and tests/test_config.py asserts the
-# window stays consistent with the history):
-#   (0) the 34 stalest r6 entries, proposal order (the stale tail
-#       VERDICT r10 "Next round #3" requires front-loaded; the proposal's
-#       r7 fill and its 5 newest r6 entries were displaced by group (1));
-#   (1) every entry registered THIS round — membership explicit, the
+# list is the round-12 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r11 as the FIRST commit of
+# the round per VERDICT r11 "Next round #1"; tests/test_config.py asserts
+# the window stays consistent with the history):
+#   (0) the 5 entries whose last driver row is r6 — the staleness tail
+#       that survived the r11 rotation (displaced by r11's 16 new
+#       registrations) and that VERDICT r11 requires front-loaded;
+#   (1) the 45 oldest r7 entries, proposal order (the r7 fill that r11's
+#       new registrations displaced);
+#   (2) every entry registered THIS round — membership explicit, the
 #       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
@@ -34,69 +37,60 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r6 (the 34 stalest — the tail, proposal order)
-    "text_top_tokens",
-    "text_token_stats",
-    "dedup_fingerprint_groups",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_jaccard_pairs",
-    "dedup_simhash_near_pairs",
-    "sim_topk_cosine",
-    "sim_lsh_ann_topk",
-    "sim_ivf_topk",
-    "sim_embedding_near_pairs",
-    "sim_embedding_near_pairs_lsh",
-    "multimodal_media_summary",
-    "multimodal_feature_extract",
-    "vector_column_stats",
-    "dedup_exact_rows",
-    "multimodal_frame_sample",
-    "multimodal_wav_decode",
-    "multimodal_pgm_decode",
-    "multimodal_video_decode",
-    "copy_incremental_diff",
-    "copy_merge_upsert",
-    "select_stratified_sample",
-    "select_token_budget",
-    "dedup_survivor_docs",
-    "sim_quantized_topk",
-    "pipeline_curate_report",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_user_totals",
-    "events_level_shift_detect",
-    "text_pii_scan_redact",
-    "select_length_bucketed_batches",
-    # (1) registered in r11 (the RULE above): never-checked entries take
-    # the tail slots — this round's 16 new entries displaced the entire
-    # r7 proposal fill (q1_pricing_summary, a4_row_size_estimate,
-    # o3_offset_pagination, o1_o2_pk_ordered_chunk,
-    # w5_ranged_delete_survivors, p4_composite_pk_range_scan,
-    # p2_pk_only_projection, p1_explicit_projection,
-    # w6_delete_strategy_probe, s8_cardinality_probes,
-    # flagship_revenue_by_nation) plus the five newest-registered
-    # group-(0) r6 entries (window_percent_rank_scalable,
-    # graph_triangle_brands, profile_source_lang_entropy,
-    # reshape_unpivot_customer, profile_key_skew) — all next-stalest
-    # after this window lands.
-    "sim_ann_recall_report",
-    "multimodal_png_decode",
-    "text_pii_email_ip_redact",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "join_bucketed_colocated",
-    "events_scd2_intervals",
-    "text_mixed_lang_windows",
-    "text_bigram_pmi",
-    "events_first_touch_attribution",
-    "select_curriculum_order",
-    "cluster_silhouette_report",
-    "ml_linear_probe",
-    "events_debounce",
-    "validate_split_leakage",
-    "vector_dim_profile",
+    # (0) last driver row r6 (the 5-entry stale tail — nothing older exists)
+    "profile_key_skew",
+    "reshape_unpivot_customer",
+    "profile_source_lang_entropy",
+    "graph_triangle_brands",
+    "window_percent_rank_scalable",
+    # (1) last driver row r7 (oldest-first, proposal order)
+    "flagship_revenue_by_nation",
+    "s8_cardinality_probes",
+    "w6_delete_strategy_probe",
+    "p1_explicit_projection",
+    "p2_pk_only_projection",
+    "p4_composite_pk_range_scan",
+    "w5_ranged_delete_survivors",
+    "o1_o2_pk_ordered_chunk",
+    "o3_offset_pagination",
+    "a4_row_size_estimate",
+    "q1_pricing_summary",
+    "agg_distinct_custs_per_priority",
+    "rollup_lineitem_status",
+    "join_order_counts_per_customer",
+    "join_anti_customers_without_recent_orders",
+    "join_semi_suppliers_with_shipments",
+    "join_full_outer_part_lineitem_brands",
+    "setops_customer_segments",
+    "window_top3_orders_per_segment",
+    "scalar_function_surface",
+    "q3_unshipped_topk",
+    "q10_returned_revenue",
+    "q17_small_quantity_revenue",
+    "s1_catalog_column_scan",
+    "window_event_interarrival",
+    "cube_returnflag_status",
+    "exists_suppliers_of_large_orders",
+    "q2_min_acctbal_supplier_per_part",
+    "q4_priority_with_returns",
+    "q5_regional_supplier_volume",
+    "q6_revenue_forecast",
+    "agg_sampled_quantiles",
+    "string_functions_extended",
+    "conditional_null_surface",
+    "array_functions_surface",
+    "map_functions_surface",
+    "notin_null_semantics",
+    "date_functions_surface",
+    "events_json_props",
+    "dedup_lsh_verified_pairs",
+    "text_vocab_encode",
+    "pipeline_pack_invariants",
+    "select_source_cap",
+    "dedup_source_overlap_matrix",
+    "text_token_spectrum",
+    # (2) registered in r12 (the RULE above): each new entry displaces the
+    # newest tail entry of group (1) in the same commit it registers.
 ]
 
 
