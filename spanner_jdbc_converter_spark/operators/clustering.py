@@ -512,8 +512,20 @@ def vector_dim_profile(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
     )
+    # Clamp the variance at zero before the sqrt: for a near-constant
+    # (dead) dimension the DECIMAL(28,12) rounding of v*v can leave
+    # m2 − mean² a tiny NEGATIVE double, which sqrt turns into NaN in
+    # Spark (and an error in DuckDB) — and the std==0 guard below never
+    # fires on NaN.  The dead-dimension case is exactly this operator's
+    # advertised use, so the clamp is part of the contract (oracle SQL
+    # applies the same GREATEST(0.0, ...)).
     std6 = F.round(
-        F.sqrt(F.col("__m2") - F.col("__mean") * F.col("__mean")), 6
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0), F.col("__m2") - F.col("__mean") * F.col("__mean")
+            )
+        ),
+        6,
     )
     z = lambda v: F.when(F.col("std") == 0, F.lit(0.0)).otherwise(  # noqa: E731
         F.round((v - F.col("__mean")) / F.col("std"), 6)

@@ -213,11 +213,14 @@ def lsh_candidate_pairs(
     )
 
 
-#: Default posting-list cap for the exact pair kernels (jaccard_pairs /
-#: containment_pairs): shingles seen in more than this many docs (within
-#: a block) are boilerplate — they carry ~no pair signal but cost df² in
-#: the self-join.  Oracles f-string this constant so both engines cap
-#: identically.
+#: RECOMMENDED posting-list cap for the exact pair kernels
+#: (jaccard_pairs / containment_pairs) at corpus scale: shingles seen in
+#: more than this many docs (within a block) are boilerplate — they
+#: carry ~no pair signal but cost df² in the self-join.  NOT the
+#: default (ADVICE r11): the kernels default to ``max_df=None`` (exact
+#: over the FULL shingle universe, prior semantics) and scale callers —
+#: the corpus plan entries, the streaming ingest — opt in explicitly.
+#: Oracles f-string this constant so both engines cap identically.
 PAIRS_MAX_DF = 1000
 
 
@@ -228,7 +231,7 @@ def jaccard_pairs(
     ngram: int = 3,
     block_cols: list[str] | None = None,
     threshold: float = 0.2,
-    max_df: int | None = PAIRS_MAX_DF,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold for document pairs via an
     inverted index — never materializes the all-pairs space.
@@ -262,8 +265,9 @@ def jaccard_pairs(
     capped shingle leaves the shingle UNIVERSE (both the intersection
     and the per-doc set sizes), so the result is exact Jaccard over the
     sub-``max_df`` vocabulary — hot boilerplate shingles carry ~no
-    dedup signal, and an oracle replays the identical cap.  Pass
-    ``max_df=None`` for the uncapped exact cross-check kernel.
+    dedup signal, and an oracle replays the identical cap.  The
+    DEFAULT is ``max_df=None`` (exact over the full universe); pass
+    ``max_df=PAIRS_MAX_DF`` at corpus scale, as the plan entries do.
 
     Requires threshold > 0: pairs sharing zero shingles never surface
     (their Jaccard is 0 by definition, so the result set is identical).
@@ -327,7 +331,7 @@ def containment_pairs(
     ngram: int = 3,
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
-    max_df: int | None = PAIRS_MAX_DF,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT for document pairs — |A∩B|/|A| and
     |A∩B|/|B| — via the same postings-bounded inverted index as
@@ -342,8 +346,8 @@ def containment_pairs(
     plan shape identical to jaccard_pairs — Σ min-capped df², no cross
     join, one linear posting chain reused by both self-join sides;
     ``max_df`` drops boilerplate-hot shingles from the shingle universe
-    (intersection AND per-doc sizes — see jaccard_pairs; None =
-    uncapped).
+    (intersection AND per-doc sizes — see jaccard_pairs; the default
+    None = uncapped exact semantics, scale callers pass PAIRS_MAX_DF).
 
     Output: id_a, id_b (id_a < id_b), containment_a (|A∩B|/|A|),
     containment_b (|A∩B|/|B|) — single exact-int divisions, bit-equal

@@ -678,7 +678,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle universe on both engines.  Single integer division ⇒
     bit-exact across engines, unrounded."""
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
-    return dd.jaccard_pairs(d, block_cols=["lang"], threshold=0.2)
+    return dd.jaccard_pairs(
+        d, block_cols=["lang"], threshold=0.2, max_df=dd.PAIRS_MAX_DF
+    )
 
 
 _SIMHASH_SIG_SQL = "(" + " + ".join(
@@ -1477,7 +1479,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is the semantic spec, not the plan.  Single exact-int divisions
     ⇒ bit-exact across engines, unrounded."""
     d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
-    return dd.containment_pairs(d, block_cols=["lang"], threshold=0.5)
+    return dd.containment_pairs(
+        d, block_cols=["lang"], threshold=0.5, max_df=dd.PAIRS_MAX_DF
+    )
 
 
 @register(

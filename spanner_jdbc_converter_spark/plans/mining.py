@@ -1971,7 +1971,9 @@ def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY pos
     ),
     s AS (SELECT pos, mean_raw, lo, hi,
-                 ROUND(sqrt(m2 - mean_raw * mean_raw), 6) AS std
+                 -- variance clamped at zero: DECIMAL rounding of v*v can
+                 -- leave a tiny negative difference on a dead dimension
+                 ROUND(sqrt(GREATEST(0.0, m2 - mean_raw * mean_raw)), 6) AS std
           FROM agg)
     SELECT CAST(pos AS BIGINT) AS pos,
            ROUND(mean_raw, 6) AS mean, std,

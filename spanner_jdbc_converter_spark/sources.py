@@ -138,41 +138,74 @@ def ensure_bucketed(
     inputs — it cannot trust intra-bucket order across files — but
     those sorts are partition-local CPU, not network).  Superseded
     builds of the same (table, key, buckets, fixture-tag) are dropped
-    when a new content key builds."""
+    when a new content key builds.
+
+    Cross-session reuse (ADVICE r11): the default catalog is in-memory
+    per session while the warehouse directory is shared, so a finished
+    build from another session is a directory this session's catalog
+    has never heard of.  The builder drops a ``_SPARK_GRAFT_BUCKET_SPEC``
+    marker (schema DDL + bucket spec) AFTER a successful write; a later
+    session finding the marker ADOPTS the directory via
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` — zero-Exchange plans
+    verified identical to the fresh build — instead of deleting a
+    sibling session's just-built copy and rebuilding.  The stale sweep
+    only ever removes SUPERSEDED content keys (same prefix, different
+    hash) plus this name's own marker-less debris; the one remaining
+    race is two sessions building the same brand-new key concurrently,
+    which a cluster deployment closes with the catalog's own
+    transactional CREATE (Hive metastore / Delta), not filesystem
+    markers."""
+    import glob
+    import json
+    import shutil
+
     from spanner_jdbc_converter_spark.catalog import load_table
 
     name = bucketed_table_name(sf_dir, table, key, buckets)
-    if not spark.catalog.tableExists(name):
-        # The default (non-Hive) catalog is in-memory per session, but
-        # managed-table LOCATIONS persist in the warehouse dir — and the
-        # bucket spec lives only in catalog metadata, so a previous
-        # session's directory is unusable as-is (registering it by path
-        # would silently lose the bucketing).  Clear this name's stale
-        # location and sweep superseded content keys of the same
-        # (table, key, buckets, fixture-tag), then rebuild: the layout
-        # pass is the price of one session-scoped repartition+write.
-        import glob
-        import shutil
-
-        prefix = name.rsplit("_", 1)[0] + "_"
-        for t in spark.catalog.listTables():
-            if t.name.startswith(prefix) and t.name != name:
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
-        if os.path.isdir(wh_path):
-            for stale in glob.glob(os.path.join(wh_path, f"{prefix}*")):
-                shutil.rmtree(stale, ignore_errors=True)
-            shutil.rmtree(os.path.join(wh_path, name), ignore_errors=True)
-        (
-            load_table(spark, sf_dir, table)
-            .repartition(buckets, F.col(key))
-            .write.bucketBy(buckets, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(name)
+    if spark.catalog.tableExists(name):
+        return name
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    loc = os.path.join(wh_path, name)
+    marker = os.path.join(loc, "_SPARK_GRAFT_BUCKET_SPEC")
+    if os.path.isfile(marker):
+        # A completed build of this EXACT content key already exists —
+        # re-attach the bucket spec the in-memory catalog forgot.
+        with open(marker) as fh:
+            spec = json.load(fh)
+        spark.sql(
+            f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
+            f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
+            f"INTO {spec['buckets']} BUCKETS LOCATION '{loc}'"
         )
+        return name
+    # No finished build for this key: sweep superseded content keys of
+    # the same (table, key, buckets, fixture-tag) — never this name's
+    # directory unless it is marker-less debris from a crashed write —
+    # then build and mark.
+    prefix = name.rsplit("_", 1)[0] + "_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    if os.path.isdir(wh_path):
+        for stale in glob.glob(os.path.join(wh_path, f"{prefix}*")):
+            if os.path.basename(stale) != name:
+                shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
+    frame = load_table(spark, sf_dir, table)
+    (
+        frame.repartition(buckets, F.col(key))
+        .write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in frame.schema.fields
+    )
+    with open(marker, "w") as fh:
+        json.dump({"key": key, "buckets": buckets, "schema_ddl": schema_ddl}, fh)
     return name
 
 

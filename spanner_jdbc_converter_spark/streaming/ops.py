@@ -29,6 +29,25 @@ if TYPE_CHECKING:  # pragma: no cover
 DEFAULT_WATERMARK = "10 minutes"
 
 
+def _values_in_event_order(batches: Iterator["pd.DataFrame"]) -> "pd.Series":
+    """Merge a key's Arrow chunk iterator and return the ``value`` column
+    in global (ts, event_id) order.
+
+    One key's rows within a micro-batch can span several Arrow chunks;
+    sorting each chunk independently would only order WITHIN a chunk,
+    so a sequential fold (EWMA / CUSUM) would silently depend on chunk
+    boundaries and the bit-identical-to-batch determinism claim would
+    break exactly when groups grow past one chunk.  Concatenate first,
+    sort ONCE per key."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        return pd.Series([], dtype="float64")
+    merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    return merged.sort_values(["ts", "event_id"])["value"]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events fixture: same event-time
     normalization as the batch loader (bigint ns on Spark 3.x /
@@ -251,11 +270,10 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         import pandas as pd
 
         n, num, den = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in batches:
-            for x in pdf.sort_values(["ts", "event_id"])["value"]:
-                num = float(x) + (1.0 - alpha) * num
-                den = 1.0 + (1.0 - alpha) * den
-                n += 1
+        for x in _values_in_event_order(batches):
+            num = float(x) + (1.0 - alpha) * num
+            den = 1.0 + (1.0 - alpha) * den
+            n += 1
         state.update((n, num, den))
         yield pd.DataFrame(
             {
@@ -319,10 +337,9 @@ def running_user_cusum(events: DataFrame, k: float, h: float) -> DataFrame:
         import pandas as pd
 
         n, s = state.get if state.exists else (0, 0.0)
-        for pdf in batches:
-            for x in pdf.sort_values(["ts", "event_id"])["value"]:
-                s = max(0.0, s + float(x) - k)
-                n += 1
+        for x in _values_in_event_order(batches):
+            s = max(0.0, s + float(x) - k)
+            n += 1
         state.update((n, s))
         yield pd.DataFrame(
             {

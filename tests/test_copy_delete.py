@@ -231,6 +231,87 @@ def test_delete_pipeline_ranged_preserves_duplicate_multiplicity(spark):
 # -- bucketed co-located join (scale toolkit) -------------------------------
 
 
+def test_ensure_bucketed_adopts_marked_build(spark, sf_dir):
+    """ADVICE r11 (sources.py sweep): a finished bucketed build from
+    another session must be ADOPTED (CREATE ... CLUSTERED BY ... LOCATION
+    via the marker file), not rmtree'd and rebuilt — and the adopted
+    table's self-join plan must be exchange-free exactly like the fresh
+    build's.  Simulated by copying the data aside, dropping the managed
+    table (which deletes its files), and restoring the copy: the catalog
+    forgets, the warehouse remembers."""
+    import os
+    import re
+    import shutil
+
+    from spanner_jdbc_converter_spark import sources as src
+
+    name = src.ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    loc = os.path.join(wh_path, name)
+    assert os.path.isfile(os.path.join(loc, "_SPARK_GRAFT_BUCKET_SPEC"))
+    n_expected = spark.table(name).count()
+    shutil.copytree(loc, loc + "_keep")
+    spark.sql(f"DROP TABLE {name}")
+    shutil.move(loc + "_keep", loc)
+    assert not spark.catalog.tableExists(name)
+    try:
+        assert src.ensure_bucketed(spark, sf_dir, "orders", "o_orderkey") == name
+        t = spark.table(name)
+        assert t.count() == n_expected
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = t.select("o_orderkey", F.col("o_totalprice").alias("pa"))
+            b = t.select("o_orderkey", F.col("o_totalprice").alias("pb"))
+            jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = a.join(b, "o_orderkey")._jdf.queryExecution().explainString(jmode)
+            assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+            assert plan.count("Bucketed: true") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_ensure_bucketed_sweep_spares_current_key(spark, sf_dir, tmp_path):
+    """The stale sweep removes SUPERSEDED content keys only: a sibling
+    directory with the same (table, key, buckets, tag) prefix but a
+    different hash goes, the current key's marked build stays."""
+    import os
+    import shutil
+
+    from spanner_jdbc_converter_spark import sources as src
+
+    name = src.ensure_bucketed(spark, sf_dir, "nation", "n_nationkey")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    loc = os.path.join(wh_path, name)
+    prefix = name.rsplit("_", 1)[0] + "_"
+    stale = os.path.join(wh_path, prefix + "deadbeef00")
+    os.makedirs(stale, exist_ok=True)
+    try:
+        # forget the catalog entry but keep the marked directory, then
+        # re-ensure: adoption path must leave the current dir intact and
+        # a fresh build of the SAME key must never run (the marker file's
+        # mtime would change); the stale sibling is untouched here because
+        # adoption short-circuits the sweep
+        spark.sql(f"DROP TABLE {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        assert src.ensure_bucketed(spark, sf_dir, "nation", "n_nationkey") == name
+        # rebuild path ran (no marker existed): stale sibling swept
+        assert not os.path.isdir(stale)
+        assert os.path.isdir(loc)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     from spanner_jdbc_converter_spark.catalog import load_table
     from spanner_jdbc_converter_spark.copy import write_bucketed

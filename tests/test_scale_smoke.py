@@ -466,7 +466,10 @@ def test_jaccard_pairs_hot_shingle_bounded(spark):
     leaves the shingle universe and the run is posting-bounded.  Docs
     0..199 are 100 identical twin pairs (i, i+100) whose signal rides
     rare shingles — the cap must NOT cost them."""
-    from spanner_jdbc_converter_spark.operators.dedup import jaccard_pairs
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        PAIRS_MAX_DF,
+        jaccard_pairs,
+    )
 
     n = 20_000
     base = F.when(F.col("id") < 200, F.col("id") % 100).otherwise(F.col("id"))
@@ -479,7 +482,7 @@ def test_jaccard_pairs_hot_shingle_bounded(spark):
     ).otherwise(uniq)
     docs = spark.range(n).select(F.col("id").alias("doc_id"), hot.alias("text"))
     t0 = time.time()
-    rows = jaccard_pairs(docs, threshold=0.2).collect()
+    rows = jaccard_pairs(docs, threshold=0.2, max_df=PAIRS_MAX_DF).collect()
     wall = time.time() - t0
     # twin pairs share the same parity (i vs i+100), hence identical text
     assert sorted((r.id_a, r.id_b) for r in rows) == [

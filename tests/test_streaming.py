@@ -693,3 +693,26 @@ def test_running_user_cusum_stateful_matches_batch_walk(spark, sf_dir):
         assert n == n_by_user[uid]
         bs, ba = last[uid]
         assert s == bs and a == ba, (uid, s, bs)
+
+
+def test_values_in_event_order_merges_chunks_before_sorting():
+    """ADVICE r11: a key's micro-batch rows spanning several Arrow chunks
+    must merge BEFORE the (ts, event_id) sort — per-chunk sorting keeps
+    only chunk-local order, so a sequential fold (EWMA/CUSUM) would
+    depend on where the chunk boundary fell."""
+    import pandas as pd
+
+    # interleaved timestamps across the chunk boundary: per-chunk sorting
+    # would yield 1,3 then 2,4 — global order is 1,2,3,4
+    c1 = pd.DataFrame({"ts": [3, 1], "event_id": [30, 10], "value": [3.0, 1.0]})
+    c2 = pd.DataFrame({"ts": [4, 2], "event_id": [40, 20], "value": [4.0, 2.0]})
+    got = list(ops._values_in_event_order(iter([c1, c2])))
+    assert got == [1.0, 2.0, 3.0, 4.0]
+    # tie on ts breaks on event_id across chunks
+    t1 = pd.DataFrame({"ts": [5, 5], "event_id": [52, 50], "value": [5.2, 5.0]})
+    t2 = pd.DataFrame({"ts": [5], "event_id": [51], "value": [5.1]})
+    assert list(ops._values_in_event_order(iter([t1, t2]))) == [5.0, 5.1, 5.2]
+    # empty iterator and empty chunks
+    assert list(ops._values_in_event_order(iter([]))) == []
+    empty = pd.DataFrame({"ts": [], "event_id": [], "value": []})
+    assert list(ops._values_in_event_order(iter([empty]))) == []
