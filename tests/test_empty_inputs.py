@@ -331,3 +331,106 @@ def test_ann_recall_report_empty_corpus(spark):
     rows = sim.ann_recall_report(empty, empty, k=5).orderBy("method").collect()
     assert [r.method for r in rows] == ["ivf", "lsh", "quantized"]
     assert all((r.n_exact, r.n_hits, r.recall) == (0, 0, 0.0) for r in rows)
+
+
+def test_perceptron_probe_empty_and_single_class(spark):
+    """Empty corpus: the per-round report still emits iters+1 rows with
+    n_mis = 0 and error_rate exactly 0.0 (never 0/0); a single-class
+    frame trains without error once the first update lands."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    sch = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.LongType()),
+        ]
+    )
+    empty = spark.createDataFrame([], sch)
+    rows = cl.perceptron_probe(empty, iters=2, dim=2).orderBy("iter").collect()
+    assert [(r.iter, r.n_mis, r.error_rate) for r in rows] == [
+        (1, 0, 0.0), (2, 0, 0.0), (3, 0, 0.0),
+    ]
+
+    ones = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.5, 0.5], 0)], sch
+    )  # all labels even -> y=+1 for every point
+    got = cl.perceptron_probe(ones, iters=2, dim=2).orderBy("iter").collect()
+    # round 1 is all-misclassified by construction (w0=0 -> margin 0),
+    # afterwards the single class separates perfectly
+    assert (got[0].n_mis, got[0].error_rate) == (2, 1.0)
+    assert [(r.n_mis, r.error_rate) for r in got[1:]] == [(0, 0.0), (0, 0.0)]
+
+
+def test_silhouette_report_empty_and_k_exceeds_corpus(spark):
+    """Empty corpus -> empty (cluster, n_points, mean_silhouette) frame;
+    k > |corpus| degenerates to one singleton cluster per point, which
+    still reports every cluster (a=0, b>0 -> silhouette 1.0)."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = cl.silhouette_report(empty, k=4, iters=2, materialize=False)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "cluster", "n_points", "mean_silhouette",
+    ]
+
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0]), (2, [0.0, 4.0])], EMB_SCHEMA
+    )
+    rows = (
+        cl.silhouette_report(pts, k=10, iters=2, materialize=False)
+        .orderBy("cluster")
+        .collect()
+    )
+    assert [(r.cluster, r.n_points, r.mean_silhouette) for r in rows] == [
+        (0, 1, 1.0), (1, 1, 1.0), (2, 1, 1.0),
+    ]
+
+
+def test_debounce_events_empty(spark):
+    from spanner_jdbc_converter_spark.operators.sessions import debounce_events
+
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    out = debounce_events(spark.createDataFrame([], sch))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "event_type", "event_id", "kept",
+    ]
+
+
+def test_vector_dim_profile_empty_and_dead_dimension(spark):
+    """Empty corpus -> empty profile frame; a constant (dead) dimension
+    must report std exactly 0.0 with z extremes 0.0 — the DECIMAL
+    rounding of v*v can leave variance a tiny NEGATIVE double, and an
+    unclamped sqrt would turn that into NaN (ADVICE r11)."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = cl.vector_dim_profile(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "pos", "mean", "std", "z_min", "z_max",
+    ]
+
+    # dim 0 is dead (constant 0.7 -> the DECIMAL quantization of v*v
+    # leaves variance within ±1e-12 of zero, possibly NEGATIVE), dim 1
+    # varies.  The contract: the clamp keeps std a real number ≈ 0 —
+    # never NaN — and the z extremes of an (effectively) constant
+    # dimension stay 0.0.
+    docs = spark.createDataFrame(
+        [(i, [0.7, float(i)]) for i in range(7)], EMB_SCHEMA
+    )
+    rows = {r.pos: r for r in cl.vector_dim_profile(docs).collect()}
+    dead = rows[0]
+    assert dead.std == dead.std, "std must not be NaN"  # NaN != NaN
+    assert 0.0 <= dead.std <= 1e-5
+    assert dead.z_min == 0.0 and dead.z_max == 0.0
+    assert rows[1].std > 0
