@@ -567,3 +567,43 @@ def test_winnow_pairs_at_10x(spark):
     ).count()
     assert bad == 0
     assert wall < 300, f"winnow pairs at 10x took {wall:.0f}s"
+
+
+def test_debounce_at_10x_entities(spark):
+    """VERDICT r11 #8: debounce in the group-COUNT regime that bit r11
+    (14.1 s grouped on (user,type) vs 2.98 s grouped on the entity) —
+    10× the entity count means 15k Arrow groups holding ~1M rows, where
+    per-group overhead, not the per-type walk, is the scaling risk.
+    Replicas of a base user carry identical (type, ts) streams, so every
+    copy must keep exactly the same number of events."""
+    from spanner_jdbc_converter_spark.operators.sessions import debounce_events
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    n = ev.agg(F.max("user_id")).first()[0] + 1
+    scaled = spark.range(COPIES).crossJoin(ev).select(
+        (F.col("user_id") + F.col("id") * n).alias("user_id"),
+        (F.col("event_id") + F.col("id") * 100_000_000).alias("event_id"),
+        "ts",
+        "event_type",
+    )
+    t0 = time.time()
+    out = debounce_events(scaled)
+    per_copy = {
+        r["copy"]: (r["n"], r["n_kept"])
+        for r in out.groupBy((F.col("user_id") / n).cast("long").alias("copy"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .collect()
+    }
+    wall = time.time() - t0
+    assert set(per_copy) == set(range(COPIES))
+    assert len(set(per_copy.values())) == 1  # every copy debounces identically
+    assert sum(v[0] for v in per_copy.values()) == COPIES * ev.count()
+    # some events must actually be dropped, else the fixture gap never binds
+    n_total, n_kept = per_copy[0]
+    assert 0 < n_kept < n_total
+    assert wall < 300, f"debounce at 10x entities took {wall:.0f}s"
