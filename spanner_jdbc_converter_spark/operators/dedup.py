@@ -1260,6 +1260,106 @@ def verify_pairs(
     )
 
 
+#: Similarity-band floors of the LSH operating report's S-curve rows.
+LSH_REPORT_BANDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def lsh_operating_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_df: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Measured operating curve of the MinHash banding that gates the
+    production near-dedup path: per similarity band, how many TRUE
+    near-dup pairs (exact n-gram Jaccard ≥ ``threshold``) exist and how
+    many the ``bands``×``rows`` banding actually surfaces as candidates
+    — the empirical S-curve the band/row choice is tuned against
+    (theory says P(candidate) = 1−(1−J^rows)^bands; this reports what
+    the real corpus delivers), plus the candidate false-positive mass
+    for precision.  The vector-ANN twin is
+    similarity.ann_recall_report; this closes the same blind spot for
+    the text near-dedup banding (VERDICT r11 gap #1).
+
+    Band rows (band_lo ∈ {0.5 … 0.9}): n_true = exact pairs whose J
+    lies in [band_lo, band_lo+0.1) (J = 1.0 folds into the 0.9 band),
+    n_caught = those that are ALSO LSH candidates, catch_rate =
+    n_caught/n_true (0.0 when the band is empty), n_cand = n_caught.
+    The band_lo = 0.0 row is the precision complement: n_cand = LSH
+    candidate pairs whose exact J is BELOW ``threshold`` (the verify
+    stage's kill set); its n_true/n_caught/catch_rate are 0 — the
+    sub-threshold true-pair space is quadratic and deliberately never
+    enumerated.  Overall precision = 1 − n_cand(0.0)/Σ n_cand.
+
+    Scale: ground truth comes from :func:`jaccard_pairs` (postings-
+    bounded inverted index — pass ``max_df=PAIRS_MAX_DF`` at corpus
+    scale so the exact side stays Σ capped-df², with the identical
+    capped universe in the oracle); candidates from
+    :func:`lsh_candidate_pairs` (band-bucket joins).  Both stage frames
+    checkpoint once (each feeds two joins) and every downstream join is
+    pair-frame-sized; the report itself is ≤ 6 rows.  Banding is a
+    comparison CASE chain on the exact double — never float
+    multiplication+floor — so both engines band identically.
+
+    Output: (band_lo, n_true, n_caught, catch_rate, n_cand)."""
+    spark = df.sparkSession
+    exact = jaccard_pairs(
+        df, text_col, id_col, ngram, None, threshold, max_df
+    )
+    cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
+    if materialize:
+        exact = _stage_checkpoint(exact)
+        cand = _stage_checkpoint(cand)
+    band_col = F.col("jaccard")
+    band_expr = F.when(band_col >= 0.9, F.lit(0.9))
+    for lo in (0.8, 0.7, 0.6):
+        band_expr = band_expr.when(band_col >= lo, F.lit(lo))
+    band_expr = band_expr.otherwise(F.lit(0.5))
+    per_band = (
+        exact.select("id_a", "id_b", band_expr.alias("band_lo"))
+        .join(cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_caught"),
+        )
+    )
+    fp = cand.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__fp")
+    )
+    frame = spark.createDataFrame(
+        [(b,) for b in [0.0] + LSH_REPORT_BANDS], "band_lo double"
+    )
+    rate = F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_caught").cast("double") / F.col("n_true"), 6)
+    )
+    return (
+        frame.join(per_band, on="band_lo", how="left")
+        .select(
+            "band_lo",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "band_lo",
+            "n_true",
+            "n_caught",
+            rate.alias("catch_rate"),
+            F.when(F.col("band_lo") == 0.0, F.col("__fp"))
+            .otherwise(F.col("n_caught"))
+            .cast("long")
+            .alias("n_cand"),
+        )
+    )
+
+
 def _stage_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Eagerly materialize a small stage frame and cut its lineage.
 

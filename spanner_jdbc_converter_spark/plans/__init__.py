@@ -88,9 +88,10 @@ _GATE_PRIORITY = [
     "pipeline_pack_invariants",
     "select_source_cap",
     "dedup_source_overlap_matrix",
-    "text_token_spectrum",
     # (2) registered in r12 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers.
+    # newest tail entry of group (1) in the same commit it registers
+    # (displaced so far: text_token_spectrum).
+    "dedup_lsh_operating_report",
 ]
 
 

@@ -434,3 +434,18 @@ def test_vector_dim_profile_empty_and_dead_dimension(spark):
     assert 0.0 <= dead.std <= 1e-5
     assert dead.z_min == 0.0 and dead.z_max == 0.0
     assert rows[1].std > 0
+
+
+def test_lsh_operating_report_empty(spark):
+    """Empty corpus: all six band rows present, every count 0, every
+    rate 0.0 — the all-bins PSI discipline."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    rows = dd.lsh_operating_report(
+        spark.createDataFrame([], DOC_SCHEMA), materialize=False
+    ).orderBy("band_lo").collect()
+    assert [r.band_lo for r in rows] == [0.0, 0.5, 0.6, 0.7, 0.8, 0.9]
+    assert all(
+        (r.n_true, r.n_caught, r.catch_rate, r.n_cand) == (0, 0, 0.0, 0)
+        for r in rows
+    )

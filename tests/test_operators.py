@@ -1936,3 +1936,41 @@ def test_debounce_matches_bruteforce_on_adversarial_gaps(spark):
             if ok:
                 last = us
     assert got == want
+
+
+def test_lsh_operating_report_consistency(spark, near_dup_docs):
+    """The operating report's internal contract on a corpus with exact
+    twins AND a mid-similarity pair: every band row is present, the band
+    rows partition the exact ≥0.5 pair set, n_caught never exceeds
+    n_true, an exact-twin pair is ALWAYS caught (identical text ⇒
+    identical signature ⇒ every band matches), and the band_lo=0.0 row
+    equals the candidate pairs that exact verification would kill."""
+    rep = {r.band_lo: r for r in dd.lsh_operating_report(near_dup_docs).collect()}
+    assert sorted(rep) == [0.0, 0.5, 0.6, 0.7, 0.8, 0.9]
+    exact = dd.jaccard_pairs(near_dup_docs, threshold=0.5)
+    true_pairs = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(near_dup_docs).collect()
+    }
+    # band rows partition the true pair set
+    assert sum(rep[b].n_true for b in [0.5, 0.6, 0.7, 0.8, 0.9]) == len(true_pairs)
+    for b in [0.5, 0.6, 0.7, 0.8, 0.9]:
+        assert 0 <= rep[b].n_caught <= rep[b].n_true
+        assert rep[b].n_cand == rep[b].n_caught
+        if rep[b].n_true:
+            assert rep[b].catch_rate == round(rep[b].n_caught / rep[b].n_true, 6)
+    # the exact twin (1, 101) has J = 1.0 -> 0.9 band, always caught
+    assert true_pairs[(1, 101)] == 1.0
+    assert rep[0.9].n_true >= 1 and rep[0.9].n_caught >= 1
+    # per-band caught counts reconstruct from the raw frames
+    for b in [0.5, 0.6, 0.7, 0.8, 0.9]:
+        in_band = {
+            p for p, j in true_pairs.items()
+            if (j >= 0.9 if b == 0.9 else b <= j < b + 0.1)
+        }
+        assert rep[b].n_true == len(in_band)
+        assert rep[b].n_caught == len(in_band & cand)
+    # precision complement: candidates minus the caught true pairs
+    assert rep[0.0].n_cand == len(cand - set(true_pairs))
+    assert rep[0.0].n_true == 0 and rep[0.0].n_caught == 0
