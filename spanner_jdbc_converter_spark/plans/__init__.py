@@ -87,11 +87,11 @@ _GATE_PRIORITY = [
     "text_vocab_encode",
     "pipeline_pack_invariants",
     "select_source_cap",
-    "dedup_source_overlap_matrix",
     # (2) registered in r12 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: text_token_spectrum).
+    # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix).
     "dedup_lsh_operating_report",
+    "validate_schema_drift",
 ]
 
 

@@ -1516,6 +1516,106 @@ def validate_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vd.psi_terms(h)
 
 
+def _schema_drift_oracle() -> str:
+    """Replays schema_drift_report for the engineered-drift entry: the
+    store is `documents`, the batch is the %5 slice with `lang` renamed
+    to `lang_code`, `n_chars` retyped to DOUBLE, and `text` nulled on
+    the %7 ids.  Column presence/status/type classes follow from that
+    fixed construction (the same shared spec the Spark entry builds its
+    batch from); null counts and the 2-bin PSI are recomputed
+    honestly."""
+    batch_sql = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+               lang AS lang_code,
+               source,
+               CAST(n_chars AS DOUBLE) AS n_chars
+        FROM documents WHERE doc_id % 5 = 0
+    """
+    store_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    batch_cols = ["doc_id", "text", "lang_code", "source", "n_chars"]
+    s_aggs = ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z_{c}" for c in store_cols
+    )
+    b_aggs = ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z_{c}" for c in batch_cols
+    )
+
+    def rate(side: str, col: str) -> str:
+        return (
+            f"CASE WHEN {side}.n = 0 THEN 0.0 "
+            f"ELSE ROUND(CAST({side}.z_{col} AS DOUBLE) / {side}.n, 6) END"
+        )
+
+    def psi(col: str) -> str:
+        q = f"((b.z_{col} + 1.0) / (b.n + 2))"
+        p = f"((s.z_{col} + 1.0) / (s.n + 2))"
+        ln6 = "CAST(CAST(ROUND(LN({x}), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        return (
+            f"ROUND(({q} - {p}) * {ln6.format(x=f'{q} / {p}')}"
+            f" + ((1 - {q}) - (1 - {p}))"
+            f" * {ln6.format(x=f'(1 - {q}) / (1 - {p})')}, 6)"
+        )
+
+    # (column, status, store_class, batch_class, store rate, batch rate, psi)
+    rows = [
+        ("doc_id", "ok", "integral", "integral",
+         rate("s", "doc_id"), rate("b", "doc_id"), psi("doc_id")),
+        ("lang", "dropped", "string", "absent", rate("s", "lang"), "0.0", "0.0"),
+        ("lang_code", "added", "absent", "string",
+         "0.0", rate("b", "lang_code"), "0.0"),
+        ("n_chars", "retyped", "integral", "fractional",
+         rate("s", "n_chars"), rate("b", "n_chars"), psi("n_chars")),
+        ("source", "ok", "string", "string",
+         rate("s", "source"), rate("b", "source"), psi("source")),
+        ("text", "ok", "string", "string",
+         rate("s", "text"), rate("b", "text"), psi("text")),
+    ]
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS column_name, '{st}' AS status,
+           '{sc}' AS store_class, '{bc}' AS batch_class,
+           {sr} AS store_null_rate, {br} AS batch_null_rate,
+           {ps} AS null_psi
+    FROM s, b"""
+        for c, st, sc, bc, sr, br, ps in rows
+    )
+    return f"""
+    WITH s AS (SELECT COUNT(*) AS n, {s_aggs} FROM documents),
+         b AS (SELECT COUNT(*) AS n, {b_aggs} FROM ({batch_sql}))
+{selects}
+    """
+
+
+@register("validate_schema_drift", oracle=_schema_drift_oracle())
+def validate_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion gate (VERDICT r11 gap #2): the FIRST check
+    a production intake runs — does the arriving batch still LOOK like
+    the store?  The entry engineers the three real failure modes into
+    the %5 batch slice (a renamed column = dropped+added pair, a
+    retyped column, a column silently going 15% null) and reports per
+    column: status on the portable type class plus the null-rate shift
+    with a 2-bin PSI (the quality_psi smoothing ladder applied to
+    nullity).
+
+    Scale: the schema diff is pure metadata (zero I/O); null counts are
+    ONE aggregate per side over one scan; the report is
+    column-count-sized.  See
+    operators/validate.py::schema_drift_report."""
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.col("lang").alias("lang_code"),
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return vd.schema_drift_report(d, batch)
+
+
 def _pack_bpe_oracle() -> str:
     from spanner_jdbc_converter_spark.plans.etl import (
         PACK_CAPACITY,

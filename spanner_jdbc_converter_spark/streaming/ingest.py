@@ -108,6 +108,7 @@ def ingest_documents_near_dedup(
     quality_model_path: str | None = None,
     quality_model_min: float = 0.0,
     drift_report_path: str | None = None,
+    schema_report_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -171,6 +172,25 @@ def ingest_documents_near_dedup(
     the report is an execution log, not state — a replayed batch
     appends another monitoring row (the STORE stays idempotent).
 
+    ``schema_report_path`` adds the per-batch SCHEMA gate — the check
+    that runs before any data-level profiling makes sense: the RAW
+    arriving batch (pre-scrub, exactly as the upstream delivered it) is
+    diffed against the accumulated INPUT CONTRACT — a stats sidecar
+    (``<path>._input_stats``: per batch and column, type class + null
+    counts) of every prior arriving batch, never the store, whose
+    schema is a transformation of the input — via
+    operators/validate.py::schema_drift_from_stats: column add/drop,
+    type-class change, per-column null-rate shift with a 2-bin PSI.
+    One row PER COLUMN is appended with the batch_id.  A batch with a
+    renamed, retyped, or suddenly-null column no longer sails through
+    silently (VERDICT r11 gap #2); within one stream run the file
+    source pins the schema, so add/drop/retype fire across RESTARTS
+    (the reader re-infers from new files) while nullity drift fires per
+    batch.  The first batch seeds the contract and records no report
+    row.  Like the drift report this is monitoring, not refusal, and
+    both report and sidecar are execution logs — replays append more
+    rows while the store stays idempotent.
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
     idempotent (asserted in tests/test_streaming.py).
@@ -182,6 +202,34 @@ def ingest_documents_near_dedup(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if schema_report_path is not None:
+            # diffed on the RAW arriving frame, before the scrub can
+            # normalize away exactly the anomaly this gate exists to see;
+            # the baseline is the ACCUMULATED input contract (a stats
+            # sidecar of prior arriving batches, never the store — the
+            # store's schema is a transformation of the input, so diffing
+            # against it would flag the profile's own derived/renamed
+            # columns on every healthy batch)
+            from spanner_jdbc_converter_spark.operators import validate as vd
+
+            stats_path = schema_report_path.rstrip("/") + "._input_stats"
+            cur = vd.input_stats(batch_df)
+            if os.path.exists(stats_path):
+                base = (
+                    spark.read.parquet(stats_path)
+                    .groupBy("column_name")
+                    .agg(
+                        F.min_by("type_class", "batch_id").alias("type_class"),
+                        F.sum("n").alias("n"),
+                        F.sum("n_nulls").alias("n_nulls"),
+                    )
+                )
+                vd.schema_drift_from_stats(base, cur).select(
+                    F.lit(batch_id).cast("long").alias("batch_id"), "*"
+                ).write.mode("append").parquet(schema_report_path)
+            cur.select(
+                F.lit(batch_id).cast("long").alias("batch_id"), "*"
+            ).write.mode("append").parquet(stats_path)
         if boilerplate_spans_path is not None:
             batch_df = tx.scrub_spans(
                 batch_df, spark.read.parquet(boilerplate_spans_path)

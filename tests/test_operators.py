@@ -1974,3 +1974,46 @@ def test_lsh_operating_report_consistency(spark, near_dup_docs):
     # precision complement: candidates minus the caught true pairs
     assert rep[0.0].n_cand == len(cand - set(true_pairs))
     assert rep[0.0].n_true == 0 and rep[0.0].n_caught == 0
+
+
+def test_schema_drift_report_statuses_and_psi(spark):
+    """Rename -> dropped+added pair, retype across classes, and an
+    intact column whose nullity collapsed; rates at 6, the 2-bin PSI
+    lights only where the nullity actually moved."""
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
+    store = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long",
+    )
+    batch = spark.createDataFrame(
+        [(5, None, 1.5), (6, None, 2.5), (7, "g", 3.5), (8, "h", 4.5)],
+        "id long, name string, v double",
+    ).withColumn("extra", F.lit("x")).drop("id").withColumn("id2", F.lit(9))
+    rep = {r.column_name: r for r in vd.schema_drift_report(store, batch).collect()}
+    assert rep["id"].status == "dropped" and rep["id"].batch_class == "absent"
+    assert rep["id2"].status == "added" and rep["id2"].store_class == "absent"
+    assert rep["extra"].status == "added"
+    assert rep["v"].status == "retyped"
+    assert (rep["v"].store_class, rep["v"].batch_class) == ("integral", "fractional")
+    name = rep["name"]
+    assert name.status == "ok"
+    assert (name.store_null_rate, name.batch_null_rate) == (0.0, 0.5)
+    assert name.null_psi > 0.2
+    # intact nullity: identical smoothed shares -> psi exactly 0.0
+    assert rep["v"].null_psi == 0.0
+    # absent sides report 0.0, never NULL
+    assert (rep["id"].batch_null_rate, rep["id"].null_psi) == (0.0, 0.0)
+
+
+def test_schema_drift_report_empty_frames(spark):
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
+    sch = "id long, name string"
+    empty = spark.createDataFrame([], sch)
+    rows = vd.schema_drift_report(empty, spark.createDataFrame([], sch)).collect()
+    assert {r.column_name: r.status for r in rows} == {"id": "ok", "name": "ok"}
+    assert all(
+        (r.store_null_rate, r.batch_null_rate, r.null_psi) == (0.0, 0.0, 0.0)
+        for r in rows
+    )

@@ -716,3 +716,57 @@ def test_values_in_event_order_merges_chunks_before_sorting():
     assert list(ops._values_in_event_order(iter([]))) == []
     empty = pd.DataFrame({"ts": [], "event_id": [], "value": []})
     assert list(ops._values_in_event_order(iter([empty]))) == []
+
+
+def test_ingest_near_dedup_reports_schema_drift(spark, tmp_path):
+    """Per-batch schema gate: batch 0 (empty store) records nothing;
+    batch 1 — whose `lang` column arrives all-NULL, the fixed-schema
+    face of an upstream rename — records one row per column with
+    batch_id, status ok (same class through the stream schema), and a
+    null-rate shift + 2-bin PSI that lights up on exactly that column."""
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = [
+        (70 + i, "the a of and to " + " ".join(f"q{i}{j:02d}" for j in range(10)),
+         "en", "s0", 80)
+        for i in range(4)
+    ]
+    nolang = [
+        (80 + i, "the a of and to " + " ".join(f"r{i}{j:02d}" for j in range(10)),
+         None, "s0", 80)
+        for i in range(4)
+    ]
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    report = str(tmp_path / "schema")
+    spark.createDataFrame(base, schema).repartition(1).write.parquet(
+        in_dir + "/f1.parquet"
+    )
+    spark.createDataFrame(nolang, schema).repartition(1).write.parquet(
+        in_dir + "/f2.parquet"
+    )
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, schema_report_path=report,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(report).collect()
+    # batch 0 seeds the input contract: exactly one batch reported,
+    # one row per input column
+    assert {r.batch_id for r in rows} == {1}
+    by_col = {r.column_name: r for r in rows}
+    assert set(by_col) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r.status == "ok" for r in rows)  # stream schema is fixed
+    lang = by_col["lang"]
+    assert lang.store_null_rate == 0.0 and lang.batch_null_rate == 1.0
+    assert lang.null_psi > 0.2
+    # untouched columns stay quiet
+    assert by_col["text"].batch_null_rate == 0.0
+    assert abs(by_col["text"].null_psi) < 0.05
+    # the sidecar accumulated both batches' input stats
+    stats = spark.read.parquet(report + "._input_stats")
+    assert {r.batch_id for r in stats.collect()} == {0, 1}
