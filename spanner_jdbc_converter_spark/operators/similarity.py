@@ -350,6 +350,254 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Product-quantization defaults: 4 subspaces × 8-code codebooks over the
+#: 64-dim fixture embeddings, 2 Lloyd rounds (the kmeans discipline).
+PQ_M = 4
+PQ_NCODE = 8
+PQ_ITERS = 2
+
+
+def _pq_sub_slice(col, j: int, subdim: int):
+    """Contiguous sub-vector j of a dim-d array column."""
+    return F.slice(col, j * subdim + 1, subdim)
+
+
+def _pq_lit_vec(vals):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _pq_code_cols(books: dict, vec_col: str, subdim: int) -> list:
+    """One arg-min code expression per subspace against LITERAL
+    centroids — lexicographic struct-min, ties to the smaller cluster
+    (identical semantics to clustering.assign_clusters' window
+    arg-min, but map-side with zero join and zero shuffle)."""
+    from spanner_jdbc_converter_spark.operators.clustering import _sq_dist
+
+    cols = []
+    for j in sorted(books):
+        # named_struct, not struct(alias): field names on aliased
+        # sub-expressions are dropped inside array() (-> col1/col2).
+        cands = F.array(
+            *[
+                F.named_struct(
+                    F.lit("sq"),
+                    _sq_dist(
+                        _pq_sub_slice(F.col(vec_col), j, subdim), _pq_lit_vec(cv)
+                    ),
+                    F.lit("cluster"),
+                    F.lit(c).cast("long"),
+                )
+                for c, cv in books[j]
+            ]
+        )
+        cols.append(F.array_min(cands)["cluster"].alias(f"__code{j}"))
+    return cols
+
+
+def _pq_train(
+    corpus: DataFrame,
+    m: int,
+    ncode: int,
+    iters: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> dict:
+    """Per-subspace k-means codebooks as a driver-side dict
+    {sub: [(cluster, cvec), ...] sorted} — the PQ model.
+
+    Semantics are the deterministic fixed-iteration k-means (seed = the
+    ncode smallest ids' sub-vectors, Lloyd rounds with the
+    DECIMAL(28,12)-mean update, arg-min ties to the smaller cluster),
+    so the oracle unrolls the identical recurrence per subspace with
+    the _kmeans_ctes pattern.  Plan shape per Lloyd round: the current
+    centroids ride as LITERALS (m·ncode·dim/m doubles — the
+    perceptron/kcenter planning-scale discipline), assignment is a
+    map-side arg-min fold, and the update is ONE map-side-combined
+    (pos, cluster)-keyed aggregate over ONE corpus scan covering ALL m
+    subspaces — never m crossJoin+window chains.  At 100 TB codebooks
+    train on a deterministic id-stride sample passed as ``corpus``."""
+    subdim = dim // m
+    _DEC = "decimal(28,12)"
+    seeds = (
+        corpus.filter(F.col(id_col) < ncode)
+        .select(F.col(id_col).alias("__c"), F.col(vec_col).alias("__v"))
+        .collect()
+    )
+    books: dict = {}
+    for r in seeds:
+        full = [float(v) for v in r["__v"]]
+        for j in range(m):
+            books.setdefault(j, []).append(
+                (int(r["__c"]), full[j * subdim : (j + 1) * subdim])
+            )
+    if not books:
+        return {}
+    for j in books:
+        books[j].sort()
+    for _ in range(iters - 1):
+        code_cols = _pq_code_cols(books, vec_col, subdim)
+        pts = corpus.select(
+            *code_cols, F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+        )
+        sub_of_pos = F.floor(F.col("__pos") / subdim).cast("int")
+        cluster = F.element_at(
+            F.array(*[F.col(f"__code{j}") for j in range(m)]), sub_of_pos + 1
+        )
+        means = (
+            pts.select(
+                sub_of_pos.alias("__sub"),
+                cluster.alias("__cluster"),
+                F.col("__pos"),
+                F.col("__val"),
+            )
+            .groupBy("__sub", "__cluster", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__val").cast("double").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__cval")
+            )
+            .collect()
+        )
+        nxt: dict = {}
+        acc: dict = {}
+        for r in means:
+            acc.setdefault((int(r["__sub"]), int(r["__cluster"])), {})[
+                int(r["__pos"])
+            ] = float(r["__cval"])
+        for (j, c), by_pos in acc.items():
+            nxt.setdefault(j, []).append((c, [by_pos[p] for p in sorted(by_pos)]))
+        for j in nxt:
+            nxt[j].sort()
+        books = nxt
+    return books
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace PQ codebooks as a (sub, cluster, cvec) frame — the
+    persistable model form of :func:`_pq_train` (which see for the
+    training semantics and plan shape)."""
+    spark = corpus.sparkSession
+    books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
+    rows = [
+        (j, c, cv) for j in sorted(books) for c, cv in books[j]
+    ]
+    return spark.createDataFrame(
+        rows, "sub long, cluster long, cvec array<double>"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by product-quantized cosine with asymmetric distance
+    computation (ADC) — the memory-bound production ANN technique
+    (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    Search", PAMI 2011) that int8 scalar quantization approximates
+    poorly: each corpus vector is reduced to ``m`` codebook ids (m
+    bytes + one float norm vs dim floats), and a query scores a vector
+    as cos ≈ (Σ_j LUT_j[code_j]) / (‖q‖·‖x‖), where LUT_j[c] =
+    ⟨q_sub_j, centroid_{j,c}⟩ is computed ONCE per query, never per
+    pair.
+
+    Scale shape: codebook training is one map-side-combined aggregate
+    per Lloyd round with the current centroids riding as literals
+    (_pq_train — m·ncode·dim/m doubles per driver round-trip, the
+    perceptron/kcenter planning-scale discipline); corpus ENCODING is
+    one scan with map-side arg-min folds (no join, no shuffle); the
+    LUT is m·ncode literal-dot columns on the (small, broadcast) query
+    frame; pair scoring is m map lookups + (m−1) adds per pair — the
+    corpus never shuffles and never touches its float vectors after
+    encoding.
+
+    Determinism contract: codebook training is the oracle-unrolled
+    k-means; encode arg-min is the lexicographic struct-min (ties →
+    smaller cluster); LUT dots are the oracle-exact left-to-right fold;
+    the ADC sum adds subspaces in fixed order j = 0..m−1; score rounds
+    at 6 with ties to the smaller match id.  All-zero vectors (norm 0)
+    must be excluded by the caller — the quantized_topk contract.
+    ``adot`` surfaces ROUNDED at 6: the codebook means carry a one-ulp
+    engine ambiguity (a float32 value whose decimal expansion
+    terminates exactly at digit 13 with a 5 — e.g. 0.1983642578125 =
+    k/2¹³ — ties DECIMAL(28,12) quantization, HALF_UP on Spark vs
+    HALF_EVEN on DuckDB), and the round-at-6 discipline absorbs it,
+    exactly as the k-means family's sq_dist outputs do.
+
+    Output: query_id, match_id, adot (ADC dot, rounded 6), score, rank."""
+    from functools import reduce
+    from operator import add
+
+    subdim = dim // m
+    books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
+    spark = queries.sparkSession
+    out_schema = (
+        "query_id long, match_id long, adot double, score double, rank long"
+    )
+    if not books:
+        return spark.createDataFrame([], out_schema)
+
+    codes = corpus.select(
+        F.col(id_col).alias("match_id"),
+        norm(F.col(vec_col)).alias("match_l2"),
+        *_pq_code_cols(books, vec_col, subdim),
+    )
+    lut_cols = []
+    for j in range(m):
+        keys = F.array(*[F.lit(c).cast("long") for c, _ in books[j]])
+        vals = F.array(
+            *[
+                dot(_pq_sub_slice(F.col(vec_col), j, subdim), _pq_lit_vec(cv))
+                for _, cv in books[j]
+            ]
+        )
+        lut_cols.append(F.map_from_arrays(keys, vals).alias(f"__lut{j}"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(F.col(vec_col)).alias("query_l2"),
+        *lut_cols,
+    )
+    adot = reduce(
+        add,
+        [
+            F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}"))
+            for j in range(m)
+        ],
+    )
+    score = F.round(adot / (F.col("query_l2") * F.col("match_l2")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(adot, 6).alias("adot"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,
@@ -534,21 +782,22 @@ def ann_recall_report(
     measured recall, so parameter tuning flew blind).
 
     recall@k(method) = |approx top-k pairs ∩ exact top-k pairs| / |exact
-    top-k pairs|, pooled over all queries.  The three production paths
+    top-k pairs|, pooled over all queries.  The four production paths
     are graded with their corpus-entry parameters: hyperplane LSH
-    (8 tables × 4 planes), IVF (nprobe=3, stride-100 centroids), and
-    int8 quantization (zero-norm vectors excluded on both sides — the
-    documented quantized_topk contract).
+    (8 tables × 4 planes), IVF (nprobe=3, stride-100 centroids),
+    product quantization (4 subspaces × 8 codes, ADC scoring), and
+    int8 quantization (PQ and int8 exclude zero-norm vectors on both
+    sides — the documented contract).
 
     Plan: the exact top-k (|queries|·k id pairs — tiny) materializes
-    once via the stage-checkpoint discipline and feeds the three
+    once via the stage-checkpoint discipline and feeds the four
     hit-joins; each approximate path scans the corpus exactly as its own
     entry does; the union of approx (method, query_id, match_id) rows
     hit-joins the broadcast exact set, and one-row totals cross-join on.
     No driver collect; every join side that is small is broadcast.
 
     Output: (method, n_queries, n_exact, n_hits, recall) — one row per
-    method ('ivf', 'lsh', 'quantized'); a method with zero hits still
+    method ('ivf', 'lsh', 'pq', 'quantized'); a method with zero hits still
     reports (recall 0.0)."""
     from functools import reduce
 
@@ -564,6 +813,7 @@ def ann_recall_report(
     paths = [
         ("ivf", ivf_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
         ("lsh", lsh_ann_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
+        ("pq", pq_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
     ]
     approx = reduce(

@@ -86,12 +86,13 @@ _GATE_PRIORITY = [
     "dedup_lsh_verified_pairs",
     "text_vocab_encode",
     "pipeline_pack_invariants",
-    "select_source_cap",
     # (2) registered in r12 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix).
+    # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix,
+    # select_source_cap).
     "dedup_lsh_operating_report",
     "validate_schema_drift",
+    "sim_pq_topk",
 ]
 
 

@@ -287,6 +287,126 @@ def select_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("doc_id", "lang", "shard", "n_tokens", "bin_idx", "bin_fill")
 
+#: l2 norm of the raw embedding list (DuckDB side; matches
+#: functions/vector.norm's fold over the double-cast values).
+_L2_SQL = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _pq_ctes(query_pred: str = "vec_id % 50 = 0") -> tuple[str, str]:
+    """Product-quantization pipeline as CTE clauses: per subspace j, the
+    unrolled fixed-iteration k-means codebook (the _kmeans_ctes
+    discipline applied to the embedding SLICE), the corpus code
+    assignment, and the query LUT partials; then the ADC-scored pair
+    frame.  Returns (cte_clauses, pairs_cte_name); the pair frame has
+    (query_id, match_id, adot, la, lb)."""
+    m, ncode, iters = sim.PQ_M, sim.PQ_NCODE, sim.PQ_ITERS
+    subdim = 64 // m
+    parts = [
+        f"emb_nz AS (SELECT vec_id, embedding FROM embeddings WHERE {_L2_SQL} > 0)",
+        f"pql2 AS (SELECT vec_id, {_L2_SQL} AS l2 FROM emb_nz)",
+    ]
+    sqf = (
+        f"list_reduce(list_transform(range(1, {subdim + 1}),"
+        " i -> (e.sv[i] - c.cvec[i]) * (e.sv[i] - c.cvec[i])), (a, b) -> a + b)"
+    )
+    for j in range(m):
+        lo, hi = j * subdim + 1, (j + 1) * subdim
+        parts.append(
+            f"s{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],"
+            f" x -> CAST(x AS DOUBLE)) AS sv FROM emb_nz)"
+        )
+        parts.append(
+            f"k{j}0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, sv AS cvec"
+            f" FROM s{j} WHERE vec_id < {ncode})"
+        )
+        prev = f"k{j}0"
+        for it in range(1, iters + 1):
+            parts.append(
+                f"""a{j}{it} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cluster) AS rn
+        FROM (SELECT e.vec_id, c.cluster, {sqf} AS sq
+              FROM s{j} e CROSS JOIN {prev} c)
+      ) WHERE rn = 1)"""
+            )
+            if it < iters:
+                parts.append(
+                    f"""k{j}{it} AS (
+      SELECT cluster, list(cval ORDER BY pos) AS cvec FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT a.cluster AS cluster,
+                     unnest(range(1, {subdim + 1})) AS pos,
+                     unnest(s.sv) AS val
+              FROM a{j}{it} a JOIN s{j} s USING (vec_id))
+        GROUP BY cluster, pos
+      ) GROUP BY cluster)"""
+                )
+                prev = f"k{j}{it}"
+        parts.append(
+            f"""qp{j} AS (
+      SELECT q.vec_id AS query_id, c.cluster,
+             list_sum(list_transform(range(1, {subdim + 1}),
+                      i -> q.sv[i] * c.cvec[i])) AS partial
+      FROM s{j} q CROSS JOIN {prev} c WHERE q.{query_pred})"""
+        )
+    adot = " + ".join(f"qp{j}.partial" for j in range(m))
+    code_joins = "\n      ".join(
+        f"JOIN a{j}{iters} c{j} ON c{j}.vec_id = x.vec_id\n"
+        f"      JOIN qp{j} ON qp{j}.query_id = q.vec_id"
+        f" AND qp{j}.cluster = c{j}.cluster"
+        for j in range(m)
+    )
+    parts.append(
+        f"""pqpairs AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS match_id,
+             {adot} AS adot, ql.l2 AS la, xl.l2 AS lb
+      FROM emb_nz q JOIN emb_nz x ON q.vec_id <> x.vec_id
+      {code_joins}
+      JOIN pql2 ql ON ql.vec_id = q.vec_id
+      JOIN pql2 xl ON xl.vec_id = x.vec_id
+      WHERE q.{query_pred})"""
+    )
+    return ",\n    ".join(parts), "pqpairs"
+
+
+_PQ_CTES, _PQ_PAIRS = _pq_ctes()
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, match_id, ROUND(adot, 6) AS adot,
+           ROUND(adot / (la * lb), 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, match_id, adot, la, lb,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                             match_id) AS rank
+          FROM {_PQ_PAIRS}) t
+    WHERE rank <= 5
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by product-quantized cosine with asymmetric distance
+    computation — the memory-bound production ANN path (m codebook ids
+    + one norm per corpus vector instead of 64 floats): 4 subspaces ×
+    8-centroid codebooks trained by the oracle-unrolled fixed-iteration
+    k-means on each embedding slice, corpus encoded in one arg-min
+    scan, queries score candidates via per-query lookup tables.  The
+    oracle replays codebook training, encoding, the LUT partials, the
+    fixed-order ADC sum, and the ranking; adot is hash-checked as an
+    unrounded double, so the whole PQ pipeline is bit-audited.  See
+    operators/similarity.py::pq_topk."""
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return sim.pq_topk(queries, e, k=5)
+
+
 _QCODES_SQL = """
     prep AS (
       SELECT vec_id, embedding,
@@ -343,6 +463,15 @@ _RECALL_K = 10
 
 _ANN_RECALL_ORACLE = f"""
     WITH {_QCODES_SQL},
+    {_PQ_CTES},
+    pq_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                               match_id) AS rank
+            FROM {_PQ_PAIRS}) t
+      WHERE rank <= {_RECALL_K}),
     exact AS (
       SELECT query_id, match_id
       FROM (SELECT a.vec_id AS query_id, b.vec_id AS match_id,
@@ -405,6 +534,7 @@ _ANN_RECALL_ORACLE = f"""
       WHERE rank <= {_RECALL_K}),
     un AS (SELECT 'ivf' AS method, query_id, match_id FROM ivf_top
            UNION ALL SELECT 'lsh', query_id, match_id FROM lsh_top
+           UNION ALL SELECT 'pq', query_id, match_id FROM pq_top
            UNION ALL SELECT 'quantized', query_id, match_id FROM q_top),
     hits AS (SELECT method, count(*) AS n_hits
              FROM un JOIN exact USING (query_id, match_id)
@@ -412,7 +542,7 @@ _ANN_RECALL_ORACLE = f"""
     tot AS (SELECT count(DISTINCT query_id) AS n_queries,
                    count(*) AS n_exact
             FROM exact),
-    methods AS (SELECT unnest(['ivf', 'lsh', 'quantized']) AS method)
+    methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'quantized']) AS method)
     SELECT m.method, t.n_queries, t.n_exact,
            COALESCE(h.n_hits, 0) AS n_hits,
            CASE WHEN t.n_exact = 0 THEN 0.0

@@ -322,6 +322,20 @@ def test_winnow_fingerprints_empty(spark):
     assert dd.winnow_fingerprints(spark.createDataFrame([], DOC_SCHEMA)).count() == 0
 
 
+def test_pq_topk_empty_corpus(spark):
+    """Empty queries/corpus: no codebooks can train, so the result is
+    an empty frame with the contract schema — never a crash in the
+    seed collect or the LUT construction."""
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = sim.pq_topk(empty, empty, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "match_id", "adot", "score", "rank",
+    ]
+
+
 def test_ann_recall_report_empty_corpus(spark):
     """Empty queries/corpus: the report still emits one row per method
     with recall exactly 0.0 — never a 0/0 NaN."""
@@ -329,7 +343,7 @@ def test_ann_recall_report_empty_corpus(spark):
 
     empty = spark.createDataFrame([], EMB_SCHEMA)
     rows = sim.ann_recall_report(empty, empty, k=5).orderBy("method").collect()
-    assert [r.method for r in rows] == ["ivf", "lsh", "quantized"]
+    assert [r.method for r in rows] == ["ivf", "lsh", "pq", "quantized"]
     assert all((r.n_exact, r.n_hits, r.recall) == (0, 0, 0.0) for r in rows)
 
 

@@ -248,6 +248,28 @@ def test_ivf_topk_results_bounded_by_exact(spark, sf_dir):
         assert r["cosine"] <= best[r["query_id"]] + 1e-9
 
 
+def test_pq_topk_exact_when_each_vector_is_its_own_centroid(spark):
+    """With ncode >= |corpus| and iters=1 (seed codebooks only), every
+    corpus vector's sub-slices ARE centroids, so encode is lossless and
+    the ADC score collapses to the exact cosine — a full-pipeline
+    correctness check of slicing, encoding, LUT build, and the ADC sum
+    with no quantization error to hide behind."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = sim.pq_topk(e, e, k=3, m=2, ncode=4, iters=1, dim=4).collect()
+    got = {(r.query_id, r.rank): (r.match_id, r.score) for r in rows}
+    # q=0: only v3 has a nonzero dot (1 / (1*2)); zero ties order by id
+    assert got[(0, 1)] == (3, 0.5)
+    assert got[(0, 2)] == (1, 0.0) and got[(0, 3)] == (2, 0.0)
+    # q=3: all three score 0.5 -> tie-break ascending match_id
+    assert [got[(3, r)] for r in (1, 2, 3)] == [(0, 0.5), (1, 0.5), (2, 0.5)]
+
+
 def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
     """The one-off Column expressions (minhash_signature / simhash) must
     agree with the hot-path DataFrame pipelines value-for-value."""

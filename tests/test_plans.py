@@ -139,6 +139,20 @@ def test_similarity_kernels_are_arrow_batched(spark, sf_dir):
     assert "MapInPandas" in _plan(spark, "sim_embedding_near_pairs", sf_dir)
 
 
+def test_pq_topk_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """PQ promises: the LUT-carrying query frame broadcasts over the
+    encoded corpus (BNLJ, never a shuffled cartesian), the corpus is
+    never exchanged before scoring, and the only shuffle is the
+    per-query rank — with map-side WindowGroupLimit pruning to k rows
+    per query before it."""
+    plan = _plan(spark, "sim_pq_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2  # the query_id rank exchange (tree + detail line)
+    assert "WindowGroupLimit" in plan
+
+
 def test_repetition_scores_is_shuffle_free(spark, sf_dir):
     """The repetition filter is pure per-row expressions — any Exchange
     appearing here means someone broke the staged-projection shape."""
