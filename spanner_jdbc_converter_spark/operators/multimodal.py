@@ -19,6 +19,7 @@ tuned down so a batch of payloads fits executor memory.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -297,6 +298,125 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+#: Spectral analysis frame: 16 samples -> 8 unique non-DC DFT bins.
+SPECTRUM_FRAME = 16
+#: Trig tables in integer MICRO-UNITS (round(cos(2*pi*t/16)*1e6)) — the
+#: quantized-table DFT.  Integer tables make the per-bin component sums
+#: EXACT integer arithmetic on both engines (|sum| <= 16*32768*1e6 ~
+#: 5.2e11, well inside BIGINT); the oracle f-strings embed THESE
+#: constants, so there is no cross-engine libm in the loop at all.
+SPECTRUM_COS = [
+    int(round(math.cos(2.0 * math.pi * t / SPECTRUM_FRAME) * 1_000_000))
+    for t in range(SPECTRUM_FRAME)
+]
+SPECTRUM_SIN = [
+    int(round(math.sin(2.0 * math.pi * t / SPECTRUM_FRAME) * 1_000_000))
+    for t in range(SPECTRUM_FRAME)
+]
+
+AUDIO_SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("e_low", T.DoubleType()),
+        T.StructField("e_mid", T.DoubleType()),
+        T.StructField("e_high", T.DoubleType()),
+        T.StructField("centroid", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_spectrum(df: DataFrame) -> DataFrame:
+    """Frequency-domain audio features: a small-frame quantized-table
+    DFT over the decoded PCM — per-band energy (bins 1-2 / 3-5 / 6-8 of
+    the 16-point transform) and the spectral power centroid.
+
+    Determinism contract (how a float transform stays oracle-exact):
+    the per-(frame, bin) DFT components re_k = sum_i s_i*COS[(k*i)%16]
+    and im_k use the INTEGER micro-unit tables above, so they are exact
+    BIGINTs; each becomes a double via one exact conversion (< 2^53)
+    plus one division by 1e6; bin power p = re_d*re_d + im_d*im_d is a
+    fixed-order scalar expression; the per-bin total over frames is a
+    LEFT FOLD in frame order (a Python loop here, list_reduce over an
+    ORDER BY list in the oracle — numpy's pairwise sum would NOT
+    match); band energies and the centroid numerator/denominator are
+    explicit left-associated chains.  Every float op is therefore the
+    same IEEE op in the same order on both engines; only the centroid
+    ratio is rounded (at 6, JVM-side — Python round is banker's).
+
+    Scale: Arrow-batched mapInPandas, one integer matmul per batch,
+    constant task memory; the payload column streams batch-at-a-time.
+    Tail samples beyond the last full 16-frame are dropped (spec'd);
+    n < 16 samples -> n_frames = 0 and all-zero features."""
+    import numpy as np
+
+    n_bins = SPECTRUM_FRAME // 2
+    cos_m = np.array(
+        [
+            [SPECTRUM_COS[(k * i) % SPECTRUM_FRAME] for k in range(1, n_bins + 1)]
+            for i in range(SPECTRUM_FRAME)
+        ],
+        dtype=np.int64,
+    )
+    sin_m = np.array(
+        [
+            [SPECTRUM_SIN[(k * i) % SPECTRUM_FRAME] for k in range(1, n_bins + 1)]
+            for i in range(SPECTRUM_FRAME)
+        ],
+        dtype=np.int64,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def feats(payload: bytes):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                n = w.getnframes()
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            nf = n // SPECTRUM_FRAME
+            if nf == 0:
+                return 0, 0.0, 0.0, 0.0, 0.0
+            x = s[: nf * SPECTRUM_FRAME].reshape(nf, SPECTRUM_FRAME)
+            re_d = (x @ cos_m) / 1_000_000.0  # exact ints -> one div each
+            im_d = (x @ sin_m) / 1_000_000.0
+            p = re_d * re_d + im_d * im_d  # (nf, 8) bin power
+            pk = [0.0] * n_bins
+            for fi in range(nf):  # left fold in frame order — NOT np.sum
+                for k in range(n_bins):
+                    pk[k] = pk[k] + p[fi, k]
+            e_low = pk[0] + pk[1]
+            e_mid = pk[2] + pk[3] + pk[4]
+            e_high = pk[5] + pk[6] + pk[7]
+            den = 0.0
+            num = 0.0
+            for k in range(n_bins):
+                den = den + pk[k]
+                num = num + (k + 1) * pk[k]
+            centroid = num / den if den != 0.0 else 0.0
+            return nf, float(e_low), float(e_mid), float(e_high), float(centroid)
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [r[0] for r in rows],
+                    "e_low": [r[1] for r in rows],
+                    "e_mid": [r[2] for r in rows],
+                    "e_high": [r[3] for r in rows],
+                    "centroid": [r[4] for r in rows],
+                }
+            )
+
+    out = df.select("doc_id", "payload").mapInPandas(run, AUDIO_SPECTRUM_SCHEMA)
+    return out.withColumn("centroid", F.round(F.col("centroid"), 6))
 
 
 # ---------------------------------------------------------------------------

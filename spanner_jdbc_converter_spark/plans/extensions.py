@@ -1533,6 +1533,95 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_wav_features(mm.payload_view(spark, sf_dir, "wav"))
 
 
+#: Quantized-table DFT constants (DuckDB list literals), generated from
+#: the SAME integer micro-unit tables the numpy kernel uses.
+_SPEC_COS_SQL = "[" + ", ".join(str(c) for c in mm.SPECTRUM_COS) + "]"
+_SPEC_SIN_SQL = "[" + ", ".join(str(c) for c in mm.SPECTRUM_SIN) + "]"
+#: PCM sample formula at absolute index (fi*16 + i) of doc d — the
+#: multimodal_wav_decode fixture generator, replayed from first principles.
+_SPEC_S_SQL = "(((f.doc_id * 31 + (g.fi * 16 + g.i) * 17) % 65536) - 32768)"
+_SPEC_DEN_SQL = "(((((((p1 + p2) + p3) + p4) + p5) + p6) + p7) + p8)"
+_SPEC_NUM_SQL = (
+    "(((((((1 * p1 + 2 * p2) + 3 * p3) + 4 * p4) + 5 * p5)"
+    " + 6 * p6) + 7 * p7) + 8 * p8)"
+)
+
+
+@register(
+    "multimodal_audio_spectrum",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, (200 + doc_id % 100) // 16 AS nf FROM documents
+    ),
+    comps AS (
+      SELECT f.doc_id, g.fi, g.k,
+             CAST(SUM({_SPEC_S_SQL}
+                      * ({_SPEC_COS_SQL})[((g.k * g.i) % 16) + 1])
+                  AS BIGINT) AS re,
+             CAST(SUM({_SPEC_S_SQL}
+                      * ({_SPEC_SIN_SQL})[((g.k * g.i) % 16) + 1])
+                  AS BIGINT) AS im
+      FROM fr f,
+           LATERAL (
+             SELECT gf.fi, gk.k, gi.i
+             FROM (SELECT unnest(generate_series(0, f.nf - 1)) AS fi) gf,
+                  (SELECT unnest(generate_series(1, 8)) AS k) gk,
+                  (SELECT unnest(generate_series(0, 15)) AS i) gi
+           ) g
+      GROUP BY f.doc_id, g.fi, g.k
+    ),
+    mag AS (
+      SELECT doc_id, fi, k,
+             (CAST(re AS DOUBLE) / 1000000.0) * (CAST(re AS DOUBLE) / 1000000.0)
+             + (CAST(im AS DOUBLE) / 1000000.0) * (CAST(im AS DOUBLE) / 1000000.0)
+               AS p
+      FROM comps
+    ),
+    pk AS (
+      SELECT doc_id, k,
+             list_reduce(list(p ORDER BY fi), (a, b) -> a + b) AS pk
+      FROM mag GROUP BY doc_id, k
+    ),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN k = 1 THEN pk END) AS p1,
+             MAX(CASE WHEN k = 2 THEN pk END) AS p2,
+             MAX(CASE WHEN k = 3 THEN pk END) AS p3,
+             MAX(CASE WHEN k = 4 THEN pk END) AS p4,
+             MAX(CASE WHEN k = 5 THEN pk END) AS p5,
+             MAX(CASE WHEN k = 6 THEN pk END) AS p6,
+             MAX(CASE WHEN k = 7 THEN pk END) AS p7,
+             MAX(CASE WHEN k = 8 THEN pk END) AS p8
+      FROM pk GROUP BY doc_id
+    )
+    SELECT f.doc_id, CAST(f.nf AS BIGINT) AS n_frames,
+           p1 + p2 AS e_low,
+           p3 + p4 + p5 AS e_mid,
+           p6 + p7 + p8 AS e_high,
+           CASE WHEN {_SPEC_DEN_SQL} = 0.0 THEN 0.0
+                ELSE ROUND({_SPEC_NUM_SQL} / {_SPEC_DEN_SQL}, 6) END
+             AS centroid
+    FROM fr f JOIN piv USING (doc_id)
+    """,
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features (VERDICT r11 gap #3 — the WAV
+    path stopped at time-domain stats): 16-point quantized-table DFT
+    per frame over the decoded PCM, reduced to per-band energy (bins
+    1-2 / 3-5 / 6-8) and the spectral power centroid
+    (operators/multimodal.py::decode_wav_spectrum).
+
+    The oracle never sees the WAV bytes: it replays the PCM generation
+    formula, the INTEGER micro-unit trig tables (embedded from the same
+    constants the numpy kernel uses), the exact BIGINT component sums,
+    and the left-fold frame aggregation — so a hash match proves both
+    the container round trip and that every float op runs in the same
+    IEEE order on both engines.  Energies are bit-exact unrounded; only
+    the centroid ratio rounds (at 6).  Payloads are fixture-borne from
+    the media store; Arrow-batched mapInPandas, constant task memory."""
+    return mm.decode_wav_spectrum(mm.payload_view(spark, sf_dir, "wav"))
+
+
 @register(
     "multimodal_pgm_decode",
     oracle="""

@@ -807,6 +807,43 @@ def test_wav_decode_known_waveform(spark):
     assert math.isfinite(r0.rms)
 
 
+def test_wav_spectrum_pure_tone_centroid_at_tone_bin(spark):
+    """A pure sine at bin-2 frequency (period 8 at the 16-sample frame)
+    must put essentially all power in bin 2: centroid ~= 2 and the low
+    band dominates.  Silence and sub-frame payloads produce all-zero
+    features, never NaN."""
+    import math
+
+    from pyspark.sql import Row
+
+    from spanner_jdbc_converter_spark.operators.multimodal import (
+        _wav_bytes,
+        decode_wav_spectrum,
+    )
+
+    tone = [
+        int(round(10000 * math.sin(2.0 * math.pi * 2 * i / 16))) for i in range(160)
+    ]
+    rows = decode_wav_spectrum(
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=_wav_bytes(tone)),
+                Row(doc_id=2, payload=_wav_bytes([0] * 100)),
+                Row(doc_id=3, payload=_wav_bytes([5, -5] * 6)),  # 12 < 16
+            ]
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    t = by_id[1]
+    assert t.n_frames == 10
+    assert abs(t.centroid - 2.0) < 1e-3
+    assert t.e_low > 1000 * (t.e_mid + t.e_high)
+    s = by_id[2]
+    assert (s.e_low, s.e_mid, s.e_high, s.centroid) == (0.0, 0.0, 0.0, 0.0)
+    short = by_id[3]
+    assert short.n_frames == 0 and short.centroid == 0.0
+
+
 def test_pgm_decode_known_image(spark):
     """Hand-built 4x2 gradient image: decode must recover dimensions,
     exact mean, gradient energy, and the downsampled checksum."""
