@@ -540,3 +540,137 @@ def vector_dim_profile(
             z(F.col("__hi")).alias("z_max"),
         )
     )
+
+
+#: Power-iteration defaults: 3 matvec+normalize rounds from the exact
+#: binary seed 1/8 per coordinate (unit norm at dim 64).
+PC1_ITERS = 3
+
+
+def power_iteration_pc1(
+    emb: DataFrame,
+    iters: int = PC1_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Leading principal component of the (centered) embedding matrix by
+    fixed-iteration power iteration — the dimensionality-reduction /
+    spectral-audit primitive (dominant variance direction, whitening
+    axis, anisotropy check) that runs BEFORE any PCA-based projection.
+
+    Determinism contract (how an iterative float algorithm stays
+    oracle-exact): the per-dimension means use the DECIMAL(28,12)
+    power-sum ladder; the seed v0 = 1/8 per coordinate is an exact
+    binary double; each round computes s_i = fold_d(x_id·v_d) − c with
+    c = fold_d(μ_d·v_d) (centering via the precomputed constant, NOT a
+    fold of differences — the order is part of the contract), divides
+    s_i by N once, and reduces w_d = Σ_i (s_i/N)·(x_id − μ_d) through
+    DECIMAL-quantized products (order-free sums); normalization and the
+    Rayleigh quotient are left folds over d.  Every float op is the
+    same IEEE op in the same order on both engines, so the oracle
+    unrolls the identical recurrence (no sign/convergence ambiguity —
+    the iteration count is FIXED and the seed is constant).
+
+    Scale shape: the current v rides as 64 literal doubles (the
+    perceptron/k-center planning-scale discipline — 64 doubles to the
+    driver per round, never a collected matrix); each round is ONE
+    corpus scan (projection is a map-side fold, the update is one
+    posexplode reduced by a map-side-combined 64-key aggregate); the
+    corpus never shuffles more than (dims × partitions) partial rows.
+    At 100 TB the same plan holds — rounds are O(scan), state is O(dim).
+
+    Output: one row per dimension — (pos, mu, pc1, eigval, n_vecs);
+    eigval is the Rayleigh quotient v·w of the LAST round (the variance
+    along pc1, already /N), constant across rows.  Empty input returns
+    an empty frame; a zero matvec (single point / all-constant corpus)
+    reports pc1 = 0.0 per dimension with eigval 0.0."""
+    spark = emb.sparkSession
+    out_schema = (
+        "pos long, mu double, pc1 double, eigval double, n_vecs long"
+    )
+    x = emb.select(F.col(vec_col).alias("__x")).persist()
+    stats = (
+        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+        .select("pos", F.col("__v").cast("double").alias("__v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        x.unpersist()
+        return spark.createDataFrame([], out_schema)
+    mu = [0.0] * dim
+    n = 0
+    for r in stats:
+        mu[int(r["pos"])] = float(r["mu"])
+        n = int(r["n"])
+    v = [0.125] * dim
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    eigval = 0.0
+    for _ in range(iters):
+        c = 0.0
+        for d in range(dim):
+            c = c + mu[d] * v[d]
+        v_lit = F.array(*[F.lit(t) for t in v])
+        s = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("__x"), v_lit, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            - F.lit(c)
+        )
+        rows = (
+            x.select((s / F.lit(float(n))).alias("__s"), F.col("__x"))
+            .select("__s", F.posexplode(F.col("__x")).alias("pos", "__v"))
+            .select(
+                "pos",
+                (
+                    F.col("__s")
+                    * (
+                        F.col("__v").cast("double")
+                        - F.element_at(mu_lit, F.col("pos") + 1)
+                    )
+                ).alias("__t"),
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("__t").cast(_DEC)).cast("double").alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in rows:
+            w[int(r["pos"])] = float(r["w"])
+        eigval = 0.0
+        for d in range(dim):
+            eigval = eigval + v[d] * w[d]
+        nrm2 = 0.0
+        for d in range(dim):
+            nrm2 = nrm2 + w[d] * w[d]
+        if nrm2 == 0.0:
+            v = [0.0] * dim
+            eigval = 0.0
+            break
+        import math
+
+        nrm = math.sqrt(nrm2)
+        v = [w[d] / nrm for d in range(dim)]
+    x.unpersist()
+    out = spark.createDataFrame(
+        [(d, mu[d], v[d], eigval, n) for d in range(dim)], out_schema
+    )
+    return out.select(
+        "pos",
+        F.round("mu", 6).alias("mu"),
+        F.round("pc1", 6).alias("pc1"),
+        F.round("eigval", 6).alias("eigval"),
+        "n_vecs",
+    )

@@ -2095,3 +2095,96 @@ def vector_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/clustering.py::vector_dim_profile."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.vector_dim_profile(emb)
+
+
+# ---------------------------------------------------------------------------
+# Leading principal component by fixed-iteration power iteration.
+# ---------------------------------------------------------------------------
+
+
+def _pc1_ctes(iters: int = 3, dim: int = 64) -> tuple[str, str, str]:
+    """Unrolled power-iteration CTE clauses (the k-means/perceptron
+    discipline applied to a matvec recurrence).  Returns (clauses,
+    final_v_cte, rayleigh_cte); `v{it}` frames hold the normalized
+    direction list after round it, `ray` the last round's Rayleigh
+    quotient."""
+    rng = f"range(1, {dim + 1})"
+    parts = [
+        "e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x"
+        " FROM embeddings)",
+        f"""st AS (
+      SELECT pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mu,
+             COUNT(*) AS n
+      FROM (SELECT unnest(range(0, {dim})) AS pos, unnest(x) AS v FROM e)
+      GROUP BY pos)""",
+        "ml AS (SELECT list(mu ORDER BY pos) AS mu, MAX(n) AS n FROM st)",
+        f"v0 AS (SELECT list_transform({rng}, d -> CAST(0.125 AS DOUBLE)) AS v"
+        " FROM ml)",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"v{it - 1}"
+        parts.append(
+            f"""w{it} AS (
+      SELECT pos, CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE) AS w
+      FROM (
+        SELECT unnest(range(0, {dim})) AS pos,
+               unnest(list_transform({rng},
+                      d -> (s / n) * (x[d] - mu[d]))) AS t
+        FROM (
+          SELECT e.x, m.mu, m.n,
+                 list_reduce(list_transform({rng}, d -> e.x[d] * vv.v[d]),
+                             (a, b) -> a + b)
+                 - list_reduce(list_transform({rng}, d -> m.mu[d] * vv.v[d]),
+                               (a, b) -> a + b) AS s
+          FROM e, ml m, {prev} vv
+        )
+      ) GROUP BY pos)"""
+        )
+        parts.append(
+            f"wl{it} AS (SELECT list(w ORDER BY pos) AS wl FROM w{it})"
+        )
+        parts.append(
+            f"""v{it} AS (
+      SELECT CASE WHEN nrm = 0.0 THEN list_transform(wl, q -> CAST(0.0 AS DOUBLE))
+                  ELSE list_transform(wl, q -> q / nrm) END AS v
+      FROM (SELECT wl,
+                   sqrt(list_reduce(list_transform(wl, q -> q * q),
+                                    (a, b) -> a + b)) AS nrm
+            FROM wl{it}))"""
+        )
+    parts.append(
+        f"""ray AS (
+      SELECT list_reduce(list_transform({rng}, d -> pv.v[d] * wl[d]),
+                         (a, b) -> a + b) AS eig
+      FROM v{iters - 1} pv, wl{iters})"""
+    )
+    return ",\n    ".join(parts), f"v{iters}", "ray"
+
+
+_PC1_CTES, _PC1_V, _PC1_RAY = _pc1_ctes(cl.PC1_ITERS, 64)
+
+
+@register(
+    "cluster_power_iteration_pc1",
+    oracle=f"""
+    WITH {_PC1_CTES}
+    SELECT s.pos, ROUND(s.mu, 6) AS mu,
+           ROUND(v.v[CAST(s.pos AS INT) + 1], 6) AS pc1,
+           ROUND(r.eig, 6) AS eigval,
+           s.n AS n_vecs
+    FROM st s, {_PC1_V} v, {_PC1_RAY} r
+    """,
+)
+def cluster_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the centered embedding matrix via
+    3 fixed power-iteration rounds — the spectral audit / whitening-axis
+    primitive (see operators/clustering.py::power_iteration_pc1 for the
+    determinism contract and the one-scan-per-round plan shape).  The
+    oracle unrolls the identical recurrence: DECIMAL-ladder means, the
+    exact-binary 1/8 seed, fold-order-pinned projections, DECIMAL-
+    quantized matvec sums, and the same normalization and Rayleigh
+    folds — so all 64 loadings, the eigenvalue, and the means
+    hash-match bit-for-bit after the shared round-at-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.power_iteration_pc1(emb)

@@ -322,6 +322,27 @@ def test_winnow_fingerprints_empty(spark):
     assert dd.winnow_fingerprints(spark.createDataFrame([], DOC_SCHEMA)).count() == 0
 
 
+def test_power_iteration_pc1_empty_and_degenerate(spark):
+    """Empty corpus -> empty frame with the contract schema; a single
+    point centers to the zero matrix, so pc1 must report all-zero
+    loadings with eigval 0.0 — never a division by the zero norm."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = cl.power_iteration_pc1(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "pos", "mu", "pc1", "eigval", "n_vecs",
+    ]
+
+    one = spark.createDataFrame([(1, [3.0, -2.0])], EMB_SCHEMA)
+    rows = cl.power_iteration_pc1(one, dim=2).orderBy("pos").collect()
+    assert [(r.mu, r.pc1, r.eigval, r.n_vecs) for r in rows] == [
+        (3.0, 0.0, 0.0, 1),
+        (-2.0, 0.0, 0.0, 1),
+    ]
+
+
 def test_pq_topk_empty_corpus(spark):
     """Empty queries/corpus: no codebooks can train, so the result is
     an empty frame with the contract schema — never a crash in the

@@ -270,6 +270,27 @@ def test_pq_topk_exact_when_each_vector_is_its_own_centroid(spark):
     assert [got[(3, r)] for r in (1, 2, 3)] == [(0, 0.5), (1, 0.5), (2, 0.5)]
 
 
+def test_power_iteration_pc1_recovers_line_direction(spark):
+    """Rank-1 data along (1, 2): pc1 must align with the line (the
+    power iteration converges in one round on rank-1 input) and the
+    eigenvalue must equal the variance along it."""
+    import math
+
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    pts = spark.createDataFrame(
+        [(i, [float(t), 2.0 * t]) for i, t in enumerate([-1.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.pos: r for r in cl.power_iteration_pc1(pts, dim=2).collect()}
+    u = (1.0 / math.sqrt(5.0), 2.0 / math.sqrt(5.0))
+    assert abs(rows[0].pc1 - round(u[0], 6)) <= 1e-6
+    assert abs(rows[1].pc1 - round(u[1], 6)) <= 1e-6
+    # projections are t*sqrt(5) for t in {-1,0,1}: variance = 10/3
+    assert abs(rows[0].eigval - 10.0 / 3.0) < 1e-5
+    assert rows[0].n_vecs == 3 and rows[0].mu == 0.0
+
+
 def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
     """The one-off Column expressions (minhash_signature / simhash) must
     agree with the hot-path DataFrame pipelines value-for-value."""
