@@ -242,6 +242,159 @@ def text_pii_email_ip_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Card-number detection: 16 contiguous digits on word boundaries —
+#: identical Java-regex/RE2 semantics (same rationale as EMAIL/IPV4).
+CCN_PATTERN = r"\b\d{16}\b"
+
+#: The 15 payload-digit multipliers of the deterministic fixture card
+#: d_i = (c_custkey * CCN_PRIMES[i]) % 10; digit 16 is the true Luhn
+#: check digit, corrupted (+1 mod 10) for custkey % 5 = 0 so the
+#: validity gate has both outcomes to separate.
+CCN_PRIMES = (3, 7, 11, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61)
+
+
+def _luhn_term_sql(d: str, doubled: bool) -> str:
+    """One digit's Luhn contribution (2d-9 folding for doubled slots)."""
+    if not doubled:
+        return f"({d})"
+    return f"(CASE WHEN ({d}) >= 5 THEN 2 * ({d}) - 9 ELSE 2 * ({d}) END)"
+
+
+def _ccn_fixture_sql() -> str:
+    """Profile text with the deterministic card (or none, custkey%7=1)."""
+    digits = [f"((c_custkey * {p}) % 10)" for p in CCN_PRIMES]
+    # 16-digit card: from the right, the check digit is position 1 and
+    # every second position doubles -> payload index i (1-based from the
+    # left) doubles iff i is odd.
+    s15 = " + ".join(
+        _luhn_term_sql(d, doubled=(i % 2 == 1))
+        for i, d in enumerate(digits, start=1)
+    )
+    check = f"((10 - ({s15}) % 10) % 10)"
+    check = (
+        f"(CASE WHEN c_custkey % 5 = 0 THEN ({check} + 1) % 10"
+        f" ELSE {check} END)"
+    )
+    card = " || ".join(f"CAST({d} AS VARCHAR)" for d in digits + [check])
+    return (
+        "c_name || CASE WHEN c_custkey % 7 <> 1"
+        f" THEN ' card ' || {card} ELSE '' END"
+        " || ' segment ' || c_mktsegment"
+    )
+
+
+def _ccn_fixture_col():
+    digits = [(F.col("c_custkey") * p) % 10 for p in CCN_PRIMES]
+
+    def term(d, doubled):
+        return F.when(doubled & (d >= 5), 2 * d - 9).otherwise(
+            F.when(F.lit(doubled), 2 * d).otherwise(d)
+        )
+
+    s15 = None
+    for i, d in enumerate(digits, start=1):
+        t = term(d, F.lit(i % 2 == 1))
+        s15 = t if s15 is None else s15 + t
+    check = (10 - (s15 % 10)) % 10
+    check = F.when(F.col("c_custkey") % 5 == 0, (check + 1) % 10).otherwise(check)
+    card = F.concat(*[d.cast("string") for d in digits], check.cast("string"))
+    return F.concat(
+        F.col("c_name"),
+        F.when(
+            F.col("c_custkey") % 7 != 1, F.concat(F.lit(" card "), card)
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+
+
+def _luhn_candidate_sql(cand: str) -> str:
+    """Luhn sum of a 16-char digit string expression (0 if not 16 long)."""
+    terms = []
+    for i in range(1, 17):
+        d = (
+            f"(CASE WHEN length({cand}) = 16"
+            f" THEN CAST(substring({cand}, {i}, 1) AS INT) ELSE 0 END)"
+        )
+        terms.append(_luhn_term_sql(d, doubled=(i % 2 == 1)))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _luhn_candidate_col(cand):
+    total = None
+    for i in range(1, 17):
+        d = F.when(
+            F.length(cand) == 16, F.substring(cand, i, 1).cast("int")
+        ).otherwise(F.lit(0))
+        t = F.when((F.lit(i % 2 == 1)) & (d >= 5), 2 * d - 9).otherwise(
+            F.when(F.lit(i % 2 == 1), 2 * d).otherwise(d)
+        )
+        total = t if total is None else total + t
+    return total
+
+
+@register(
+    "text_pii_ccn_luhn_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey, {_ccn_fixture_sql()} AS profile
+      FROM customer
+    ),
+    c AS (
+      SELECT c_custkey, profile,
+             regexp_extract(profile, '{CCN_PATTERN}') AS cand,
+             CAST(len(regexp_extract_all(profile, '{CCN_PATTERN}')) AS BIGINT)
+               AS n_candidates
+      FROM p
+    )
+    SELECT c_custkey, n_candidates,
+           ({_luhn_candidate_sql("cand")} % 10 = 0) AS luhn_valid,
+           CASE WHEN {_luhn_candidate_sql("cand")} % 10 = 0
+                THEN replace(profile, cand, '[CARD]')
+                ELSE profile END AS redacted
+    FROM c
+    WHERE n_candidates > 0
+    """,
+)
+def text_pii_ccn_luhn_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-VALIDATED card-number redaction: 16-digit candidates are
+    gated through the Luhn check before masking — the step that
+    separates real PAN-shaped PII from arbitrary long numbers (which
+    text_pii_scan_redact already blanket-masks).  A candidate that
+    fails Luhn is counted but left in place; a passing one is replaced
+    with [CARD].
+
+    The Luhn sum is 16 unrolled integer terms over substring digits —
+    pure codegen expressions, exact integer math on both engines, zero
+    shuffle, zero UDF; at 100 TB this runs at scan speed like every
+    staged-projection PII pass.  The fixture plants a true check digit
+    on most customers and corrupts it (+1 mod 10) on custkey % 5 = 0,
+    so the gate provably fires both ways; custkey % 7 = 1 rows carry no
+    candidate and are dropped by the filter."""
+    c = load_table(spark, sf_dir, "customer")
+    profile = _ccn_fixture_col()
+    t = c.select(
+        "c_custkey",
+        profile.alias("profile"),
+        F.regexp_extract(profile, CCN_PATTERN, 0).alias("cand"),
+        F.regexp_count(profile, F.lit(CCN_PATTERN)).cast("long").alias(
+            "n_candidates"
+        ),
+    )
+    valid = _luhn_candidate_col(F.col("cand")) % 10 == 0
+    return (
+        t.select(
+            "c_custkey",
+            "n_candidates",
+            valid.alias("luhn_valid"),
+            F.when(valid, F.replace(F.col("profile"), F.col("cand"), F.lit("[CARD]")))
+            .otherwise(F.col("profile"))
+            .alias("redacted"),
+        )
+        .filter(F.col("n_candidates") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranking — fixed query-term profile, fixed-order score sum.
 # ---------------------------------------------------------------------------

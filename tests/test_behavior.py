@@ -139,6 +139,61 @@ class TestPIIRedaction:
         assert rows[1].redacted == "no pii here 123-45"
 
 
+class TestLuhnRedaction:
+    def test_known_cards_gate_and_mask(self, spark):
+        """The classic 4111111111111111 passes Luhn and masks; flipping
+        its check digit fails the gate and the text survives verbatim;
+        a 15-digit number is never a candidate."""
+        from spanner_jdbc_converter_spark.plans.curation import (
+            CCN_PATTERN,
+            _luhn_candidate_col,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(s="pay 4111111111111111 now"),
+                Row(s="pay 4111111111111112 now"),
+                Row(s="pay 411111111111111 now"),
+            ]
+        )
+        t = df.select(
+            "s",
+            F.regexp_extract("s", CCN_PATTERN, 0).alias("cand"),
+            F.regexp_count("s", F.lit(CCN_PATTERN)).alias("n"),
+        ).select(
+            "n",
+            (_luhn_candidate_col(F.col("cand")) % 10 == 0).alias("valid"),
+            F.when(
+                _luhn_candidate_col(F.col("cand")) % 10 == 0,
+                F.replace(F.col("s"), F.col("cand"), F.lit("[CARD]")),
+            )
+            .otherwise(F.col("s"))
+            .alias("redacted"),
+        )
+        rows = t.collect()
+        assert (rows[0].n, rows[0].valid) == (1, True)
+        assert rows[0].redacted == "pay [CARD] now"
+        assert (rows[1].n, rows[1].valid) == (1, False)
+        assert rows[1].redacted == "pay 4111111111111112 now"
+        assert rows[2].n == 0
+
+    def test_entry_is_shuffle_free_and_gate_fires_both_ways(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.plans import QUERIES
+
+        df = QUERIES["text_pii_ccn_luhn_redact"](spark, sf_dir)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert "Exchange" not in plan  # staged projection, scan speed
+        rows = df.collect()
+        valids = {r.luhn_valid for r in rows}
+        assert valids == {True, False}
+        assert all(
+            ("[CARD]" in r.redacted) == bool(r.luhn_valid) for r in rows
+        )
+
+
 class TestInterleave:
     def test_positions_are_a_permutation_with_round_robin_residue(self, spark, sf_dir):
         from spanner_jdbc_converter_spark.plans.curation import (
