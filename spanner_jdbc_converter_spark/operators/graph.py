@@ -219,3 +219,114 @@ def triangle_counts(
             ),
         )
     )
+
+
+def pagerank_weighted_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Weight-proportional PageRank with a FIXED iteration count: a
+    node's rank flows to each out-neighbor in proportion to the edge
+    weight (rank·w / Σ_out w) — the TextRank formulation, and the
+    general form for co-occurrence / affinity graphs where multiplicity
+    carries signal an unweighted walk discards.
+
+    Same discipline as :func:`pagerank_fixed` (which see): one edge
+    materialization, per-round keyed joins + one DECIMAL groupBy,
+    localCheckpoint lineage cuts, round-12 contributions.  Weights must
+    be exact integers (counts) so rank·w and the out-weight totals stay
+    IEEE-deterministic: rank·w is one double multiply of an exactly-
+    promoted long, the division by the exact out-weight is one more op,
+    and the DECIMAL sum is order-free — the oracle unrolls identically.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), RANK_SCALE).alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("rank") * F.col("w") / F.col("outw"), RANK_SCALE
+                )
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                    RANK_SCALE,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_weighted_oracle_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB rendering of :func:`pagerank_weighted_fixed` over
+    ``edges_cte`` (a CTE body producing (src, dst, w))."""
+    q = [f"WITH e AS ({edges_cte}),"]
+    q.append(
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)),"
+    )
+    q.append(
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),"
+    )
+    q.append("nn AS (SELECT COUNT(*) AS n FROM nodes),")
+    q.append(
+        f"r0 AS (SELECT node, ROUND(1.0 / n, {RANK_SCALE}) AS rank "
+        "FROM nodes CROSS JOIN nn),"
+    )
+    for i in range(iterations):
+        q.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM(CAST(ROUND(r{i}.rank * e.w / ow.outw, {RANK_SCALE}) "
+            f"AS DECIMAL(28,12))) AS mass "
+            f"FROM e JOIN r{i} ON e.src = r{i}.node "
+            f"JOIN ow ON e.src = ow.src GROUP BY e.dst),"
+        )
+        q.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"ROUND({(1.0 - damping)!r} / nn.n + {damping!r} * "
+            f"COALESCE(CAST(c{i}.mass AS DOUBLE), 0.0), {RANK_SCALE}) AS rank "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node),"
+        )
+    last = q.pop()
+    q.append(last.rstrip(","))
+    q.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(q)

@@ -82,18 +82,18 @@ _GATE_PRIORITY = [
     "map_functions_surface",
     "notin_null_semantics",
     "date_functions_surface",
-    "events_json_props",
     # (2) registered in r12 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix,
     # select_source_cap, pipeline_pack_invariants, text_vocab_encode,
-    # dedup_lsh_verified_pairs).
+    # dedup_lsh_verified_pairs, events_json_props).
     "dedup_lsh_operating_report",
     "validate_schema_drift",
     "sim_pq_topk",
     "multimodal_audio_spectrum",
     "cluster_power_iteration_pc1",
     "text_pii_ccn_luhn_redact",
+    "text_textrank_keywords",
 ]
 
 

@@ -2188,3 +2188,97 @@ def cluster_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match bit-for-bit after the shared round-at-6."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cl.power_iteration_pc1(emb)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords — PageRank over the word co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.operators import graph as gr  # noqa: E402
+
+#: Minimum corpus-wide co-occurrence count for a co-occurrence edge,
+#: and the keyword-list size.
+TEXTRANK_MIN_CO = 5
+TEXTRANK_TOPK = 20
+
+_TR_STOP_SQL = ", ".join(f"'{w}'" for w in tx.LANG_PROFILES["en"])
+
+#: Undirected co-occurrence edges: adjacent content-token pairs (en
+#: stopwords removed first) canonicalized least/greatest, kept at
+#: count >= TEXTRANK_MIN_CO, then emitted in both directions via a
+#: 2-row unnest (no duplicated subquery).
+_TR_EDGES_SQL = f"""
+    SELECT CASE WHEN d.d = 0 THEN ce.a ELSE ce.b END AS src,
+           CASE WHEN d.d = 0 THEN ce.b ELSE ce.a END AS dst,
+           ce.w
+    FROM (
+      SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b,
+             COUNT(*) AS w
+      FROM (SELECT list_filter({_TOKS_SQL},
+                               x -> NOT list_contains([{_TR_STOP_SQL}], x)) AS t
+            FROM documents) tk,
+           LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+      WHERE t[i] <> t[i+1]
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TEXTRANK_MIN_CO}
+    ) ce, (SELECT unnest([0, 1]) AS d) d
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    SELECT node AS keyword, rank FROM (
+      {gr.pagerank_weighted_oracle_sql(_TR_EDGES_SQL, iterations=3)}
+    ) ORDER BY rank DESC, node LIMIT {TEXTRANK_TOPK}
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
+    PageRank over the undirected word co-occurrence graph — adjacent
+    content tokens (stopwords removed) co-occurring >= 5 times
+    corpus-wide, rank flowing in proportion to co-occurrence count
+    (the paper's weighted formulation; on a dense co-occurrence graph
+    the unweighted walk degenerates to near-uniform ranks) — surfacing
+    the corpus's central vocabulary, the graph-centrality upgrade over
+    raw TF-IDF term lists (text_tfidf_top_terms).
+
+    Scale: edge derivation is one explode + one (a, b) groupBy whose
+    shuffle carries vocabulary-sized pair rows; the graph itself is
+    vocabulary-sized (nodes = content terms), so the 3 PageRank rounds
+    (operators/graph.py::pagerank_weighted_fixed — DECIMAL mass sums,
+    round-12 ranks, localCheckpoint lineage cuts) run on frames orders of
+    magnitude smaller than the corpus; the final top-20 is a
+    TakeOrderedAndProject, never a global sort materialization.  The
+    oracle unrolls the identical recurrence and tie-breaks (rank desc,
+    node asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in tx.LANG_PROFILES["en"]])
+    t = d.select(
+        F.filter(tx.tokens("text"), lambda x: ~F.array_contains(sw, x)).alias("t")
+    ).filter(F.size("t") >= 2)
+    pair_expr = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> struct("
+        "least(element_at(t, i), element_at(t, i + 1)) AS a, "
+        "greatest(element_at(t, i), element_at(t, i + 1)) AS b))"
+    )
+    pairs = (
+        t.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    ce = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TEXTRANK_MIN_CO)
+    )
+    edges = ce.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n"
+    ).unionByName(
+        ce.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n")
+    )
+    pr = gr.pagerank_weighted_fixed(edges, weight_col="n", iterations=3)
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(TEXTRANK_TOPK)
+        .select(F.col("node").alias("keyword"), "rank")
+    )

@@ -59,6 +59,39 @@ class TestPageRank:
         assert total == pytest.approx(1.0, abs=1e-9)
 
 
+class TestWeightedPageRank:
+    def test_weights_shift_mass_and_uniform_weights_match_unweighted(self, spark):
+        # b->a carries 9x the weight of b->c: a must outrank c
+        e = spark.createDataFrame(
+            [
+                Row(src="a", dst="b", w=1),
+                Row(src="b", dst="a", w=9),
+                Row(src="b", dst="c", w=1),
+                Row(src="c", dst="b", w=1),
+            ]
+        )
+        ranks = {
+            r.node: r.rank
+            for r in gr.pagerank_weighted_fixed(e, iterations=4).collect()
+        }
+        assert ranks["a"] > ranks["c"]
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+        # w=1 everywhere must reproduce the unweighted recurrence exactly
+        uni = spark.createDataFrame(
+            [Row(src=s, dst=d, w=1) for s, d in [("a", "b"), ("b", "c"), ("c", "a")]]
+        )
+        got = {
+            r.node: r.rank
+            for r in gr.pagerank_weighted_fixed(uni, iterations=3).collect()
+        }
+        want = {
+            r.node: r.rank
+            for r in gr.pagerank_fixed(uni.drop("w"), iterations=3).collect()
+        }
+        assert got == want
+
+
 class TestDecileBinning:
     def test_bins_are_equi_depth(self, spark, sf_dir):
         from spanner_jdbc_converter_spark.plans.features import agg_decile_binning
