@@ -1049,3 +1049,89 @@ def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization of quality scores.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.plans.extensions import (  # noqa: E402
+    _quality_select_sql,
+)
+
+
+@register(
+    "select_quantile_normalize",
+    oracle=f"""
+    WITH q AS ({_quality_select_sql()}),
+    d AS (SELECT q.doc_id, s.source, q.quality
+          FROM q JOIN documents s USING (doc_id)),
+    r AS (SELECT doc_id, source, quality,
+            ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality, doc_id) AS rs,
+            COUNT(*) OVER (PARTITION BY source) AS ns,
+            ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1 AS g,
+            COUNT(*) OVER () AS n
+          FROM d)
+    SELECT a.doc_id, a.source, a.quality, b.quality AS norm_quality
+    FROM r a JOIN r b
+      ON b.g = CASE WHEN a.ns > 1
+                    THEN ((a.rs - 1) * (a.n - 1)) // (a.ns - 1)
+                    ELSE 0 END
+    """,
+)
+def select_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of quality scores ACROSS sources: each
+    document's within-source rank fraction is mapped onto the GLOBAL
+    quality distribution (type-1 quantile — the global score at rank
+    floor((r−1)(N−1)/(n_s−1))), so heterogeneous per-source scoring
+    scales become directly comparable before mixing, capping, or
+    curriculum ordering — the calibration step naive cross-source
+    thresholds skip (a web source's 0.7 is not a books source's 0.7).
+
+    Determinism: the mapping is ALL-INTEGER — ranks are exact, the
+    target index is one integer multiply + floor-div (no float quantile
+    interpolation anywhere), and the looked-up score is an existing
+    round-6 value.  (The r·N product needs ~2·log2(N) bits — route it
+    through DECIMAL(38,0) beyond ~3·10⁹ rows.)
+
+    Scale: both rank sides ride selection.banded_rank on the micro-unit
+    score key (value-banded, shift=14 ⇒ ~62 uniform bands — no global
+    sort task, no single-partition window); per-source counts and the
+    one-row total are broadcast; the final lookup is an integer
+    equi-join shuffled on the target rank only."""
+    from spanner_jdbc_converter_spark.operators.selection import banded_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.col("text"), tx.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        tx.quality_score_from_tokens("text", F.col("__toks")).alias("quality"),
+    )
+    t = base.withColumn(
+        "_qi", F.round(F.col("quality") * 1e6, 0).cast("long")
+    )
+    rs = banded_rank(t, ["source"], "_qi", "doc_id", shift=14).withColumnRenamed(
+        "_rk", "_rs"
+    )
+    g = banded_rank(
+        t.select("doc_id", "quality", "_qi"), [], "_qi", "doc_id", shift=14
+    ).select((F.col("_rk") - 1).alias("_g"), F.col("quality").alias("norm_quality"))
+    ns = t.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    ntot = t.select(F.count(F.lit(1)).alias("_n"))
+    j = (
+        rs.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "_t",
+            F.when(
+                F.col("_ns") > 1,
+                F.expr("((_rs - 1) * (_n - 1)) div (_ns - 1)"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return j.join(g, j["_t"] == g["_g"]).select(
+        "doc_id", "source", "quality", "norm_quality"
+    )

@@ -194,6 +194,31 @@ class TestLuhnRedaction:
         )
 
 
+class TestQuantileNormalize:
+    def test_rank_preserving_and_hits_global_extremes(self, spark, sf_dir):
+        """Within every source the mapping is monotone in (quality,
+        doc_id); the lowest-ranked doc of each source lands exactly on
+        the global minimum and the highest on the global maximum; every
+        normalized value is an actual global quality value."""
+        from spanner_jdbc_converter_spark.plans import QUERIES
+
+        rows = QUERIES["select_quantile_normalize"](spark, sf_dir).collect()
+        assert rows
+        all_q = sorted(r.quality for r in rows)
+        qset = set(all_q)
+        by_source = {}
+        for r in rows:
+            by_source.setdefault(r.source, []).append(r)
+        for src, rs in by_source.items():
+            rs.sort(key=lambda r: (r.quality, r.doc_id))
+            norms = [r.norm_quality for r in rs]
+            assert norms == sorted(norms), src
+            assert set(norms) <= qset, src
+            if len(rs) > 1:
+                assert norms[0] == all_q[0]
+                assert norms[-1] == all_q[-1]
+
+
 class TestInterleave:
     def test_positions_are_a_permutation_with_round_robin_residue(self, spark, sf_dir):
         from spanner_jdbc_converter_spark.plans.curation import (
