@@ -366,6 +366,26 @@ def running_user_cusum(events: DataFrame, k: float, h: float) -> DataFrame:
 # -- incremental sink -------------------------------------------------------
 
 
+def running_cms_cells(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Streaming count-min sketch maintenance: the batch grid operator
+    (operators/sketches.py::cms_cells — same md5 hash family, same
+    DEPTH x WIDTH grid) applied to the unbounded stream.  Spark's
+    native stateful aggregation keeps the running cell counts in
+    update/complete mode, and because the grid is the aggregation key
+    space, state is bounded at DEPTH*WIDTH rows REGARDLESS of stream
+    length or key cardinality — the sketch is precisely the
+    state-bounding move for heavy-hitter tracking over unbounded keys
+    (a per-key running count would grow without limit).
+
+    Heavy hitters are read from the sink snapshot by joining candidate
+    keys through sketches.cms_estimates' probe side; grid counts are
+    exact integers, so the streaming twin equals the batch grid
+    bit-for-bit once the bounded source drains."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    return sk.cms_cells(events, F.col(key_col))
+
+
 def upsert_stream_to_parquet(
     stream_df: DataFrame,
     dest_path: str,

@@ -770,3 +770,34 @@ def test_ingest_near_dedup_reports_schema_drift(spark, tmp_path):
     # the sidecar accumulated both batches' input stats
     stats = spark.read.parquet(report + "._input_stats")
     assert {r.batch_id for r in stats.collect()} == {0, 1}
+
+
+def test_streaming_cms_cells_equals_batch_and_bounds_counts(spark, sf_dir):
+    """The streaming count-min grid over the drained bounded source must
+    equal the batch grid bit-for-bit (exact integer cells), stay within
+    the DEPTH x WIDTH state bound, and its estimates must upper-bound
+    every exact key count (the one-sided CMS guarantee)."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.running_cms_cells(stream), "cms_mem", output_mode="complete"
+    )
+    batch_events = ops.load_events_batch(spark, sf_dir)
+    batch = sk.cms_cells(batch_events, F.col("event_type"))
+    cols = ["seed", "cell", "n"]
+    assert _rows(result, *cols) == _rows(batch, *cols)
+    assert result.count() <= sk.CMS_DEPTH * sk.CMS_WIDTH
+
+    est = {
+        r["event_type"]: r["cms_n"]
+        for r in sk.cms_estimates(batch_events, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(exact) <= set(est)
+    assert all(est[k] >= n for k, n in exact.items())
