@@ -366,32 +366,63 @@ def _pq_lit_vec(vals):
     return F.array(*[F.lit(v) for v in vals])
 
 
-def _pq_code_cols(books: dict, vec_col: str, subdim: int) -> list:
-    """One arg-min code expression per subspace against LITERAL
-    centroids — lexicographic struct-min, ties to the smaller cluster
-    (identical semantics to clustering.assign_clusters' window
-    arg-min, but map-side with zero join and zero shuffle)."""
-    from spanner_jdbc_converter_spark.operators.clustering import _sq_dist
+def _pq_codes_pandas(books: dict, subdim: int):
+    """Arrow-batched PQ encode: one pandas UDF mapping an embedding to
+    the array of per-subspace codes (arg-min squared distance against
+    the codebook, ties to the smaller cluster).
 
-    cols = []
-    for j in sorted(books):
-        # named_struct, not struct(alias): field names on aliased
-        # sub-expressions are dropped inside array() (-> col1/col2).
-        cands = F.array(
-            *[
-                F.named_struct(
-                    F.lit("sq"),
-                    _sq_dist(
-                        _pq_sub_slice(F.col(vec_col), j, subdim), _pq_lit_vec(cv)
-                    ),
-                    F.lit("cluster"),
-                    F.lit(c).cast("long"),
-                )
-                for c, cv in books[j]
-            ]
-        )
-        cols.append(F.array_min(cands)["cluster"].alias(f"__code{j}"))
-    return cols
+    Bit-identical to the expression form it replaced (a struct-min over
+    per-centroid ``_sq_dist`` folds): the distance accumulator loops
+    over sub-vector POSITIONS (numpy vectorized across rows ×
+    centroids), so every (row, centroid) distance folds left-to-right
+    exactly like ``aggregate(zip_with(...))`` and DuckDB's
+    ``list_reduce``; ``np.argmin`` returns the first minimum and the
+    codebook rows are sorted by cluster id, so ties break to the
+    smaller cluster exactly like the lexicographic struct-min.
+
+    Why: m·ncode interpreted ``_sq_dist`` folds per row — plus the
+    Catalyst cost of m·ncode·subdim literal nodes — measured ~14 s of
+    the 15.4 s first bench row; one Arrow crossing + subdim vectorized
+    ops replaces all of it (the lsh_bucket_keys_pandas lesson)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    subs = sorted(books)
+    cents = {
+        j: np.array([cv for _, cv in books[j]], dtype=np.float64) for j in subs
+    }
+    labels = {j: np.array([c for c, _ in books[j]], dtype=np.int64) for j in subs}
+
+    def _impl(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        out_cols = []
+        for j in subs:
+            X = V[:, j * subdim : (j + 1) * subdim]
+            C = cents[j]
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for p in range(subdim):  # position-sequential: exact fold order
+                d = X[:, p : p + 1] - C[None, :, p]
+                acc = acc + d * d
+            idx = np.argmin(acc, axis=1)  # first min = smallest cluster id
+            out_cols.append(labels[j][idx])
+        out = np.stack(out_cols, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    _impl.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_impl, "array<long>")
+
+
+def _pq_code_cols(books: dict, vec_col: str, subdim: int) -> list:
+    """Per-subspace code columns extracted from the Arrow-batched encode
+    (see :func:`_pq_codes_pandas` for the exactness argument)."""
+    codes = _pq_codes_pandas(books, subdim)(F.col(vec_col))
+    return [
+        F.element_at(codes, i + 1).alias(f"__code{j}")
+        for i, j in enumerate(sorted(books))
+    ]
 
 
 def _pq_train(
@@ -506,6 +537,7 @@ def pq_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books: dict | None = None,
 ) -> DataFrame:
     """Top-k by product-quantized cosine with asymmetric distance
     computation (ADC) — the memory-bound production ANN technique
@@ -545,7 +577,8 @@ def pq_topk(
     from operator import add
 
     subdim = dim // m
-    books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
+    if books is None:
+        books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
     spark = queries.sparkSession
     out_schema = (
         "query_id long, match_id long, adot double, score double, rank long"
@@ -775,6 +808,7 @@ def ann_recall_report(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = True,
+    pq_books: dict | None = None,
 ) -> DataFrame:
     """Recall@k of every approximate similarity path against the exact
     brute-force top-k — THE number a user tunes tables/planes/nprobe
@@ -813,7 +847,12 @@ def ann_recall_report(
     paths = [
         ("ivf", ivf_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
         ("lsh", lsh_ann_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
-        ("pq", pq_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
+        (
+            "pq",
+            pq_topk(
+                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=pq_books
+            ),
+        ),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
     ]
     approx = reduce(

@@ -151,6 +151,9 @@ def test_pq_topk_broadcasts_queries_single_shuffle(spark, sf_dir):
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2  # the query_id rank exchange (tree + detail line)
     assert "WindowGroupLimit" in plan
+    # regression gate for the measured 14 s interpreted-encode cliff:
+    # the per-subspace arg-min must ride the Arrow-batched numpy kernel
+    assert "ArrowEvalPython" in plan
 
 
 def test_repetition_scores_is_shuffle_free(spark, sf_dir):
