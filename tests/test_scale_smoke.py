@@ -607,3 +607,53 @@ def test_debounce_at_10x_entities(spark):
     n_total, n_kept = per_copy[0]
     assert 0 < n_kept < n_total
     assert wall < 300, f"debounce at 10x entities took {wall:.0f}s"
+
+
+def test_pq_topk_at_10x_corpus(spark):
+    """PQ ANN at 10x the sf0.1 corpus (20k vectors, ~400 queries): the
+    Arrow-batched encode and the broadcast-LUT scoring must hold the
+    envelope (the first bench row of the expression-form encode took
+    15 s at 2k vectors — this smoke pins the regression), and every
+    query must get exactly k ranked matches."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(e)
+        .select((F.col("vec_id") + F.col("id") * n).alias("vec_id"), "embedding")
+        .filter(norm(F.col("embedding")) > 0)
+    )
+    queries = scaled.filter(F.col("vec_id") % 500 == 0)
+    t0 = time.time()
+    out = sim.pq_topk(queries, scaled, k=5).groupBy("query_id").count().collect()
+    wall = time.time() - t0
+    assert out and all(r["count"] == 5 for r in out)
+    assert wall < 120, f"pq_topk at 10x took {wall:.0f}s"
+
+
+def test_power_iteration_pc1_at_10x_corpus(spark):
+    """PC1 at 10x the sf0.1 corpus: three scans + 64-key aggregates must
+    stay flat; replicating the corpus leaves the distribution (and so
+    the principal direction's unit norm) intact."""
+    import math
+
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(e)
+        .select((F.col("vec_id") + F.col("id") * n).alias("vec_id"), "embedding")
+    )
+    t0 = time.time()
+    rows = cl.power_iteration_pc1(scaled).collect()
+    wall = time.time() - t0
+    assert len(rows) == 64
+    assert rows[0].n_vecs == 10 * n
+    nrm = math.sqrt(sum(r.pc1 * r.pc1 for r in rows))
+    assert abs(nrm - 1.0) < 1e-3  # unit loadings (round-6 per coordinate)
+    assert wall < 120, f"pc1 at 10x took {wall:.0f}s"
