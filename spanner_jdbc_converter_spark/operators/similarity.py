@@ -208,6 +208,57 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nprobe: int = 3,
+    centroid_stride: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF candidate pairs (query_id, match_id) — the coarse-quantizer
+    pruning shared by ivf_topk (exact re-rank) and ivfpq_topk (ADC
+    re-rank): deterministic sampled centroids (id % stride == 1),
+    corpus vectors on their single nearest list, queries probing their
+    ``nprobe`` nearest lists; ids only — vectors never ride the list
+    join."""
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_nrm"),
+    )
+
+    def assign(df: DataFrame, role: str, rank_limit: int) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+        )
+        cos = F.round(
+            dot(F.col(f"{role}_vec"), F.col("cent_vec"))
+            / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
+            6,
+        )
+        w = Window.partitionBy(f"{role}_id").orderBy(
+            F.desc("__ccos"), F.asc("cent_id")
+        )
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .select(f"{role}_id", "cent_id", cos.alias("__ccos"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= rank_limit)
+            .select(f"{role}_id", "cent_id")
+        )
+
+    return (
+        F.broadcast(assign(queries, "query", nprobe))
+        .join(assign(corpus, "match", 1), on="cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -231,36 +282,6 @@ def ivf_topk(
     only (id, cent_id) pairs (list-sized buckets, K ≈ |corpus|/stride
     keeps them balanced for uniformly distributed ids); the embeddings
     are joined back by id once for exact scoring."""
-    cents = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("cent_vec"),
-        norm(F.col(vec_col)).alias("cent_nrm"),
-    )
-
-    def assign(df: DataFrame, role: str, rank_limit: int) -> DataFrame:
-        """(role_id, cent_id) inverted-list assignment — ids only; the
-        vectors stay out of every downstream shuffle."""
-        base = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_nrm"),
-        )
-        cos = F.round(
-            dot(F.col(f"{role}_vec"), F.col("cent_vec"))
-            / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
-            6,
-        )
-        w = Window.partitionBy(f"{role}_id").orderBy(
-            F.desc("__ccos"), F.asc("cent_id")
-        )
-        return (
-            base.crossJoin(F.broadcast(cents))
-            .select(f"{role}_id", "cent_id", cos.alias("__ccos"))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= rank_limit)
-            .select(f"{role}_id", "cent_id")
-        )
-
     def side(df: DataFrame, role: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
@@ -268,12 +289,8 @@ def ivf_topk(
             norm(F.col(vec_col)).alias(f"{role}_nrm"),
         )
 
-    candidates = (
-        F.broadcast(assign(queries, "query", nprobe))
-        .join(assign(corpus, "match", 1), on="cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id")
-        .dropDuplicates(["query_id", "match_id"])
+    candidates = ivf_candidates(
+        queries, corpus, nprobe, centroid_stride, vec_col, id_col
     )
     cos = F.round(
         dot(F.col("query_vec"), F.col("match_vec"))
@@ -573,9 +590,6 @@ def pq_topk(
     exactly as the k-means family's sq_dist outputs do.
 
     Output: query_id, match_id, adot (ADC dot, rounded 6), score, rank."""
-    from functools import reduce
-    from operator import add
-
     subdim = dim // m
     if books is None:
         books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
@@ -586,11 +600,32 @@ def pq_topk(
     if not books:
         return spark.createDataFrame([], out_schema)
 
-    codes = corpus.select(
+    codes = _pq_codes_frame(corpus, books, subdim, vec_col, id_col)
+    q = _pq_lut_frame(queries, books, m, subdim, vec_col, id_col)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", *_pq_adc_cols(m))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _pq_codes_frame(corpus, books, subdim, vec_col, id_col) -> DataFrame:
+    """(match_id, match_l2, __code0..m-1) — the encoded corpus."""
+    return corpus.select(
         F.col(id_col).alias("match_id"),
         norm(F.col(vec_col)).alias("match_l2"),
         *_pq_code_cols(books, vec_col, subdim),
     )
+
+
+def _pq_lut_frame(queries, books, m, subdim, vec_col, id_col) -> DataFrame:
+    """(query_id, query_l2, __lut0..m-1) — per-query ADC lookup tables,
+    one exact-fold dot per (subspace, code), computed ONCE per query."""
     lut_cols = []
     for j in range(m):
         keys = F.array(*[F.lit(c).cast("long") for c, _ in books[j]])
@@ -601,29 +636,82 @@ def pq_topk(
             ]
         )
         lut_cols.append(F.map_from_arrays(keys, vals).alias(f"__lut{j}"))
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         norm(F.col(vec_col)).alias("query_l2"),
         *lut_cols,
     )
+
+
+def _pq_adc_cols(m: int) -> list:
+    """adot (fixed-order j = 0..m-1 LUT sum, rounded 6) and score."""
+    from functools import reduce
+    from operator import add
+
     adot = reduce(
         add,
-        [
-            F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}"))
-            for j in range(m)
-        ],
+        [F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}")) for j in range(m)],
     )
     score = F.round(adot / (F.col("query_l2") * F.col("match_l2")), 6)
+    return [F.round(adot, 6).alias("adot"), score.alias("score")]
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 100,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: dict | None = None,
+) -> DataFrame:
+    """IVF + PQ — the production ANN pairing (Jégou et al. 2011 §V):
+    the coarse quantizer PRUNES (each query scores only its ``nprobe``
+    inverted lists instead of the whole corpus) and product quantization
+    COMPRESSES (candidates are scored from m codebook ids via the
+    query's lookup tables, never from the float vectors).  ivf_topk
+    re-ranks its candidates exactly; pq_topk scores everything — this
+    operator composes the candidate set of the former with the ADC
+    scoring of the latter, so both error sources (list pruning, code
+    quantization) are measured by their own entries and combine here.
+
+    Plan shape: candidate generation is the shared :func:`ivf_candidates`
+    (ids only); the encoded corpus joins candidates by match_id; the
+    LUT-carrying query frame broadcasts onto the candidate stream; the
+    only shuffles carry id pairs and the per-query rank.  Codes are
+    non-residual (trained on the raw vectors, shared with pq_topk via
+    ``books``) — the residual-PQ refinement is a documented next step,
+    not silently approximated.
+
+    Determinism: candidates replay ivf_topk's rounded-cosine/ties
+    contract; scoring replays pq_topk's fixed-order ADC contract; both
+    oracle-unrolled.  Zero-norm vectors must be excluded by the caller
+    (the pq_topk contract — centroids with zero norm would NaN the
+    coarse cosine)."""
+    subdim = dim // m
+    if books is None:
+        books = _pq_train(corpus, m, ncode, iters, dim, vec_col, id_col)
+    spark = queries.sparkSession
+    out_schema = (
+        "query_id long, match_id long, adot double, score double, rank long"
+    )
+    if not books:
+        return spark.createDataFrame([], out_schema)
+
+    cand = ivf_candidates(
+        queries, corpus, nprobe, centroid_stride, vec_col, id_col
+    )
+    codes = _pq_codes_frame(corpus, books, subdim, vec_col, id_col)
+    q = _pq_lut_frame(queries, books, m, subdim, vec_col, id_col)
     scored = (
-        F.broadcast(q)
-        .crossJoin(codes)
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select(
-            "query_id",
-            "match_id",
-            F.round(adot, 6).alias("adot"),
-            score.alias("score"),
-        )
+        cand.join(codes, "match_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "match_id", *_pq_adc_cols(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -295,7 +295,11 @@ _L2_SQL = (
 )
 
 
-def _pq_ctes(query_pred: str = "vec_id % 50 = 0") -> tuple[str, str]:
+def _pq_ctes(
+    query_pred: str = "vec_id % 50 = 0",
+    cand_parts: list[str] | None = None,
+    cand_name: str | None = None,
+) -> tuple[str, str]:
     """Product-quantization pipeline as CTE clauses: per subspace j, the
     unrolled fixed-iteration k-means codebook (the _kmeans_ctes
     discipline applied to the embedding SLICE), the corpus code
@@ -361,15 +365,28 @@ def _pq_ctes(query_pred: str = "vec_id % 50 = 0") -> tuple[str, str]:
         f" AND qp{j}.cluster = c{j}.cluster"
         for j in range(m)
     )
+    if cand_name is None:
+        pair_from = "FROM emb_nz q JOIN emb_nz x ON q.vec_id <> x.vec_id"
+        pair_where = f"WHERE q.{query_pred}"
+    else:
+        # candidate-restricted pairing (IVFPQ): the cand CTE already
+        # applies the query predicate and the self-pair exclusion
+        parts.extend(cand_parts or [])
+        pair_from = (
+            f"FROM {cand_name} cd"
+            " JOIN emb_nz q ON q.vec_id = cd.query_id"
+            " JOIN emb_nz x ON x.vec_id = cd.match_id"
+        )
+        pair_where = ""
     parts.append(
         f"""pqpairs AS (
       SELECT q.vec_id AS query_id, x.vec_id AS match_id,
              {adot} AS adot, ql.l2 AS la, xl.l2 AS lb
-      FROM emb_nz q JOIN emb_nz x ON q.vec_id <> x.vec_id
+      {pair_from}
       {code_joins}
       JOIN pql2 ql ON ql.vec_id = q.vec_id
       JOIN pql2 xl ON xl.vec_id = x.vec_id
-      WHERE q.{query_pred})"""
+      {pair_where})"""
     )
     return ",\n    ".join(parts), "pqpairs"
 
@@ -432,6 +449,70 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return sim.pq_topk(queries, e, k=5, books=_pq_books_for(spark, sf_dir))
+
+
+def _ivfpq_cand_ctes(
+    query_pred: str = "vec_id % 50 = 0",
+    nprobe: int = 3,
+    stride: int = 100,
+) -> tuple[list[str], str]:
+    """IVF coarse-quantizer candidate CTEs over the nonzero corpus —
+    the sim_ivf_topk assignment contract (rounded cosine, ties to the
+    smaller centroid id) rendered against emb_nz so it composes with
+    the PQ CTEs."""
+    return [
+        f"ivcents AS (SELECT vec_id AS cent_id, embedding AS cvec"
+        f" FROM emb_nz WHERE vec_id % {stride} = 1)",
+        f"""ivassign AS (
+      SELECT e.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_cos_sql("e.embedding", "c.cvec")}, 6) DESC,
+                        c.cent_id) AS r
+      FROM emb_nz e CROSS JOIN ivcents c)""",
+        "ivcorp AS (SELECT vec_id AS match_id, cent_id FROM ivassign WHERE r = 1)",
+        f"ivprobes AS (SELECT vec_id AS query_id, cent_id FROM ivassign"
+        f" WHERE r <= {nprobe} AND {query_pred})",
+        "ivcand AS (SELECT DISTINCT query_id, match_id"
+        " FROM ivprobes JOIN ivcorp USING (cent_id)"
+        " WHERE query_id <> match_id)",
+    ], "ivcand"
+
+
+_IVFPQ_CAND_PARTS, _IVFPQ_CAND = _ivfpq_cand_ctes()
+_IVFPQ_CTES, _IVFPQ_PAIRS = _pq_ctes(
+    cand_parts=_IVFPQ_CAND_PARTS, cand_name=_IVFPQ_CAND
+)
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, match_id, ROUND(adot, 6) AS adot,
+           ROUND(adot / (la * lb), 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, match_id, adot, la, lb,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                             match_id) AS rank
+          FROM {_IVFPQ_PAIRS}) t
+    WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ top-5 — the production ANN pairing: the coarse
+    quantizer PRUNES each query to its 3 nearest inverted lists
+    (sim_ivf_topk's candidate contract) and product quantization
+    COMPRESSES the scoring to m LUT lookups per candidate
+    (sim_pq_topk's ADC contract, codebooks shared via the session
+    cache).  Both error sources — list pruning and code quantization —
+    are measured by their own entries and compose here; the oracle
+    composes the same two unrolled CTE families, so the whole hybrid
+    is bit-audited end to end.  See
+    operators/similarity.py::ivfpq_topk."""
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivfpq_topk(queries, e, k=5, books=_pq_books_for(spark, sf_dir))
 
 
 _QCODES_SQL = """

@@ -357,6 +357,17 @@ def test_pq_topk_empty_corpus(spark):
     ]
 
 
+def test_ivfpq_topk_empty_corpus(spark):
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = sim.ivfpq_topk(empty, empty, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "match_id", "adot", "score", "rank",
+    ]
+
+
 def test_ann_recall_report_empty_corpus(spark):
     """Empty queries/corpus: the report still emits one row per method
     with recall exactly 0.0 — never a 0/0 NaN."""

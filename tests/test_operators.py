@@ -291,6 +291,32 @@ def test_power_iteration_pc1_recovers_line_direction(spark):
     assert rows[0].n_vecs == 3 and rows[0].mu == 0.0
 
 
+def test_ivfpq_composes_ivf_candidates_with_pq_scores(spark, sf_dir):
+    """Every IVFPQ result pair must be an IVF candidate pair, and its
+    (adot, score) must equal pq_topk's for the same pair — the hybrid
+    adds NO third error source beyond its two components."""
+    from spanner_jdbc_converter_spark.functions.vector import norm as vnorm
+
+    e = load_table(spark, sf_dir, "embeddings").filter(vnorm(F.col("embedding")) > 0)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    books = sim._pq_train(e, sim.PQ_M, sim.PQ_NCODE, sim.PQ_ITERS, 64,
+                          "embedding", "vec_id")
+    hybrid = sim.ivfpq_topk(q, e, k=5, books=books).collect()
+    assert hybrid
+    cand = {
+        (r.query_id, r.match_id)
+        for r in sim.ivf_candidates(q, e).collect()
+    }
+    assert all((r.query_id, r.match_id) in cand for r in hybrid)
+    pq_scores = {
+        (r.query_id, r.match_id): (r.adot, r.score)
+        for r in sim.pq_topk(q, e, k=10**6, books=books).collect()
+    }
+    assert all(
+        pq_scores[(r.query_id, r.match_id)] == (r.adot, r.score) for r in hybrid
+    )
+
+
 def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
     """The one-off Column expressions (minhash_signature / simhash) must
     agree with the hot-path DataFrame pipelines value-for-value."""
