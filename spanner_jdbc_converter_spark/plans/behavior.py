@@ -903,3 +903,83 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sessions.py::debounce_events."""
     ev = load_table(spark, sf_dir, "events")
     return ss.debounce_events(ev)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern match: A -> B within T with no C between.
+# ---------------------------------------------------------------------------
+
+#: click -> purchase lookback (1 h in exact integer microseconds).
+PATTERN_WINDOW_US = 3_600_000_000
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER w AS last_click,
+             MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               OVER w AS last_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           last_click AS trigger_us, us - last_click AS gap_us
+    FROM o
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND us - last_click <= {PATTERN_WINDOW_US}
+      AND (last_error IS NULL OR last_error < last_click)
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-pattern detection — ``click → purchase within 1 h
+    with NO error between``: the negative-condition sequence rule
+    (match_recognize territory) that funnels and first-touch
+    attribution cannot express, and the naive formulation of which is a
+    THREE-WAY range self-join.
+
+    Here it is two conditional running-MAX columns over ONE user_id
+    window (strictly-before ROWS frame on the (µs, event_id) total
+    order): the most recent click and the most recent error; a purchase
+    matches iff the click is within the lookback and the error — if
+    any — precedes that click.  One exchange, zero joins, zero row
+    explosion; every value is an exact integer µs, so the oracle is
+    arithmetic-identical with nothing to round.
+
+    Output: (user_id, purchase_event_id, trigger_us, gap_us)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click"
+        ),
+        F.max(F.when(F.col("event_type") == "error", us)).over(w).alias(
+            "last_error"
+        ),
+    )
+    return t.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click").isNotNull()
+        & (F.col("us") - F.col("last_click") <= PATTERN_WINDOW_US)
+        & (F.col("last_error").isNull() | (F.col("last_error") < F.col("last_click")))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("last_click").alias("trigger_us"),
+        (F.col("us") - F.col("last_click")).alias("gap_us"),
+    )

@@ -194,6 +194,51 @@ class TestLuhnRedaction:
         )
 
 
+class TestPatternMatch:
+    def test_all_rule_branches(self, spark, sf_dir, monkeypatch):
+        """Hand-built sequences: match on click->purchase in window; no
+        match when the click is missing, too old, or an error falls
+        between the click and the purchase; an error BEFORE the
+        triggering click does not block; the plan keeps one exchange."""
+        import spanner_jdbc_converter_spark.plans.behavior as bh
+
+        base = 1_700_000_000_000_000  # epoch µs
+        rows = []
+
+        def ev(uid, eid, typ, offset_s):
+            rows.append((uid, eid, typ, (base + offset_s * 1_000_000)))
+
+        ev(1, 10, "click", 0); ev(1, 11, "purchase", 60)          # match
+        ev(2, 20, "purchase", 60)                                  # no click
+        ev(3, 30, "click", 0); ev(3, 31, "purchase", 4000)         # too old
+        ev(4, 40, "click", 0); ev(4, 41, "error", 30)
+        ev(4, 42, "purchase", 60)                                  # error between
+        ev(5, 50, "error", 0); ev(5, 51, "click", 30)
+        ev(5, 52, "purchase", 60)                                  # error before click: ok
+        df = spark.createDataFrame(
+            [(u, e, t, us) for u, e, t, us in rows],
+            "user_id long, event_id long, event_type string, us long",
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+        )
+        monkeypatch.setattr(bh, "load_table", lambda *_a, **_k: df)
+        out = bh.events_pattern_match(spark, sf_dir)
+        got = {(r.user_id, r.purchase_event_id, r.gap_us) for r in out.collect()}
+        assert got == {(1, 11, 60_000_000), (5, 52, 30_000_000)}
+
+    def test_entry_plan_is_one_window_exchange(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.plans import QUERIES
+
+        df = QUERIES["events_pattern_match"](spark, sf_dir)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert plan.count("Exchange") <= 2  # the user_id window (+detail line)
+        assert "Join" not in plan  # never the 3-way range self-join
+
+
 class TestQuantileNormalize:
     def test_rank_preserving_and_hits_global_extremes(self, spark, sf_dir):
         """Within every source the mapping is monotone in (quality,
