@@ -611,37 +611,88 @@ def power_iteration_pc1(
     for r in stats:
         mu[int(r["pos"])] = float(r["mu"])
         n = int(r["n"])
-    v = [0.125] * dim
+    v, eigval = _pi_rounds(x, mu, n, iters, dim)
+    x.unpersist()
+    out = spark.createDataFrame(
+        [(d, mu[d], v[d], eigval, n) for d in range(dim)], out_schema
+    )
+    return out.select(
+        "pos",
+        F.round("mu", 6).alias("mu"),
+        F.round("pc1", 6).alias("pc1"),
+        F.round("eigval", 6).alias("eigval"),
+        "n_vecs",
+    )
+
+
+def _pi_rounds(
+    x: DataFrame,
+    mu: list,
+    n: int,
+    iters: int,
+    dim: int,
+    v1: list | None = None,
+) -> tuple[list, float]:
+    """Shared power-iteration loop over a persisted single-column frame
+    ``x`` (column __x): returns (unit direction, Rayleigh eigenvalue).
+    With ``v1`` given, every matvec runs against the DEFLATED matrix
+    X' = Xc(I − v1·v1ᵀ), so the loop converges to the SECOND component
+    — same fold-order contracts as :func:`power_iteration_pc1` (which
+    see), with the per-row deflation term s_i −= proj1_i·(v1·v) and the
+    update term (x_id − μ_d) − proj1_i·v1_d, both order-pinned."""
+    import math
+
     mu_lit = F.array(*[F.lit(m) for m in mu])
+    v = [0.125] * dim
     eigval = 0.0
+    v1_lit = F.array(*[F.lit(t) for t in v1]) if v1 is not None else None
+    c1 = 0.0
+    if v1 is not None:
+        for d in range(dim):
+            c1 = c1 + mu[d] * v1[d]
     for _ in range(iters):
         c = 0.0
         for d in range(dim):
             c = c + mu[d] * v[d]
         v_lit = F.array(*[F.lit(t) for t in v])
-        s = (
-            F.aggregate(
+
+        def fold(vec_lit):
+            return F.aggregate(
                 F.zip_with(
-                    F.col("__x"), v_lit, lambda a, b: a.cast("double") * b
+                    F.col("__x"), vec_lit, lambda a, b: a.cast("double") * b
                 ),
                 F.lit(0.0),
                 lambda acc, t: acc + t,
             )
-            - F.lit(c)
+
+        s = fold(v_lit) - F.lit(c)
+        cols = [(s / F.lit(float(n))).alias("__s"), F.col("__x")]
+        if v1 is not None:
+            dconst = 0.0
+            for d in range(dim):
+                dconst = dconst + v1[d] * v[d]
+            proj1 = fold(v1_lit) - F.lit(c1)
+            cols = [
+                (
+                    (s - proj1 * F.lit(dconst)) / F.lit(float(n))
+                ).alias("__s"),
+                proj1.alias("__p1"),
+                F.col("__x"),
+            ]
+        centered = F.col("__v").cast("double") - F.element_at(
+            mu_lit, F.col("pos") + 1
+        )
+        if v1 is not None:
+            centered = centered - F.col("__p1") * F.element_at(
+                v1_lit, F.col("pos") + 1
+            )
+        base = x.select(*cols).select(
+            "__s",
+            *([F.col("__p1")] if v1 is not None else []),
+            F.posexplode(F.col("__x")).alias("pos", "__v"),
         )
         rows = (
-            x.select((s / F.lit(float(n))).alias("__s"), F.col("__x"))
-            .select("__s", F.posexplode(F.col("__x")).alias("pos", "__v"))
-            .select(
-                "pos",
-                (
-                    F.col("__s")
-                    * (
-                        F.col("__v").cast("double")
-                        - F.element_at(mu_lit, F.col("pos") + 1)
-                    )
-                ).alias("__t"),
-            )
+            base.select("pos", (F.col("__s") * centered).alias("__t"))
             .groupBy("pos")
             .agg(F.sum(F.col("__t").cast(_DEC)).cast("double").alias("w"))
             .collect()
@@ -656,21 +707,90 @@ def power_iteration_pc1(
         for d in range(dim):
             nrm2 = nrm2 + w[d] * w[d]
         if nrm2 == 0.0:
-            v = [0.0] * dim
-            eigval = 0.0
-            break
-        import math
-
+            return [0.0] * dim, 0.0
         nrm = math.sqrt(nrm2)
         v = [w[d] / nrm for d in range(dim)]
-    x.unpersist()
-    out = spark.createDataFrame(
-        [(d, mu[d], v[d], eigval, n) for d in range(dim)], out_schema
+    return v, eigval
+
+
+def pca2_coords(
+    emb: DataFrame,
+    iters: int = PC1_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-document 2-D PCA projection: coordinates along the top two
+    principal components of the centered embedding matrix — the
+    dimensionality-reduction feature pass (corpus maps, drift
+    visualization, coarse binning) built on :func:`power_iteration_pc1`'s
+    recurrence plus one DEFLATION round chain for the second component
+    (v2 power-iterates against X' = Xc(I − v1·v1ᵀ), so it converges to
+    the dominant direction orthogonal to v1).
+
+    Determinism: both directions use the PC1 fold-order contracts; the
+    deflation adds one per-row projection fold and two driver-side
+    constants per round, each order-pinned, so the oracle unrolls both
+    chains exactly.  Coordinates are (x−μ)·v_k folds rounded at 6.
+
+    Scale: 2·iters corpus scans (one per matvec round) + one projection
+    scan, every round a map-side fold + 64-key DECIMAL aggregate; the
+    directions ride as literals.  Output: (vec_id, pc1_coord,
+    pc2_coord, eig1, eig2)."""
+    spark = emb.sparkSession
+    out_schema = (
+        "vec_id long, pc1_coord double, pc2_coord double,"
+        " eig1 double, eig2 double"
     )
-    return out.select(
-        "pos",
-        F.round("mu", 6).alias("mu"),
-        F.round("pc1", 6).alias("pc1"),
-        F.round("eigval", 6).alias("eigval"),
-        "n_vecs",
+    x = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__x")
+    ).persist()
+    stats = (
+        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+        .select("pos", F.col("__v").cast("double").alias("__v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
     )
+    if not stats:
+        x.unpersist()
+        return spark.createDataFrame([], out_schema)
+    mu = [0.0] * dim
+    n = 0
+    for r in stats:
+        mu[int(r["pos"])] = float(r["mu"])
+        n = int(r["n"])
+    v1, eig1 = _pi_rounds(x, mu, n, iters, dim)
+    v2, eig2 = _pi_rounds(x, mu, n, iters, dim, v1=v1)
+
+    def proj(vk: list) -> F.Column:
+        ck = 0.0
+        for d in range(dim):
+            ck = ck + mu[d] * vk[d]
+        vk_lit = F.array(*[F.lit(t) for t in vk])
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.col("__x"), vk_lit, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            - F.lit(ck)
+        )
+
+    out = x.select(
+        F.col("__id").alias("vec_id"),
+        F.round(proj(v1), 6).alias("pc1_coord"),
+        F.round(proj(v2), 6).alias("pc2_coord"),
+        F.round(F.lit(eig1), 6).alias("eig1"),
+        F.round(F.lit(eig2), 6).alias("eig2"),
+    )
+    x.unpersist(blocking=False)
+    return out

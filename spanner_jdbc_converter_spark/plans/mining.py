@@ -2110,8 +2110,8 @@ def _pc1_ctes(iters: int = 3, dim: int = 64) -> tuple[str, str, str]:
     quotient."""
     rng = f"range(1, {dim + 1})"
     parts = [
-        "e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x"
-        " FROM embeddings)",
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS x FROM embeddings)",
         f"""st AS (
       SELECT pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
                AS mu,
@@ -2162,7 +2162,101 @@ def _pc1_ctes(iters: int = 3, dim: int = 64) -> tuple[str, str, str]:
     return ",\n    ".join(parts), f"v{iters}", "ray"
 
 
+def _pca2_ctes(iters: int = 3, dim: int = 64) -> tuple[str, str, str, str]:
+    """PC1 chain + the DEFLATED second chain (u{it} frames power-iterate
+    against X' = Xc(I − v1·v1ᵀ)): returns (clauses, v1_cte, u_cte,
+    ray2_cte).  Fold orders mirror clustering._pi_rounds exactly —
+    s = ((x·u − μ·u) − p1·(v1·u)) / n, update term
+    (x_d − μ_d) − p1·v1_d."""
+    rng = f"range(1, {dim + 1})"
+    base, v1cte, raycte = _pc1_ctes(iters, dim)
+    parts = [base]
+
+    def fold(a, b):
+        return (
+            f"list_reduce(list_transform({rng}, d -> {a}[d] * {b}[d]),"
+            " (a, b) -> a + b)"
+        )
+
+    prev = "v0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""dw{it} AS (
+      SELECT pos, CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE) AS w
+      FROM (
+        SELECT unnest(range(0, {dim})) AS pos,
+               unnest(list_transform({rng},
+                      d -> (s / n) * ((x[d] - mu[d]) - p1 * w1[d]))) AS t
+        FROM (
+          SELECT e.x, m.mu, m.n, vf.v AS w1,
+                 ({fold("e.x", "uu.v")} - {fold("m.mu", "uu.v")})
+                 - ({fold("e.x", "vf.v")} - {fold("m.mu", "vf.v")})
+                   * {fold("vf.v", "uu.v")} AS s,
+                 {fold("e.x", "vf.v")} - {fold("m.mu", "vf.v")} AS p1
+          FROM e, ml m, {v1cte} vf, {prev} uu
+        )
+      ) GROUP BY pos)"""
+        )
+        parts.append(
+            f"dwl{it} AS (SELECT list(w ORDER BY pos) AS wl FROM dw{it})"
+        )
+        parts.append(
+            f"""u{it} AS (
+      SELECT CASE WHEN nrm = 0.0 THEN list_transform(wl, q -> CAST(0.0 AS DOUBLE))
+                  ELSE list_transform(wl, q -> q / nrm) END AS v
+      FROM (SELECT wl,
+                   sqrt(list_reduce(list_transform(wl, q -> q * q),
+                                    (a, b) -> a + b)) AS nrm
+            FROM dwl{it}))"""
+        )
+        prev = f"u{it}"
+    upen = f"u{iters - 1}" if iters > 1 else "v0"
+    parts.append(
+        f"""ray2 AS (
+      SELECT list_reduce(list_transform({rng}, d -> pu.v[d] * wl[d]),
+                         (a, b) -> a + b) AS eig
+      FROM {upen} pu, dwl{iters})"""
+    )
+    return ",\n    ".join(parts), v1cte, f"u{iters}", "ray2"
+
+
 _PC1_CTES, _PC1_V, _PC1_RAY = _pc1_ctes(cl.PC1_ITERS, 64)
+
+
+def _fold64_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), d -> {a}[d] * {b}[d]),"
+        " (a, b) -> a + b)"
+    )
+
+
+_PCA2_CTES, _PCA2_V1, _PCA2_U, _PCA2_RAY2 = _pca2_ctes(cl.PC1_ITERS, 64)
+
+
+@register(
+    "cluster_pca2_coords",
+    oracle=f"""
+    WITH {_PCA2_CTES}
+    SELECT e.vec_id,
+           ROUND({_fold64_sql("e.x", "vf.v")} - {_fold64_sql("m.mu", "vf.v")}, 6)
+             AS pc1_coord,
+           ROUND({_fold64_sql("e.x", "uf.v")} - {_fold64_sql("m.mu", "uf.v")}, 6)
+             AS pc2_coord,
+           ROUND(r1.eig, 6) AS eig1,
+           ROUND(r2.eig, 6) AS eig2
+    FROM e, ml m, {_PCA2_V1} vf, {_PCA2_U} uf, {_PC1_RAY} r1, {_PCA2_RAY2} r2
+    """,
+)
+def cluster_pca2_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 2-D PCA projection — coordinates along the top two
+    principal components (power iteration for v1, one DEFLATION chain
+    for v2; see operators/clustering.py::pca2_coords for the fold-order
+    contracts and the one-scan-per-round plan).  The corpus map /
+    drift-visualization / coarse-binning feature pass; the oracle
+    unrolls BOTH chains plus the projection folds, so every coordinate
+    and both eigenvalues hash-match after the shared round-at-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cl.pca2_coords(emb)
 
 
 @register(

@@ -357,6 +357,16 @@ def test_pq_topk_empty_corpus(spark):
     ]
 
 
+def test_pca2_coords_empty(spark):
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    out = cl.pca2_coords(spark.createDataFrame([], EMB_SCHEMA))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "pc1_coord", "pc2_coord", "eig1", "eig2",
+    ]
+
+
 def test_ivfpq_topk_empty_corpus(spark):
     from spanner_jdbc_converter_spark.operators import similarity as sim
 

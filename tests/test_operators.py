@@ -317,6 +317,31 @@ def test_ivfpq_composes_ivf_candidates_with_pq_scores(spark, sf_dir):
     )
 
 
+def test_pca2_coords_recover_rank2_geometry(spark):
+    """Rank-2 data spanning e1 (variance 2) and e3 (variance 0.5): pc1
+    coordinates recover the e1 amplitude, pc2 the e3 amplitude, the
+    eigenvalues match the axis variances, and the two directions are
+    orthogonal (deflation worked)."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    pts = [
+        (0, [2.0, 0.0, 0.0, 0.0]),
+        (1, [-2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, -1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r for r in cl.pca2_coords(e, dim=4).collect()}
+    # 3 fixed rounds converge to within (lam2/lam1)^3 = 1/64 of the axes
+    assert abs(rows[0].eig1 - 2.0) < 0.02 and abs(rows[0].eig2 - 0.5) < 0.02
+    assert abs(abs(rows[0].pc1_coord) - 2.0) < 0.01
+    assert abs(rows[0].pc2_coord) < 0.05
+    assert abs(abs(rows[2].pc2_coord) - 1.0) < 0.01
+    assert abs(rows[2].pc1_coord) < 0.05
+    assert rows[0].pc1_coord == -rows[1].pc1_coord
+    assert rows[2].pc2_coord == -rows[3].pc2_coord
+
+
 def test_column_form_signatures_match_frame_form(spark, near_dup_docs):
     """The one-off Column expressions (minhash_signature / simhash) must
     agree with the hot-path DataFrame pipelines value-for-value."""
