@@ -366,6 +366,90 @@ def running_user_cusum(events: DataFrame, k: float, h: float) -> DataFrame:
 # -- incremental sink -------------------------------------------------------
 
 
+_PATTERN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_event_id", T.LongType()),
+        T.StructField("trigger_us", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+_PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_click", T.LongType()),
+        T.StructField("last_error", T.LongType()),
+    ]
+)
+
+
+def running_pattern_match(
+    events: DataFrame, window_us: int = 3_600_000_000
+) -> DataFrame:
+    """Custom stateful streaming operator #4: CEP sequence detection —
+    ``click → purchase within window_us with NO error between`` — the
+    streaming twin of the batch entry events_pattern_match
+    (plans/behavior.py).
+
+    The batch form needs two conditional running-MAX window columns;
+    the stream gets the same walk for free in arrival order at O(1)
+    state per key — (last_click_us, last_error_us), two longs with a
+    −1 "never seen" sentinel.  Rows within a micro-batch fold in
+    (ts, event_id) order (the _values_in_event_order discipline:
+    concatenate the Arrow chunks FIRST, sort once), and a same-µs
+    click with a smaller event_id counts as "before" exactly like the
+    batch frame's (µs, event_id) total order, so on in-order file
+    delivery the emitted matches are INTEGER-identical to the batch
+    entry.  Every value is exact µs — nothing to round, the strongest
+    cross-check in the streaming family."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        lc, le = state.get if state.exists else (-1, -1)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        out = []
+        if chunks:
+            merged = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for r in merged.sort_values(["us", "event_id"]).itertuples():
+                us = int(r.us)
+                if r.event_type == "purchase":
+                    if lc >= 0 and us - lc <= window_us and (le < 0 or le < lc):
+                        out.append((key[0], int(r.event_id), lc, us - lc))
+                elif r.event_type == "click":
+                    lc = us
+                elif r.event_type == "error":
+                    le = us
+        state.update((lc, le))
+        yield pd.DataFrame(
+            out, columns=["user_id", "purchase_event_id", "trigger_us", "gap_us"]
+        )
+
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_PATTERN_SCHEMA,
+            stateStructType=_PATTERN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_cms_cells(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Streaming count-min sketch maintenance: the batch grid operator
     (operators/sketches.py::cms_cells — same md5 hash family, same

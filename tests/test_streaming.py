@@ -801,3 +801,18 @@ def test_streaming_cms_cells_equals_batch_and_bounds_counts(spark, sf_dir):
     }
     assert set(exact) <= set(est)
     assert all(est[k] >= n for k, n in exact.items())
+
+
+def test_streaming_pattern_match_equals_batch(spark, sf_dir):
+    """The stateful CEP twin must emit exactly the batch entry's matches
+    — integer-identical (µs arithmetic end to end, nothing rounded)."""
+    from spanner_jdbc_converter_spark.plans.behavior import events_pattern_match
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.running_pattern_match(stream), "cep_mem", output_mode="update"
+    )
+    batch = events_pattern_match(spark, sf_dir)
+    cols = ["user_id", "purchase_event_id", "trigger_us", "gap_us"]
+    assert _rows(result, *cols) == _rows(batch, *cols)
+    assert result.count() > 0
