@@ -77,13 +77,13 @@ _GATE_PRIORITY = [
     "q6_revenue_forecast",
     "agg_sampled_quantiles",
     "string_functions_extended",
-    "conditional_null_surface",
     # (2) registered in r12 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix,
     # select_source_cap, pipeline_pack_invariants, text_vocab_encode,
     # dedup_lsh_verified_pairs, events_json_props, date_functions_surface,
-    # notin_null_semantics, map_functions_surface, array_functions_surface).
+    # notin_null_semantics, map_functions_surface, array_functions_surface,
+    # conditional_null_surface).
     "dedup_lsh_operating_report",
     "validate_schema_drift",
     "sim_pq_topk",
@@ -95,6 +95,7 @@ _GATE_PRIORITY = [
     "sim_ivfpq_topk",
     "events_pattern_match",
     "cluster_pca2_coords",
+    "events_rfm_segments",
 ]
 
 

@@ -983,3 +983,111 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click").alias("trigger_us"),
         (F.col("us") - F.col("last_click")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation.
+# ---------------------------------------------------------------------------
+
+#: Quintile probabilities for the three RFM scores.
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+_RFM_QS_SQL = "[" + ", ".join(str(q) for q in _RFM_QS) + "]"
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+    u AS (
+      SELECT user_id,
+             (SELECT a FROM anchor) - MAX(us) AS r_us,
+             COUNT(*) AS f,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS m
+      FROM p GROUP BY user_id
+    ),
+    b AS (
+      SELECT
+        list_transform(quantile_cont(r_us, {_RFM_QS_SQL}), x -> ROUND(x, 4)) AS rb,
+        list_transform(quantile_cont(f, {_RFM_QS_SQL}), x -> ROUND(x, 4)) AS fb,
+        list_transform(quantile_cont(m, {_RFM_QS_SQL}), x -> ROUND(x, 4)) AS mb
+      FROM u
+    )
+    SELECT user_id, r_us, f, m,
+           CAST(6 - (1 + len(list_filter(b.rb, x -> r_us > x))) AS BIGINT)
+             AS r_score,
+           CAST(1 + len(list_filter(b.fb, x -> f > x)) AS BIGINT) AS f_score,
+           CAST(1 + len(list_filter(b.mb, x -> m > x)) AS BIGINT) AS m_score,
+           CAST((6 - (1 + len(list_filter(b.rb, x -> r_us > x)))) * 100
+                + (1 + len(list_filter(b.fb, x -> f > x))) * 10
+                + (1 + len(list_filter(b.mb, x -> m > x))) AS BIGINT) AS segment
+    FROM u CROSS JOIN b
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (µs since last purchase,
+    against the corpus max-timestamp anchor), frequency (purchase
+    count), monetary (DECIMAL-routed value sum) — each quintile-scored
+    1–5 (recency inverted: most recent = 5) and composed into the
+    classic 3-digit RFM segment.
+
+    Parity: the agg_decile_binning discipline — exact interpolated
+    quintile boundaries (percentile ≡ quantile_cont) rounded to 4 at
+    the 4-value narrowest point, then pure comparison counting against
+    the same doubles; recency/frequency are exact integers, monetary is
+    the DECIMAL-rounded money convention.  Scale: one grouped aggregate
+    to the per-user frame, ONE boundary aggregate broadcast back, and a
+    zero-shuffle per-row score projection — the documented exact-
+    percentile trade; the anchor is a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts"))
+    anchor = ev.agg(F.max(us).alias("__a"))
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(us).alias("__last"),
+            F.count(F.lit(1)).alias("f"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("__a") - F.col("__last")).alias("r_us"),
+            "f",
+            "m",
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in _RFM_QS])
+    bounds = u.agg(
+        F.transform(F.percentile("r_us", qs), lambda x: F.round(x, 4)).alias("rb"),
+        F.transform(F.percentile("f", qs), lambda x: F.round(x, 4)).alias("fb"),
+        F.transform(F.percentile("m", qs), lambda x: F.round(x, 4)).alias("mb"),
+    )
+
+    def nbin(col, bcol):
+        return (
+            F.lit(1) + F.size(F.filter(bcol, lambda x: col > x))
+        ).cast("long")
+
+    t = u.join(F.broadcast(bounds))
+    r_score = (F.lit(6) - nbin(F.col("r_us"), F.col("rb"))).cast("long")
+    f_score = nbin(F.col("f"), F.col("fb"))
+    m_score = nbin(F.col("m"), F.col("mb"))
+    return t.select(
+        "user_id",
+        "r_us",
+        "f",
+        "m",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("long").alias("segment"),
+    )

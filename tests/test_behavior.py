@@ -430,3 +430,24 @@ class TestUserTrend:
         assert out[1] == 2.0
         assert out[2] == 0.0
         assert 3 not in out
+
+
+class TestRFM:
+    def test_scores_and_segment_composition(self, spark, sf_dir):
+        from spanner_jdbc_converter_spark.plans import QUERIES
+
+        rows = QUERIES["events_rfm_segments"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.r_score <= 5
+            assert 1 <= r.f_score <= 5
+            assert 1 <= r.m_score <= 5
+            assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+            assert r.r_us >= 0 and r.f >= 1
+        # quintile scoring must actually spread: every score level used
+        # somewhere across the three metrics
+        used = {s for r in rows for s in (r.r_score, r.f_score, r.m_score)}
+        assert used == {1, 2, 3, 4, 5}
+        # the most recent purchaser scores r=5, the stalest r=1
+        by_r = sorted(rows, key=lambda r: r.r_us)
+        assert by_r[0].r_score == 5 and by_r[-1].r_score == 1
