@@ -20,15 +20,14 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-12 window, derived verbatim from that proposal after
-# GATE_HISTORY was regenerated from CORRECTNESS_r11 as the FIRST commit of
-# the round per VERDICT r11 "Next round #1"; tests/test_config.py asserts
+# list is the round-13 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r12 as the FIRST commit of
+# the round per VERDICT r12 "Next round #1"; tests/test_config.py asserts
 # the window stays consistent with the history):
-#   (0) the 5 entries whose last driver row is r6 — the staleness tail
-#       that survived the r11 rotation (displaced by r11's 16 new
-#       registrations) and that VERDICT r11 requires front-loaded;
-#   (1) the 45 oldest r7 entries, proposal order (the r7 fill that r11's
-#       new registrations displaced);
+#   (0) the 16 entries whose last driver row is r7 — the staleness tail
+#       that survived the r12 rotation (displaced by r12's registrations)
+#       and that VERDICT r12 requires front-loaded;
+#   (1) the 34 oldest r9 entries, proposal order;
 #   (2) every entry registered THIS round — membership explicit, the
 #       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
@@ -37,65 +36,60 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r6 (the 5-entry stale tail — nothing older exists)
-    "profile_key_skew",
-    "reshape_unpivot_customer",
-    "profile_source_lang_entropy",
-    "graph_triangle_brands",
-    "window_percent_rank_scalable",
-    # (1) last driver row r7 (oldest-first, proposal order)
-    "flagship_revenue_by_nation",
-    "s8_cardinality_probes",
-    "w6_delete_strategy_probe",
-    "p1_explicit_projection",
-    "p2_pk_only_projection",
-    "p4_composite_pk_range_scan",
-    "w5_ranged_delete_survivors",
-    "o1_o2_pk_ordered_chunk",
-    "o3_offset_pagination",
-    "a4_row_size_estimate",
-    "q1_pricing_summary",
-    "agg_distinct_custs_per_priority",
-    "rollup_lineitem_status",
-    "join_order_counts_per_customer",
-    "join_anti_customers_without_recent_orders",
-    "join_semi_suppliers_with_shipments",
-    "join_full_outer_part_lineitem_brands",
-    "setops_customer_segments",
-    "window_top3_orders_per_segment",
-    "scalar_function_surface",
-    "q3_unshipped_topk",
-    "q10_returned_revenue",
-    "q17_small_quantity_revenue",
-    "s1_catalog_column_scan",
-    "window_event_interarrival",
-    "cube_returnflag_status",
-    "exists_suppliers_of_large_orders",
-    "q2_min_acctbal_supplier_per_part",
-    "q4_priority_with_returns",
-    "q5_regional_supplier_volume",
-    "q6_revenue_forecast",
-    "agg_sampled_quantiles",
-    "string_functions_extended",
-    # (2) registered in r12 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: text_token_spectrum, dedup_source_overlap_matrix,
-    # select_source_cap, pipeline_pack_invariants, text_vocab_encode,
-    # dedup_lsh_verified_pairs, events_json_props, date_functions_surface,
-    # notin_null_semantics, map_functions_surface, array_functions_surface,
-    # conditional_null_surface).
-    "dedup_lsh_operating_report",
-    "validate_schema_drift",
-    "sim_pq_topk",
-    "multimodal_audio_spectrum",
-    "cluster_power_iteration_pc1",
-    "text_pii_ccn_luhn_redact",
-    "text_textrank_keywords",
-    "select_quantile_normalize",
-    "sim_ivfpq_topk",
-    "events_pattern_match",
-    "cluster_pca2_coords",
-    "events_rfm_segments",
+    # (0) last driver row r7 (the 16-entry stale tail — nothing older exists)
+    "conditional_null_surface",
+    "array_functions_surface",
+    "map_functions_surface",
+    "notin_null_semantics",
+    "date_functions_surface",
+    "events_json_props",
+    "dedup_lsh_verified_pairs",
+    "text_vocab_encode",
+    "pipeline_pack_invariants",
+    "select_source_cap",
+    "dedup_source_overlap_matrix",
+    "text_token_spectrum",
+    "text_zipf_slope",
+    "events_ewma_smoothing",
+    "events_user_trend",
+    "select_temperature_mix",
+    # (1) last driver row r9 (oldest-first, proposal order)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicate",
+    "q22_prospect_segments",
+    "q15_top_supplier",
+    "q16_supplier_counts_excluding",
+    "q20_significant_suppliers",
+    "q21_sole_returned_supplier",
+    "q12_priority_class_counts",
+    "window_lead_next_event",
+    "window_rank_surface",
+    "window_running_frames",
+    "agg_stats_moments",
+    "agg_median_percentiles",
+    "pivot_status_by_priority",
+    "text_repetition_scores",
+    "text_top_token_per_doc",
+    "text_chunk_windows",
+    "dedup_benchmark_overlap",
+    "dedup_chunk_groups",
+    "dedup_containment_pairs",
+    "select_pack_sequences",
+    "validate_table_checksums",
+    "validate_snapshot_diff",
+    "validate_fk_orphans",
+    "validate_column_profile",
+    "select_mix_report",
+    "text_vocab_df",
+    "join_doc_embedding_features",
+    "pipeline_curate_documents",
+    "dedup_incremental_batch",
+    # (2) registered in r13 (the RULE above): each new entry displaces the
+    # newest tail entry of group (1) in the same commit it registers.
 ]
 
 
