@@ -553,6 +553,7 @@ def power_iteration_pc1(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _debug_rounds: list | None = None,
 ) -> DataFrame:
     """Leading principal component of the (centered) embedding matrix by
     fixed-iteration power iteration — the dimensionality-reduction /
@@ -611,7 +612,7 @@ def power_iteration_pc1(
     for r in stats:
         mu[int(r["pos"])] = float(r["mu"])
         n = int(r["n"])
-    v, eigval = _pi_rounds(x, mu, n, iters, dim)
+    v, eigval = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
     x.unpersist()
     out = spark.createDataFrame(
         [(d, mu[d], v[d], eigval, n) for d in range(dim)], out_schema
@@ -625,6 +626,17 @@ def power_iteration_pc1(
     )
 
 
+#: Persisted inputs from prior pca2_coords calls, evicted on the NEXT
+#: call (the returned projection frame still references its persisted
+#: input, so eviction must outlive the return — ADVICE r12).
+_PI_LIVE: list = []
+
+
+def _evict_pi_live() -> None:
+    while _PI_LIVE:
+        _PI_LIVE.pop().unpersist(blocking=False)
+
+
 def _pi_rounds(
     x: DataFrame,
     mu: list,
@@ -632,6 +644,7 @@ def _pi_rounds(
     iters: int,
     dim: int,
     v1: list | None = None,
+    _debug_rounds: list | None = None,
 ) -> tuple[list, float]:
     """Shared power-iteration loop over a persisted single-column frame
     ``x`` (column __x): returns (unit direction, Rayleigh eigenvalue).
@@ -691,12 +704,19 @@ def _pi_rounds(
             *([F.col("__p1")] if v1 is not None else []),
             F.posexplode(F.col("__x")).alias("pos", "__v"),
         )
-        rows = (
+        upd = (
             base.select("pos", (F.col("__s") * centered).alias("__t"))
             .groupBy("pos")
             .agg(F.sum(F.col("__t").cast(_DEC)).cast("double").alias("w"))
-            .collect()
         )
+        if _debug_rounds is not None:
+            jmode = x.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: E501
+                "simple"
+            )
+            _debug_rounds.append(
+                upd._jdf.queryExecution().explainString(jmode)
+            )
+        rows = upd.collect()
         w = [0.0] * dim
         for r in rows:
             w[int(r["pos"])] = float(r["w"])
@@ -719,6 +739,7 @@ def pca2_coords(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _debug_rounds: list | None = None,
 ) -> DataFrame:
     """Per-document 2-D PCA projection: coordinates along the top two
     principal components of the centered embedding matrix — the
@@ -735,8 +756,13 @@ def pca2_coords(
 
     Scale: 2·iters corpus scans (one per matvec round) + one projection
     scan, every round a map-side fold + 64-key DECIMAL aggregate; the
-    directions ride as literals.  Output: (vec_id, pc1_coord,
-    pc2_coord, eig1, eig2)."""
+    directions ride as literals.  The input stays PERSISTED when this
+    returns — the returned projection frame still reads it (unpersisting
+    here would silently recompute the final scan from source, ADVICE
+    r12); eviction is deferred to the NEXT pca2_coords call in the same
+    session (``_evict_pi_live``), or session end.  Output: (vec_id,
+    pc1_coord, pc2_coord, eig1, eig2)."""
+    _evict_pi_live()
     spark = emb.sparkSession
     out_schema = (
         "vec_id long, pc1_coord double, pc2_coord double,"
@@ -766,8 +792,10 @@ def pca2_coords(
     for r in stats:
         mu[int(r["pos"])] = float(r["mu"])
         n = int(r["n"])
-    v1, eig1 = _pi_rounds(x, mu, n, iters, dim)
-    v2, eig2 = _pi_rounds(x, mu, n, iters, dim, v1=v1)
+    v1, eig1 = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
+    v2, eig2 = _pi_rounds(
+        x, mu, n, iters, dim, v1=v1, _debug_rounds=_debug_rounds
+    )
 
     def proj(vk: list) -> F.Column:
         ck = 0.0
@@ -792,5 +820,5 @@ def pca2_coords(
         F.round(F.lit(eig1), 6).alias("eig1"),
         F.round(F.lit(eig2), 6).alias("eig2"),
     )
-    x.unpersist(blocking=False)
+    _PI_LIVE.append(x)
     return out

@@ -305,18 +305,30 @@ def _null_counts(df: DataFrame, cols: list[str], n_alias: str, z_alias: str) -> 
         return spark.createDataFrame(
             [], f"column_name string, {n_alias} long, {z_alias} long"
         )
+    # Column names are NEVER interpolated into SQL text: `df[c]` resolves
+    # the literal name (dots/backticks/quotes safe — exactly what a
+    # schema-drift intake must survive) and the unpivot is an explode of
+    # named_structs (F.array drops .alias() field names, so named_struct)
+    # rather than a selectExpr stack() string.
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"_z_{i}")
+        F.coalesce(F.sum(df[c].isNull().cast("long")), F.lit(0)).alias(f"_z_{i}")
         for i, c in enumerate(cols)
     ]
-    stack = ", ".join(f"'{c}', _z_{i}" for i, c in enumerate(cols))
+    pairs = F.explode(
+        F.array(*[
+            F.named_struct(
+                F.lit("column_name"), F.lit(c), F.lit("__z"), F.col(f"_z_{i}")
+            )
+            for i, c in enumerate(cols)
+        ])
+    ).alias("__kv")
     return (
         df.agg(*aggs)
-        .selectExpr("__n", f"stack({len(cols)}, {stack}) AS (column_name, __z)")
+        .select("__n", pairs)
         .select(
-            "column_name",
+            F.col("__kv.column_name").alias("column_name"),
             F.col("__n").cast("long").alias(n_alias),
-            F.col("__z").cast("long").alias(z_alias),
+            F.col("__kv.__z").cast("long").alias(z_alias),
         )
     )
 

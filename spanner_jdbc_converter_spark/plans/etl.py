@@ -443,8 +443,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (Arrow-batched numpy kernel — the lsh_bucket_keys_pandas
     lesson), queries score candidates via per-query lookup tables.  The
     oracle replays codebook training, encoding, the LUT partials, the
-    fixed-order ADC sum, and the ranking; adot is hash-checked as an
-    unrounded double, so the whole PQ pipeline is bit-audited.  See
+    fixed-order ADC sum, and the ranking; adot surfaces ROUND(·, 6) on
+    both engines (the one-ulp-ambiguity rationale in pq_topk's own
+    docstring), with everything upstream of the round replayed
+    term-for-term, so the whole PQ pipeline is decimal-audited.  See
     operators/similarity.py::pq_topk."""
     e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
     queries = e.filter(F.col("vec_id") % 50 == 0)

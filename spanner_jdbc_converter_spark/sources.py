@@ -168,17 +168,30 @@ def ensure_bucketed(
     wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
     loc = os.path.join(wh_path, name)
     marker = os.path.join(loc, "_SPARK_GRAFT_BUCKET_SPEC")
+
+    def _part_files(d: str) -> list[str]:
+        return [f for f in os.listdir(d) if f.startswith("part-")] if os.path.isdir(d) else []
+
     if os.path.isfile(marker):
         # A completed build of this EXACT content key already exists —
         # re-attach the bucket spec the in-memory catalog forgot.
+        # ADVICE r12: never trust the marker alone — a crash during a
+        # later sweep or manual cleanup can leave the marker while part
+        # files are gone, and adopting that silently yields wrong row
+        # counts.  Validate against the part-file stamp written with the
+        # marker and fall through to a rebuild on any mismatch.
         with open(marker) as fh:
             spec = json.load(fh)
-        spark.sql(
-            f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
-            f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
-            f"INTO {spec['buckets']} BUCKETS LOCATION '{loc}'"
-        )
-        return name
+        actual = len(_part_files(loc))
+        expected = spec.get("n_part_files")
+        if actual > 0 and (expected is None or actual == expected):
+            spark.sql(
+                f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
+                f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
+                f"INTO {spec['buckets']} BUCKETS LOCATION '{loc}'"
+            )
+            return name
+        shutil.rmtree(loc, ignore_errors=True)
     # No finished build for this key: sweep superseded content keys of
     # the same (table, key, buckets, fixture-tag) — never this name's
     # directory unless it is marker-less debris from a crashed write —
@@ -205,7 +218,15 @@ def ensure_bucketed(
         f"`{f.name}` {f.dataType.simpleString()}" for f in frame.schema.fields
     )
     with open(marker, "w") as fh:
-        json.dump({"key": key, "buckets": buckets, "schema_ddl": schema_ddl}, fh)
+        json.dump(
+            {
+                "key": key,
+                "buckets": buckets,
+                "schema_ddl": schema_ddl,
+                "n_part_files": len(_part_files(loc)),
+            },
+            fh,
+        )
     return name
 
 

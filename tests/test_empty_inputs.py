@@ -505,3 +505,69 @@ def test_lsh_operating_report_empty(spark):
         (r.n_true, r.n_caught, r.catch_rate, r.n_cand) == (0, 0, 0.0, 0)
         for r in rows
     )
+
+
+def test_lsh_operating_report_single_doc(spark):
+    """A single-document corpus has no pair space at all: all six band
+    rows still present, every count 0, every rate 0.0 (VERDICT r12 #7)."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "web")], DOC_SCHEMA
+    )
+    rows = dd.lsh_operating_report(one, materialize=False).orderBy("band_lo").collect()
+    assert [r.band_lo for r in rows] == [0.0, 0.5, 0.6, 0.7, 0.8, 0.9]
+    assert all(
+        (r.n_true, r.n_caught, r.catch_rate, r.n_cand) == (0, 0, 0.0, 0)
+        for r in rows
+    )
+
+
+def test_ivfpq_topk_empty_queries_and_books_given(spark):
+    """Empty QUERY side against a live corpus (the inverse of the
+    existing empty-corpus case) returns an empty, correctly-shaped
+    frame; a caller-supplied codebook dict (the session-cache path the
+    registry entry uses) scores without retraining (VERDICT r12 #7)."""
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+    from spanner_jdbc_converter_spark.operators.similarity import _pq_train
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 + 1) for j in range(64)]) for i in range(20)],
+        EMB_SCHEMA,
+    )
+    books = _pq_train(corpus, 4, 8, 2, 64, "embedding", "vec_id")
+    out = sim.ivfpq_topk(spark.createDataFrame([], EMB_SCHEMA), corpus, k=5, books=books)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "match_id", "adot", "score", "rank",
+    ]
+    got = sim.ivfpq_topk(
+        corpus.filter(F.col("vec_id") % 10 == 0), corpus, k=3, books=books
+    )
+    assert got.count() > 0
+    assert got.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+def test_rfm_segments_single_purchaser(spark, tmp_path):
+    """One purchasing user: every quintile boundary collapses to that
+    user's own value, so nbin counts zero strictly-greater boundaries —
+    f_score = m_score = 1, r_score = 6 − 1 = 5, segment 511
+    (VERDICT r12 #7: the all-boundaries-equal degenerate)."""
+    from spanner_jdbc_converter_spark.plans.behavior import events_rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=7, event_type="purchase", value=10.0),
+        Row(event_id=2, ts=t0 + dt.timedelta(hours=1), user_id=7,
+            event_type="purchase", value=5.0),
+        Row(event_id=3, ts=t0 + dt.timedelta(hours=2), user_id=9,
+            event_type="click", value=1.0),
+    ]
+    spark.createDataFrame(rows).repartition(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = events_rfm_segments(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.user_id, r.f, r.m) == (7, 2, 15.0)
+    assert (r.r_score, r.f_score, r.m_score, r.segment) == (5, 1, 1, 511)

@@ -796,3 +796,98 @@ def test_debounce_single_entity_exchange(spark, sf_dir):
     assert head.count("Exchange") <= 2
     assert "FlatMapGroupsInPandas" in head
     assert "Join" not in head
+
+
+def test_pattern_match_single_exchange_zero_joins(spark, sf_dir):
+    """VERDICT r12 #2: the CEP click→purchase rule is two conditional
+    running-MAXes over ONE user_id window — the docstring's "one
+    exchange, zero joins" promise, pinned (the naive formulation is a
+    3-way range self-join that explodes at scale)."""
+    plan = _plan(spark, "events_pattern_match", sf_dir)
+    head = plan.split("\n\n")[0]
+    assert head.count("Exchange") == 1
+    assert "Join" not in head
+    assert "hashpartitioning(user_id" in plan  # the one exchange IS the window's
+
+
+def test_luhn_redact_is_shuffle_free_codegen(spark, sf_dir):
+    """VERDICT r12 #2: the unrolled 16-term Luhn gate is pure per-row
+    codegen — zero Exchange, zero Python eval, one scan; anything else
+    means the checksum fell off scan speed."""
+    plan = _plan(spark, "text_pii_ccn_luhn_redact", sf_dir)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_quantile_normalize_no_global_sort(spark, sf_dir):
+    """VERDICT r12 #2: both rank sides ride value-banded banded_rank —
+    no rangepartitioning (global sort) anywhere, no cartesian, and the
+    data-side windows carry the band in their partition keys; the only
+    SinglePartition branches are the metadata-sized one-row totals."""
+    plan = _plan(spark, "select_quantile_normalize", sf_dir)
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_band" in plan
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_ivfpq_candidate_sized_joins_arrow_encode(spark, sf_dir):
+    """VERDICT r12 #2: the IVF+PQ hybrid's promises, pinned — LUT/query
+    frames broadcast (every nested-loop is broadcast-one-side, never a
+    shuffled cartesian), the non-broadcast shuffles carry id-keyed pair
+    rows only (query_id / match_id rank exchanges), and both encode
+    paths ride the Arrow numpy kernel (the 14 s interpreted-HOF cliff)."""
+    plan = _plan(spark, "sim_ivfpq_topk", sf_dir)
+    head = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") >= 2
+    shuffles = head.count("Exchange") - head.count("BroadcastExchange")
+    assert shuffles <= 3
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln:
+            assert "query_id" in ln or "match_id" in ln, ln
+
+
+def test_power_iteration_rounds_read_cache_not_source(spark, sf_dir):
+    """VERDICT r12 #2 (the kcenter precedent): every matvec round must
+    scan the persisted single-column frame (InMemoryTableScan), never
+    replay lineage to the parquet source — unpersisted, round t would
+    re-read the corpus from disk iters× per component."""
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plans: list[str] = []
+    out = cl.power_iteration_pc1(emb, _debug_rounds=plans)
+    assert out.count() == 64
+    assert len(plans) == cl.PC1_ITERS
+    for plan in plans:
+        assert "InMemoryTableScan" in plan, plan
+        # the live execution path (everything ABOVE the cached-relation
+        # definition, which legitimately records the original FileScan)
+        # must never re-reach the parquet source
+        assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+
+
+def test_pca2_rounds_and_projection_read_cache(spark, sf_dir):
+    """VERDICT r12 #2 + ADVICE r12: all 2·iters deflation rounds AND
+    the RETURNED projection frame read the persisted input — the
+    premature unpersist that silently recomputed the final scan from
+    source is fixed (eviction now deferred to the next call)."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+    from spanner_jdbc_converter_spark.plans import QUERIES
+
+    plans: list[str] = []
+    from spanner_jdbc_converter_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cl.pca2_coords(emb, _debug_rounds=plans)
+    assert len(plans) == 2 * cl.PC1_ITERS
+    for plan in plans:
+        assert "InMemoryTableScan" in plan, plan
+        assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    final = out._jdf.queryExecution().explainString(jmode)
+    assert "InMemoryTableScan" in final, final
+    assert "Scan parquet" not in final.split("InMemoryRelation")[0], final

@@ -816,3 +816,20 @@ def test_streaming_pattern_match_equals_batch(spark, sf_dir):
     cols = ["user_id", "purchase_event_id", "trigger_us", "gap_us"]
     assert _rows(result, *cols) == _rows(batch, *cols)
     assert result.count() > 0
+
+
+def test_streaming_pattern_match_empty_stream_drain(spark, tmp_path):
+    """An empty events file still fires a micro-batch; the stateful CEP
+    walk must drain it cleanly — zero emitted matches, no state rows,
+    no NPE on the all-empty Arrow chunk list (VERDICT r12 #7)."""
+    batch_schema = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).schema
+    spark.createDataFrame([], batch_schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    stream = ops.read_events_stream(spark, str(tmp_path))
+    result = ops.run_stream_to_memory(
+        ops.running_pattern_match(stream), "cep_empty_mem", output_mode="update"
+    )
+    assert result.count() == 0
