@@ -222,40 +222,51 @@ def ivf_candidates(
     corpus vectors on their single nearest list, queries probing their
     ``nprobe`` nearest lists; ids only — vectors never ride the list
     join."""
-    cents = corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
+    cents = _ivf_cents(corpus, centroid_stride, vec_col, id_col)
+    return (
+        F.broadcast(_ivf_assign(queries, cents, "query", nprobe, vec_col, id_col))
+        .join(_ivf_assign(corpus, cents, "match", 1, vec_col, id_col), on="cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+
+
+def _ivf_cents(corpus, centroid_stride, vec_col, id_col) -> DataFrame:
+    """The deterministic sampled coarse centroids (id % stride == 1)."""
+    return corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
         norm(F.col(vec_col)).alias("cent_nrm"),
     )
 
-    def assign(df: DataFrame, role: str, rank_limit: int) -> DataFrame:
-        base = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_nrm"),
-        )
-        cos = F.round(
-            dot(F.col(f"{role}_vec"), F.col("cent_vec"))
-            / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
-            6,
-        )
-        w = Window.partitionBy(f"{role}_id").orderBy(
-            F.desc("__ccos"), F.asc("cent_id")
-        )
-        return (
-            base.crossJoin(F.broadcast(cents))
-            .select(f"{role}_id", "cent_id", cos.alias("__ccos"))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= rank_limit)
-            .select(f"{role}_id", "cent_id")
-        )
 
+def _ivf_assign(
+    df: DataFrame, cents: DataFrame, role: str, rank_limit: int,
+    vec_col: str, id_col: str,
+) -> DataFrame:
+    """(role_id, cent_id): the ``rank_limit`` nearest coarse lists per
+    vector — rounded cosine, ties to the smaller centroid id (the
+    ivf_topk assignment contract, shared by every IVF-family operator)."""
+    base = df.select(
+        F.col(id_col).alias(f"{role}_id"),
+        F.col(vec_col).alias(f"{role}_vec"),
+        norm(F.col(vec_col)).alias(f"{role}_nrm"),
+    )
+    cos = F.round(
+        dot(F.col(f"{role}_vec"), F.col("cent_vec"))
+        / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
+        6,
+    )
+    w = Window.partitionBy(f"{role}_id").orderBy(
+        F.desc("__ccos"), F.asc("cent_id")
+    )
     return (
-        F.broadcast(assign(queries, "query", nprobe))
-        .join(assign(corpus, "match", 1), on="cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id")
-        .dropDuplicates(["query_id", "match_id"])
+        base.crossJoin(F.broadcast(cents))
+        .select(f"{role}_id", "cent_id", cos.alias("__ccos"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rank_limit)
+        .select(f"{role}_id", "cent_id")
     )
 
 
@@ -643,15 +654,18 @@ def _pq_lut_frame(queries, books, m, subdim, vec_col, id_col) -> DataFrame:
     )
 
 
-def _pq_adc_cols(m: int) -> list:
-    """adot (fixed-order j = 0..m-1 LUT sum, rounded 6) and score."""
+def _pq_adc_cols(m: int, base: F.Column | None = None) -> list:
+    """adot (fixed-order j = 0..m-1 LUT sum, rounded 6) and score.
+    With ``base`` given, the sum folds FROM it — (((base + l0) + l1)…)
+    — the residual-IVFPQ ⟨q, c_list⟩ anchor term, order-pinned so the
+    oracle's left-associative ``+`` chain replays it exactly."""
     from functools import reduce
     from operator import add
 
-    adot = reduce(
-        add,
-        [F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}")) for j in range(m)],
-    )
+    terms = [
+        F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}")) for j in range(m)
+    ]
+    adot = reduce(add, terms) if base is None else reduce(add, terms, base)
     score = F.round(adot / (F.col("query_l2") * F.col("match_l2")), 6)
     return [F.round(adot, 6).alias("adot"), score.alias("score")]
 
@@ -685,8 +699,8 @@ def ivfpq_topk(
     LUT-carrying query frame broadcasts onto the candidate stream; the
     only shuffles carry id pairs and the per-query rank.  Codes are
     non-residual (trained on the raw vectors, shared with pq_topk via
-    ``books``) — the residual-PQ refinement is a documented next step,
-    not silently approximated.
+    ``books``) — :func:`residual_ivfpq_topk` is the residual
+    refinement, measured beside this one in ann_recall_report.
 
     Determinism: candidates replay ivf_topk's rounded-cosine/ties
     contract; scoring replays pq_topk's fixed-order ADC contract; both
@@ -712,6 +726,145 @@ def ivfpq_topk(
         cand.join(codes, "match_id")
         .join(F.broadcast(q), "query_id")
         .select("query_id", "match_id", *_pq_adc_cols(m))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _residual_frame(
+    corpus: DataFrame, cents: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(match_id, cent_id, __xv raw vector, __res = x − c_list): every
+    corpus vector minus its single nearest coarse centroid — exact
+    per-position double subtraction of float32-exact values, so the
+    oracle replays it bit-for-bit."""
+    corp = _ivf_assign(corpus, cents, "match", 1, vec_col, id_col)
+    return (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__xv"))
+        .join(corp, "match_id")
+        .join(F.broadcast(cents.select("cent_id", "cent_vec")), "cent_id")
+        .select(
+            "match_id",
+            "cent_id",
+            "__xv",
+            F.zip_with(
+                "__xv", "cent_vec", lambda a, b: a.cast("double") - b.cast("double")
+            ).alias("__res"),
+        )
+    )
+
+
+def residual_pq_train(
+    corpus: DataFrame,
+    centroid_stride: int = 100,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Residual PQ codebooks: the _pq_train recurrence run on the
+    RESIDUALS x − centroid(list) instead of the raw vectors — the
+    distribution PQ should model once a coarse quantizer exists,
+    because residuals concentrate near zero with far less variance
+    than raw vectors (Jégou et al. 2011 §V.A)."""
+    cents = _ivf_cents(corpus, centroid_stride, vec_col, id_col)
+    res = _residual_frame(corpus, cents, vec_col, id_col)
+    return _pq_train(res, m, ncode, iters, dim, "__res", "match_id")
+
+
+def residual_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 100,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: dict | None = None,
+) -> DataFrame:
+    """Residual IVF + PQ — the ACCURATE form of the production pairing
+    (Jégou et al. 2011 §V.A, the refinement ivfpq_topk documents as its
+    next step): corpus vectors are PQ-encoded as residuals r = x −
+    c_list against their coarse centroid, and a query scores a
+    candidate as ⟨q, x⟩ ≈ ⟨q, c_list⟩ + Σ_j LUT_j[code_j] with
+    LUT_j[c] = ⟨q_sub_j, rcentroid_{j,c}⟩ — the anchor term restores
+    the list's position so the codebooks only have to model the small
+    residual cloud, which is what makes IVF+PQ accurate at production
+    nprobe.  The premise — residuals smaller than raw vectors — holds
+    exactly when the coarse quantizer captures real structure: on a
+    clustered corpus the residual row of ann_recall_report measures at
+    or above the non-residual row at equal m/ncode (pinned by
+    test_operators), while on an ISOTROPIC corpus (the synthetic
+    fixture) E‖x−c‖² = 2−2·maxcos ≈ 1.7·E‖x‖², so residual honestly
+    measures BELOW non-residual there — the report exists to surface
+    exactly that regime dependence.
+
+    Plan shape: coarse assignment is corpus × broadcast(centroids)
+    (shared _ivf_assign); the residual encode is one Arrow-batched scan
+    of the residual frame; the scoring join is encoded-corpus ⋈
+    broadcast(query-side) ON cent_id — each corpus row sits in exactly
+    ONE list, so the cent_id equi-join IS the IVF candidate semantics
+    with no separate pair join and no duplicate pairs; the only
+    shuffles carry id-keyed rows and the per-query rank.
+
+    Determinism: assignment replays ivf_topk's rounded-cosine/ties
+    contract; residuals are exact double subtractions; training/encode
+    replay the _pq_train recurrence on the residual frame; the ADC sum
+    folds FROM the ⟨q, c_list⟩ anchor in fixed order j = 0..m−1
+    (_pq_adc_cols(base=...)); adot/score round at 6, ties to the
+    smaller match id.  Zero-norm vectors must be excluded by the
+    caller (the pq_topk contract).
+
+    Output: query_id, match_id, adot (anchored ADC dot, rounded 6),
+    score, rank."""
+    subdim = dim // m
+    spark = queries.sparkSession
+    out_schema = (
+        "query_id long, match_id long, adot double, score double, rank long"
+    )
+    cents = _ivf_cents(corpus, centroid_stride, vec_col, id_col)
+    res = _residual_frame(corpus, cents, vec_col, id_col)
+    if books is None:
+        books = _pq_train(res, m, ncode, iters, dim, "__res", "match_id")
+    if not books:
+        return spark.createDataFrame([], out_schema)
+
+    codes = res.select(
+        "match_id",
+        "cent_id",
+        norm(F.col("__xv")).alias("match_l2"),
+        *_pq_code_cols(books, "__res", subdim),
+    )
+    probes = _ivf_assign(queries, cents, "query", nprobe, vec_col, id_col)
+    qside = (
+        probes.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(cents.select("cent_id", "cent_vec")), "cent_id")
+        .select(
+            "query_id",
+            "cent_id",
+            dot(F.col("__qv"), F.col("cent_vec")).alias("__qcdot"),
+        )
+        .join(_pq_lut_frame(queries, books, m, subdim, vec_col, id_col), "query_id")
+    )
+    scored = (
+        codes.join(F.broadcast(qside), "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id", "match_id", *_pq_adc_cols(m, base=F.col("__qcdot"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -897,6 +1050,7 @@ def ann_recall_report(
     id_col: str = "vec_id",
     materialize: bool = True,
     pq_books: dict | None = None,
+    res_books: dict | None = None,
 ) -> DataFrame:
     """Recall@k of every approximate similarity path against the exact
     brute-force top-k — THE number a user tunes tables/planes/nprobe
@@ -904,23 +1058,25 @@ def ann_recall_report(
     measured recall, so parameter tuning flew blind).
 
     recall@k(method) = |approx top-k pairs ∩ exact top-k pairs| / |exact
-    top-k pairs|, pooled over all queries.  The four production paths
+    top-k pairs|, pooled over all queries.  The six production paths
     are graded with their corpus-entry parameters: hyperplane LSH
     (8 tables × 4 planes), IVF (nprobe=3, stride-100 centroids),
-    product quantization (4 subspaces × 8 codes, ADC scoring), and
-    int8 quantization (PQ and int8 exclude zero-norm vectors on both
-    sides — the documented contract).
+    product quantization (4 subspaces × 8 codes, ADC scoring), int8
+    quantization, the IVF+PQ hybrid, and residual IVF+PQ — the last
+    two at the SAME m/ncode/nprobe, so the residual refinement's
+    accuracy gain is measured, not assumed (PQ-family and int8 paths
+    exclude zero-norm vectors on both sides — the documented contract).
 
     Plan: the exact top-k (|queries|·k id pairs — tiny) materializes
-    once via the stage-checkpoint discipline and feeds the four
-    hit-joins; each approximate path scans the corpus exactly as its own
-    entry does; the union of approx (method, query_id, match_id) rows
+    once via the stage-checkpoint discipline and feeds the hit-joins;
+    each approximate path scans the corpus exactly as its own entry
+    does; the union of approx (method, query_id, match_id) rows
     hit-joins the broadcast exact set, and one-row totals cross-join on.
     No driver collect; every join side that is small is broadcast.
 
     Output: (method, n_queries, n_exact, n_hits, recall) — one row per
-    method ('ivf', 'lsh', 'pq', 'quantized'); a method with zero hits still
-    reports (recall 0.0)."""
+    method ('ivf', 'ivfpq', 'ivfpq_residual', 'lsh', 'pq', 'quantized');
+    a method with zero hits still reports (recall 0.0)."""
     from functools import reduce
 
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
@@ -942,6 +1098,18 @@ def ann_recall_report(
             ),
         ),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
+        (
+            "ivfpq",
+            ivfpq_topk(
+                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=pq_books
+            ),
+        ),
+        (
+            "ivfpq_residual",
+            residual_ivfpq_topk(
+                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=res_books
+            ),
+        ),
     ]
     approx = reduce(
         DataFrame.unionByName,

@@ -87,9 +87,10 @@ _GATE_PRIORITY = [
     "text_vocab_df",
     "join_doc_embedding_features",
     "pipeline_curate_documents",
-    "dedup_incremental_batch",
     # (2) registered in r13 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers.
+    # newest tail entry of group (1) in the same commit it registers
+    # (displaced so far: dedup_incremental_batch).
+    "sim_residual_ivfpq_topk",
 ]
 
 

@@ -487,6 +487,181 @@ _IVFPQ_CTES, _IVFPQ_PAIRS = _pq_ctes(
 )
 
 
+def _res_pq_ctes(
+    query_pred: str = "vec_id % 50 = 0",
+    prefix: str = "r",
+    include_cands: bool = True,
+) -> tuple[str, str]:
+    """Residual IVF+PQ as CTE clauses (the _pq_ctes discipline on the
+    residual cloud): corpus residuals x − centroid(list) against the
+    ivcorp/ivcents coarse assignment, the unrolled fixed-iteration
+    k-means per residual subspace, residual codes, raw-query-slice LUT
+    partials, the per-(query, probed-list) anchor dot ⟨q, c_list⟩, and
+    the anchored ADC pair frame.  Every generated name carries
+    ``prefix`` so the family composes beside _PQ_CTES in one WITH;
+    requires emb_nz/pql2 and (unless ``include_cands``) the
+    _ivfpq_cand_ctes iv* family already present.  Returns
+    (cte_clauses, pairs_cte_name); the pair frame has (query_id,
+    match_id, adot, la, lb)."""
+    m, ncode, iters = sim.PQ_M, sim.PQ_NCODE, sim.PQ_ITERS
+    subdim = 64 // m
+    p = prefix
+    parts: list[str] = []
+    if include_cands:
+        cand_parts, _ = _ivfpq_cand_ctes(query_pred)
+        parts.extend(cand_parts)
+    # residual vectors: exact double subtraction against the single
+    # nearest coarse centroid (float32-exact values on both engines)
+    parts.append(
+        f"{p}v AS (SELECT ic.match_id AS vec_id, ic.cent_id,"
+        " list_transform(range(1, 65),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))"
+        " AS rvec"
+        " FROM ivcorp ic JOIN emb_nz e ON e.vec_id = ic.match_id"
+        " JOIN ivcents c USING (cent_id))"
+    )
+    sqf = (
+        f"list_reduce(list_transform(range(1, {subdim + 1}),"
+        " i -> (e.sv[i] - c.cvec[i]) * (e.sv[i] - c.cvec[i])), (a, b) -> a + b)"
+    )
+    for j in range(m):
+        lo, hi = j * subdim + 1, (j + 1) * subdim
+        parts.append(
+            f"{p}s{j} AS (SELECT vec_id, rvec[{lo}:{hi}] AS sv FROM {p}v)"
+        )
+        parts.append(
+            f"{p}qs{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],"
+            f" x -> CAST(x AS DOUBLE)) AS sv FROM emb_nz WHERE {query_pred})"
+        )
+        parts.append(
+            f"{p}k{j}0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, sv AS cvec"
+            f" FROM {p}s{j} WHERE vec_id < {ncode})"
+        )
+        prev = f"{p}k{j}0"
+        for it in range(1, iters + 1):
+            parts.append(
+                f"""{p}a{j}{it} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cluster) AS rn
+        FROM (SELECT e.vec_id, c.cluster, {sqf} AS sq
+              FROM {p}s{j} e CROSS JOIN {prev} c)
+      ) WHERE rn = 1)"""
+            )
+            if it < iters:
+                parts.append(
+                    f"""{p}k{j}{it} AS (
+      SELECT cluster, list(cval ORDER BY pos) AS cvec FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT a.cluster AS cluster,
+                     unnest(range(1, {subdim + 1})) AS pos,
+                     unnest(s.sv) AS val
+              FROM {p}a{j}{it} a JOIN {p}s{j} s USING (vec_id))
+        GROUP BY cluster, pos
+      ) GROUP BY cluster)"""
+                )
+                prev = f"{p}k{j}{it}"
+        parts.append(
+            f"""{p}qp{j} AS (
+      SELECT q.vec_id AS query_id, c.cluster,
+             list_sum(list_transform(range(1, {subdim + 1}),
+                      i -> q.sv[i] * c.cvec[i])) AS partial
+      FROM {p}qs{j} q CROSS JOIN {prev} c)"""
+        )
+    # the anchor term: one dot per (query, probed list) — nq·nprobe rows
+    parts.append(
+        f"{p}qc AS (SELECT ip.query_id, ip.cent_id,"
+        " list_sum(list_transform(range(1, 65),"
+        " i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))"
+        " AS qcdot"
+        " FROM ivprobes ip JOIN emb_nz q ON q.vec_id = ip.query_id"
+        " JOIN ivcents c USING (cent_id))"
+    )
+    adot = " + ".join([f"{p}qc.qcdot"] + [f"{p}qp{j}.partial" for j in range(m)])
+    code_joins = "\n      ".join(
+        f"JOIN {p}a{j}{iters} c{j} ON c{j}.vec_id = ic.match_id\n"
+        f"      JOIN {p}qp{j} ON {p}qp{j}.query_id = ip.query_id"
+        f" AND {p}qp{j}.cluster = c{j}.cluster"
+        for j in range(m)
+    )
+    parts.append(
+        f"""{p}pqpairs AS (
+      SELECT ip.query_id, ic.match_id,
+             {adot} AS adot, ql.l2 AS la, xl.l2 AS lb
+      FROM ivcorp ic
+      JOIN ivprobes ip USING (cent_id)
+      {code_joins}
+      JOIN {p}qc ON {p}qc.query_id = ip.query_id
+                AND {p}qc.cent_id = ic.cent_id
+      JOIN pql2 ql ON ql.vec_id = ip.query_id
+      JOIN pql2 xl ON xl.vec_id = ic.match_id
+      WHERE ip.query_id <> ic.match_id)"""
+    )
+    return ",\n    ".join(parts), f"{p}pqpairs"
+
+
+_RESPQ_BASE = (
+    f"emb_nz AS (SELECT vec_id, embedding FROM embeddings WHERE {_L2_SQL} > 0),\n"
+    f"    pql2 AS (SELECT vec_id, {_L2_SQL} AS l2 FROM emb_nz)"
+)
+_RESPQ_CTES, _RESPQ_PAIRS = _res_pq_ctes()
+
+
+#: Session cache for the trained RESIDUAL codebooks (the _pq_books_for
+#: discipline): sim_residual_ivfpq_topk and sim_ann_recall_report train
+#: the identical residual model on the identical corpus — share one.
+_RES_BOOKS_STORE: dict[tuple[str, str], dict] = {}
+
+
+def _res_books_for(spark: SparkSession, sf_dir: str) -> dict:
+    import os
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(_RES_BOOKS_STORE, key, lambda _b: None)
+    hit = _RES_BOOKS_STORE.get(key)
+    if hit is not None:
+        return hit
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    books = sim.residual_pq_train(e)
+    _RES_BOOKS_STORE[key] = books
+    return books
+
+
+@register(
+    "sim_residual_ivfpq_topk",
+    oracle=f"""
+    WITH {_RESPQ_BASE},
+    {_RESPQ_CTES}
+    SELECT query_id, match_id, ROUND(adot, 6) AS adot,
+           ROUND(adot / (la * lb), 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, match_id, adot, la, lb,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                             match_id) AS rank
+          FROM {_RESPQ_PAIRS}) t
+    WHERE rank <= 5
+    """,
+)
+def sim_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF + PQ top-5 — the ACCURATE production ANN form
+    (ivfpq_topk's documented next step, now measured): corpus vectors
+    PQ-encode their residual against the coarse centroid, and scoring
+    anchors the ADC sum at ⟨q, c_list⟩, so the codebooks model only the
+    small residual cloud.  The oracle unrolls the coarse assignment,
+    the exact residual subtraction, the per-subspace residual k-means,
+    the anchor dots, and the anchored fixed-order ADC sum — the whole
+    refinement is decimal-audited like its non-residual sibling.  See
+    operators/similarity.py::residual_ivfpq_topk."""
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return sim.residual_ivfpq_topk(
+        queries, e, k=5, books=_res_books_for(spark, sf_dir)
+    )
+
+
 @register(
     "sim_ivfpq_topk",
     oracle=f"""
@@ -571,9 +746,29 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: don't dominate the recall signal.
 _RECALL_K = 10
 
+_RECALL_RES_CTES, _RECALL_RES_PAIRS = _res_pq_ctes()
+
 _ANN_RECALL_ORACLE = f"""
     WITH {_QCODES_SQL},
     {_PQ_CTES},
+    {_RECALL_RES_CTES},
+    ivfpq_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT p.query_id, p.match_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                      ORDER BY ROUND(p.adot / (p.la * p.lb), 6) DESC,
+                                               p.match_id) AS rank
+            FROM {_PQ_PAIRS} p JOIN ivcand c
+              ON c.query_id = p.query_id AND c.match_id = p.match_id) t
+      WHERE rank <= {_RECALL_K}),
+    respq_top AS (
+      SELECT query_id, match_id
+      FROM (SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                               match_id) AS rank
+            FROM {_RECALL_RES_PAIRS}) t
+      WHERE rank <= {_RECALL_K}),
     pq_top AS (
       SELECT query_id, match_id
       FROM (SELECT query_id, match_id,
@@ -645,14 +840,17 @@ _ANN_RECALL_ORACLE = f"""
     un AS (SELECT 'ivf' AS method, query_id, match_id FROM ivf_top
            UNION ALL SELECT 'lsh', query_id, match_id FROM lsh_top
            UNION ALL SELECT 'pq', query_id, match_id FROM pq_top
-           UNION ALL SELECT 'quantized', query_id, match_id FROM q_top),
+           UNION ALL SELECT 'quantized', query_id, match_id FROM q_top
+           UNION ALL SELECT 'ivfpq', query_id, match_id FROM ivfpq_top
+           UNION ALL SELECT 'ivfpq_residual', query_id, match_id FROM respq_top),
     hits AS (SELECT method, count(*) AS n_hits
              FROM un JOIN exact USING (query_id, match_id)
              GROUP BY method),
     tot AS (SELECT count(DISTINCT query_id) AS n_queries,
                    count(*) AS n_exact
             FROM exact),
-    methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'quantized']) AS method)
+    methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'quantized',
+                               'ivfpq', 'ivfpq_residual']) AS method)
     SELECT m.method, t.n_queries, t.n_exact,
            COALESCE(h.n_hits, 0) AS n_hits,
            CASE WHEN t.n_exact = 0 THEN 0.0
@@ -664,17 +862,23 @@ _ANN_RECALL_ORACLE = f"""
 
 @register("sim_ann_recall_report", oracle=_ANN_RECALL_ORACLE)
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of all three approximate similarity paths (hyperplane
-    LSH, IVF, int8 quantization — each at its own entry's parameters)
-    against the exact brute-force top-10 for the probe query set — the
-    tuning number for tables/planes/nprobe that VERDICT r10 #5 flagged
-    as missing.  Every path is oracle-reproducible, so the recall itself
-    is deterministic: the oracle replays all four pipelines and the same
+    """Recall@10 of ALL SIX approximate similarity paths (hyperplane
+    LSH, IVF, PQ, int8 quantization, IVF+PQ, and residual IVF+PQ — each
+    at its own entry's parameters, the two hybrids at EQUAL m/ncode/
+    nprobe so the residual refinement's gain is measured) against the
+    exact brute-force top-10 for the probe query set — the tuning
+    number for tables/planes/nprobe that VERDICT r10 #5 flagged as
+    missing.  Every path is oracle-reproducible, so the recall itself
+    is deterministic: the oracle replays all six pipelines and the same
     hit-join/ratio.  See operators/similarity.py::ann_recall_report."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return sim.ann_recall_report(
-        queries, e, k=_RECALL_K, pq_books=_pq_books_for(spark, sf_dir)
+        queries,
+        e,
+        k=_RECALL_K,
+        pq_books=_pq_books_for(spark, sf_dir),
+        res_books=_res_books_for(spark, sf_dir),
     )
 
 

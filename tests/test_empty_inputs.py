@@ -385,7 +385,9 @@ def test_ann_recall_report_empty_corpus(spark):
 
     empty = spark.createDataFrame([], EMB_SCHEMA)
     rows = sim.ann_recall_report(empty, empty, k=5).orderBy("method").collect()
-    assert [r.method for r in rows] == ["ivf", "lsh", "pq", "quantized"]
+    assert [r.method for r in rows] == [
+        "ivf", "ivfpq", "ivfpq_residual", "lsh", "pq", "quantized",
+    ]
     assert all((r.n_exact, r.n_hits, r.recall) == (0, 0, 0.0) for r in rows)
 
 
@@ -571,3 +573,29 @@ def test_rfm_segments_single_purchaser(spark, tmp_path):
     r = got[0]
     assert (r.user_id, r.f, r.m) == (7, 2, 15.0)
     assert (r.r_score, r.f_score, r.m_score, r.segment) == (5, 1, 1, 511)
+
+
+def test_residual_ivfpq_topk_empty_and_books_given(spark):
+    """Empty corpus -> empty books -> empty shaped frame; empty queries
+    against a live corpus -> empty; caller-supplied residual codebooks
+    (the registry's session-cache path) score without retraining."""
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], EMB_SCHEMA)
+    out = sim.residual_ivfpq_topk(empty, empty, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "match_id", "adot", "score", "rank",
+    ]
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 + 1) for j in range(64)]) for i in range(20)],
+        EMB_SCHEMA,
+    )
+    books = sim.residual_pq_train(corpus)
+    assert sim.residual_ivfpq_topk(empty, corpus, k=5, books=books).count() == 0
+    got = sim.residual_ivfpq_topk(
+        corpus.filter(F.col("vec_id") % 10 == 0), corpus, k=3, books=books
+    )
+    assert got.count() > 0
+    assert got.groupBy("query_id").count().filter("count > 3").count() == 0
