@@ -550,6 +550,63 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_band_pairs(
+    sigs: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 56,
+) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs over ANY long-hash signature frame
+    via pigeonhole band bucketing — the simhash_near_pairs machinery
+    generalized to a caller-supplied hash column (image dHash, audio
+    fingerprints, any ≤63-bit perceptual signature).
+
+    Pigeonhole completeness: distance ≤ max_hamming with bands >
+    max_hamming guarantees at least one band of bits is IDENTICAL, so
+    bucket-joining on per-band values loses nothing — the bucketed plan
+    is exactly the all-pairs semantic, minus the quadratic pair space.
+    Requires max_hamming < bands (asserted) and a non-negative hash
+    (bits ≤ 63 keeps the long positive, so arithmetic shiftright is a
+    logical shift).
+
+    Plan: explode |rows|×bands (B small), shuffle on the band key,
+    bucket self-join carries (id, hash) pairs only, exact Hamming
+    verifies after the join.  Output: (id_a, id_b, hamming), id_a <
+    id_b, distinct."""
+    assert max_hamming < bands, "pigeonhole needs bands > max_hamming"
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_keys = [
+        F.concat_ws(
+            ":",
+            F.lit(f"h{b}"),
+            F.shiftright(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__hh"),
+        F.explode(F.array(*band_keys)).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="bk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.__hh"), F.col("b.__hh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

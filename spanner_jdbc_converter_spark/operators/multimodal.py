@@ -478,6 +478,113 @@ def attach_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
+def _pgm_parse(data: bytes) -> tuple[int, int, bytes]:
+    """Binary PGM (P5) header + raster parse: (w, h, pixel bytes).
+    Header is magic, dims, maxval — whitespace-separated ASCII."""
+    if data[:2] != b"P5":
+        raise ValueError(f"not a binary PGM (P5) payload: {data[:2]!r}")
+    rest = data[2:]
+    fields: list[int] = []
+    i = 0
+    while len(fields) < 3:
+        while rest[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not rest[j : j + 1].isspace():
+            j += 1
+        fields.append(int(rest[i:j]))
+        i = j
+    w, h, _maxval = fields
+    px = rest[i + 1 :]
+    if len(px) != w * h:
+        raise ValueError(f"PGM raster truncated: {len(px)} bytes for {w}x{h}")
+    return w, h, px
+
+
+#: dHash grid — 9 column samples × 7 row samples over the 2×-downsampled
+#: thumbnail ⇒ 8 horizontal comparisons per row × 7 rows = 56 bits.  56
+#: (not the classic 64) keeps the signature strictly positive in a SIGNED
+#: 64-bit long on both engines (no two's-complement gymnastics in the
+#: oracle) and divides evenly into 4 bands of 14 bits for the pigeonhole
+#: bucketing.
+DHASH_COLS = 9
+DHASH_ROWS = 7
+DHASH_BITS = (DHASH_COLS - 1) * DHASH_ROWS
+
+
+def _dhash56(w: int, h: int, px: bytes) -> int:
+    """56-bit difference hash of a grayscale raster: 2×2 floor-block-
+    average thumbnail (the decode_pgm_features resize math), 9×7
+    nearest-neighbor grid sample (tx = ⌊sx·tw/9⌋, ty = ⌊sy·th/7⌋),
+    bit(sx, sy) = [g(sx+1, sy) > g(sx, sy)] at position sy·8 + sx.
+    All-integer, so the oracle replays it from the pixel formula."""
+    tw, th = w // 2, h // 2
+
+    def thumb(tx: int, ty: int) -> int:
+        return (
+            px[2 * ty * w + 2 * tx]
+            + px[2 * ty * w + 2 * tx + 1]
+            + px[(2 * ty + 1) * w + 2 * tx]
+            + px[(2 * ty + 1) * w + 2 * tx + 1]
+        ) // 4
+
+    dh = 0
+    for sy in range(DHASH_ROWS):
+        ty = (sy * th) // DHASH_ROWS
+        row = [
+            thumb((sx * tw) // DHASH_COLS, ty) for sx in range(DHASH_COLS)
+        ]
+        for sx in range(DHASH_COLS - 1):
+            if row[sx + 1] > row[sx]:
+                dh |= 1 << (sy * 8 + sx)
+    return dh
+
+
+def decode_pgm_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash of every stored PGM image —
+    (doc_id, width, height, dhash): the image-near-dedup signature
+    (dHash, Krawetz's "Kind of Like That" difference hash) computed on
+    the REAL decoded raster via the existing thumbnail resize math.
+    Brightness-shift-tolerant by construction (bits compare neighboring
+    cells, not absolute values), so re-encoded / levels-adjusted copies
+    of an image hash within a few bits of each other.
+
+    Parity: thumbnail averages, grid sampling, and comparisons are
+    all-integer — the oracle replays the formula from first principles
+    (the multimodal_wav_decode discipline: a hash match proves the
+    encode → container-parse → decode → hash chain is lossless).
+    Scale: Arrow-batched mapInPandas, constant task memory, payload
+    column only; output is 4 scalars per image."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def feats(payload: bytes):
+            w, h, px = _pgm_parse(bytes(payload))
+            return w, h, _dhash56(w, h, px)
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "dhash": [r[2] for r in rows],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
 def decode_pgm_features(df: DataFrame) -> DataFrame:
     """REAL decode + REAL resize: parse the PGM header and raster, then
     compute mean brightness, horizontal gradient energy (Σ|p(x+1,y) −
@@ -494,27 +601,7 @@ def decode_pgm_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def feats(payload: bytes):
-            data = bytes(payload)
-            # header: magic, dims, maxval — whitespace-separated ASCII
-            if data[:2] != b"P5":
-                raise ValueError(f"not a binary PGM (P5) payload: {data[:2]!r}")
-            rest = data[2:]
-            fields: list[int] = []
-            i = 0
-            while len(fields) < 3:
-                while rest[i : i + 1].isspace():
-                    i += 1
-                j = i
-                while not rest[j : j + 1].isspace():
-                    j += 1
-                fields.append(int(rest[i:j]))
-                i = j
-            w, h, _maxval = fields
-            px = rest[i + 1 :]
-            if len(px) != w * h:
-                raise ValueError(
-                    f"PGM raster truncated: {len(px)} bytes for {w}x{h}"
-                )
+            w, h, px = _pgm_parse(bytes(payload))
             mean = round(sum(px) / (w * h), 6)
             grad = sum(
                 abs(px[y * w + x + 1] - px[y * w + x])

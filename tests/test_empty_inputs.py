@@ -599,3 +599,20 @@ def test_residual_ivfpq_topk_empty_and_books_given(spark):
     )
     assert got.count() > 0
     assert got.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+def test_image_phash_empty_and_single(spark):
+    """Empty hash frame -> empty pair frame with the right schema; a
+    single image has no pair space."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    empty = spark.createDataFrame([], "doc_id long, dhash long")
+    out = dd.hamming_band_pairs(empty, "dhash", "doc_id", bits=mm.DHASH_BITS)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "hamming"]
+    one = spark.range(1).select(F.col("id").alias("doc_id"))
+    hashes = mm.decode_pgm_dhash(mm.attach_pgm_payload(one))
+    assert dd.hamming_band_pairs(
+        hashes, "dhash", "doc_id", bits=mm.DHASH_BITS
+    ).count() == 0

@@ -2189,3 +2189,49 @@ def test_residual_ivfpq_beats_nonresidual_on_clustered_corpus(spark):
     }
     assert rows["ivfpq_residual"] >= rows["ivfpq"], rows
     assert rows["ivfpq_residual"] > 0.0
+
+
+def test_pgm_dhash_matches_direct_compute(spark):
+    """The stored-payload dHash must equal the hash computed directly
+    from the synthesis formula — proving the PGM encode → parse →
+    thumbnail → grid → hash chain is lossless."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: (r.width, r.height, r.dhash)
+        for r in mm.decode_pgm_dhash(mm.attach_pgm_payload(ids)).collect()
+    }
+    for d in range(40):
+        w, h, px = mm._synth_image(d)
+        assert got[d] == (w, h, mm._dhash56(w, h, px))
+        assert 0 <= got[d][2] < (1 << mm.DHASH_BITS)
+
+
+def test_hamming_band_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness, verified: the banded bucket join must
+    surface EXACTLY the brute-force Hamming-≤3 pair set (4 bands >
+    max_hamming 3 guarantees an identical band on every qualifying
+    pair)."""
+    from itertools import combinations
+
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    hashes = {d: mm._dhash56(*mm._synth_image(d)) for d in range(120)}
+    expect = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in combinations(range(120), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert expect, "fixture must produce near-dup pairs"
+    sigs = spark.createDataFrame(
+        [(d, h) for d, h in hashes.items()], "doc_id long, dhash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.hamming_band_pairs(
+            sigs, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
+        ).collect()
+    }
+    assert got == expect

@@ -891,3 +891,18 @@ def test_pca2_rounds_and_projection_read_cache(spark, sf_dir):
     final = out._jdf.queryExecution().explainString(jmode)
     assert "InMemoryTableScan" in final, final
     assert "Scan parquet" not in final.split("InMemoryRelation")[0], final
+
+
+def test_image_phash_bucketed_never_all_pairs(spark, sf_dir):
+    """VERDICT r12 #4: the image dHash pairing rides pigeonhole band
+    buckets — no cartesian / nested-loop pair space anywhere; the hash
+    pass is one Arrow-batched decode (MapInPandas) and the bucket join
+    shuffles (id, hash) rows keyed by band value only."""
+    plan = _plan(spark, "dedup_image_phash", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    # the pair join is an EQUI-join keyed on the band value (broadcast at
+    # fixture scale, shuffled at corpus scale — either way never a
+    # product over images)
+    assert "HashJoin" in plan and "bk#" in plan
