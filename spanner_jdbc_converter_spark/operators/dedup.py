@@ -1417,6 +1417,149 @@ def lsh_operating_report(
     )
 
 
+def p_catch(j: float, bands: int, rows: int) -> float:
+    """Theoretical LSH candidate probability P = 1 − (1 − J^rows)^bands,
+    evaluated by LEFT-FOLD multiplication chains (never pow()) so the
+    identical double comes out of Python, Spark literals, and the
+    DuckDB oracle's embedded literals."""
+    q = 1.0
+    for _ in range(rows):
+        q *= j
+    q = 1.0 - q
+    s = 1.0
+    for _ in range(bands):
+        s *= q
+    return 1.0 - s
+
+
+#: Representative sub-threshold Jaccard used to rescale the MEASURED
+#: false-positive mass across (bands, rows) configs — the one modeling
+#: constant in the frontier (the sub-threshold pair space is quadratic
+#: and deliberately never enumerated, so its J distribution is summarized
+#: by this point).
+FRONTIER_FP_J = 0.3
+
+
+def lsh_banding_frontier(
+    report: DataFrame,
+    k: int = MINHASH_K,
+    fp_j: float = FRONTIER_FP_J,
+    base_bands: int = LSH_BANDS,
+    base_rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Banding auto-tuner: for every (bands, rows) split of the FIXED
+    k = bands·rows MinHash budget, the expected recall/precision at the
+    production threshold — composing the MEASURED per-band truth mass
+    from :func:`lsh_operating_report` with the theoretical catch curve
+    P = 1 − (1 − J^rows)^bands — and the recommended config (max
+    expected F1, ties to fewer bands).  Closes the measure→tune loop:
+    the operating report says what the CURRENT banding delivers; this
+    says what every OTHER spend of the same budget would deliver,
+    without re-running LSH per config.
+
+    Model: each truth band contributes n_true · P(band midpoint); the
+    false-positive mass is the report's measured band-0.0 count
+    rescaled by P(fp_j; config)/P(fp_j; base config) — candidates at a
+    representative sub-threshold similarity scale with the curve, since
+    the sub-threshold pair space itself is never enumerated.
+
+    Determinism: every P value is a PYTHON-computed double (left-fold
+    chains, embedded as literals on both engines); the only frame math
+    is BIGINT·literal products summed in fixed band order, one division
+    each for recall/precision, F1 on the ROUNDED pair — so the oracle
+    replays every byte.  Plan: one 6-row input, an explode to 5 config
+    rows, and one-row broadcast aggregates for the argmax — pure
+    planning scale.
+
+    Output: (bands, rows, exp_caught, exp_fp, exp_recall,
+    exp_precision, exp_f1, recommended)."""
+    from functools import reduce
+    from operator import add
+
+    configs = [(b, k // b) for b in (1, 2, 4, 8, 16) if k % b == 0 and k // b >= 1]
+    one = report.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("band_lo") == lo, F.col("n_true"))), F.lit(0)
+            ).alias(f"__nt{i}")
+            for i, lo in enumerate(LSH_REPORT_BANDS)
+        ],
+        F.coalesce(
+            F.max(F.when(F.col("band_lo") == 0.0, F.col("n_cand"))), F.lit(0)
+        ).alias("__nfp"),
+    )
+    base_fp_p = p_catch(fp_j, base_bands, base_rows)
+    total = reduce(add, [F.col(f"__nt{i}") for i in range(len(LSH_REPORT_BANDS))])
+    structs = []
+    for b, r in configs:
+        ps = [p_catch(lo + 0.05, b, r) for lo in LSH_REPORT_BANDS]
+        caught = reduce(
+            add,
+            [
+                F.col(f"__nt{i}").cast("double") * F.lit(p)
+                for i, p in enumerate(ps)
+            ],
+        )
+        fp = F.col("__nfp").cast("double") * F.lit(p_catch(fp_j, b, r) / base_fp_p)
+        structs.append(
+            F.named_struct(
+                F.lit("bands"), F.lit(b).cast("long"),
+                F.lit("rows"), F.lit(r).cast("long"),
+                F.lit("caught"), caught,
+                F.lit("fp"), fp,
+                F.lit("total"), total.cast("long"),
+            )
+        )
+    scored = one.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+    r6 = F.when(F.col("total") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("caught") / F.col("total").cast("double"), 6)
+    )
+    p6 = F.when(F.col("caught") + F.col("fp") == 0.0, F.lit(0.0)).otherwise(
+        F.round(F.col("caught") / (F.col("caught") + F.col("fp")), 6)
+    )
+    f = scored.select(
+        "bands",
+        "rows",
+        F.round(F.col("caught"), 6).alias("exp_caught"),
+        F.round(F.col("fp"), 6).alias("exp_fp"),
+        r6.alias("exp_recall"),
+        p6.alias("exp_precision"),
+    ).withColumn(
+        "exp_f1",
+        F.when(
+            F.col("exp_recall") + F.col("exp_precision") == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                2 * F.col("exp_recall") * F.col("exp_precision")
+                / (F.col("exp_recall") + F.col("exp_precision")),
+                6,
+            )
+        ),
+    )
+    m = f.agg(F.max("exp_f1").alias("__m"))
+    mb = (
+        f.join(F.broadcast(m), F.col("exp_f1") == F.col("__m"))
+        .agg(F.min("bands").alias("__mb"))
+    )
+    return (
+        f.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            "bands",
+            "rows",
+            "exp_caught",
+            "exp_fp",
+            "exp_recall",
+            "exp_precision",
+            "exp_f1",
+            (
+                (F.col("exp_f1") == F.col("__m"))
+                & (F.col("bands") == F.col("__mb"))
+            ).alias("recommended"),
+        )
+    )
+
+
 def _stage_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Eagerly materialize a small stage frame and cut its lineage.
 

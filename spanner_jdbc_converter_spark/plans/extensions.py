@@ -1915,9 +1915,10 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_y4m_features(mm.payload_view(spark, sf_dir, "y4m"), frame_stride=2)
 
 
-@register(
-    "dedup_lsh_operating_report",
-    oracle=f"""
+#: The operating-report oracle body, shared verbatim by the frontier
+#: entry (which wraps it as a CTE) — one source of truth for the
+#: measured S-curve semantics.
+_LSH_OPREPORT_ORACLE = (f"""
     WITH toks AS (SELECT doc_id, {{TOKS}} AS t FROM documents),
          grams AS (SELECT doc_id, {{GRAMS}} AS g FROM toks WHERE len(t) >= 3),
          dposts AS (SELECT doc_id, unnest(list_distinct(g)) AS s FROM grams),
@@ -1968,8 +1969,37 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     .replace("{GRAMS}", _GRAMS_SQL)
     .replace("{HASHES}", _HASHES_SQL)
     .replace("{SIGS}", ", ".join(_minhash_sig_sql()))
-    .replace("{BANDS}", _lsh_band_exprs_sql()),
-)
+    .replace("{BANDS}", _lsh_band_exprs_sql()))
+
+
+#: Session cache for the 6-row operating report (the _curated
+#: discipline): dedup_lsh_operating_report and the banding frontier
+#: consume the IDENTICAL measured curve — compute the exact-pair +
+#: candidate stages once per (appId, fixture).  The payload is a
+#: 6-row localCheckpoint; blocks are session-GC'd, so eviction just
+#: drops the reference.
+_OPREP_STORE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _op_report_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(_OPREP_STORE, key, lambda _df: None)
+    hit = _OPREP_STORE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    rep = dd._stage_checkpoint(
+        dd.lsh_operating_report(d, threshold=0.5, max_df=dd.PAIRS_MAX_DF)
+    )
+    _OPREP_STORE[key] = rep
+    return rep
+
+
+@register("dedup_lsh_operating_report", oracle=_LSH_OPREPORT_ORACLE)
 def dedup_lsh_operating_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision operating curve of the MinHash banding
     that gates the production near-dedup path (VERDICT r11 gap #1): per
@@ -1982,12 +2012,95 @@ def dedup_lsh_operating_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle); candidates ride the band-bucket join; both checkpoint once
     and all downstream joins are pair-frame-sized.  Banding is a
     comparison CASE chain on the identical double — no float
-    floor-division — so both engines band bit-identically.  See
-    operators/dedup.py::lsh_operating_report."""
-    d = load_table(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
-    return dd.lsh_operating_report(d, threshold=0.5, max_df=dd.PAIRS_MAX_DF)
+    floor-division — so both engines band bit-identically.  The 6-row
+    result is session-cached (_op_report_for) and shared with the
+    banding frontier below."""
+    return _op_report_for(spark, sf_dir)
 
 
+def _frontier_oracle() -> str:
+    """Frontier oracle: reuses the operating-report oracle's CTE chain
+    (its final SELECT becomes a ``rep`` CTE) and replays the
+    Python-literal P composition (dedup.p_catch left-fold chains
+    embedded via repr, so both engines multiply the IDENTICAL doubles).
+    Generated from the same configs/constants the operator uses."""
+    k, base_b, base_r = dd.MINHASH_K, dd.LSH_BANDS, dd.LSH_ROWS
+    configs = [(b, k // b) for b in (1, 2, 4, 8, 16) if k % b == 0]
+    base_fp_p = dd.p_catch(dd.FRONTIER_FP_J, base_b, base_r)
+    nts = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN band_lo = {lo} THEN n_true END), 0) AS nt{i}"
+        for i, lo in enumerate(dd.LSH_REPORT_BANDS)
+    )
+    total = " + ".join(f"nt{i}" for i in range(len(dd.LSH_REPORT_BANDS)))
+    rows = []
+    for b, r in configs:
+        ps = [dd.p_catch(lo + 0.05, b, r) for lo in dd.LSH_REPORT_BANDS]
+        caught = " + ".join(
+            f"CAST(nt{i} AS DOUBLE) * {p!r}" for i, p in enumerate(ps)
+        )
+        kfp = dd.p_catch(dd.FRONTIER_FP_J, b, r) / base_fp_p
+        rows.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows,"
+            f" {caught} AS caught, CAST(nfp AS DOUBLE) * {kfp!r} AS fp,"
+            f" {total} AS total FROM one"
+        )
+    scored = "\n      UNION ALL ".join(rows)
+    rep = _LSH_OPREPORT_ORACLE.strip()
+    marker = "SELECT l.band_lo"
+    assert rep.startswith("WITH ") and marker in rep
+    ctes, final = rep[len("WITH "):].split(marker, 1)
+    return f"""
+    WITH {ctes.rstrip()},
+    rep AS ({marker}{final}),
+    one AS (SELECT {nts},
+             COALESCE(MAX(CASE WHEN band_lo = 0.0 THEN n_cand END), 0) AS nfp
+            FROM rep),
+    scored AS (
+      {scored}
+    ),
+    f AS (
+      SELECT bands, rows,
+             ROUND(caught, 6) AS exp_caught,
+             ROUND(fp, 6) AS exp_fp,
+             CASE WHEN total = 0 THEN 0.0
+                  ELSE ROUND(caught / CAST(total AS DOUBLE), 6)
+             END AS exp_recall,
+             CASE WHEN caught + fp = 0.0 THEN 0.0
+                  ELSE ROUND(caught / (caught + fp), 6)
+             END AS exp_precision
+      FROM scored
+    ),
+    g AS (
+      SELECT *,
+             CASE WHEN exp_recall + exp_precision = 0.0 THEN 0.0
+                  ELSE ROUND(2 * exp_recall * exp_precision
+                             / (exp_recall + exp_precision), 6)
+             END AS exp_f1
+      FROM f
+    ),
+    m AS (SELECT MAX(exp_f1) AS mx FROM g),
+    mb AS (SELECT MIN(bands) AS mnb FROM g, m WHERE exp_f1 = mx)
+    SELECT bands, rows, exp_caught, exp_fp, exp_recall, exp_precision,
+           exp_f1, (exp_f1 = m.mx AND bands = mb.mnb) AS recommended
+    FROM g, m, mb
+    """
+
+
+@register("dedup_lsh_banding_frontier", oracle=_frontier_oracle())
+def dedup_lsh_banding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding auto-tuner (VERDICT r12 #5 — closes the measure→tune
+    loop): for every (bands, rows) split of the fixed k = 16 MinHash
+    budget, the expected recall/precision/F1 at the production
+    threshold, composing the MEASURED per-band truth mass from the
+    session-shared operating report with the theoretical catch
+    P = 1 − (1 − J^rows)^bands, plus the recommended config (max
+    expected F1, ties to fewer bands).  Every P value is a
+    Python-computed double embedded as a literal on BOTH engines
+    (left-fold chains, never pow()), so the whole frontier is
+    hash-audited; the only frame work is a 6-row input, a 5-row
+    explode, and one-row argmax aggregates.  See
+    operators/dedup.py::lsh_banding_frontier."""
+    return dd.lsh_banding_frontier(_op_report_for(spark, sf_dir))
 
 
 @register(

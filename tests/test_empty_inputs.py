@@ -616,3 +616,24 @@ def test_image_phash_empty_and_single(spark):
     assert dd.hamming_band_pairs(
         hashes, "dhash", "doc_id", bits=mm.DHASH_BITS
     ).count() == 0
+
+
+def test_lsh_banding_frontier_empty_report(spark):
+    """An all-zero (or empty) operating report still yields all five
+    configs with 0.0 rates and exactly one deterministic
+    recommendation — never a 0/0."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    empty = spark.createDataFrame(
+        [], "band_lo double, n_true long, n_caught long, catch_rate double, n_cand long"
+    )
+    rows = dd.lsh_banding_frontier(empty).orderBy("bands").collect()
+    assert [(r.bands, r.rows) for r in rows] == [
+        (1, 16), (2, 8), (4, 4), (8, 2), (16, 1),
+    ]
+    assert all(
+        (r.exp_caught, r.exp_fp, r.exp_recall, r.exp_precision, r.exp_f1)
+        == (0.0, 0.0, 0.0, 0.0, 0.0)
+        for r in rows
+    )
+    assert sum(1 for r in rows if r.recommended) == 1

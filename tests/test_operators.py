@@ -2235,3 +2235,49 @@ def test_hamming_band_pairs_complete_vs_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_lsh_banding_frontier_math_and_recommendation(spark):
+    """The frontier's composition on a hand-built report: expected
+    caught = Σ n_true·P(mid), FP mass rescales by P(fp_j)/P(fp_j; 4,4),
+    F1 computed on the rounded pair, and the recommendation is the max
+    F1 with ties to fewer bands."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    rep = spark.createDataFrame(
+        [
+            (0.0, 0, 0, 0.0, 500),   # measured 4x4 false-positive mass
+            (0.5, 100, 40, 0.4, 40),
+            (0.6, 80, 50, 0.625, 50),
+            (0.7, 60, 50, 0.833333, 50),
+            (0.8, 40, 39, 0.975, 39),
+            (0.9, 20, 20, 1.0, 20),
+        ],
+        "band_lo double, n_true long, n_caught long, catch_rate double, n_cand long",
+    )
+    rows = {r.bands: r for r in dd.lsh_banding_frontier(rep).collect()}
+    assert set(rows) == {1, 2, 4, 8, 16}
+    base_fp = dd.p_catch(dd.FRONTIER_FP_J, 4, 4)
+    for b, r in [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]:
+        exp_caught = 0.0
+        total = 0
+        for lo, nt in [(0.5, 100), (0.6, 80), (0.7, 60), (0.8, 40), (0.9, 20)]:
+            exp_caught = exp_caught + nt * dd.p_catch(lo + 0.05, b, r)
+            total += nt
+        exp_fp = 500.0 * (dd.p_catch(dd.FRONTIER_FP_J, b, r) / base_fp)
+        got = rows[b]
+        assert got.rows == r
+        assert got.exp_caught == round(exp_caught, 6)
+        assert got.exp_fp == round(exp_fp, 6)
+        assert got.exp_recall == round(exp_caught / total, 6)
+        assert got.exp_precision == round(exp_caught / (exp_caught + exp_fp), 6)
+    # exactly one recommendation, and it is a max-F1 config with the
+    # smallest bands among the maxima
+    recs = [b for b, r in rows.items() if r.recommended]
+    best = max(r.exp_f1 for r in rows.values())
+    assert len(recs) == 1
+    assert rows[recs[0]].exp_f1 == best
+    assert recs[0] == min(b for b, r in rows.items() if r.exp_f1 == best)
+    # more bands at fixed k must never LOWER expected recall
+    rc = [rows[b].exp_recall for b in (1, 2, 4, 8, 16)]
+    assert rc == sorted(rc)
