@@ -1246,56 +1246,224 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Tokenizer fertility by source — pieces per token under the learned BPE.
+# Unigram-LM tokenizer (SentencePiece-style hard-EM) + fertility by source
+# for BOTH tokenizer families.
 # ---------------------------------------------------------------------------
+
+
+def _unigram_oracle(segment: bool = False) -> str:
+    """Unroll the unigram-LM hard-EM loop (operators/text.py::
+    unigram_lm_learn): seed substring counts → top-K + chars vocab →
+    per round, a recursive-CTE greedy-longest segmentation walk
+    (boundary-guarded joins replay the UDF's "only try length L with L
+    chars left" rule), weighted usage counts, and the next prune.
+    ``segment`` selects the APPLY side (w, cnt, n_pieces) instead of
+    the model.  Per-round frames are MATERIALIZED (the _bpe_oracle
+    lesson — each feeds two consumers)."""
+    mp = tx.UNIGRAM_MAX_PIECE
+    lens = ", ".join(str(i) for i in range(1, mp + 1))
+    parts = [
+        f"""uw AS MATERIALIZED (SELECT w, cnt FROM (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w))""",
+        f"""usub AS MATERIALIZED (
+      SELECT piece, SUM(cnt) AS c FROM (
+        SELECT substr(w, r.i, ll.L) AS piece, cnt
+        FROM uw, (SELECT unnest([{lens}]) AS L) ll,
+             LATERAL (SELECT unnest(range(1, len(w) - ll.L + 2)) AS i) r
+        WHERE len(w) >= ll.L)
+      GROUP BY piece)""",
+        "uchars AS MATERIALIZED (SELECT piece FROM usub WHERE len(piece) = 1)",
+        # NB: inside WITH RECURSIVE, DuckDB 1.0 gives a bare UNION in ANY
+        # member CTE union-all semantics — dedup must be an explicit
+        # DISTINCT over UNION ALL or the piece set carries duplicates
+        # and every join against it forks the greedy walk.
+        f"""v0 AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM (
+          SELECT piece, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+          FROM usub) WHERE rn <= {tx.UNIGRAM_SEED_KEEP}
+        UNION ALL SELECT piece FROM uchars))""",
+    ]
+    targets = list(tx.UNIGRAM_PRUNES)
+    n_rounds = len(targets) + 1
+    for i in range(1, n_rounds + 1):
+        v = f"v{i - 1}"
+        joins = "\n      ".join(
+            f"LEFT JOIN {v} p{L} ON s.pos + {L} <= len(s.w)"
+            f" AND p{L}.piece = substr(s.w, s.pos + 1, {L})"
+            for L in range(mp, 0, -1)
+        )
+        step = " ".join(
+            f"WHEN p{L}.piece IS NOT NULL THEN {L}" for L in range(mp, 2 - 1, -1)
+        )
+        coal = ", ".join(f"p{L}.piece" for L in range(mp, 0, -1))
+        parts.append(
+            f"""s{i}(w, cnt, pos, seg) AS (
+      SELECT w, cnt, 0, CAST([] AS VARCHAR[]) FROM uw
+      UNION ALL
+      SELECT s.w, s.cnt,
+             s.pos + CASE {step} ELSE 1 END,
+             list_append(s.seg, COALESCE({coal}))
+      FROM s{i} s
+      {joins}
+      WHERE s.pos < len(s.w))"""
+        )
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT w, cnt, seg FROM s{i}"
+            " WHERE pos = len(w))"
+        )
+        parts.append(
+            f"""u{i} AS MATERIALIZED (
+      SELECT piece, SUM(cnt) AS n_used FROM (
+        SELECT cnt, unnest(seg) AS piece FROM f{i}) GROUP BY piece)"""
+        )
+        if i <= len(targets):
+            parts.append(
+                f"""v{i} AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM (
+          SELECT piece, ROW_NUMBER() OVER (ORDER BY n_used DESC, piece) AS rn
+          FROM u{i}) WHERE rn <= {targets[i - 1]}
+        UNION ALL SELECT piece FROM uchars))"""
+            )
+    last = n_rounds
+    body = ",\n    ".join(parts)
+    if segment:
+        return f"""WITH RECURSIVE {body}
+    SELECT w, cnt, CAST(len(seg) AS BIGINT) AS n_pieces,
+           array_to_string(seg, ' ') AS segmentation
+    FROM f{last}"""
+    return f"""WITH RECURSIVE {body},
+    tot AS (SELECT SUM(n_used) AS t FROM u{last})
+    SELECT piece, CAST(n_used AS BIGINT) AS n_used,
+           ROUND(ln(n_used / t), 6) AS ln_prob
+    FROM u{last}, tot"""
+
+
+#: Session cache for the unigram-LM loop (the _BPE_STORE discipline):
+#: text_unigram_lm_pieces and text_tokenizer_fertility consume the same
+#: learned model — run the EM rounds once per (appId, fixture).
+_UNIGRAM_STORE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _unigram_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    from pyspark import StorageLevel
+
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(
+        _UNIGRAM_STORE, key, lambda t: (t[0].unpersist(), t[1].unpersist())
+    )
+    hit = _UNIGRAM_STORE.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, sf_dir, "documents")
+    pieces, seg = tx.unigram_lm_learn(d)
+    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)
+    seg = seg.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pieces.count()
+        seg.count()
+    except BaseException:
+        pieces.unpersist()
+        seg.unpersist()
+        raise
+    _UNIGRAM_STORE[key] = (pieces, seg)
+    return pieces, seg
+
+
+@register("text_unigram_lm_pieces", oracle=_unigram_oracle())
+def text_unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-learned unigram-LM tokenizer model (VERDICT r12 #6 —
+    the second tokenizer family beside BPE): (piece, n_used, ln_prob)
+    after fixed-round hard-EM with greedy-longest decoding — seeds =
+    top count-weighted substrings + all characters, per-round usage
+    prune 512 → 384 → 256, ln_prob = round(ln(n_used/total), 6) on the
+    bigram-surprisal ladder.  The oracle unrolls every round with a
+    recursive-CTE greedy walk (the k-means CTE discipline), so the
+    whole learner is hash-audited.  See
+    operators/text.py::unigram_lm_learn."""
+    return _unigram_frames(spark, sf_dir)[0]
 
 
 def _fertility_oracle() -> str:
     seg = _bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
+    useg = _unigram_oracle(segment=True)
+    side = """
+    SELECT '{tag}' AS tokenizer, sw.source,
+           CAST(SUM(sw.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.c * {frame}.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(sw.c * {frame}.n_pieces) / CAST(SUM(sw.c) AS DOUBLE), 6)
+             AS fertility
+    FROM sw JOIN {frame} USING (w)
+    GROUP BY sw.source"""
     return f"""
     WITH seg AS MATERIALIZED ({seg}),
+    useg AS MATERIALIZED ({useg}),
     tk AS (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
-    sw AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY source, w)
-    SELECT sw.source,
-           CAST(SUM(sw.c) AS BIGINT) AS n_tokens,
-           CAST(SUM(sw.c * seg.n_pieces) AS BIGINT) AS n_pieces,
-           ROUND(SUM(sw.c * seg.n_pieces) / CAST(SUM(sw.c) AS DOUBLE), 6)
-             AS fertility
-    FROM sw JOIN seg USING (w)
-    GROUP BY sw.source
+    sw AS MATERIALIZED (SELECT source, w, COUNT(*) AS c FROM tk
+                        GROUP BY source, w)
+    {side.format(tag="bpe", frame="seg")}
+    UNION ALL {side.format(tag="unigram", frame="useg")}
     """
 
 
 @register("text_tokenizer_fertility", oracle=_fertility_oracle())
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility (subword pieces per word) by source under the
-    corpus-learned BPE — the data-card metric that tells a training team
-    which sources will inflate sequence lengths and cost: fertility ≈ 1
-    means the tokenizer fits the source, high fertility flags
-    out-of-domain or noisy text.
+    """Tokenizer fertility (subword pieces per word) by source for BOTH
+    learned tokenizer families — corpus BPE and the unigram LM — the
+    data-card comparison the second tokenizer exists to inform
+    (VERDICT r12 #6): fertility ≈ 1 means the tokenizer fits the
+    source; the per-source delta between families is the
+    sequence-length/cost trade a training team actually decides on.
 
     Scale: occurrences aggregate to (source, word) counts FIRST (one
     grouped count with map-side combine, |sources|x|vocab| bounded),
-    then join the vocabulary-sized segmentation frame (shared
-    session-cached BPE loop) — the corpus token stream is never joined
-    row-by-row.  See operators/text.py::bpe_segment."""
+    then join each vocabulary-sized segmentation frame (both
+    session-cached) — the corpus token stream is never joined
+    row-by-row.  See operators/text.py::bpe_segment /
+    unigram_lm_learn."""
     d = load_table(spark, sf_dir, "documents")
-    seg = _bpe_frames(spark, sf_dir)[1]
     sw = (
         d.select("source", F.explode(tx.tokens("text")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    j = sw.join(seg.select("w", "n_pieces"), on="w")
-    return j.groupBy("source").agg(
-        F.sum("c").alias("n_tokens"),
-        F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
-        F.round(
-            F.sum(F.col("c") * F.col("n_pieces")).cast("double")
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("fertility"),
-    )
+    from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
+
+    sw = _stage_checkpoint(sw)
+
+    def side(seg: DataFrame, tag: str) -> DataFrame:
+        return (
+            sw.join(seg.select("w", "n_pieces"), on="w")
+            .groupBy("source")
+            .agg(
+                F.sum("c").alias("n_tokens"),
+                F.sum(F.col("c") * F.col("n_pieces")).alias("n_pieces"),
+                F.round(
+                    F.sum(F.col("c") * F.col("n_pieces")).cast("double")
+                    / F.sum("c").cast("double"),
+                    6,
+                ).alias("fertility"),
+            )
+            .select(
+                F.lit(tag).alias("tokenizer"),
+                "source",
+                "n_tokens",
+                "n_pieces",
+                "fertility",
+            )
+        )
+
+    bpe = side(_bpe_frames(spark, sf_dir)[1], "bpe")
+    uni = side(_unigram_frames(spark, sf_dir)[1], "unigram")
+    return bpe.unionByName(uni)
 
 
 # ---------------------------------------------------------------------------

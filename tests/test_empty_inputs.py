@@ -637,3 +637,18 @@ def test_lsh_banding_frontier_empty_report(spark):
         for r in rows
     )
     assert sum(1 for r in rows if r.recommended) == 1
+
+
+def test_unigram_lm_learn_empty(spark):
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    pieces, seg = tx.unigram_lm_learn(empty)
+    assert pieces.count() == 0
+    assert [f.name for f in pieces.schema.fields] == [
+        "piece", "n_used", "ln_prob",
+    ]
+    assert seg.count() == 0
+    assert [f.name for f in seg.schema.fields] == [
+        "w", "cnt", "n_pieces", "segmentation",
+    ]

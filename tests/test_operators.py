@@ -2281,3 +2281,51 @@ def test_lsh_banding_frontier_math_and_recommendation(spark):
     # more bands at fixed k must never LOWER expected recall
     rc = [rows[b].exp_recall for b in (1, 2, 4, 8, 16)]
     assert rc == sorted(rc)
+
+
+def test_unigram_lm_learn_segmentations_and_model(spark):
+    """The unigram-LM hard-EM loop on a hand corpus: every word's
+    segmentation concatenates back to the word (lossless apply), piece
+    usage equals the weighted count of its appearances in the
+    segmentations, and ln_prob is round(ln(n_used/total), 6)."""
+    import math
+
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "the cat catalog the the cat dog", "s") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    pieces, seg = tx.unigram_lm_learn(docs, seed_keep=8, prunes=(6, 4))
+    rows = seg.collect()
+    assert {r.w for r in rows} == {"the", "cat", "catalog", "dog"}
+    for r in rows:
+        assert "".join(r.segmentation.split(" ")) == r.w
+        assert r.n_pieces == len(r.segmentation.split(" "))
+    usage = {}
+    for r in rows:
+        for p in r.segmentation.split(" "):
+            usage[p] = usage.get(p, 0) + r.cnt
+    total = sum(usage.values())
+    got = {r.piece: (r.n_used, r.ln_prob) for r in pieces.collect()}
+    assert {p: u for p, (u, _) in got.items()} == usage
+    for p, (u, lp) in got.items():
+        assert lp == round(math.log(u / total), 6)
+
+
+def test_greedy_segment_longest_match_and_boundaries(spark):
+    """The greedy decoder takes the LONGEST vocab piece at each
+    position, and a boundary try never matches a shorter piece (the
+    substr-guard rule the oracle's joins replay)."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    vocab = {"ab", "abc", "a", "b", "c", "bc"}
+    df = spark.createDataFrame([("abcab",), ("cab",)], "w string")
+    got = {
+        r.w: list(r.p)
+        for r in df.select(
+            "w", tx._greedy_segment_udf(vocab, 3)(F.col("w")).alias("p")
+        ).collect()
+    }
+    assert got["abcab"] == ["abc", "ab"]
+    assert got["cab"] == ["c", "ab"]
