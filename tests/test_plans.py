@@ -906,3 +906,45 @@ def test_image_phash_bucketed_never_all_pairs(spark, sf_dir):
     # fixture scale, shuffled at corpus scale — either way never a
     # product over images)
     assert "HashJoin" in plan and "bk#" in plan
+
+
+def test_residual_ivfpq_candidate_sized_joins_arrow_encode(spark, sf_dir):
+    """Residual IVF+PQ promises, pinned: coarse centroids/LUT frames
+    broadcast (no shuffled cartesian), both the residual encode and the
+    query-LUT path ride Arrow, and the non-broadcast shuffles carry
+    id-keyed rows only (match_id join + query_id rank)."""
+    plan = _plan(spark, "sim_residual_ivfpq_topk", sf_dir)
+    head = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") >= 1
+    shuffles = head.count("Exchange") - head.count("BroadcastExchange")
+    assert shuffles <= 3
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln:
+            assert "query_id" in ln or "match_id" in ln, ln
+
+
+def test_banding_frontier_never_rescans_corpus(spark, sf_dir):
+    """The frontier consumes the session-cached 6-row operating report
+    — it must never re-run LSH or rescan the documents parquet; all its
+    own work is metadata-sized (one-row broadcast argmax crosses, no
+    data-keyed shuffle)."""
+    # prime the session cache the entry path uses
+    from spanner_jdbc_converter_spark.plans.extensions import _op_report_for
+
+    _op_report_for(spark, sf_dir)
+    plan = _plan(spark, "dedup_lsh_banding_frontier", sf_dir)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan  # nothing data-sized shuffles
+
+
+def test_unigram_pieces_served_from_session_cache(spark, sf_dir):
+    """The unigram model entry returns the persisted frame from the
+    session-shared EM loop — InMemoryTableScan, never a re-run of the
+    rounds (which would re-segment the vocabulary per consumer)."""
+    from spanner_jdbc_converter_spark.plans.mining import _unigram_frames
+
+    _unigram_frames(spark, sf_dir)
+    plan = _plan(spark, "text_unigram_lm_pieces", sf_dir)
+    assert "InMemoryTableScan" in plan.split("InMemoryRelation")[0]

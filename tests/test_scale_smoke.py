@@ -657,3 +657,59 @@ def test_power_iteration_pc1_at_10x_corpus(spark):
     nrm = math.sqrt(sum(r.pc1 * r.pc1 for r in rows))
     assert abs(nrm - 1.0) < 1e-3  # unit loadings (round-6 per coordinate)
     assert wall < 120, f"pc1 at 10x took {wall:.0f}s"
+
+
+def test_image_phash_at_10x_corpus(spark):
+    """Image dHash pairing at 10x the sf0.1 image count (50k images):
+    replicas hash identically (the payload is a pure doc_id % formula
+    on w/h/phase with period 2560, and ids shift by a multiple of
+    2560), so the banded bucket join faces maximal collision pressure
+    — exactly the hot-bucket shape that must stay bounded.  Every
+    replica pair must surface at hamming 0."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    shift = ((n + 2559) // 2560) * 2560  # keep id % 2560 — identical images
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(d)
+        .select((F.col("doc_id") + F.col("id") * shift).alias("doc_id"))
+    )
+    hashes = mm.decode_pgm_dhash(mm.attach_pgm_payload(scaled))
+    t0 = time.time()
+    pairs = dd.hamming_band_pairs(hashes, "dhash", "doc_id", max_hamming=0)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # every image has >= COPIES-1 exact replicas -> at least C(10,2) per base id
+    assert n_pairs >= (COPIES * (COPIES - 1) // 2) * n
+    assert wall < 180, f"image phash at 10x took {wall:.0f}s"
+
+
+def test_residual_ivfpq_at_10x_corpus(spark):
+    """Residual IVF+PQ at 10x the sf0.1 corpus: coarse assignment,
+    residual Arrow encode, and the cent_id-bucketed scoring join must
+    hold the envelope, and every query gets exactly k ranked matches."""
+    from spanner_jdbc_converter_spark.functions.vector import norm
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(e)
+        .select((F.col("vec_id") + F.col("id") * n).alias("vec_id"), "embedding")
+        .filter(norm(F.col("embedding")) > 0)
+    )
+    queries = scaled.filter(F.col("vec_id") % 500 == 0)
+    t0 = time.time()
+    out = (
+        sim.residual_ivfpq_topk(queries, scaled, k=5)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    wall = time.time() - t0
+    assert out and all(r["count"] == 5 for r in out)
+    assert wall < 180, f"residual ivfpq at 10x took {wall:.0f}s"
