@@ -1685,10 +1685,10 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_pgm_features(mm.payload_view(spark, sf_dir, "pgm"))
 
 
-@register(
-    "dedup_image_phash",
-    oracle="""
-    WITH dims AS (
+#: The image-dHash oracle chain (pixel formula → thumbnail → 9×7 grid →
+#: 56-bit hash → all-pairs Hamming-≤3 pair set), shared by the pair and
+#: group entries.
+_PHASH_CTES = """dims AS (
       SELECT doc_id, 16 + 2 * (doc_id % 8) AS w, 12 + 2 * (doc_id % 5) AS h
       FROM documents
     ),
@@ -1720,13 +1720,22 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN CAST(1 AS BIGINT) << (sy * 8 + sx)
                            ELSE 0 END) AS BIGINT) AS dh
       FROM b WHERE sx < 8 GROUP BY doc_id
-    )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.dh::UBIGINT, b.dh::UBIGINT)) AS BIGINT)
-               AS hamming
-      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-    ) WHERE hamming <= 3
+    ),
+    ipairs AS (
+      SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.dh::UBIGINT, b.dh::UBIGINT)) AS BIGINT)
+                 AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      ) WHERE hamming <= 3
+    )"""
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_PHASH_CTES}
+    SELECT id_a, id_b, hamming FROM ipairs
     """,
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,6 +1762,41 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.hamming_band_pairs(
         hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
     )
+
+
+@register(
+    "dedup_image_groups",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    isym AS (SELECT id_a AS u, id_b AS v FROM ipairs
+             UNION SELECT id_b, id_a FROM ipairs),
+    ireach(u, v) AS (
+        SELECT u, v FROM isym
+        UNION
+        SELECT r.u, s.v FROM ireach r JOIN isym s ON r.v = s.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+    FROM ireach GROUP BY u
+    """,
+)
+def dedup_image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup GROUPS from the perceptual-hash pair graph —
+    what makes the image dedup actionable: connected components by the
+    same min-label propagation the text near-dedup uses
+    (dd.connected_groups), so a pipeline keeps min-id per group and
+    drops the rest, exactly like dedup_connected_groups does for text.
+    The oracle composes the shared dHash pair CTEs with the exact
+    recursive transitive closure; even this iterative step is
+    value-hash-checked.  (isym's branches are disjoint by id_a < id_b,
+    so the WITH RECURSIVE bare-UNION quirk is moot here, matching
+    _closure_ctes.)"""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    hashes = mm.decode_pgm_dhash(mm.payload_view(spark, sf_dir, "pgm"))
+    pairs = dd.hamming_band_pairs(
+        hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
+    )
+    return dd.connected_groups(pairs)
 
 
 # PNG oracle fragments: the per-channel pixel formula p(x, y, c) =

