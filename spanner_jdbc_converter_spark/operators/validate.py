@@ -444,3 +444,30 @@ def schema_drift_from_stats(base: DataFrame, batch_stats: DataFrame) -> DataFram
         "column_name", F.col("n").alias("__nb"), F.col("n_nulls").alias("__zb")
     )
     return _drift_assemble(_drift_meta(base.sparkSession, sc, bc), ns, nb)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the privacy
+    gate a training-data release runs beside PII redaction: every
+    equivalence class (distinct quasi-identifier combination) with its
+    size and whether it meets the k threshold; rows in sub-k classes
+    are re-identifiable by linking the quasi-identifiers (Sweeney 2002)
+    and need suppression or generalization before release.
+
+    One grouped count with map-side combine — the shuffle carries one
+    row per equivalence class, never per input row; at 100 TB this is
+    the same shape as any low-cardinality profile.  Exact integers,
+    nothing to round.
+
+    Output: (*quasi_cols, class_size, k_anonymous)."""
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *quasi_cols,
+            "class_size",
+            (F.col("class_size") >= k).alias("k_anonymous"),
+        )
+    )

@@ -81,18 +81,19 @@ _GATE_PRIORITY = [
     "select_pack_sequences",
     "validate_table_checksums",
     "validate_snapshot_diff",
-    "validate_fk_orphans",
     # (2) registered in r13 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: dedup_incremental_batch,
     # pipeline_curate_documents, join_doc_embedding_features,
-    # text_vocab_df, select_mix_report, validate_column_profile).
+    # text_vocab_df, select_mix_report, validate_column_profile,
+    # validate_fk_orphans).
     "sim_residual_ivfpq_topk",
     "dedup_image_phash",
     "dedup_lsh_banding_frontier",
     "text_unigram_lm_pieces",
     "dedup_image_groups",
     "text_unigram_encode",
+    "validate_k_anonymity",
 ]
 
 

@@ -1037,6 +1037,30 @@ def validate_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "validate_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(*) >= 10 AS k_anonymous
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the (nationkey,
+    mktsegment) quasi-identifier pair — the privacy gate a data release
+    runs BESIDE value-level PII redaction (text_pii_* masks the values;
+    this catches re-identification by LINKING quasi-identifiers,
+    Sweeney 2002): every equivalence class with its size and the k = 10
+    verdict; the fixture yields both passing and violating classes, so
+    the gate provably fires both ways.  One grouped exact-integer count
+    — the shuffle carries one row per class.  See
+    operators/validate.py::k_anonymity_report."""
+    c = load_table(spark, sf_dir, "customer")
+    return vd.k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
 # ---------------------------------------------------------------------------
 # Corpus composition reporting — the "data mixture" views every training
 # pipeline keeps alongside selection.

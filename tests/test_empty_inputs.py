@@ -665,3 +665,21 @@ def test_image_groups_and_unigram_encode_empty(spark, tmp_path):
     out = dd.connected_groups(empty_pairs)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "group_id"]
+
+
+def test_k_anonymity_empty_and_single_class(spark):
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
+    sch = "uid long, zip string, seg string"
+    empty = spark.createDataFrame([], sch)
+    out = vd.k_anonymity_report(empty, ["zip", "seg"], k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "zip", "seg", "class_size", "k_anonymous",
+    ]
+    one = spark.createDataFrame(
+        [(i, "941", "a") for i in range(5)] + [(9, "942", "b")], sch
+    )
+    rows = {(r.zip, r.seg): (r.class_size, r.k_anonymous)
+            for r in vd.k_anonymity_report(one, ["zip", "seg"], k=3).collect()}
+    assert rows == {("941", "a"): (5, True), ("942", "b"): (1, False)}
