@@ -393,12 +393,19 @@ def connected_groups(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 60,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph: every node of
     the pair set labeled with the smallest id reachable from it — the
     grouping step that turns near-dup PAIRS into dedup GROUPS (keep one
-    doc per group).
+    doc per group).  Converges by the label-sum fixpoint probe (typical
+    near-dup graphs exit in 2-4 rounds); exhausting ``max_iters``
+    without the fixpoint RAISES rather than returning partially-merged
+    groups.  The sf0.1 image-phash graph (diameter 37, ids in
+    arithmetic chains) measured ~35 rounds — the pointer jump gains
+    little on adversarially-ordered chain components — so the default
+    budget is 60; deeper graphs pass a larger ``max_iters`` (rounds are
+    O(edges) each and flat-cost, see the stats-reset note below).
 
     Algorithm: iterative min-label propagation — each round every node
     takes min(own label, neighbors' labels) — with POINTER JUMPING as an
@@ -458,11 +465,30 @@ def connected_groups(
     from pyspark.sql import Observation
 
     _probe = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    spark = pairs.sparkSession
 
     def _checkpoint_with_sum(df: DataFrame) -> tuple[DataFrame, object]:
         obs = Observation()
         out = df.observe(obs, _probe).localCheckpoint(eager=True)
-        return out, obs.get["s"]
+        # Stats reset (measured, round-13 r13): Spark's checkpoint
+        # PRESERVES the optimizer's sizeInBytes estimate on the new
+        # LogicalRDD, and visitJoin estimates a join as the PRODUCT of
+        # its children's sizes — so a checkpointed loop whose round
+        # references the previous frame through TWO joins (the pointer-
+        # jump branch) cubes the BigInt estimate per round.  The digit
+        # count triples each round and Catalyst's stats visitor ends up
+        # multiplying million-digit BigIntegers: round 15 on the sf0.1
+        # image-phash graph took 62 s of pure BigInteger.multiply with
+        # FLAT data and FLAT plans.  Re-wrapping the (already
+        # materialized) checkpoint RDD in a fresh LogicalRDD drops the
+        # inherited estimate back to defaultSizeInBytes — constant
+        # 19-digit stats, 0.3 s rounds forever.  JVM-only (`private
+        # [sql]` compiles public), zero extra jobs, same blocks.
+        jdf = out._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark), obs.get["s"]
 
     labels, prev_sum = _checkpoint_with_sum(
         sym.select("u").distinct().withColumn("lbl", F.col("u"))
@@ -495,6 +521,16 @@ def connected_groups(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # Exhausting the budget without the fixpoint would return
+        # silently WRONG groups (some component only partially merged)
+        # — fail loudly instead; callers with genuinely deeper graphs
+        # raise max_iters.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_groups did not converge in {max_iters} rounds; "
+            "raise max_iters (pointer jumping needs ~log2(diameter) + 3)"
+        )
     sym.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("group_id"))
 

@@ -2329,3 +2329,32 @@ def test_greedy_segment_longest_match_and_boundaries(spark):
     }
     assert got["abcab"] == ["abc", "ab"]
     assert got["cab"] == ["c", "ab"]
+
+
+def test_connected_groups_deep_chain_flat_rounds_and_guard(spark):
+    """Round-13 regression: (a) a deep chain (400 nodes, monotone ids —
+    the adversarial shape for min-label propagation) converges within
+    the default budget and labels every node with the chain min; (b) an
+    insufficient budget RAISES instead of returning partially-merged
+    groups; (c) per-round cost stays flat — the checkpoint-preserved
+    sizeInBytes estimate must not compound through the pointer-jump
+    joins (unreset, round 15 multiplied million-digit BigIntegers and
+    took 60+ s on constant data)."""
+    import time
+
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    t0 = time.time()
+    rows = dd.connected_groups(chain).collect()
+    wall = time.time() - t0
+    assert {r.doc_id for r in rows} == set(range(401))
+    assert all(r.group_id == 0 for r in rows)
+    # ~35 rounds at flat cost finish comfortably; the unreset-stats
+    # blowup took minutes by round 16 alone
+    assert wall < 90, f"deep chain took {wall:.0f}s — stats compounding is back"
+
+    with __import__("pytest").raises(RuntimeError, match="did not converge"):
+        dd.connected_groups(chain, max_iters=3).collect()
