@@ -643,6 +643,60 @@ def hamming_band_pairs(
     )
 
 
+def hamming_matches(
+    left: DataFrame,
+    right: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 56,
+) -> DataFrame:
+    """Cross-frame Hamming-≤``max_hamming`` matches between TWO hash
+    frames via the same pigeonhole band bucketing as
+    :func:`hamming_band_pairs` — the increment-vs-store probe shape
+    (a micro-batch's image hashes against the curated store's), where
+    the self-join form would wrongly pair store rows with each other.
+    Completeness: distance ≤ max_hamming with bands > max_hamming
+    forces an identical band (asserted).  Plan: both sides explode
+    ×bands, bucket equi-join on the band value (the store side is
+    typically the big one; the batch side broadcasts when small),
+    exact Hamming verifies after.  Output: (id_left, id_right,
+    hamming), distinct."""
+    assert max_hamming < bands, "pigeonhole needs bands > max_hamming"
+    width = bits // bands
+
+    def banded(df: DataFrame, tag: str) -> DataFrame:
+        mask = (1 << width) - 1
+        keys = [
+            F.concat_ws(
+                ":",
+                F.lit(f"h{b}"),
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(hash_col).alias(f"__hh_{tag}"),
+            F.explode(F.array(*keys)).alias("bk"),
+        )
+
+    return (
+        banded(left, "left")
+        .join(banded(right, "right"), on="bk")
+        .select(
+            "id_left",
+            "id_right",
+            hamming64(F.col("__hh_left"), F.col("__hh_right")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -109,6 +109,7 @@ def ingest_documents_near_dedup(
     quality_model_min: float = 0.0,
     drift_report_path: str | None = None,
     schema_report_path: str | None = None,
+    image_hash_store_path: str | None = None,
 ):
     """availableNow ingestion with NEAR-dedup against the store: each
     micro-batch runs the full increment path
@@ -191,9 +192,27 @@ def ingest_documents_near_dedup(
     both report and sidecar are execution logs — replays append more
     rows while the store stays idempotent.
 
+    ``image_hash_store_path`` adds ingestion-time IMAGE near-dedup: a
+    parquet sidecar of (doc_id, dhash) perceptual hashes of every
+    curated doc's image (the dedup_image_phash signature).  Each batch
+    doc's image is decoded and dHashed
+    (operators/multimodal.py::decode_pgm_dhash); any doc whose hash
+    lands within Hamming ≤ 3 of a STORE hash (pigeonhole-banded
+    cross-frame probe, operators/dedup.py::hamming_matches — batch ×
+    store, never store × store) is dropped BEFORE the text dedup
+    stages — the re-encoded/brightness-shifted duplicate image whose
+    caption was rewritten, which no text fingerprint can catch.  After
+    the append the sidecar RECONCILES like the signature store: every
+    store doc missing from it gets hashed and appended, so it is
+    self-healing and replay-idempotent.  Batch-INTERNAL image dups are
+    deliberately left to the text component keeper — the store probe is
+    the cross-batch contract.
+
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
-    idempotent (asserted in tests/test_streaming.py).
+    idempotent (asserted in tests/test_streaming.py); a replayed batch
+    with the image gate enabled is instead dropped by its own store
+    hashes — same net effect.
 
     Returns the started StreamingQuery (caller awaits termination)."""
     from spanner_jdbc_converter_spark.operators import dedup as dd
@@ -277,6 +296,26 @@ def ingest_documents_near_dedup(
             batch = dd.filter_contaminated(
                 batch, spark.read.parquet(benchmark_spans_path)
             )
+        if image_hash_store_path is not None:
+            from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+            bh = mm.decode_pgm_dhash(
+                mm.attach_pgm_payload(batch.select("doc_id"))
+            )
+            if os.path.exists(image_hash_store_path):
+                dup_ids = (
+                    dd.hamming_matches(
+                        bh,
+                        spark.read.parquet(image_hash_store_path),
+                        "dhash",
+                        max_hamming=3,
+                        bands=4,
+                        bits=mm.DHASH_BITS,
+                    )
+                    .select(F.col("id_left").alias("doc_id"))
+                    .distinct()
+                )
+                batch = batch.join(dup_ids, on="doc_id", how="left_anti")
         if os.path.exists(store_path):
             corpus = spark.read.parquet(store_path)
         else:
@@ -302,6 +341,21 @@ def ingest_documents_near_dedup(
                 dd.signature_state(missing).write.mode("append").parquet(
                     signature_store_path
                 )
+        if image_hash_store_path is not None:
+            # reconcile the image-hash sidecar exactly like the
+            # signature store: hash every store doc it lacks
+            from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+            store_docs = spark.read.parquet(store_path).select("doc_id")
+            if os.path.exists(image_hash_store_path):
+                prior = spark.read.parquet(image_hash_store_path).select(
+                    "doc_id"
+                )
+                store_docs = store_docs.join(prior, on="doc_id", how="left_anti")
+            if store_docs.limit(1).count():
+                mm.decode_pgm_dhash(mm.attach_pgm_payload(store_docs)).select(
+                    "doc_id", "dhash"
+                ).write.mode("append").parquet(image_hash_store_path)
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)

@@ -2358,3 +2358,29 @@ def test_connected_groups_deep_chain_flat_rounds_and_guard(spark):
 
     with __import__("pytest").raises(RuntimeError, match="did not converge"):
         dd.connected_groups(chain, max_iters=3).collect()
+
+
+def test_hamming_matches_cross_frame(spark):
+    """The batch-vs-store probe: matches only cross-frame pairs at
+    Hamming <= k, complete vs brute force, never pairing store rows
+    with each other."""
+    from itertools import product
+
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    left = {d: mm._dhash56(*mm._synth_image(d)) for d in range(0, 40)}
+    right = {d: mm._dhash56(*mm._synth_image(d)) for d in range(2560, 2640)}
+    expect = {
+        (a, b, bin(left[a] ^ right[b]).count("1"))
+        for a, b in product(left, right)
+        if bin(left[a] ^ right[b]).count("1") <= 3
+    }
+    assert expect  # ids congruent mod 2560 render identical images
+    lf = spark.createDataFrame(list(left.items()), "doc_id long, dhash long")
+    rf = spark.createDataFrame(list(right.items()), "doc_id long, dhash long")
+    got = {
+        (r.id_left, r.id_right, r.hamming)
+        for r in dd.hamming_matches(lf, rf, "dhash", bits=mm.DHASH_BITS).collect()
+    }
+    assert got == expect

@@ -833,3 +833,57 @@ def test_streaming_pattern_match_empty_stream_drain(spark, tmp_path):
         ops.running_pattern_match(stream), "cep_empty_mem", output_mode="update"
     )
     assert result.count() == 0
+
+
+def test_ingest_near_dedup_drops_image_duplicates(spark, tmp_path):
+    """The image-hash gate: a later batch doc whose IMAGE is a
+    perceptual duplicate of a stored doc's (ids congruent mod 2560 —
+    the payload formula's period — hash identically) is dropped even
+    though its TEXT is brand new; a unique-image doc lands; the hash
+    sidecar converges to one row per stored doc and a replay appends
+    nothing."""
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    t1 = " ".join(f"imgworda{j:02d}" for j in range(40))
+    t2 = " ".join(f"imgwordb{j:02d}" for j in range(40))
+    t3 = " ".join(f"imgwordc{j:02d}" for j in range(40))
+    rows1 = [(7, t1, "en", "s0", len(t1))]
+    # doc 7+2560 renders the IDENTICAL image as doc 7 (dHash 0 apart)
+    # but carries unrelated text — only the image gate can catch it
+    rows2 = [
+        (7 + 2560, t2, "en", "s0", len(t2)),
+        (9, t3, "en", "s1", len(t3)),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, store = str(tmp_path / "in"), str(tmp_path / "store")
+    hashes = str(tmp_path / "ihashes")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(
+        in_dir + "/f1.parquet"
+    )
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(
+        in_dir + "/f2.parquet"
+    )
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck1"),
+        quality_min=0.0, image_hash_store_path=hashes,
+    )
+    q.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [7, 9]
+    hs = {r.doc_id: r.dhash for r in spark.read.parquet(hashes).collect()}
+    assert sorted(hs) == [7, 9]
+
+    # replay with a fresh checkpoint: the gate drops everything via the
+    # store hashes; neither file grows
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in_dir), store, str(tmp_path / "ck2"),
+        quality_min=0.0, image_hash_store_path=hashes,
+    )
+    q2.awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == [7, 9]
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(hashes).select("doc_id").collect()
+    ) == [7, 9]
