@@ -634,7 +634,12 @@ _PI_LIVE: list = []
 
 def _evict_pi_live() -> None:
     while _PI_LIVE:
-        _PI_LIVE.pop().unpersist(blocking=False)
+        try:
+            _PI_LIVE.pop().unpersist(blocking=False)
+        except Exception:
+            # a frame whose session already stopped must not poison the
+            # next session's call — the blocks died with the session
+            pass
 
 
 def _pi_rounds(

@@ -459,15 +459,16 @@ def k_anonymity_report(
     One grouped count with map-side combine — the shuffle carries one
     row per equivalence class, never per input row; at 100 TB this is
     the same shape as any low-cardinality profile.  Exact integers,
-    nothing to round.
+    nothing to round.  Column names resolve literally (``df[c]`` —
+    the _null_counts escaping discipline), so dotted/quoted upstream
+    names can't break the gate.
 
     Output: (*quasi_cols, class_size, k_anonymous)."""
-    return (
-        df.groupBy(*[F.col(c) for c in quasi_cols])
-        .agg(F.count(F.lit(1)).alias("class_size"))
-        .select(
-            *quasi_cols,
-            "class_size",
-            (F.col("class_size") >= k).alias("k_anonymous"),
-        )
+    g = df.groupBy(*[df[c] for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return g.select(
+        *[g[c] for c in quasi_cols],
+        "class_size",
+        (F.col("class_size") >= k).alias("k_anonymous"),
     )

@@ -196,7 +196,10 @@ def ingest_documents_near_dedup(
     parquet sidecar of (doc_id, dhash) perceptual hashes of every
     curated doc's image (the dedup_image_phash signature).  Each batch
     doc's image is decoded and dHashed
-    (operators/multimodal.py::decode_pgm_dhash); any doc whose hash
+    (operators/multimodal.py::decode_pgm_dhash — here the payload is
+    the fixture's deterministic doc_id-derived PGM via
+    attach_pgm_payload; a production stream carries a BinaryType
+    payload column and swaps only that projection); any doc whose hash
     lands within Hamming ≤ 3 of a STORE hash (pigeonhole-banded
     cross-frame probe, operators/dedup.py::hamming_matches — batch ×
     store, never store × store) is dropped BEFORE the text dedup
