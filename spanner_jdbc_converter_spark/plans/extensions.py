@@ -1789,7 +1789,15 @@ def dedup_image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive closure; even this iterative step is
     value-hash-checked.  (isym's branches are disjoint by id_a < id_b,
     so the WITH RECURSIVE bare-UNION quirk is moot here, matching
-    _closure_ctes.)"""
+    _closure_ctes.)
+
+    Cost shape: the fixture's phase-shifted image family forms long
+    near-dup chains (sf0.1: 47,818 pairs, largest component 660 nodes,
+    diameter 37), so propagation runs ~35 flat-cost rounds (~12 s at
+    sf0.1 — the most expensive corpus entry, dominated by round count,
+    not data volume; rounds grow ~log(nodes), each one pair-graph-sized
+    join).  Star-contraction CC would cut the round count — the
+    documented next step if image corpora dominate."""
     from spanner_jdbc_converter_spark.operators import multimodal as mm
 
     hashes = mm.decode_pgm_dhash(mm.payload_view(spark, sf_dir, "pgm"))
