@@ -20,14 +20,14 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-13 window, derived verbatim from that proposal after
-# GATE_HISTORY was regenerated from CORRECTNESS_r12 as the FIRST commit of
-# the round per VERDICT r12 "Next round #1"; tests/test_config.py asserts
+# list is the round-14 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r13 as the FIRST commit of
+# the round per VERDICT r13 "Next round #1"; tests/test_config.py asserts
 # the window stays consistent with the history):
-#   (0) the 16 entries whose last driver row is r7 — the staleness tail
-#       that survived the r12 rotation (displaced by r12's registrations)
-#       and that VERDICT r12 requires front-loaded;
-#   (1) the 34 oldest r9 entries, proposal order;
+#   (0) the 23 entries whose last driver row is r9 — the staleness tail
+#       that survived the r13 rotation and that VERDICT r13 requires
+#       front-loaded (post-r13 histogram: nothing older than r9 exists);
+#   (1) the 27 oldest r10 entries, proposal order;
 #   (2) every entry registered THIS round — membership explicit, the
 #       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
@@ -36,64 +36,60 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r7 (the 16-entry stale tail — nothing older exists)
-    "conditional_null_surface",
-    "array_functions_surface",
-    "map_functions_surface",
-    "notin_null_semantics",
-    "date_functions_surface",
-    "events_json_props",
-    "dedup_lsh_verified_pairs",
-    "text_vocab_encode",
-    "pipeline_pack_invariants",
-    "select_source_cap",
-    "dedup_source_overlap_matrix",
-    "text_token_spectrum",
-    "text_zipf_slope",
-    "events_ewma_smoothing",
-    "events_user_trend",
-    "select_temperature_mix",
-    # (1) last driver row r9 (oldest-first, proposal order)
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicate",
-    "q22_prospect_segments",
-    "q15_top_supplier",
-    "q16_supplier_counts_excluding",
-    "q20_significant_suppliers",
-    "q21_sole_returned_supplier",
-    "q12_priority_class_counts",
-    "window_lead_next_event",
-    "window_rank_surface",
-    "window_running_frames",
-    "agg_stats_moments",
-    "agg_median_percentiles",
-    "pivot_status_by_priority",
-    "text_repetition_scores",
-    "text_top_token_per_doc",
-    "text_chunk_windows",
-    "dedup_benchmark_overlap",
-    "dedup_chunk_groups",
-    "dedup_containment_pairs",
-    "select_pack_sequences",
-    "validate_table_checksums",
-    "validate_snapshot_diff",
-    # (2) registered in r13 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: dedup_incremental_batch,
-    # pipeline_curate_documents, join_doc_embedding_features,
-    # text_vocab_df, select_mix_report, validate_column_profile,
-    # validate_fk_orphans).
-    "sim_residual_ivfpq_topk",
-    "dedup_image_phash",
-    "dedup_lsh_banding_frontier",
-    "text_unigram_lm_pieces",
-    "dedup_image_groups",
-    "text_unigram_encode",
-    "validate_k_anonymity",
+    # (0) last driver row r9 (the 23-entry stale tail — nothing older exists)
+    "validate_fk_orphans",
+    "validate_column_profile",
+    "select_mix_report",
+    "text_vocab_df",
+    "join_doc_embedding_features",
+    "pipeline_curate_documents",
+    "dedup_incremental_batch",
+    "events_interval_join",
+    "events_asof_join",
+    "events_rolling_window_1h",
+    "cluster_kmeans_embeddings",
+    "text_tfidf_top_terms",
+    "events_zscore_outliers",
+    "agg_value_histogram",
+    "join_fuzzy_blocked_names",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "agg_winsorized_stats",
+    "agg_hll_distinct_custkeys",
+    "text_bigram_stats",
+    "select_quality_weighted_sample",
+    "layout_zorder_cells",
+    "select_train_val_test_split",
+    # (1) last driver row r10 (oldest-first, proposal order)
+    "q11_important_parts",
+    "grouping_sets_priority_status",
+    "events_banded_range_join",
+    "events_hypertable_rollup",
+    "skew_salted_aggregation",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_bpe_tokens_fingerprint",
+    "dedup_benchmark_span_hits",
+    "dedup_span_contamination",
+    "dedup_connected_groups",
+    "select_leakage_safe_split",
+    "dedup_quality_keeper",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "dedup_semantic_clusters",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "text_boilerplate_scrub",
+    "text_bigram_surprisal",
+    "text_tokenizer_fertility",
+    "text_bpe_encode",
+    "text_quality_classifier",
+    "validate_quality_drift",
+    "select_pack_bpe_sequences",
+    "text_ngram_novelty",
+    "select_dsir_importance",
+    # (2) registered in r14 (the RULE above): each new entry displaces the
+    # newest tail entry of group (1) in the same commit it registers.
 ]
 
 
