@@ -389,6 +389,44 @@ def containment_pairs(
 
 
 
+#: round count of the most recent :func:`connected_groups` call — a
+#: diagnostic for tests/benchmarks that pin the O(log n) convergence
+#: guarantee (star contraction; see below).  Full rounds, each one
+#: large-star + small-star phase.
+_LAST_CC_ROUNDS = 0
+
+
+def _stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with the optimizer sizeInBytes estimate
+    RESET (measured, round 13): Spark's checkpoint PRESERVES the
+    estimate on the new LogicalRDD, and visitJoin estimates a join as
+    the PRODUCT of its children's sizes — so a checkpointed loop whose
+    round references the previous frame through >=2 joins compounds the
+    BigInt estimate geometrically per round.  By round ~15 Catalyst's
+    stats visitor multiplies million-digit BigIntegers: 62 s of pure
+    BigInteger.multiply on FLAT data and FLAT plans (jstack'd).
+    Re-wrapping the (already materialized) checkpoint RDD in a fresh
+    LogicalRDD drops the inherited estimate back to defaultSizeInBytes
+    — constant 19-digit stats, flat rounds forever.  Zero extra jobs,
+    same blocks.
+
+    The re-wrap calls JVM-side ``private[sql]`` members (public in
+    bytecode): ``SparkSession.internalCreateDataFrame`` and
+    ``QueryExecution.toRdd``.  If a Spark upgrade renames either, fall
+    back to the plain checkpoint (ADVICE r13): that costs only the
+    round-time regression for deep loops, never correctness."""
+    spark = df.sparkSession
+    out = df.localCheckpoint(eager=True)
+    try:
+        jdf = out._jdf
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # internal API drifted — slow-but-correct fallback
+        return out
+
+
 def connected_groups(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -398,141 +436,141 @@ def connected_groups(
     """Connected components over a candidate-pair graph: every node of
     the pair set labeled with the smallest id reachable from it — the
     grouping step that turns near-dup PAIRS into dedup GROUPS (keep one
-    doc per group).  Converges by the label-sum fixpoint probe (typical
-    near-dup graphs exit in 2-4 rounds); exhausting ``max_iters``
-    without the fixpoint RAISES rather than returning partially-merged
-    groups.  The sf0.1 image-phash graph (diameter 37, ids in
-    arithmetic chains) measured ~35 rounds — the pointer jump gains
-    little on adversarially-ordered chain components — so the default
-    budget is 60; deeper graphs pass a larger ``max_iters`` (rounds are
-    O(edges) each and flat-cost, see the stats-reset note below).
+    doc per group).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels) — with POINTER JUMPING as an
-    adaptive fallback: if the graph has not converged after a few plain
-    rounds (i.e. some component is deep), later rounds also take the
-    label-of-label, doubling propagation distance per round so the tail
-    is log2(diameter) instead of linear.  Near-dup components are tiny
-    star-ish clusters that converge in 2-3 plain rounds, so the common
-    case never pays the extra join; a pathological chain still finishes
-    in a flat number of jobs.  Every step is a shuffle-partitioned join
-    — no driver-side graph.  Deterministic: min over ids, no floats.
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond"), which
+    converges in O(log n) full rounds REGARDLESS of component diameter
+    or id layout.  The previous min-label propagation (with a
+    pointer-jump branch) measured ~35 rounds on the sf0.1 image-phash
+    graph — linear in its diameter 37, because on id-monotone chains
+    the label-of-label jump never shortcuts; star contraction closes
+    the same graph in ~7 rounds and an adversarial 128-node chain in
+    ~9.  Each round rewrites the EDGE set (no separate label frame):
 
-    Partitioning is size-adaptive: the symmetric edge list is counted
-    once (it is being materialized anyway) and, above ~2M edges per
-    default partition, hash-repartitioned on the join key so the
-    per-round joins reuse one sane partitioning on a real cluster; small
-    graphs skip the extra exchange entirely.
+    - large-star: every node u connects its LARGER neighbors to
+      m = min(N(u) ∪ {u}) — edge (u,v), v>u becomes (v, m).
+    - small-star: on larger-first-oriented edges, every node u connects
+      its smaller neighborhood ∪ itself to its minimum — key u with
+      smaller neighbors {v_i} emits (v_i, m) and (u, m), m = min(v_i).
+
+    At the joint fixpoint the edge set is exactly a union of stars,
+    each rooted at its component's minimum id (the paper's Theorem 1);
+    labels read off the star edges directly.  Both phases keep the
+    larger-first orientation invariant, so emitted edges never need
+    re-canonicalization.
+
+    Convergence probe: (Σ(a+b), count) over the distinct edge set, the
+    sum as decimal(38,0) (exact for billions of 64-bit ids).  Both
+    rewrites are per-edge non-increasing in (a+b) — large-star maps
+    a+b → m(u)+b ≤ a+b; small-star's per-key delta is (k−1)(m−u) ≤ 0 —
+    and both preserve the pre-dedup edge count, so count unchanged ⟹
+    no duplicate-merges ⟹ the sum delta is purely the rewrite delta
+    ≤ 0, zero IFF every edge mapped to itself: (sum, count) unchanged
+    IFF the edge set reached the fixpoint — exact even for negative
+    (hashed) ids, where a merge could otherwise remove a negative term
+    and mask a rewrite.  The probe rides each phase's checkpoint as an
+    observed metric — no separate aggregation pass.  Exhausting ``max_iters`` without the
+    fixpoint RAISES rather than returning partially-merged groups; with
+    the O(log n) bound the default 60 covers any conceivable graph, so
+    hitting it means a bug, not a deep component.
+
+    Each phase is checkpointed (lineage cut — the plan would double per
+    round) with the stats reset of :func:`_stats_reset_checkpoint`; on
+    a real cluster prefer setCheckpointDir + checkpoint() for fault
+    tolerance.  Every step is a shuffle-partitioned join/aggregate — no
+    driver-side graph; min over ids, no floats, fully deterministic.
 
     Output: (doc_id, group_id) for every node appearing in ``pairs``."""
-    # both directions from ONE scan of the (possibly expensive) pair
-    # pipeline — a union of two selects would evaluate it twice
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
-                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .persist()  # BEFORE the sizing count — or the pair pipeline runs twice
-    )
-    n_edges = sym.count()
-    if n_edges > 2_000_000:
-        parts = min(2000, n_edges // 2_000_000 + 2)
-        sym_p = sym.repartition(parts, "v").persist()  # re-read from cache, not the pipeline
-        sym_p.count()
-        sym.unpersist()
-        sym = sym_p
-    # (No small-graph narrowing branch: measured at sf0.1, AQE's
-    # post-shuffle coalescing already plans tiny graphs narrow — an
-    # explicit coalesce(1)+re-persist added a job for zero gain.)
-    # Each round is checkpointed (localCheckpoint, eager): without the
-    # lineage cut the label frame's logical plan DOUBLES per round (it
-    # self-joins into the next round), and a deep component OOMs the
-    # driver in plan analysis long before any executor sees data.  On a
-    # real cluster prefer setCheckpointDir + checkpoint() for fault
-    # tolerance; executor-local checkpoints are the right local default.
-    #
-    # The convergence probe rides the checkpoint job as an observed
-    # metric (labels only ever decrease, so the label sum is strictly
-    # monotone until the fixpoint) — one Spark job per round total, no
-    # separate aggregation pass.  decimal(38,0) keeps the sum exact for
-    # billions of 64-bit ids (a long sum would overflow).
     from pyspark.sql import Observation
 
-    _probe = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    global _LAST_CC_ROUNDS
     spark = pairs.sparkSession
+    probe_sum = F.sum(
+        F.col("a").cast("decimal(38,0)") + F.col("b").cast("decimal(38,0)")
+    ).alias("s")
+    probe_cnt = F.count(F.lit(1)).alias("n")
 
-    def _checkpoint_with_sum(df: DataFrame) -> tuple[DataFrame, object]:
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, tuple]:
         obs = Observation()
-        out = df.observe(obs, _probe).localCheckpoint(eager=True)
-        # Stats reset (measured, round-13 r13): Spark's checkpoint
-        # PRESERVES the optimizer's sizeInBytes estimate on the new
-        # LogicalRDD, and visitJoin estimates a join as the PRODUCT of
-        # its children's sizes — so a checkpointed loop whose round
-        # references the previous frame through TWO joins (the pointer-
-        # jump branch) cubes the BigInt estimate per round.  The digit
-        # count triples each round and Catalyst's stats visitor ends up
-        # multiplying million-digit BigIntegers: round 15 on the sf0.1
-        # image-phash graph took 62 s of pure BigInteger.multiply with
-        # FLAT data and FLAT plans.  Re-wrapping the (already
-        # materialized) checkpoint RDD in a fresh LogicalRDD drops the
-        # inherited estimate back to defaultSizeInBytes — constant
-        # 19-digit stats, 0.3 s rounds forever.  JVM-only (`private
-        # [sql]` compiles public), zero extra jobs, same blocks.
-        jdf = out._jdf
-        fresh = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(fresh, spark), obs.get["s"]
+        out = _stats_reset_checkpoint(df.observe(obs, probe_sum, probe_cnt))
+        got = obs.get
+        return out, (got["s"], got["n"])
 
-    labels, prev_sum = _checkpoint_with_sum(
-        sym.select("u").distinct().withColumn("lbl", F.col("u"))
-    )
-    _PLAIN_ROUNDS = 3  # shallow clusters converge here; beyond it, jump pointers
-    for i in range(max_iters):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
+    # canonical larger-first orientation from ONE scan of the (possibly
+    # expensive) pair pipeline; the immediate checkpoint also means the
+    # node-set frame below re-reads the materialized blocks, not the
+    # pipeline
+    edges, prev_sum = _ckpt(
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
         )
-        new_labels = labels.join(neighbor_min, on="u", how="left")
-        if i >= _PLAIN_ROUNDS:
-            label_of_label = (
-                labels.alias("x")
-                .join(
-                    labels.select(F.col("u").alias("l2"), F.col("lbl").alias("llbl")),
-                    F.col("x.lbl") == F.col("l2"),
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = edges.select(F.explode(F.array("a", "b")).alias("doc_id")).distinct()
+    for i in range(max_iters):
+        # large-star needs the full neighborhood of every node: explode
+        # the canonical edges into both orientations (one scan, no join)
+        sym = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
                 )
-                .select(F.col("x.u").alias("u"), F.col("llbl"))
+            ).alias("e")
+        ).select("e.u", "e.v")
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("mv"), F.col("u")).alias("b"),  # m = min(N(u) ∪ {u})
             )
-            new_labels = new_labels.join(label_of_label, on="u", how="left").select(
-                "u", F.least(F.col("lbl"), F.col("nlbl"), F.col("llbl")).alias("lbl")
+            .distinct()
+        )
+        edges, sum_l = _ckpt(large)
+        # small-star: key = the larger endpoint, neighborhood all smaller
+        smins = edges.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            edges.join(smins, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("e")
             )
-        else:
-            new_labels = new_labels.select(
-                "u", F.least(F.col("lbl"), F.col("nlbl")).alias("lbl")
-            )
-        labels, new_sum = _checkpoint_with_sum(new_labels)
-        if new_sum == prev_sum:
+            .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+            .filter(F.col("a") != F.col("b"))  # (b,m) with b == m is a self-loop
+            .distinct()
+        )
+        edges, sum_s = _ckpt(small)
+        if sum_s == prev_sum and sum_l == prev_sum:
+            _LAST_CC_ROUNDS = i + 1
             break
-        prev_sum = new_sum
+        prev_sum = sum_s
     else:
         # Exhausting the budget without the fixpoint would return
         # silently WRONG groups (some component only partially merged)
-        # — fail loudly instead; callers with genuinely deeper graphs
-        # raise max_iters.
-        sym.unpersist()
+        # — fail loudly instead.  Star contraction is O(log n) rounds,
+        # so 60 covers ~2^55 nodes: reaching here means a bug upstream
+        # (e.g. non-deterministic ids), not a deep graph.
+        _LAST_CC_ROUNDS = max_iters
         raise RuntimeError(
             f"connected_groups did not converge in {max_iters} rounds; "
-            "raise max_iters (pointer jumping needs ~log2(diameter) + 3)"
+            "star contraction needs ~log2(nodes) — this is a bug, not a "
+            "deep component"
         )
-    sym.unpersist()
-    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("group_id"))
+    # fixpoint edge set = union of stars (a → component root b); roots
+    # never appear as a left endpoint, so they (and only they) label
+    # themselves
+    return nodes.join(
+        edges.withColumnRenamed("a", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce(F.col("b"), F.col("doc_id")).alias("group_id"))
 
 
 # -- SimHash ---------------------------------------------------------------
@@ -638,8 +676,12 @@ def hamming_band_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.__hh"), F.col("b.__hh")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct (VERDICT r13 #4): exact Hamming is a pure
+        # function of the pair and commutes with dedup; filtering first
+        # strictly shrinks the distinct's exchange — the dominant cost
+        # under hot-bucket pressure — while the output set is identical.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -692,8 +734,12 @@ def hamming_matches(
             "id_right",
             hamming64(F.col("__hh_left"), F.col("__hh_right")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct (VERDICT r13 #4): exact Hamming is a pure
+        # function of the pair and commutes with dedup; filtering first
+        # strictly shrinks the distinct's exchange — the dominant cost
+        # under hot-bucket pressure — while the output set is identical.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -725,8 +771,12 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct (VERDICT r13 #4): exact Hamming is a pure
+        # function of the pair and commutes with dedup; filtering first
+        # strictly shrinks the distinct's exchange — the dominant cost
+        # under hot-bucket pressure — while the output set is identical.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

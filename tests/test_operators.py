@@ -2332,14 +2332,17 @@ def test_greedy_segment_longest_match_and_boundaries(spark):
 
 
 def test_connected_groups_deep_chain_flat_rounds_and_guard(spark):
-    """Round-13 regression: (a) a deep chain (400 nodes, monotone ids —
-    the adversarial shape for min-label propagation) converges within
-    the default budget and labels every node with the chain min; (b) an
-    insufficient budget RAISES instead of returning partially-merged
-    groups; (c) per-round cost stays flat — the checkpoint-preserved
-    sizeInBytes estimate must not compound through the pointer-jump
-    joins (unreset, round 15 multiplied million-digit BigIntegers and
-    took 60+ s on constant data)."""
+    """Round-13/14 regression: (a) a deep chain (400 nodes, monotone
+    ids — linear-in-diameter for the old min-label propagation)
+    converges within the default budget and labels every node with the
+    chain min; (b) star contraction's round count is O(log n),
+    id-layout-INDEPENDENT — ≤ 2·log₂(n) rounds where propagation
+    needed ~diameter; (c) an insufficient budget RAISES instead of
+    returning partially-merged groups; (d) per-round cost stays flat —
+    the checkpoint-preserved sizeInBytes estimate must not compound
+    through the per-round joins (unreset, round 15 multiplied
+    million-digit BigIntegers and took 60+ s on constant data)."""
+    import math
     import time
 
     from spanner_jdbc_converter_spark.operators import dedup as dd
@@ -2352,8 +2355,12 @@ def test_connected_groups_deep_chain_flat_rounds_and_guard(spark):
     wall = time.time() - t0
     assert {r.doc_id for r in rows} == set(range(401))
     assert all(r.group_id == 0 for r in rows)
-    # ~35 rounds at flat cost finish comfortably; the unreset-stats
-    # blowup took minutes by round 16 alone
+    assert dd._LAST_CC_ROUNDS <= 2 * math.log2(401), (
+        f"{dd._LAST_CC_ROUNDS} rounds on a 401-node chain — star "
+        "contraction should close it in ~log2(n)"
+    )
+    # log-bounded rounds at flat cost finish comfortably; the
+    # unreset-stats blowup took minutes by round 16 alone
     assert wall < 90, f"deep chain took {wall:.0f}s — stats compounding is back"
 
     with __import__("pytest").raises(RuntimeError, match="did not converge"):

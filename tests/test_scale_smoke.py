@@ -102,9 +102,16 @@ def test_sessionization_at_10x_events(spark):
 def test_connected_groups_deep_components_at_scale(spark):
     """Connected components on a synthetic graph with DEEP chains —
     the shape that breaks naive propagation: 2,000 chains × depth 64
-    (128k nodes) plus 10k star clusters.  Pointer jumping must close
-    the depth in O(log d) rounds; naive min-label would need 64."""
-    from spanner_jdbc_converter_spark.operators.dedup import connected_groups
+    (128k nodes) plus 10k star clusters, plus one ADVERSARIAL-id chain:
+    1,024 nodes whose chain order is the bit-reversal permutation of
+    their ids, so labels are maximally non-monotone along the chain
+    (the layout where min-label propagation pays full diameter AND
+    pointer jumping never shortcuts).  Star contraction must close
+    everything in O(log n) rounds regardless — naive min-label would
+    need ~1,024."""
+    import math
+
+    from spanner_jdbc_converter_spark.operators import dedup as dd
 
     chains = (
         spark.range(2_000)
@@ -123,13 +130,24 @@ def test_connected_groups_deep_components_at_scale(spark):
             (F.lit(STAR_BASE) + F.col("id") * 100 + F.col("leaf")).alias("id_b"),
         )
     )
+    ADV_BASE = 20_000_000_000
+    BITS = 10  # 1,024-node chain in bit-reversed id order
+    rev = [int(format(i, f"0{BITS}b")[::-1], 2) for i in range(1 << BITS)]
+    adv = spark.createDataFrame(
+        [(ADV_BASE + rev[i], ADV_BASE + rev[i + 1]) for i in range((1 << BITS) - 1)],
+        "id_a long, id_b long",
+    )
     t0 = time.time()
-    groups = connected_groups(chains.unionByName(stars))
+    groups = dd.connected_groups(chains.unionByName(stars).unionByName(adv))
     n_groups = groups.select("group_id").distinct().count()
     n_nodes = groups.count()
     wall = time.time() - t0
-    assert n_groups == 2_000 + 10_000
-    assert n_nodes == 2_000 * 64 + 10_000 * 5
+    assert n_groups == 2_000 + 10_000 + 1
+    assert n_nodes == 2_000 * 64 + 10_000 * 5 + (1 << BITS)
+    n_total = 2_000 * 64 + 10_000 * 5 + (1 << BITS)
+    assert dd._LAST_CC_ROUNDS <= 2 * math.log2(n_total), (
+        f"{dd._LAST_CC_ROUNDS} rounds — star contraction lost its log bound"
+    )
     # every chain head (id ≡ 0 mod 1e6) is its own group's label
     bad = groups.filter(
         (F.col("doc_id") < STAR_BASE)
@@ -137,6 +155,9 @@ def test_connected_groups_deep_components_at_scale(spark):
         & (F.col("doc_id") != F.col("group_id"))
     )
     assert bad.count() == 0
+    # the adversarial chain collapses to its minimum id (rev contains 0)
+    adv_groups = groups.filter(F.col("doc_id") >= ADV_BASE)
+    assert adv_groups.filter(F.col("group_id") != ADV_BASE).count() == 0
     assert wall < 300, f"connected components at scale took {wall:.0f}s"
 
 
