@@ -87,9 +87,10 @@ _GATE_PRIORITY = [
     "validate_quality_drift",
     "select_pack_bpe_sequences",
     "text_ngram_novelty",
-    "select_dsir_importance",
     # (2) registered in r14 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers.
+    # newest tail entry of group (1) in the same commit it registers
+    # (displaced so far: select_dsir_importance).
+    "dedup_benchmark_winnow_hits",
 ]
 
 

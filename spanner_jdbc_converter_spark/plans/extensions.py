@@ -566,6 +566,49 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.verbatim_span_pairs(d, spans=_winnow_frame(spark, sf_dir))
 
 
+@register(
+    "dedup_benchmark_winnow_hits",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    b AS (SELECT DISTINCT h FROM s WHERE doc_id % 7 = 0),
+    c AS (SELECT doc_id, h FROM s WHERE doc_id % 7 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(b.h) AS BIGINT) AS n_hits,
+           COUNT(b.h) >= 1 AS is_contaminated
+    FROM c LEFT JOIN b ON c.h = b.h
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_benchmark_winnow_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (VERDICT r13 #4): per corpus doc,
+    the count of its winnowing fingerprints appearing in the benchmark
+    stand-in's fingerprint set (same every-7th-doc split as the exact
+    entry).  The exact gate (dedup_benchmark_span_hits) catches only
+    VERBATIM 32-gram hits — a one-token paraphrase, a whitespace or
+    punctuation change breaks every 32-gram spanning the edit and the
+    contamination walks through.  Winnowing's MOSS guarantee (any
+    shared ≥ WINNOW_WINDOW+WINNOW_NGRAM−1 = 7-word run shares a
+    fingerprint) means an edited benchmark passage still fires on every
+    clean ≥7-word run around the edit, so near-verbatim contamination —
+    the kind evals actually leak as — scores n_hits proportional to the
+    surviving overlap.  Pipelines threshold on n_hits (a single shared
+    7-word idiom is weak evidence; dozens are a copied passage), unlike
+    the exact gate's drop-on-1 policy.
+
+    Scale: identical shape to the exact entry — the benchmark
+    fingerprint set broadcasts (eval suites are tiny next to a 100 TB
+    corpus); the corpus side reuses the session-cached _winnow_frame
+    shared with both winnow entries, so the shingle+md5+window pass
+    runs once per fixture and this probe adds only the broadcast join
+    + per-doc aggregation.  See operators/dedup.py::benchmark_span_hits
+    (the spans= override makes it fingerprint-family-agnostic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.benchmark_span_hits(
+        d, F.col("doc_id") % 7 == 0, spans=_winnow_frame(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

@@ -1474,6 +1474,36 @@ def test_benchmark_span_hits_flags_embedded_eval_string(spark):
     assert out[3].n_spans > 0
 
 
+def test_fuzzy_winnow_gate_catches_one_token_edit_exact_gate_misses(spark):
+    """VERDICT r13 #4 acceptance: a corpus doc quoting a 40-word
+    benchmark passage with ONE token changed mid-passage evades the
+    exact 32-gram gate (every 32-gram spans the edit) but the winnowing
+    fingerprint gate still fires — the clean ≥7-word runs on both sides
+    of the edit share fingerprints by the MOSS guarantee.  A genuinely
+    clean doc passes both gates."""
+    from pyspark.sql import functions as F
+
+    passage = [f"bench{i}" for i in range(40)]
+    edited = list(passage)
+    edited[20] = "PARAPHRASED"  # positions 9..20 of every 32-gram cover it
+    docs = [
+        (0, "the eval item is " + " ".join(passage) + " answer follows"),
+        (1, "scraped page quoting " + " ".join(edited) + " with commentary"),
+        (3, " ".join(f"own{i} words{i}" for i in range(40))),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pred = F.col("doc_id") == 0
+
+    exact = {r.doc_id: r for r in dd.benchmark_span_hits(d, pred).collect()}
+    assert exact[1].n_hits == 0 and not exact[1].is_contaminated  # evasion works
+    fps = dd.winnow_fingerprints(d)
+    fuzzy = {
+        r.doc_id: r for r in dd.benchmark_span_hits(d, pred, spans=fps).collect()
+    }
+    assert fuzzy[1].is_contaminated and fuzzy[1].n_hits >= 2  # caught
+    assert fuzzy[3].n_hits == 0 and not fuzzy[3].is_contaminated
+
+
 def test_leakage_safe_split_is_group_atomic_and_plain_for_uniques(spark):
     """Near-dup groups land in ONE split (anchored on the min id); docs
     with no near-dup get exactly the plain per-doc hash assignment."""
