@@ -419,6 +419,150 @@ def decode_wav_spectrum(df: DataFrame) -> DataFrame:
     return out.withColumn("centroid", F.round(F.col("centroid"), 6))
 
 
+#: Audio fingerprint window: CHROMA_FRAMES consecutive DFT frames,
+#: sliding by one frame, each contributing 7 adjacent-band sign bits —
+#: 56 bits total, the same width/banding geometry as the image dHash so
+#: dedup.hamming_band_pairs consumes both without reconfiguration.
+CHROMA_FRAMES = 8
+CHROMA_BITS = (SPECTRUM_FRAME // 2 - 1) * CHROMA_FRAMES  # 7 × 8 = 56
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def decode_wav_chromaprint(df: DataFrame, window: int = CHROMA_FRAMES) -> DataFrame:
+    """Chromaprint-style audio fingerprints: per sliding window of
+    ``window`` consecutive 16-sample DFT frames, a 56-bit fingerprint
+    whose bits are the SIGNS of adjacent-band energy deltas — bit
+    7·f+(k−1) set iff frame f's bin-k power exceeds its bin-(k+1) power.
+    Sign-of-delta is the classic acoustic-fingerprint trick (Haitsma &
+    Kalker 2002 / AcoustID): amplitude scaling and mild noise move the
+    energies but rarely flip their ORDER, so near-identical audio gives
+    near-identical bits, and a time shift by whole frames gives
+    IDENTICAL fingerprints at shifted window ids — which the sliding
+    window turns back into exact matches.
+
+    Parity: the per-(frame, bin) DFT components are exact BIGINTs (the
+    integer micro-unit trig tables of :func:`decode_wav_spectrum`);
+    bin powers re²+im² exceed int64 so they are compared as exact
+    PYTHON ints here and HUGEINTs in the oracle — integer comparisons,
+    bit-identical by construction, no floats anywhere.
+
+    Scale: Arrow-batched mapInPandas, one integer matmul per batch;
+    output is ~(n_frames − window + 1) rows per clip, each one long —
+    the m-byte-code shape that downstream Hamming banding
+    (:func:`dedup.hamming_band_pairs`) pairs without ever going
+    quadratic.  Clips with fewer than ``window`` frames emit nothing
+    (too short to fingerprint)."""
+    import numpy as np
+
+    n_bins = SPECTRUM_FRAME // 2
+    cos_m = np.array(
+        [
+            [SPECTRUM_COS[(k * i) % SPECTRUM_FRAME] for k in range(1, n_bins + 1)]
+            for i in range(SPECTRUM_FRAME)
+        ],
+        dtype=np.int64,
+    )
+    sin_m = np.array(
+        [
+            [SPECTRUM_SIN[(k * i) % SPECTRUM_FRAME] for k in range(1, n_bins + 1)]
+            for i in range(SPECTRUM_FRAME)
+        ],
+        dtype=np.int64,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def fps(payload: bytes) -> list[tuple[int, int]]:
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                n = w.getnframes()
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            nf = n // SPECTRUM_FRAME
+            if nf < window:
+                return []
+            x = s[: nf * SPECTRUM_FRAME].reshape(nf, SPECTRUM_FRAME)
+            re = x @ cos_m  # exact int64: |re| <= 16*32768*1e6 ~ 5.2e11
+            im = x @ sin_m
+            bits = []
+            for fi in range(nf):
+                b = 0
+                prev = int(re[fi, 0]) ** 2 + int(im[fi, 0]) ** 2  # Python int
+                for k in range(1, n_bins):
+                    cur = int(re[fi, k]) ** 2 + int(im[fi, k]) ** 2
+                    if prev > cur:
+                        b |= 1 << (k - 1)
+                    prev = cur
+                bits.append(b)
+            out = []
+            for w0 in range(nf - window + 1):
+                fp = 0
+                for off in range(window):
+                    fp |= bits[w0 + off] << ((n_bins - 1) * off)
+                out.append((w0, fp))
+            return out
+
+        for pdf in batches:
+            ids, wins, vals = [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for w0, fp in fps(p):
+                    ids.append(d)
+                    wins.append(w0)
+                    vals.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_id": wins, "afp": vals},
+                columns=["doc_id", "win_id", "afp"],
+            ).astype({"doc_id": "int64", "win_id": "int64", "afp": "int64"})
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+#: Near-dup audio family: consecutive blocks of WAVDUP_FAMILY doc ids
+#: share one base clip — same length, identical samples except variant
+#: v = doc_id % WAVDUP_FAMILY > 0 edits ONE sample inside frame v.  The
+#: family COUNT scales with the corpus while the family SIZE stays
+#: fixed, so pair output stays LINEAR in docs and no Hamming bucket
+#: ever grows with corpus size.  Samples are integer-mixed
+#: pseudo-noise, NOT the plain wav store's sawtooth: a 16-sample DFT
+#: frame of any linear ramp has monotone-decreasing bin powers, i.e.
+#: the SAME sign bits for every clip — measured, that made all C(n,2)
+#: clip pairs "match".  Mixing (multiply + xor) decorrelates the
+#: spectra so only true family members pair.
+WAVDUP_FAMILY = 8
+
+
+def _synth_dup_samples(doc_id: int) -> list[int]:
+    """Deterministic near-dup PCM: family f = doc_id // 8 picks the base
+    clip — n = 200 + 7f mod 100 samples of
+    ((f·2654435761 + i·40503) XOR (i·97·(f mod 512 + 1))) mod 65536 −
+    32768 — and variant v = doc_id % 8 > 0 bumps the single sample at
+    index 16v+3 by 7777v (mod-wrapped): one frame's bits change, every
+    window avoiding that frame fingerprints identically."""
+    fam = doc_id // WAVDUP_FAMILY
+    v = doc_id % WAVDUP_FAMILY
+    n = 200 + (fam * 7) % 100
+    s = [
+        (((fam * 2654435761 + i * 40503) ^ (i * 97 * (fam % 512 + 1))) % 65536)
+        - 32768
+        for i in range(n)
+    ]
+    if v:
+        e = 16 * v + 3
+        s[e] = ((s[e] + 32768 + 7777 * v) % 65536) - 32768
+    return s
+
+
 # ---------------------------------------------------------------------------
 # REAL image decode — PGM (P5) is header + raw bytes, parseable with the
 # standard library alone; the 2×2 block-average downsample is exact
@@ -1113,8 +1257,9 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 
 
 #: Media-store schema version — part of the cache key so adding a
-#: payload column invalidates pre-existing stores (v2: + png_payload).
-_STORE_VERSION = "v2"
+#: payload column invalidates pre-existing stores (v2: + png_payload;
+#: v3: + wavdup_payload, the near-dup audio family).
+_STORE_VERSION = "v3"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -1150,8 +1295,8 @@ def media_store_path(sf_dir: str) -> str:
 
 def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
-    y4m_payload, png_payload — all BinaryType), materializing it on
-    first use.
+    y4m_payload, png_payload, wavdup_payload — all BinaryType),
+    materializing it on first use.
 
     The payloads are the same deterministic doc_id-derived containers the
     attach_* helpers synthesize, so every decode oracle stays valid; the
@@ -1186,6 +1331,9 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 w, h, rows = _synth_rgb_image(int(d))
                 return _png_bytes(w, h, rows, int(d))
 
+            def wavdup(d):
+                return _wav_bytes(_synth_dup_samples(int(d)))
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -1194,6 +1342,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "pgm_payload": pdf["doc_id"].map(pgm),
                         "y4m_payload": pdf["doc_id"].map(y4m),
                         "png_payload": pdf["doc_id"].map(png),
+                        "wavdup_payload": pdf["doc_id"].map(wavdup),
                     }
                 )
 
@@ -1204,6 +1353,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("pgm_payload", T.BinaryType()),
                 T.StructField("y4m_payload", T.BinaryType()),
                 T.StructField("png_payload", T.BinaryType()),
+                T.StructField("wavdup_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -1285,5 +1435,6 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "pgm": "pgm_payload",
         "y4m": "y4m_payload",
         "png": "png_payload",
+        "wavdup": "wavdup_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))

@@ -85,12 +85,13 @@ _GATE_PRIORITY = [
     "text_bpe_encode",
     "text_quality_classifier",
     "validate_quality_drift",
-    "select_pack_bpe_sequences",
-    "text_ngram_novelty",
     # (2) registered in r14 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: select_dsir_importance).
+    # (displaced so far: select_dsir_importance, text_ngram_novelty,
+    # select_pack_bpe_sequences).
     "dedup_benchmark_winnow_hits",
+    "multimodal_audio_chromaprint",
+    "dedup_audio_fingerprint_pairs",
 ]
 
 

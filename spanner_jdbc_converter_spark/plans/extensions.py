@@ -1665,6 +1665,151 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_wav_spectrum(mm.payload_view(spark, sf_dir, "wav"))
 
 
+# Audio fingerprint oracle CTEs: replay the near-dup PCM family
+# (multimodal._synth_dup_samples) from first principles, the integer
+# DFT components, the HUGEINT bin powers, the adjacent-band sign bits,
+# and the sliding-window fingerprint composition — all exact integer
+# arithmetic, generated from the SAME constants the numpy kernel uses.
+# Sample at absolute index j = fi*16 + i of doc (fam, v):
+_WAVDUP_BASE_SQL = (
+    "xor(f.fam * 2654435761 + (g.fi * 16 + g.i) * 40503,"
+    " (g.fi * 16 + g.i) * 97 * (f.fam % 512 + 1)) % 65536"
+)
+_WAVDUP_S_SQL = (
+    f"((CASE WHEN f.v > 0 AND g.fi * 16 + g.i = 16 * f.v + 3"
+    f" THEN ({_WAVDUP_BASE_SQL} + 7777 * f.v) % 65536"
+    f" ELSE {_WAVDUP_BASE_SQL} END) - 32768)"
+)
+
+_AUDIO_FP_CTES = f"""
+    fr AS (SELECT doc_id,
+                  doc_id // {mm.WAVDUP_FAMILY} AS fam,
+                  doc_id % {mm.WAVDUP_FAMILY} AS v,
+                  (200 + (doc_id // {mm.WAVDUP_FAMILY} * 7) % 100) // 16 AS nf
+           FROM documents),
+    comps AS (
+      SELECT f.doc_id, g.fi, g.k,
+             CAST(SUM({_WAVDUP_S_SQL}
+                      * ({_SPEC_COS_SQL})[((g.k * g.i) % 16) + 1])
+                  AS BIGINT) AS re,
+             CAST(SUM({_WAVDUP_S_SQL}
+                      * ({_SPEC_SIN_SQL})[((g.k * g.i) % 16) + 1])
+                  AS BIGINT) AS im
+      FROM fr f,
+           LATERAL (
+             SELECT gf.fi, gk.k, gi.i
+             FROM (SELECT unnest(generate_series(0, f.nf - 1)) AS fi) gf,
+                  (SELECT unnest(generate_series(1, 8)) AS k) gk,
+                  (SELECT unnest(generate_series(0, 15)) AS i) gi
+           ) g
+      GROUP BY f.doc_id, g.fi, g.k
+    ),
+    pw AS (SELECT doc_id, fi, k,
+                  CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im AS p
+           FROM comps),
+    fb AS (SELECT a.doc_id, a.fi,
+                  CAST(SUM(CASE WHEN a.p > b.p
+                                THEN 1 << CAST(a.k - 1 AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS bits
+           FROM pw a JOIN pw b
+             ON b.doc_id = a.doc_id AND b.fi = a.fi AND b.k = a.k + 1
+           GROUP BY a.doc_id, a.fi),
+    wins AS (SELECT f.doc_id, CAST(w.w AS BIGINT) AS win_id,
+                    CAST(SUM(fb.bits << CAST(7 * (fb.fi - w.w) AS INTEGER))
+                         AS BIGINT) AS afp
+             FROM fr f,
+                  LATERAL (SELECT unnest(generate_series(0, f.nf - {mm.CHROMA_FRAMES}))
+                             AS w) w
+             JOIN fb ON fb.doc_id = f.doc_id
+                    AND fb.fi BETWEEN w.w AND w.w + {mm.CHROMA_FRAMES - 1}
+             GROUP BY f.doc_id, w.w)
+"""
+
+
+@register(
+    "multimodal_audio_chromaprint",
+    oracle=f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT doc_id, win_id, afp FROM wins
+    """,
+)
+def multimodal_audio_chromaprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chromaprint-style audio fingerprints (VERDICT r13 "What's
+    missing" #2 — the third modality's near-dedup primitive): per
+    sliding window of 8 DFT frames, a 56-bit fingerprint of
+    adjacent-band energy-delta SIGNS (Haitsma-Kalker 2002 / AcoustID)
+    over the near-dup WAV family store
+    (operators/multimodal.py::decode_wav_chromaprint).
+
+    The oracle replays the PCM family formula, the integer micro-unit
+    DFT, the HUGEINT bin powers, the sign-bit comparisons, and the
+    window bit-composition — every step exact integer arithmetic, so
+    the fingerprints hash-match bit-for-bit.  Payloads are
+    fixture-borne (the v3 media store's wavdup_payload column).
+    Scale: Arrow-batched mapInPandas, ~n_frames rows × one long per
+    clip — the compact-code shape the Hamming banding downstream
+    consumes."""
+    return mm.decode_wav_chromaprint(mm.payload_view(spark, sf_dir, "wavdup"))
+
+
+@register(
+    "dedup_audio_fingerprint_pairs",
+    oracle=f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(MIN(bit_count(xor(a.afp, b.afp))) AS BIGINT) AS min_hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_window_matches
+    FROM wins a JOIN wins b
+      ON a.doc_id < b.doc_id AND bit_count(xor(a.afp, b.afp)) <= 2
+    GROUP BY 1, 2
+    """,
+)
+def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup: clip pairs sharing at least one fingerprint
+    window within Hamming ≤ 2, with the minimum distance and the count
+    of matching window pairs — dedup-per-modality completed (text
+    MinHash/SimHash/winnow, image dHash, now audio).  A re-encoded or
+    single-sample-edited clip keeps most windows' sign bits, so it
+    pairs at distance 0-2 on the windows the edit never touches; the
+    near-dup family fixture (8-doc families of single-sample variants,
+    family count scaling with the corpus so pair output stays linear)
+    gives the path real positives at every fixture scale.
+
+    Scale: the SAME pigeonhole band machinery as the image path
+    (dedup.hamming_band_pairs over a composite doc<<20|window key, 4×14
+    bands, filter-before-distinct) — bucket equi-joins only, never an
+    all-pairs product; the oracle is the independent brute-force
+    all-pairs XOR popcount spec.  Window ids stay below 2^20 (a
+    2-minute clip at 8 kHz is ~60k frames), doc ids below 2^43."""
+    fps = mm.decode_wav_chromaprint(mm.payload_view(spark, sf_dir, "wavdup"))
+    wids = fps.select(
+        (F.shiftleft(F.col("doc_id"), 20) + F.col("win_id")).alias("wid"),
+        "afp",
+    )
+    pairs = dd.hamming_band_pairs(
+        wids, "afp", "wid", max_hamming=2, bands=4, bits=mm.CHROMA_BITS
+    )
+    return (
+        pairs.select(
+            F.shiftright(F.col("id_a"), 20).alias("doc_a"),
+            F.shiftright(F.col("id_b"), 20).alias("doc_b"),
+            "hamming",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("hamming").cast("long").alias("min_hamming"),
+            F.count(F.lit(1)).alias("n_window_matches"),
+        )
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "min_hamming",
+            "n_window_matches",
+        )
+    )
+
+
 @register(
     "multimodal_pgm_decode",
     oracle="""

