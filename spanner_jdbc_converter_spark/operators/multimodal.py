@@ -859,6 +859,42 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
+def _y4m_walk(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse one YUV4MPEG2 container: stream header (W/H/C tokens, C400
+    grayscale required) + FRAME-delimited raw luma planes — the shared
+    walk of decode_y4m_features and decode_y4m_frame_dhash."""
+    data = bytes(payload)
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"  # Y4M default when the C tag is absent
+    for token in data[:nl].decode("ascii").split()[1:]:
+        if token.startswith("W"):
+            w = int(token[1:])
+        elif token.startswith("H"):
+            h = int(token[1:])
+        elif token.startswith("C"):
+            colorspace = token
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C400":
+        raise ValueError(f"only C400 (grayscale) supported: {colorspace}")
+    frame_len = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        eol = data.find(b"\n", pos)
+        if eol < 0 or not data[pos:eol].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        start = eol + 1
+        if start + frame_len > len(data):
+            raise ValueError("truncated frame plane")
+        frames.append(data[start : start + frame_len])
+        pos = start + frame_len
+    return w, h, frames
+
+
 def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
     """REAL video decode: walk each Y4M container — parse the stream
     header (W/H/C tokens per the YUV4MPEG2 spec, C400 grayscale
@@ -896,42 +932,10 @@ def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
                     thumb += block * (tx + 1) * (ty + 1)
             return mean, grad, thumb
 
-        def walk(payload: bytes):
-            data = bytes(payload)
-            nl = data.find(b"\n")
-            if nl < 0 or not data.startswith(b"YUV4MPEG2"):
-                raise ValueError("not a YUV4MPEG2 stream")
-            w = h = None
-            colorspace = "C420"  # Y4M default when the C tag is absent
-            for token in data[:nl].decode("ascii").split()[1:]:
-                if token.startswith("W"):
-                    w = int(token[1:])
-                elif token.startswith("H"):
-                    h = int(token[1:])
-                elif token.startswith("C"):
-                    colorspace = token
-            if w is None or h is None:
-                raise ValueError("Y4M header missing W/H")
-            if colorspace != "C400":
-                raise ValueError(f"only C400 (grayscale) supported: {colorspace}")
-            frame_len = w * h
-            frames = []
-            pos = nl + 1
-            while pos < len(data):
-                eol = data.find(b"\n", pos)
-                if eol < 0 or not data[pos:eol].startswith(b"FRAME"):
-                    raise ValueError("malformed FRAME marker")
-                start = eol + 1
-                if start + frame_len > len(data):
-                    raise ValueError("truncated frame plane")
-                frames.append(data[start : start + frame_len])
-                pos = start + frame_len
-            return w, h, frames
-
         for pdf in batches:
             ids, fidx, nfr, ws, hs, means, grads, thumbs = ([] for _ in range(8))
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, frames = walk(payload)
+                w, h, frames = _y4m_walk(payload)
                 for f in range(0, len(frames), frame_stride):
                     mean, grad, thumb = frame_feats(frames[f], w, h)
                     ids.append(doc_id)
@@ -956,6 +960,87 @@ def decode_y4m_features(df: DataFrame, frame_stride: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+#: Near-dup video family: consecutive blocks of VIDDUP_FAMILY doc ids
+#: view the SAME base timeline through a shifted window — variant
+#: s = doc_id % VIDDUP_FAMILY shows base frames t = s..s+5, so two
+#: variants share all but |Δs| frames EXACTLY and a per-frame
+#: fingerprint containment join finds shifted clips.  Family count
+#: scales with the corpus, family size stays fixed — pair output is
+#: linear in docs and no posting list grows with corpus size.  The
+#: pixel formula multiplies the spatial gradient by an (f, t)-mixed
+#: factor and adds an x·y cross term: purely additive (f, t) terms
+#: would be brightness shifts the dHash is built to IGNORE (the audio
+#: family's sawtooth lesson, same trap).
+VIDDUP_FAMILY = 6
+VIDDUP_FRAMES = 6
+
+
+def _viddup_px(fam: int, t: int, x: int, y: int) -> int:
+    return ((fam * 5 + t) * (13 * x + 31 * y + 7) + x * y) % 256
+
+
+def _synth_dup_video(doc_id: int) -> tuple[int, int, list[bytes]]:
+    """Deterministic shifted-window clip: family f = doc_id // 6 fixes
+    dims (w = 16 + 2·(f mod 8), h = 12 + 2·(f mod 5)) and the base
+    timeline p(x, y, t) = ((5f + t)·(13x + 31y + 7) + x·y) mod 256;
+    variant s = doc_id % 6 emits frames t = s..s+5."""
+    fam = doc_id // VIDDUP_FAMILY
+    s = doc_id % VIDDUP_FAMILY
+    w = 16 + 2 * (fam % 8)
+    h = 12 + 2 * (fam % 5)
+    planes = [
+        bytes(
+            _viddup_px(fam, s + j, x, y) for y in range(h) for x in range(w)
+        )
+        for j in range(VIDDUP_FRAMES)
+    ]
+    return w, h, planes
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("fdhash", T.LongType()),
+    ]
+)
+
+
+def decode_y4m_frame_dhash(df: DataFrame, frame_stride: int = 1) -> DataFrame:
+    """Per-frame perceptual hashes of every stored Y4M clip — (doc_id,
+    frame_index, fdhash): each sampled frame runs through the SAME
+    56-bit dHash as still images (:func:`_dhash56` — thumbnail resize →
+    9×7 grid → neighbor comparisons), making a clip a SET of frame
+    fingerprints.  Clips sharing content — re-encodes, trims, time
+    shifts — share frame hashes exactly, so the containment machinery
+    built for text spans (:func:`dedup.verbatim_span_pairs` with these
+    hashes as the spans input) pairs them without any new join shape.
+
+    Parity: all-integer (the image dHash discipline) — the oracle
+    replays pixel formula → thumbnail → grid → hash per frame.  Scale:
+    Arrow-batched mapInPandas, constant task memory; output is one long
+    per sampled frame, and ``frame_stride`` thins long clips the same
+    way decode_y4m_features does."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = _y4m_walk(payload)
+                for f in range(0, len(frames), frame_stride):
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    hashes.append(_dhash56(w, h, frames[f]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": fidx, "fdhash": hashes},
+                columns=["doc_id", "frame_index", "fdhash"],
+            ).astype({"doc_id": "int64", "frame_index": "int64", "fdhash": "int64"})
+
+    return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1258,8 +1343,9 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 
 #: Media-store schema version — part of the cache key so adding a
 #: payload column invalidates pre-existing stores (v2: + png_payload;
-#: v3: + wavdup_payload, the near-dup audio family).
-_STORE_VERSION = "v3"
+#: v3: + wavdup_payload, the near-dup audio family; v4: +
+#: viddup_payload, the shifted-window near-dup video family).
+_STORE_VERSION = "v4"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -1295,8 +1381,8 @@ def media_store_path(sf_dir: str) -> str:
 
 def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
-    y4m_payload, png_payload, wavdup_payload — all BinaryType),
-    materializing it on first use.
+    y4m_payload, png_payload, wavdup_payload, viddup_payload — all
+    BinaryType), materializing it on first use.
 
     The payloads are the same deterministic doc_id-derived containers the
     attach_* helpers synthesize, so every decode oracle stays valid; the
@@ -1334,6 +1420,10 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             def wavdup(d):
                 return _wav_bytes(_synth_dup_samples(int(d)))
 
+            def viddup(d):
+                w, h, planes = _synth_dup_video(int(d))
+                return _y4m_bytes(w, h, planes)
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -1343,6 +1433,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "y4m_payload": pdf["doc_id"].map(y4m),
                         "png_payload": pdf["doc_id"].map(png),
                         "wavdup_payload": pdf["doc_id"].map(wavdup),
+                        "viddup_payload": pdf["doc_id"].map(viddup),
                     }
                 )
 
@@ -1354,6 +1445,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("y4m_payload", T.BinaryType()),
                 T.StructField("png_payload", T.BinaryType()),
                 T.StructField("wavdup_payload", T.BinaryType()),
+                T.StructField("viddup_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -1436,5 +1528,6 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "y4m": "y4m_payload",
         "png": "png_payload",
         "wavdup": "wavdup_payload",
+        "viddup": "viddup_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))

@@ -1876,6 +1876,123 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The image-dHash oracle chain (pixel formula → thumbnail → 9×7 grid →
 #: 56-bit hash → all-pairs Hamming-≤3 pair set), shared by the pair and
 #: group entries.
+# Near-dup video oracle: replay the shifted-window family
+# (multimodal._synth_dup_video) — pixel formula → 2×2 thumbnail → 9×7
+# grid → per-frame 56-bit dHash — from first principles.  m = 5·fam +
+# (s + j) is the base-timeline frame index as seen by variant s.
+def _viddup_px_sql(xe: str, ye: str) -> str:
+    return (
+        f"((g.fam * 5 + g.s + g.j) * (13 * ({xe}) + 31 * ({ye}) + 7)"
+        f" + ({xe}) * ({ye})) % 256"
+    )
+
+
+_VIDDUP_CTES = f"""vd AS (
+      SELECT doc_id,
+             doc_id // {mm.VIDDUP_FAMILY} AS fam,
+             doc_id % {mm.VIDDUP_FAMILY} AS s,
+             16 + 2 * (doc_id // {mm.VIDDUP_FAMILY} % 8) AS w,
+             12 + 2 * (doc_id // {mm.VIDDUP_FAMILY} % 5) AS h
+      FROM documents
+    ),
+    vgrid AS (
+      SELECT d.doc_id, d.fam, d.s, fj.j, sy.g AS sy, sx.g AS sx,
+             ((sx.g * (d.w // 2)) // 9) AS tx,
+             ((sy.g * (d.h // 2)) // 7) AS ty
+      FROM vd d,
+           LATERAL (SELECT unnest(generate_series(0, {mm.VIDDUP_FRAMES - 1})) AS j) fj,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS g) sy,
+           LATERAL (SELECT unnest(generate_series(0, 8)) AS g) sx
+    ),
+    vt AS (
+      SELECT doc_id, j, sy, sx,
+             (({_viddup_px_sql('2 * g.tx', '2 * g.ty')})
+            + ({_viddup_px_sql('2 * g.tx + 1', '2 * g.ty')})
+            + ({_viddup_px_sql('2 * g.tx', '2 * g.ty + 1')})
+            + ({_viddup_px_sql('2 * g.tx + 1', '2 * g.ty + 1')}))
+             // 4 AS v
+      FROM vgrid g
+    ),
+    vb AS (
+      SELECT doc_id, j, sy, sx, v,
+             LEAD(v) OVER (PARTITION BY doc_id, j, sy ORDER BY sx) AS nxt
+      FROM vt
+    ),
+    vhs AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN nxt > v
+                           THEN CAST(1 AS BIGINT) << (sy * 8 + sx)
+                           ELSE 0 END) AS BIGINT) AS dh
+      FROM vb WHERE sx < 8 GROUP BY doc_id, j
+    )"""
+
+
+@register(
+    "multimodal_video_frame_dhash",
+    oracle=f"""
+    WITH {_VIDDUP_CTES}
+    SELECT doc_id, j AS frame_index, dh AS fdhash FROM vhs
+    """,
+)
+def multimodal_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video fingerprints (VERDICT r13 "What's missing" #3,
+    step 1): every stored near-dup-family Y4M clip decodes to one
+    56-bit dHash PER FRAME (multimodal.decode_y4m_frame_dhash — the
+    image dHash grid composed over the real container frame walk),
+    turning a clip into a set of frame fingerprints.  The oracle
+    replays pixel formula → thumbnail → grid → hash per frame from
+    first principles; everything is integer.  Payloads are
+    fixture-borne (the v4 media store's viddup_payload column).
+    Scale: Arrow-batched mapInPandas, one long per sampled frame."""
+    return mm.decode_y4m_frame_dhash(mm.payload_view(spark, sf_dir, "viddup"))
+
+
+@register(
+    "dedup_video_frame_pairs",
+    oracle=f"""
+    WITH {_VIDDUP_CTES},
+    s AS (SELECT DISTINCT doc_id, dh AS h FROM vhs),
+    n AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id),
+    el AS (SELECT h FROM s GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND {dd.SPAN_MAX_DF}),
+    p AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+                 COUNT(*) AS shared_spans
+          FROM s sa JOIN s sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+          JOIN el ON el.h = sa.h
+          GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.shared_spans,
+           na.n_spans AS n_spans_a, nb.n_spans AS n_spans_b,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / na.n_spans, 6) AS frac_a,
+           ROUND(CAST(p.shared_spans AS DOUBLE) / nb.n_spans, 6) AS frac_b
+    FROM p JOIN n na ON na.doc_id = p.id_a
+           JOIN n nb ON nb.doc_id = p.id_b
+    """,
+)
+def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by shared-frame-fingerprint containment (VERDICT
+    r13 "What's missing" #3, step 2): clip pairs sharing at least one
+    per-frame dHash, with shared counts and per-side containment
+    fractions — a time-shifted or trimmed copy of a clip shares all its
+    surviving frames EXACTLY, so it surfaces with frac near 1 while
+    unrelated clips share nothing.  The shifted-window family fixture
+    (6-doc families viewing one base timeline through sliding starts)
+    gives graded overlaps 1/6..5/6 at every fixture scale.
+
+    Scale: the SAME postings-bounded machinery as the text span family —
+    dedup.verbatim_span_pairs consumes the frame-hash frame as its
+    spans input: one groupBy(hash) shuffle, [2, SPAN_MAX_DF]-capped
+    posting lists, expression-only pair expansion, never quadratic.
+    Family size is fixed, so posting lists stay ~6 regardless of corpus
+    size; output is linear in docs.  Column names keep the span-family
+    contract (spans = frame fingerprints)."""
+    fh = mm.decode_y4m_frame_dhash(mm.payload_view(spark, sf_dir, "viddup"))
+    spans = fh.select("doc_id", F.col("fdhash").alias("__h")).dropDuplicates(
+        ["doc_id", "__h"]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return dd.verbatim_span_pairs(d, spans=spans)
+
+
 _PHASH_CTES = """dims AS (
       SELECT doc_id, 16 + 2 * (doc_id % 8) AS w, 12 + 2 * (doc_id % 5) AS h
       FROM documents

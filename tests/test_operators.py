@@ -2313,6 +2313,49 @@ def test_audio_chromaprint_near_dup_and_degenerates(spark):
     assert by_doc[0][0] == fp
 
 
+def test_video_frame_dhash_finds_shifted_clip(spark):
+    """Video near-dup semantics: a clip that is a time-shifted window of
+    another clip's timeline shares the overlapping frames' dHashes
+    exactly, so the containment pairing surfaces the pair with the
+    right shared count; an unrelated clip pairs with neither; a clip
+    too short for even one frame emits no fingerprints."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    w0, h0, planes0 = mm._synth_dup_video(0)  # family 0, shift 0
+    w2, h2, planes2 = mm._synth_dup_video(2)  # family 0, shift 2
+    assert (w0, h0) == (w2, h2)
+    wx, hx, planesx = mm._synth_dup_video(60)  # family 10, unrelated
+    payloads = [
+        (0, mm._y4m_bytes(w0, h0, planes0)),
+        (2, mm._y4m_bytes(w2, h2, planes2)),
+        (60, mm._y4m_bytes(wx, hx, planesx)),
+        (99, mm._y4m_bytes(w0, h0, [])),  # zero-frame clip
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    fh = mm.decode_y4m_frame_dhash(df)
+    rows = fh.collect()
+    assert not any(r.doc_id == 99 for r in rows)
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_index] = r.fdhash
+    # shift 2: clip 2's frame j shows base frame j+2 = clip 0's frame j+2
+    for j in range(mm.VIDDUP_FRAMES - 2):
+        assert by_doc[2][j] == by_doc[0][j + 2]
+    spans = fh.select("doc_id", F.col("fdhash").alias("__h")).dropDuplicates(
+        ["doc_id", "__h"]
+    )
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 2, 60, 99)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r for r in dd.verbatim_span_pairs(docs, spans=spans).collect()
+    }
+    assert (0, 2) in pairs
+    assert pairs[(0, 2)].shared_spans == mm.VIDDUP_FRAMES - 2
+    assert not any(60 in p for p in pairs), "unrelated clip must not pair"
+
+
 def test_hamming_band_pairs_complete_vs_bruteforce(spark):
     """Pigeonhole completeness, verified: the banded bucket join must
     surface EXACTLY the brute-force Hamming-≤3 pair set (4 bands >
