@@ -82,17 +82,17 @@ _GATE_PRIORITY = [
     "text_boilerplate_scrub",
     "text_bigram_surprisal",
     "text_tokenizer_fertility",
-    "text_bpe_encode",
     # (2) registered in r14 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: select_dsir_importance, text_ngram_novelty,
     # select_pack_bpe_sequences, validate_quality_drift,
-    # text_quality_classifier).
+    # text_quality_classifier, text_bpe_encode).
     "dedup_benchmark_winnow_hits",
     "multimodal_audio_chromaprint",
     "dedup_audio_fingerprint_pairs",
     "multimodal_video_frame_dhash",
     "dedup_video_frame_pairs",
+    "dedup_image_keeper",
 ]
 
 

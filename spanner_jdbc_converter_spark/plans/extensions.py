@@ -2108,13 +2108,117 @@ def dedup_image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean 64 rounds covers ~2^60 nodes, so the budget never needs to
     track corpus growth — hitting it indicates a bug, and the raise is
     the backstop against silently partial groups."""
-    from spanner_jdbc_converter_spark.operators import multimodal as mm
+    return _image_groups(spark, sf_dir)
 
+
+#: Session cache for the image component frame — dedup_image_groups and
+#: dedup_image_keeper consume the identical decode → pair → closure
+#: computation (same keying/eviction discipline as _GROUPS_STORE).
+_IMG_GROUPS_STORE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+    from spanner_jdbc_converter_spark.plans.registry import evict_other_keys
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    evict_other_keys(_IMG_GROUPS_STORE, key, lambda df: df.unpersist())
+    hit = _IMG_GROUPS_STORE.get(key)
+    if hit is not None:
+        return hit
     hashes = mm.decode_pgm_dhash(mm.payload_view(spark, sf_dir, "pgm"))
     pairs = dd.hamming_band_pairs(
         hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
     )
-    return dd.connected_groups(pairs, max_iters=64)
+    groups = dd.connected_groups(pairs, max_iters=64).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        groups.count()  # materialize the one closure computation
+    except BaseException:
+        groups.unpersist()
+        raise
+    _IMG_GROUPS_STORE[key] = groups
+    return groups
+
+
+@register(
+    "dedup_image_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    isym AS (SELECT id_a AS u, id_b AS v FROM ipairs
+             UNION SELECT id_b, id_a FROM ipairs),
+    ireach(u, v) AS (
+        SELECT u, v FROM isym
+        UNION
+        SELECT r.u, s.v FROM ireach r JOIN isym s ON r.v = s.u
+    ),
+    igrp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+             FROM ireach GROUP BY u),
+    ipx AS (
+      SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+             (d.doc_id * 7 + gx.x * 13 + gy.y * 31) % 256 AS p
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy
+    ),
+    ifeat AS (
+      SELECT doc_id, CAST(MAX(w) * MAX(h) AS BIGINT) AS resolution,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(((doc_id * 7 + (x + 1) * 13 + y * 31) % 256) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM ipx GROUP BY doc_id
+    ),
+    ia AS (SELECT f.doc_id, COALESCE(g.group_id, f.doc_id) AS anchor_id,
+                  f.resolution, f.grad_energy
+           FROM ifeat f LEFT JOIN igrp g USING (doc_id))
+    SELECT doc_id, anchor_id, resolution, grad_energy,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY resolution DESC, grad_energy DESC,
+                                       doc_id) = 1 AS keep
+    FROM ia
+    """,
+)
+def dedup_image_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical keeper per image near-dup component (VERDICT r13
+    "What's missing" #4): each image group keeps its highest-RESOLUTION
+    member, sharpest first among resolution ties (horizontal gradient
+    energy — the existing decode feature), min-id as the final
+    tiebreak; images with no near-dup are their own anchors and always
+    keep.  The image-side twin of dedup_quality_keeper: pairs → closure
+    → argmax-by-policy, with image-native quality criteria.
+
+    Scale: the component frame is the session-cached _image_groups
+    shared with dedup_image_groups (one decode → band-pair →
+    star-contraction computation per fixture); features are one
+    constant-memory Arrow decode pass; the keeper decision is a
+    row_number over anchor-partitioned groups — clusters are small, so
+    the window shuffle is the only exchange.  The oracle recomputes the
+    closure (shared dHash pair CTEs), the pixel-formula features, and
+    replays the rank."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    feats = mm.decode_pgm_features(mm.payload_view(spark, sf_dir, "pgm"))
+    g = _image_groups(spark, sf_dir)
+    a = feats.select(
+        "doc_id",
+        (F.col("width") * F.col("height")).cast("long").alias("resolution"),
+        "grad_energy",
+    ).join(g, on="doc_id", how="left")
+    w = Window.partitionBy(F.coalesce("group_id", "doc_id")).orderBy(
+        F.desc("resolution"), F.desc("grad_energy"), F.asc("doc_id")
+    )
+    return a.select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("anchor_id"),
+        "resolution",
+        "grad_energy",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 # PNG oracle fragments: the per-channel pixel formula p(x, y, c) =
