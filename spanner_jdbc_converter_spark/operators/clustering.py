@@ -626,22 +626,6 @@ def power_iteration_pc1(
     )
 
 
-#: Persisted inputs from prior pca2_coords calls, evicted on the NEXT
-#: call (the returned projection frame still references its persisted
-#: input, so eviction must outlive the return — ADVICE r12).
-_PI_LIVE: list = []
-
-
-def _evict_pi_live() -> None:
-    while _PI_LIVE:
-        try:
-            _PI_LIVE.pop().unpersist(blocking=False)
-        except Exception:
-            # a frame whose session already stopped must not poison the
-            # next session's call — the blocks died with the session
-            pass
-
-
 def _pi_rounds(
     x: DataFrame,
     mu: list,
@@ -761,13 +745,15 @@ def pca2_coords(
 
     Scale: 2·iters corpus scans (one per matvec round) + one projection
     scan, every round a map-side fold + 64-key DECIMAL aggregate; the
-    directions ride as literals.  The input stays PERSISTED when this
-    returns — the returned projection frame still reads it (unpersisting
-    here would silently recompute the final scan from source, ADVICE
-    r12); eviction is deferred to the NEXT pca2_coords call in the same
-    session (``_evict_pi_live``), or session end.  Output: (vec_id,
-    pc1_coord, pc2_coord, eig1, eig2)."""
-    _evict_pi_live()
+    directions ride as literals.  The returned projection is
+    MATERIALIZED (stats-reset localCheckpoint — 4 doubles per doc, one
+    job) so the persisted input unpersists before returning: no frame
+    the caller holds ever re-reads the cache, interleaved calls
+    (out1 = pca2_coords(A); out2 = pca2_coords(B); consume out1) are
+    safe, and nothing stays pinned in executor memory between calls —
+    the deferred-eviction global this replaces recomputed out1 from
+    source in exactly that interleaving (ADVICE r13).  Output:
+    (vec_id, pc1_coord, pc2_coord, eig1, eig2)."""
     spark = emb.sparkSession
     out_schema = (
         "vec_id long, pc1_coord double, pc2_coord double,"
@@ -818,12 +804,18 @@ def pca2_coords(
             - F.lit(ck)
         )
 
-    out = x.select(
-        F.col("__id").alias("vec_id"),
-        F.round(proj(v1), 6).alias("pc1_coord"),
-        F.round(proj(v2), 6).alias("pc2_coord"),
-        F.round(F.lit(eig1), 6).alias("eig1"),
-        F.round(F.lit(eig2), 6).alias("eig2"),
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        _stats_reset_checkpoint,
     )
-    _PI_LIVE.append(x)
+
+    out = _stats_reset_checkpoint(
+        x.select(
+            F.col("__id").alias("vec_id"),
+            F.round(proj(v1), 6).alias("pc1_coord"),
+            F.round(proj(v2), 6).alias("pc2_coord"),
+            F.round(F.lit(eig1), 6).alias("eig1"),
+            F.round(F.lit(eig2), 6).alias("eig2"),
+        )
+    )
+    x.unpersist()
     return out

@@ -175,16 +175,18 @@ def ensure_bucketed(
     if os.path.isfile(marker):
         # A completed build of this EXACT content key already exists —
         # re-attach the bucket spec the in-memory catalog forgot.
-        # ADVICE r12: never trust the marker alone — a crash during a
-        # later sweep or manual cleanup can leave the marker while part
-        # files are gone, and adopting that silently yields wrong row
-        # counts.  Validate against the part-file stamp written with the
-        # marker and fall through to a rebuild on any mismatch.
+        # ADVICE r12/r13: never trust the marker alone — a crash during
+        # a later sweep or manual cleanup can leave the marker while
+        # part files are gone, and adopting that silently yields wrong
+        # row counts.  Validate against the part-file stamp written
+        # with the marker; a LEGACY marker with no stamp is equally
+        # unverifiable (it may have lost SOME part files), so it fails
+        # validation too and falls through to the rebuild.
         with open(marker) as fh:
             spec = json.load(fh)
         actual = len(_part_files(loc))
         expected = spec.get("n_part_files")
-        if actual > 0 and (expected is None or actual == expected):
+        if isinstance(expected, int) and expected > 0 and actual == expected:
             spark.sql(
                 f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
                 f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "

@@ -204,12 +204,15 @@ def ingest_documents_near_dedup(
     cross-frame probe, operators/dedup.py::hamming_matches — batch ×
     store, never store × store) is dropped BEFORE the text dedup
     stages — the re-encoded/brightness-shifted duplicate image whose
-    caption was rewritten, which no text fingerprint can catch.  After
-    the append the sidecar RECONCILES like the signature store: every
-    store doc missing from it gets hashed and appended, so it is
-    self-healing and replay-idempotent.  Batch-INTERNAL image dups are
-    deliberately left to the text component keeper — the store probe is
-    the cross-batch contract.
+    caption was rewritten, which no text fingerprint can catch.
+    Batch-INTERNAL image dups are deduped FIRST (ADVICE r13): the
+    batch's own hashes pair through the same pigeonhole banding and
+    each image component keeps its min-id member — two same-batch docs
+    with identical images but NOVEL text (invisible to the text
+    component keeper, since the texts differ) no longer both land in
+    the store.  After the append the sidecar RECONCILES like the
+    signature store: every store doc missing from it gets hashed and
+    appended, so it is self-healing and replay-idempotent.
 
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
@@ -305,6 +308,21 @@ def ingest_documents_near_dedup(
             bh = mm.decode_pgm_dhash(
                 mm.attach_pgm_payload(batch.select("doc_id"))
             )
+            # batch-INTERNAL image near-dedup first (ADVICE r13): two
+            # same-batch docs with perceptually identical images but
+            # NOVEL text pass every text stage (texts differ) — keep the
+            # min-id member of each batch image component, exactly the
+            # keeper policy the text stages apply to their own batch
+            ipairs = dd.hamming_band_pairs(
+                bh, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
+            )
+            internal_drop = (
+                dd.connected_groups(ipairs)
+                .filter(F.col("doc_id") != F.col("group_id"))
+                .select("doc_id")
+            )
+            batch = batch.join(internal_drop, on="doc_id", how="left_anti")
+            bh = bh.join(internal_drop, on="doc_id", how="left_anti")
             if os.path.exists(image_hash_store_path):
                 dup_ids = (
                     dd.hamming_matches(

@@ -683,3 +683,64 @@ def test_k_anonymity_empty_and_single_class(spark):
     rows = {(r.zip, r.seg): (r.class_size, r.k_anonymous)
             for r in vd.k_anonymity_report(one, ["zip", "seg"], k=3).collect()}
     assert rows == {("941", "a"): (5, True), ("942", "b"): (1, False)}
+
+
+def test_k_anonymity_null_quasi_identifiers(spark):
+    """VERDICT r13 #9: NULL-as-class semantics pinned — rows whose
+    quasi-identifier is NULL form their OWN equivalence class (groupBy
+    treats NULL as a key value, matching the release-audit intuition
+    that "zip unknown" is itself a linkable attribute value), never
+    merge with a non-NULL class, and (NULL, x) vs (NULL, y) stay
+    distinct classes."""
+    from spanner_jdbc_converter_spark.operators import validate as vd
+
+    sch = "uid long, zip string, seg string"
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, None, "b"), (4, "941", "a"),
+         (5, "941", "a"), (6, "941", "a")],
+        sch,
+    )
+    rows = {
+        (r.zip, r.seg): (r.class_size, r.k_anonymous)
+        for r in vd.k_anonymity_report(df, ["zip", "seg"], k=3).collect()
+    }
+    assert rows == {
+        (None, "a"): (2, False),
+        (None, "b"): (1, False),
+        ("941", "a"): (3, True),
+    }
+
+
+def test_banding_frontier_truth_mass_zero_band(spark):
+    """VERDICT r13 #9: a report whose TRUTH mass is entirely zero (only
+    sub-threshold candidate mass in band 0.0) must yield recall 0 and
+    F1 0 for every config — never a division error — and still
+    recommend exactly one config (the tie-break)."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+
+    report = spark.createDataFrame(
+        [(0.0, 0, 0, 0.0, 500), (0.5, 0, 0, 0.0, 0), (0.6, 0, 0, 0.0, 0),
+         (0.7, 0, 0, 0.0, 0), (0.8, 0, 0, 0.0, 0), (0.9, 0, 0, 0.0, 0)],
+        "band_lo double, n_true long, n_caught long, catch_rate double, n_cand long",
+    )
+    rows = dd.lsh_banding_frontier(report).orderBy("bands").collect()
+    assert all(r.exp_recall == 0.0 and r.exp_f1 == 0.0 for r in rows)
+    assert all(r.exp_caught == 0.0 for r in rows)
+    assert any(r.exp_fp > 0.0 for r in rows)  # the fp mass still scales
+    assert sum(1 for r in rows if r.recommended) == 1
+
+
+def test_audio_video_fingerprints_empty_inputs(spark):
+    """Empty payload frames flow through both new fingerprint decoders
+    with the right empty schemas (r14 additions)."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    afp = mm.decode_wav_chromaprint(empty)
+    assert afp.count() == 0
+    assert [f.name for f in afp.schema.fields] == ["doc_id", "win_id", "afp"]
+    vfp = mm.decode_y4m_frame_dhash(empty)
+    assert vfp.count() == 0
+    assert [f.name for f in vfp.schema.fields] == [
+        "doc_id", "frame_index", "fdhash",
+    ]

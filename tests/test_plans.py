@@ -887,10 +887,13 @@ def test_pca2_rounds_and_projection_read_cache(spark, sf_dir):
     for plan in plans:
         assert "InMemoryTableScan" in plan, plan
         assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+    # ADVICE r13: the returned projection is a MATERIALIZED checkpoint —
+    # independent of the (already unpersisted) input cache, so consuming
+    # it after a later pca2_coords call can never recompute from source
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     final = out._jdf.queryExecution().explainString(jmode)
-    assert "InMemoryTableScan" in final, final
-    assert "Scan parquet" not in final.split("InMemoryRelation")[0], final
+    assert "Scan ExistingRDD" in final, final
+    assert "Scan parquet" not in final, final
 
 
 def test_audio_fingerprint_pairs_bucketed_never_all_pairs(spark, sf_dir):
