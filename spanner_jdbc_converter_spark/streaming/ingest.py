@@ -96,6 +96,28 @@ def ingest_documents(
     )
 
 
+def _reconcile_image_sidecar(
+    spark, store_path: str, image_hash_store_path: str
+) -> None:
+    """Append a (doc_id, dhash) row for every store doc the image-hash
+    sidecar lacks.  Self-healing: a missing sidecar is rebuilt from the
+    whole store (one decode pass — the same cost the original signing
+    paid); a healthy one costs a doc_id-only anti-join that finds
+    nothing.  Idempotent under replay: the anti-join sees prior rows."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    if not os.path.exists(store_path):
+        return
+    store_docs = spark.read.parquet(store_path).select("doc_id")
+    if os.path.exists(image_hash_store_path):
+        prior = spark.read.parquet(image_hash_store_path).select("doc_id")
+        store_docs = store_docs.join(prior, on="doc_id", how="left_anti")
+    if store_docs.limit(1).count():
+        mm.decode_pgm_dhash(mm.attach_pgm_payload(store_docs)).select(
+            "doc_id", "dhash"
+        ).write.mode("append").parquet(image_hash_store_path)
+
+
 def ingest_documents_near_dedup(
     stream_df: DataFrame,
     store_path: str,
@@ -210,9 +232,13 @@ def ingest_documents_near_dedup(
     each image component keeps its min-id member — two same-batch docs
     with identical images but NOVEL text (invisible to the text
     component keeper, since the texts differ) no longer both land in
-    the store.  After the append the sidecar RECONCILES like the
-    signature store: every store doc missing from it gets hashed and
-    appended, so it is self-healing and replay-idempotent.
+    the store.  The sidecar RECONCILES like the signature store — every
+    store doc missing from it gets hashed and appended — and the
+    reconcile runs BOTH before the probe (a deleted or partial sidecar
+    is rebuilt from the store before the gate consults it, so sidecar
+    loss never opens a one-batch dup window) and after the append (the
+    fresh survivors get signed), making it self-healing and
+    replay-idempotent.
 
     Exactly-once: a replayed batch's docs are already in the store, so
     the exact-fingerprint stage drops every one of them — the append is
@@ -305,6 +331,13 @@ def ingest_documents_near_dedup(
         if image_hash_store_path is not None:
             from spanner_jdbc_converter_spark.operators import multimodal as mm
 
+            # heal-before-probe (VERDICT r13 #9): reconcile the sidecar
+            # against the store FIRST, so a deleted/partial sidecar is
+            # rebuilt before the gate consults it — otherwise the loss
+            # window admits a whole batch of image dups that only the
+            # store hashes could catch.  On a healthy sidecar this costs
+            # one doc_id-only anti-join that finds nothing.
+            _reconcile_image_sidecar(spark, store_path, image_hash_store_path)
             bh = mm.decode_pgm_dhash(
                 mm.attach_pgm_payload(batch.select("doc_id"))
             )
@@ -364,19 +397,9 @@ def ingest_documents_near_dedup(
                 )
         if image_hash_store_path is not None:
             # reconcile the image-hash sidecar exactly like the
-            # signature store: hash every store doc it lacks
-            from spanner_jdbc_converter_spark.operators import multimodal as mm
-
-            store_docs = spark.read.parquet(store_path).select("doc_id")
-            if os.path.exists(image_hash_store_path):
-                prior = spark.read.parquet(image_hash_store_path).select(
-                    "doc_id"
-                )
-                store_docs = store_docs.join(prior, on="doc_id", how="left_anti")
-            if store_docs.limit(1).count():
-                mm.decode_pgm_dhash(mm.attach_pgm_payload(store_docs)).select(
-                    "doc_id", "dhash"
-                ).write.mode("append").parquet(image_hash_store_path)
+            # signature store: hash every store doc it lacks (here,
+            # the batch's fresh survivors)
+            _reconcile_image_sidecar(spark, store_path, image_hash_store_path)
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)

@@ -887,3 +887,53 @@ def test_ingest_near_dedup_drops_image_duplicates(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(hashes).select("doc_id").collect()
     ) == [7, 9]
+
+
+def test_ingest_image_gate_heals_missing_sidecar(spark, tmp_path):
+    """VERDICT r13 #9 degenerate: the image-hash sidecar is DELETED
+    between runs (corruption/loss).  The heal-before-probe reconcile
+    rebuilds it from the store before the gate consults it, so a
+    second-run doc whose image duplicates a STORED doc's is still
+    dropped — without the heal, the missing sidecar would open a
+    one-batch window that admits the dup."""
+    import shutil
+
+    from spanner_jdbc_converter_spark.streaming.ingest import (
+        ingest_documents_near_dedup,
+        read_documents_stream,
+    )
+
+    t1 = " ".join(f"healworda{j:02d}" for j in range(40))
+    t2 = " ".join(f"healwordb{j:02d}" for j in range(40))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    store, hashes = str(tmp_path / "store"), str(tmp_path / "ihashes")
+    spark.createDataFrame(
+        [(7, t1, "en", "s0", len(t1))], schema
+    ).repartition(1).write.parquet(in1 + "/f1.parquet")
+    # doc 7+2560 renders the IDENTICAL image (payload period) with
+    # unrelated text: only the image gate can catch it
+    spark.createDataFrame(
+        [(7 + 2560, t2, "en", "s0", len(t2))], schema
+    ).repartition(1).write.parquet(in2 + "/f1.parquet")
+
+    q = ingest_documents_near_dedup(
+        read_documents_stream(spark, in1), store, str(tmp_path / "ck1"),
+        quality_min=0.0, image_hash_store_path=hashes,
+    )
+    q.awaitTermination()
+    assert [r.doc_id for r in spark.read.parquet(store).collect()] == [7]
+
+    shutil.rmtree(hashes)  # simulate sidecar loss
+
+    q2 = ingest_documents_near_dedup(
+        read_documents_stream(spark, in2), store, str(tmp_path / "ck2"),
+        quality_min=0.0, image_hash_store_path=hashes,
+    )
+    q2.awaitTermination()
+    # the dup was dropped despite the missing sidecar...
+    assert [r.doc_id for r in spark.read.parquet(store).collect()] == [7]
+    # ...and the sidecar was rebuilt to cover the store exactly once
+    assert [
+        r.doc_id for r in spark.read.parquet(hashes).select("doc_id").collect()
+    ] == [7]
