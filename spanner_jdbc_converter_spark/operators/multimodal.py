@@ -542,6 +542,184 @@ def decode_wav_chromaprint(df: DataFrame, window: int = CHROMA_FRAMES) -> DataFr
 WAVDUP_FAMILY = 8
 
 
+#: Samples per audio-segmentation segment (4 spectral frames).
+AUDIOSEG_SEG = 64
+#: Silence gate: a 16-sample frame is silent when its energy Σs² stays
+#: under 16·2048² — peak amplitude below 2048 ≈ −24 dBFS for the frame.
+SILENCE_ENERGY = SPECTRUM_FRAME * 2048 * 2048
+
+
+def _synth_seg_samples(doc_id: int) -> list[int]:
+    """Deterministic tone/silence alternation for the VAD-style
+    segmentation path: n = 320 + 16·(id mod 5) samples in 64-sample
+    segments; segment k is SILENT when (id + k) mod 3 == 0 — s_i =
+    ((i·7) mod 9) − 4, |s| ≤ 4 (room tone, not digital zero) — and
+    otherwise LOUD: s_i = ((id·31 + i·17) mod 65536) − 32768.  Pure
+    integer math an oracle replays exactly; every clip carries 5-7
+    segments so multi-run gaps-and-islands is exercised at every
+    fixture scale."""
+    n = 320 + 16 * (doc_id % 5)
+    return [
+        ((i * 7) % 9) - 4
+        if (doc_id + i // AUDIOSEG_SEG) % 3 == 0
+        else ((doc_id * 31 + i * 17) % 65536) - 32768
+        for i in range(n)
+    ]
+
+
+def decode_wav_frame_energy(df: DataFrame) -> DataFrame:
+    """Per-frame PCM energy — (doc_id, frame_index, energy): each full
+    16-sample frame's Σs², an exact BIGINT (16·32768² < 2^35).  The
+    primitive under silence detection / VAD trimming: energy is
+    threshold-compared downstream as pure integer predicates.
+
+    Parity: integers end-to-end — the oracle replays the PCM formula
+    and the same 16-sample framing.  Scale: Arrow-batched mapInPandas,
+    constant task memory; one long per frame out.  Tail samples beyond
+    the last full frame are dropped (the spectrum contract); n < 16
+    emits nothing for the clip."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, energy = [], [], []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.array(struct.unpack(f"<{n}h", raw), dtype=np.int64)
+                nf = n // SPECTRUM_FRAME
+                if nf == 0:
+                    continue
+                e = (
+                    (s[: nf * SPECTRUM_FRAME] ** 2)
+                    .reshape(nf, SPECTRUM_FRAME)
+                    .sum(axis=1)
+                )
+                ids.extend([int(d)] * nf)
+                fidx.extend(range(nf))
+                energy.extend(int(v) for v in e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": fidx, "energy": energy}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def silence_stats(
+    frames: DataFrame, threshold: int = SILENCE_ENERGY
+) -> DataFrame:
+    """VAD-style silence segmentation over a (doc_id, frame_index,
+    energy) frame: per clip, total/silent frame counts, the number of
+    maximal silent RUNS (gaps-and-islands: frame_index − row_number
+    within the silent subset), the longest run, and the lead/tail trim
+    lengths (a silent run touching the first/last frame — what a
+    trimming pass would cut).  Pure integer predicates against
+    ``threshold``; no floats anywhere.
+
+    Scale: every window and groupBy is keyed by doc_id (plus the
+    derived run id), so the whole report is one hash exchange on clip
+    id; run counts are bounded by frames-per-clip, never corpus size."""
+    from pyspark.sql import Window
+
+    fl = frames.select(
+        "doc_id",
+        "frame_index",
+        (F.col("energy") < F.lit(int(threshold))).alias("silent"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    runs = (
+        fl.filter("silent")
+        .withColumn("__grp", F.col("frame_index") - F.row_number().over(w))
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("frame_index").alias("run_start"),
+            F.max("frame_index").alias("run_end"),
+        )
+    )
+    agg = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.col("silent").cast("long")).cast("long").alias("n_silent"),
+    )
+    rg = (
+        runs.join(agg.select("doc_id", "n_frames"), on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_runs"),
+            F.max("run_len").cast("long").alias("__longest"),
+            F.max(
+                F.when(F.col("run_start") == 0, F.col("run_len")).otherwise(0)
+            )
+            .cast("long")
+            .alias("__lead"),
+            F.max(
+                F.when(
+                    F.col("run_end") == F.col("n_frames") - 1, F.col("run_len")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__tail"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return agg.join(rg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_frames",
+        "n_silent",
+        F.coalesce(F.col("__n_runs"), z).alias("n_runs"),
+        F.coalesce(F.col("__longest"), z).alias("longest_run"),
+        F.coalesce(F.col("__lead"), z).alias("lead_silent"),
+        F.coalesce(F.col("__tail"), z).alias("tail_silent"),
+    )
+
+
+def frame_scene_stats(frames: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Scene-cut detection over a (doc_id, frame_index, fdhash) frame:
+    a CUT is a frame whose perceptual hash sits more than
+    ``max_hamming`` bits from its predecessor (the first frame always
+    opens a scene); scenes are the runs between cuts.  Per clip:
+    frame count, scene count, and the longest scene — the shot
+    structure a sampling/segmentation pass keys on.  All integer
+    (XOR + bit_count on the 56-bit hashes).
+
+    Scale: one doc_id-keyed window (lag + running cut sum) and one
+    grouped count — a single hash exchange on clip id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    prev = F.lag("fdhash").over(w)
+    cut = (
+        prev.isNull()
+        | (F.bit_count(prev.bitwiseXOR(F.col("fdhash"))) > F.lit(int(max_hamming)))
+    ).cast("long")
+    staged = frames.withColumn(
+        "__scene",
+        F.sum(cut).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    scenes = staged.groupBy("doc_id", "__scene").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return scenes.groupBy("doc_id").agg(
+        F.sum("__len").cast("long").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("n_scenes"),
+        F.max("__len").cast("long").alias("longest_scene"),
+    )
+
+
 def _synth_dup_samples(doc_id: int) -> list[int]:
     """Deterministic near-dup PCM: family f = doc_id // 8 picks the base
     clip — n = 200 + 7f mod 100 samples of
@@ -999,6 +1177,33 @@ def _synth_dup_video(doc_id: int) -> tuple[int, int, list[bytes]]:
     return w, h, planes
 
 
+#: Frames per synthetic scene in the scene-cut fixture.
+VIDSCENE_SCENE = 4
+
+
+def _synth_scene_video(doc_id: int) -> tuple[int, int, list[bytes]]:
+    """Deterministic hard-cut clip for scene detection: dims reuse the
+    even-dimension formula (w = 16 + 2·(id mod 8), h = 12 + 2·(id mod
+    5)), n_frames = 12 + id mod 5, and every frame of scene
+    s = t // 4 renders the SAME raster p(x, y) = ((id·9 + 5s + 1)·(13x
+    + 31y + 7) + x·y) mod 256 — so within-scene frame dHash distance is
+    exactly 0 and each cut jumps to an unrelated gradient pattern
+    (tens of bits apart), the hard-cut shape scene detection keys on."""
+    w = 16 + 2 * (doc_id % 8)
+    h = 12 + 2 * (doc_id % 5)
+    n_frames = 12 + doc_id % 5
+    planes = [
+        bytes(
+            ((doc_id * 9 + 5 * (t // VIDSCENE_SCENE) + 1) * (13 * x + 31 * y + 7) + x * y)
+            % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for t in range(n_frames)
+    ]
+    return w, h, planes
+
+
 VIDEO_FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1345,7 +1550,7 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 #: payload column invalidates pre-existing stores (v2: + png_payload;
 #: v3: + wavdup_payload, the near-dup audio family; v4: +
 #: viddup_payload, the shifted-window near-dup video family).
-_STORE_VERSION = "v4"
+_STORE_VERSION = "v5"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -1424,6 +1629,13 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 w, h, planes = _synth_dup_video(int(d))
                 return _y4m_bytes(w, h, planes)
 
+            def audioseg(d):
+                return _wav_bytes(_synth_seg_samples(int(d)))
+
+            def vidscene(d):
+                w, h, planes = _synth_scene_video(int(d))
+                return _y4m_bytes(w, h, planes)
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -1434,6 +1646,8 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "png_payload": pdf["doc_id"].map(png),
                         "wavdup_payload": pdf["doc_id"].map(wavdup),
                         "viddup_payload": pdf["doc_id"].map(viddup),
+                        "audioseg_payload": pdf["doc_id"].map(audioseg),
+                        "vidscene_payload": pdf["doc_id"].map(vidscene),
                     }
                 )
 
@@ -1446,6 +1660,8 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("png_payload", T.BinaryType()),
                 T.StructField("wavdup_payload", T.BinaryType()),
                 T.StructField("viddup_payload", T.BinaryType()),
+                T.StructField("audioseg_payload", T.BinaryType()),
+                T.StructField("vidscene_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -1529,5 +1745,7 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "png": "png_payload",
         "wavdup": "wavdup_payload",
         "viddup": "viddup_payload",
+        "audioseg": "audioseg_payload",
+        "vidscene": "vidscene_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))

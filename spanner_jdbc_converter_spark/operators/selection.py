@@ -387,3 +387,135 @@ def temperature_mix_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def mixture_waterfill(
+    counts: DataFrame,
+    group_col: str = "source",
+    n_col: str = "n_tokens",
+    budget_tokens: int | None = None,
+    cap_epochs_micro: int = 1_200_000,
+) -> DataFrame:
+    """Capped-proportional mixture allocation (water-filling): given
+    per-source token counts, target weights w_s ∝ √n_s (the τ = 0.5
+    temperature reweighting), a total token ``budget_tokens`` (default:
+    23/20 of the corpus — 1.15 epochs' worth), and a per-source repeat
+    cap of ``cap_epochs_micro`` micro-epochs (default 1.2), allocate
+    a_s = min(cap_s, w_s·λ) with λ chosen so Σ a_s equals the budget —
+    the "hit my target mixture without over-epoching small sources"
+    problem every training-mix design solves.  If the budget exceeds
+    Σ cap_s, every source saturates and the total allocation clamps to
+    Σ cap_s (the standard clamp; visible in the output, no hidden
+    renormalization).
+
+    The closed form: sort sources by saturation point λ_s = cap_s/w_s
+    ascending; source j saturates iff cap_j·(W − cumw_j) < w_j·(B −
+    cumcap_j) with EXCLUSIVE prefix sums over that order — a pure
+    window predicate, no iteration.  Unsaturated sources share the
+    leftover in weight proportion.
+
+    Determinism/parity: weights are micro-unit BIGINTs
+    (round(√n·10⁶)), caps are exact integer div, and the saturation
+    predicate cross-multiplies in DECIMAL(38,0) — no division until the
+    final allocation ratio, one IEEE double op rounded at 6 on both
+    engines.  At true 100 TB scale the DECIMAL(38,0) products hold to
+    ~10¹⁹-token corpora per source; beyond that, widen to HUGEINT-class
+    arithmetic.
+
+    Scale: the counts frame is per-SOURCE (metadata-sized) — the
+    ordering window and one-row totals broadcast are planning-scale by
+    construction; nothing here touches row-level data."""
+    c = counts.select(
+        F.col(group_col).alias("source"),
+        F.col(n_col).cast("long").alias("n_tokens"),
+        F.round(F.sqrt(F.col(n_col).cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("weight_micro"),
+        F.expr(f"CAST(({n_col} * {cap_epochs_micro}) DIV 1000000 AS BIGINT)").alias(
+            "cap_tokens"
+        ),
+    )
+    # Everything downstream of the grouped count is PER-SOURCE metadata,
+    # so the totals, the exclusive prefix sums, and the saturated-set
+    # sums are all GLOBAL WINDOWS over the same tiny frame — one lineage,
+    # one data scan, zero joins (a self-referencing aggregate would
+    # recompute the whole scan per branch: four parquet passes measured).
+    # The single-partition window is by construction metadata-sized.
+    lam = F.col("cap_tokens").cast("double") / F.col("weight_micro").cast("double")
+    w_prev = Window.orderBy(lam, "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(lam, "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    zero = F.lit(0).cast("long")
+    budget = (
+        F.expr("CAST((sum(n_tokens) OVER () * 23) DIV 20 AS BIGINT)")
+        if budget_tokens is None
+        else F.lit(int(budget_tokens)).cast("long")
+    )
+    staged = (
+        c.withColumn("__w", F.sum("weight_micro").over(w_all))
+        .withColumn("__b", budget)
+        .withColumn(
+            "__cumcap", F.coalesce(F.sum("cap_tokens").over(w_prev), zero)
+        )
+        .withColumn(
+            "__cumw", F.coalesce(F.sum("weight_micro").over(w_prev), zero)
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap_tokens").cast("decimal(38,0)")
+            * (F.col("__w") - F.col("__cumw")).cast("decimal(38,0)")
+            < F.col("weight_micro").cast("decimal(38,0)")
+            * (F.col("__b") - F.col("__cumcap")).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "__satcap",
+            F.coalesce(
+                F.sum(F.when(F.col("saturated"), F.col("cap_tokens"))).over(
+                    w_all
+                ),
+                zero,
+            ),
+        )
+        .withColumn(
+            "__satw",
+            F.coalesce(
+                F.sum(F.when(F.col("saturated"), F.col("weight_micro"))).over(
+                    w_all
+                ),
+                zero,
+            ),
+        )
+    )
+    alloc = F.when(F.col("saturated"), F.col("cap_tokens").cast("double")).otherwise(
+        F.when(
+            F.col("__w") == F.col("__satw"), F.col("cap_tokens").cast("double")
+        ).otherwise(
+            F.round(
+                F.col("weight_micro").cast("double")
+                * (F.col("__b") - F.col("__satcap")).cast("double")
+                / (F.col("__w") - F.col("__satw")).cast("double"),
+                6,
+            )
+        )
+    )
+    return (
+        staged.withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("alloc_tokens") / F.col("n_tokens").cast("double"), 6
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight_micro",
+            "cap_tokens",
+            "saturated",
+            "alloc_tokens",
+            "epochs",
+        )
+    )

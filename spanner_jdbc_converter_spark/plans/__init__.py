@@ -74,25 +74,28 @@ _GATE_PRIORITY = [
     "dedup_connected_groups",
     "select_leakage_safe_split",
     "dedup_quality_keeper",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "dedup_semantic_clusters",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_boilerplate_scrub",
-    "text_bigram_surprisal",
-    "text_tokenizer_fertility",
     # (2) registered in r14 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: select_dsir_importance, text_ngram_novelty,
     # select_pack_bpe_sequences, validate_quality_drift,
-    # text_quality_classifier, text_bpe_encode).
+    # text_quality_classifier, text_bpe_encode, text_tokenizer_fertility,
+    # text_bigram_surprisal, text_boilerplate_scrub, text_bpe_segment,
+    # text_bpe_merges, dedup_semantic_clusters, sim_mmr_rerank,
+    # sim_hard_negatives).
     "dedup_benchmark_winnow_hits",
     "multimodal_audio_chromaprint",
     "dedup_audio_fingerprint_pairs",
     "multimodal_video_frame_dhash",
     "dedup_video_frame_pairs",
     "dedup_image_keeper",
+    "text_gopher_rules",
+    "dedup_contamination_verdict",
+    "multimodal_audio_silence",
+    "multimodal_video_scenes",
+    "select_mixture_waterfill",
+    "dedup_savings_report",
+    "text_zipf_audit",
+    "text_pii_iban_redact",
 ]
 
 

@@ -395,6 +395,179 @@ def text_pii_ccn_luhn_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IBAN detection: German IBANs are 'DE' + 2 check digits + 18 BBAN
+#: digits, on word boundaries (same regex-dialect rationale as CCN).
+IBAN_PATTERN = r"\bDE\d{20}\b"
+
+#: The 18 BBAN-digit multipliers of the deterministic fixture IBAN
+#: b_i = (c_custkey * IBAN_PRIMES[i]) % 10; the 2 check digits are the
+#: true ISO 7064 mod-97 pair, and custkey % 5 = 0 rows corrupt the LAST
+#: BBAN digit (+1 mod 10) AFTER the check is computed, so validation
+#: has both outcomes to separate.
+IBAN_PRIMES = (3, 7, 11, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67, 71, 73)
+
+#: 'DE' rearranged to digits for mod-97: D=13, E=14.
+_IBAN_DE_DIGITS = (1, 3, 1, 4)
+
+
+def _mod97_fold_sql(digit_exprs: list[str]) -> str:
+    """Horner left-fold ``r = (r*10 + d) % 97`` unrolled over digit
+    expressions — the big-integer mod a 24-digit IBAN needs without ever
+    materializing a >int64 value."""
+    acc = "0"
+    for d in digit_exprs:
+        acc = f"(({acc} * 10 + ({d})) % 97)"
+    return acc
+
+
+def _mod97_fold_col(digit_cols):
+    acc = F.lit(0)
+    for d in digit_cols:
+        acc = (acc * 10 + d) % 97
+    return acc
+
+
+def _iban_fixture_sql() -> str:
+    """Profile text with the deterministic IBAN (or none, custkey%7=1)."""
+    bban = [f"((c_custkey * {p}) % 10)" for p in IBAN_PRIMES]
+    # check = 98 - mod97(BBAN || 'DE' || '00')
+    fold = _mod97_fold_sql(bban + [str(d) for d in _IBAN_DE_DIGITS] + ["0", "0"])
+    check = f"(98 - {fold})"
+    # corrupt the LAST bban digit after the check is fixed
+    shown = bban[:-1] + [
+        f"(({bban[-1]} + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) % 10)"
+    ]
+    digits = " || ".join(f"CAST({d} AS VARCHAR)" for d in shown)
+    iban = f"'DE' || lpad(CAST({check} AS VARCHAR), 2, '0') || {digits}"
+    return (
+        "c_name || CASE WHEN c_custkey % 7 <> 1"
+        f" THEN ' iban ' || {iban} ELSE '' END"
+        " || ' segment ' || c_mktsegment"
+    )
+
+
+def _iban_fixture_col():
+    bban = [(F.col("c_custkey") * p) % 10 for p in IBAN_PRIMES]
+    fold = _mod97_fold_col(
+        bban + [F.lit(d) for d in _IBAN_DE_DIGITS] + [F.lit(0), F.lit(0)]
+    )
+    check = 98 - fold
+    shown = bban[:-1] + [
+        (
+            bban[-1]
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        % 10
+    ]
+    iban = F.concat(
+        F.lit("DE"),
+        F.lpad(check.cast("string"), 2, "0"),
+        *[d.cast("string") for d in shown],
+    )
+    return F.concat(
+        F.col("c_name"),
+        F.when(
+            F.col("c_custkey") % 7 != 1, F.concat(F.lit(" iban "), iban)
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+
+
+def _iban_candidate_sql(cand: str) -> str:
+    """mod-97 of the rearranged candidate (BBAN || 'DE'-digits || check);
+    a non-22-char candidate folds zeros and can never hit 1."""
+    digits = [
+        f"(CASE WHEN length({cand}) = 22"
+        f" THEN CAST(substring({cand}, {4 + i}, 1) AS INT) ELSE 0 END)"
+        for i in range(1, 19)
+    ]
+    digits += [str(d) for d in _IBAN_DE_DIGITS]
+    digits += [
+        f"(CASE WHEN length({cand}) = 22"
+        f" THEN CAST(substring({cand}, {2 + i}, 1) AS INT) ELSE 0 END)"
+        for i in range(1, 3)
+    ]
+    return _mod97_fold_sql(digits)
+
+
+def _iban_candidate_col(cand):
+    digits = [
+        F.when(F.length(cand) == 22, F.substring(cand, 4 + i, 1).cast("int"))
+        .otherwise(F.lit(0))
+        for i in range(1, 19)
+    ]
+    digits += [F.lit(d) for d in _IBAN_DE_DIGITS]
+    digits += [
+        F.when(F.length(cand) == 22, F.substring(cand, 2 + i, 1).cast("int"))
+        .otherwise(F.lit(0))
+        for i in range(1, 3)
+    ]
+    return _mod97_fold_col(digits)
+
+
+@register(
+    "text_pii_iban_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey, {_iban_fixture_sql()} AS profile
+      FROM customer
+    ),
+    c AS (
+      SELECT c_custkey, profile,
+             regexp_extract(profile, '{IBAN_PATTERN}') AS cand,
+             CAST(len(regexp_extract_all(profile, '{IBAN_PATTERN}')) AS BIGINT)
+               AS n_candidates
+      FROM p
+    )
+    SELECT c_custkey, n_candidates,
+           ({_iban_candidate_sql("cand")} = 1) AS iban_valid,
+           CASE WHEN {_iban_candidate_sql("cand")} = 1
+                THEN replace(profile, cand, '[IBAN]')
+                ELSE profile END AS redacted
+    FROM c
+    WHERE n_candidates > 0
+    """,
+)
+def text_pii_iban_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-VALIDATED IBAN redaction: DE-IBAN candidates are gated
+    through the ISO 7064 mod-97 check before masking — the bank-account
+    sibling of the Luhn card gate, completing the checksummed-PII
+    family.  The 24-digit rearranged number exceeds int64, so the check
+    is an unrolled Horner fold ``r = (r*10 + d) % 97`` — the general
+    big-integer-mod technique, still pure codegen integer expressions,
+    zero shuffle, zero UDF, scan-speed at 100 TB.
+
+    The fixture plants a true check pair on most customers and corrupts
+    the last BBAN digit (+1 mod 10, after the check is fixed) on
+    custkey % 5 = 0, so validation provably fires both ways; custkey
+    % 7 = 1 rows carry no candidate and are dropped by the filter."""
+    c = load_table(spark, sf_dir, "customer")
+    profile = _iban_fixture_col()
+    t = c.select(
+        "c_custkey",
+        profile.alias("profile"),
+        F.regexp_extract(profile, IBAN_PATTERN, 0).alias("cand"),
+        F.regexp_count(profile, F.lit(IBAN_PATTERN)).cast("long").alias(
+            "n_candidates"
+        ),
+    )
+    valid = _iban_candidate_col(F.col("cand")) == 1
+    return (
+        t.select(
+            "c_custkey",
+            "n_candidates",
+            valid.alias("iban_valid"),
+            F.when(
+                valid, F.replace(F.col("profile"), F.col("cand"), F.lit("[IBAN]"))
+            )
+            .otherwise(F.col("profile"))
+            .alias("redacted"),
+        )
+        .filter(F.col("n_candidates") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranking — fixed query-term profile, fixed-order score sum.
 # ---------------------------------------------------------------------------

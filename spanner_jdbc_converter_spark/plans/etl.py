@@ -1111,6 +1111,76 @@ def select_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_mixture_waterfill",
+    oracle=f"""
+    WITH f AS (SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
+    p AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM f GROUP BY source),
+    c AS (SELECT source, n_tokens,
+                 CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS weight_micro,
+                 CAST((n_tokens * 1200000) // 1000000 AS BIGINT) AS cap_tokens
+          FROM p),
+    t AS (SELECT SUM(weight_micro) AS w, SUM(cap_tokens) AS cc,
+                 (SUM(n_tokens) * 23) // 20 AS b
+          FROM c),
+    s AS (SELECT c.*, t.w, t.b,
+                 COALESCE(SUM(cap_tokens) OVER (
+                   ORDER BY CAST(cap_tokens AS DOUBLE)
+                            / CAST(weight_micro AS DOUBLE), source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumcap,
+                 COALESCE(SUM(weight_micro) OVER (
+                   ORDER BY CAST(cap_tokens AS DOUBLE)
+                            / CAST(weight_micro AS DOUBLE), source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumw
+          FROM c, t),
+    x AS (SELECT *,
+                 CAST(cap_tokens AS HUGEINT) * (w - cumw)
+                   < CAST(weight_micro AS HUGEINT) * (b - cumcap) AS saturated
+          FROM s),
+    k AS (SELECT COALESCE(SUM(CASE WHEN saturated THEN cap_tokens END), 0)
+                   AS satcap,
+                 COALESCE(SUM(CASE WHEN saturated THEN weight_micro END), 0)
+                   AS satw
+          FROM x),
+    o AS (SELECT source, n_tokens, weight_micro, cap_tokens, saturated,
+                 CASE WHEN saturated THEN CAST(cap_tokens AS DOUBLE)
+                      WHEN w = satw THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE ROUND(CAST(weight_micro AS DOUBLE)
+                                 * CAST(b - satcap AS DOUBLE)
+                                 / CAST(w - satw AS DOUBLE), 6)
+                 END AS alloc_tokens
+          FROM x, k)
+    SELECT source, n_tokens, weight_micro, cap_tokens, saturated,
+           alloc_tokens,
+           ROUND(alloc_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM o
+    """,
+)
+def select_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-proportional mixture allocation: per-source token budgets
+    under a √n temperature target, a 1.15-epoch total budget, and a
+    1.2-epoch per-source repeat cap — water-filling's closed form via
+    one ordered window over the per-source frame (see
+    operators/selection.py::mixture_waterfill for the algebra and the
+    exactness contract).  The allocation-sheet every mixture design
+    produces before sampling rates are set; sources whose cap binds
+    report saturated = true and epochs = 1.2.
+
+    Scale: the grouped count is the only data pass (map-side combine);
+    everything after runs on the per-source metadata frame."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", tx.tokens("text").alias("__toks"))
+        .select("source", F.size("__toks").cast("long").alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").alias("n_tokens"))
+    )
+    return sel.mixture_waterfill(counts, "source", "n_tokens")
+
+
+@register(
     "text_vocab_df",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

@@ -139,6 +139,100 @@ def _quality_select_sql() -> str:
     """
 
 
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tok,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                      AS BIGINT) AS sum_len,
+                 CAST(coalesce(list_sum(list_transform(t,
+                      x -> CASE WHEN regexp_matches(x, '[a-z]')
+                                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+                 CAST(len(list_distinct(list_filter(t,
+                      x -> x IN ({_STOPWORDS_SQL})))) AS BIGINT) AS n_stop_distinct,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + (length(text) - length(replace(text, '...', ''))) // 3
+                      AS BIGINT) AS n_sym
+          FROM tk)
+    SELECT doc_id, n_tok,
+           n_tok BETWEEN 50 AND 100000 AS r_word_count,
+           3 * n_tok <= sum_len AND sum_len <= 10 * n_tok AS r_mean_word_len,
+           5 * n_alpha >= 4 * n_tok AS r_alpha_frac,
+           n_stop_distinct >= 2 AS r_stopwords,
+           10 * n_sym <= n_tok AS r_symbol_ratio,
+           (n_tok BETWEEN 50 AND 100000)
+             AND 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+             AND 5 * n_alpha >= 4 * n_tok
+             AND n_stop_distinct >= 2
+             AND 10 * n_sym <= n_tok AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule bundle (Rae et al. 2021, "Scaling
+    Language Models" §A.1.1, the MassiveText filters) — the per-doc
+    rule card repetition/quality scores don't give: word count in
+    [50, 100000], mean word length in [3, 10], ≥80% of words contain an
+    alphabetic character, ≥2 distinct required stopwords present, and
+    symbol-to-word ratio ('#' and '...') ≤ 0.1.  The line-shape rules
+    (bullet/ellipsis line fractions) need line structure the fixture
+    text doesn't carry and are deliberately out of scope here.
+
+    Every ratio rule is cross-multiplied to integer predicates (3n ≤
+    Σlen ≤ 10n, 5·n_alpha ≥ 4n, 10·n_sym ≤ n) — exact on both engines,
+    no float thresholds.  Scale: one staged token array per doc, pure
+    codegen expressions, zero shuffles — the rule card is a projection."""
+    stops = list(tx._STOPWORDS)
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "text",
+        tx.tokens("text").alias("__t"),
+    ).select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tok"),
+        F.aggregate(
+            "__t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.filter("__t", lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_distinct(F.filter("__t", lambda x: x.isin(stops))))
+        .cast("long")
+        .alias("n_stop_distinct"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("n_sym"),
+    )
+    r_wc = F.col("n_tok").between(50, 100000)
+    r_mwl = (3 * F.col("n_tok") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_tok")
+    )
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
+    r_stop = F.col("n_stop_distinct") >= 2
+    r_sym = 10 * F.col("n_sym") <= F.col("n_tok")
+    return m.select(
+        "doc_id",
+        "n_tok",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_frac"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_sym).alias("passes"),
+    )
+
+
 @register("text_quality_scores", oracle=_quality_select_sql())
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score (length band + stopword density −
@@ -609,6 +703,72 @@ def dedup_benchmark_winnow_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_contamination_verdict",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    es AS (SELECT DISTINCT doc_id, {md5_long_sql("span")} AS h
+           FROM (SELECT doc_id, unnest({_spans_sql(dd.SPAN_NGRAM)}) AS span
+                 FROM tk WHERE len(t) >= {dd.SPAN_NGRAM})),
+    eb AS (SELECT DISTINCT h FROM es WHERE doc_id % 7 = 0),
+    wb AS (SELECT DISTINCT h FROM s WHERE doc_id % 7 = 0),
+    eh AS (SELECT es.doc_id, CAST(COUNT(eb.h) AS BIGINT) AS n
+           FROM es LEFT JOIN eb ON es.h = eb.h
+           WHERE es.doc_id % 7 <> 0 GROUP BY 1),
+    wh AS (SELECT s.doc_id, CAST(COUNT(wb.h) AS BIGINT) AS n
+           FROM s LEFT JOIN wb ON s.h = wb.h
+           WHERE s.doc_id % 7 <> 0 GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(eh.n, 0) AS n_exact_hits,
+           COALESCE(wh.n, 0) AS n_fuzzy_hits,
+           CASE WHEN COALESCE(eh.n, 0) >= 1 THEN 'drop'
+                WHEN COALESCE(wh.n, 0) >= 2 THEN 'review'
+                ELSE 'keep' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+    LEFT JOIN eh ON eh.doc_id = d.doc_id
+    LEFT JOIN wh ON wh.doc_id = d.doc_id
+    """,
+)
+def dedup_contamination_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DECISION sheet: exact 32-gram hits and fuzzy
+    winnow-fingerprint hits against the benchmark stand-in, unified per
+    corpus doc into the policy a release pipeline applies — verbatim
+    evidence (≥1 exact hit) is 'drop', near-verbatim evidence (≥2
+    fingerprint hits — a single shared 7-word idiom is weak, two
+    independent shared runs are not, and a copied passage fires dozens)
+    is 'review', everything else 'keep'.  Every
+    corpus doc gets a row (short docs below the 32-gram floor have no
+    exact spans but still fingerprint — the fuzzy gate covers them).
+
+    Scale: both probe frames are the session-cached span/winnow passes
+    shared with their own entries; the verdict adds two doc-keyed
+    left joins and a projection — nothing rescans text."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 7 == 0
+    exact = dd.benchmark_span_hits(
+        d, is_bench, spans=_span_hash_frame(spark, sf_dir)
+    ).select("doc_id", F.col("n_hits").alias("__ne"))
+    fuzzy = dd.benchmark_span_hits(
+        d, is_bench, spans=_winnow_frame(spark, sf_dir)
+    ).select("doc_id", F.col("n_hits").alias("__nf"))
+    base = d.filter(~is_bench).select("doc_id")
+    ne = F.coalesce(F.col("__ne"), F.lit(0)).cast("long")
+    nf = F.coalesce(F.col("__nf"), F.lit(0)).cast("long")
+    return (
+        base.join(exact, on="doc_id", how="left")
+        .join(fuzzy, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            ne.alias("n_exact_hits"),
+            nf.alias("n_fuzzy_hits"),
+            F.when(ne >= 1, F.lit("drop"))
+            .when(nf >= 2, F.lit("review"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -1031,6 +1191,71 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH RECURSIVE {_closure_ctes()},
+    tk AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
+    a AS (SELECT tk.doc_id,
+                 COALESCE(g.group_id, tk.doc_id) AS anchor_id,
+                 tk.n
+          FROM tk LEFT JOIN grp g ON g.doc_id = tk.doc_id),
+    c AS (SELECT anchor_id,
+                 COUNT(*) AS group_size,
+                 SUM(n) AS tokens_total,
+                 SUM(CASE WHEN doc_id <> anchor_id THEN n ELSE 0 END)
+                   AS tokens_dropped
+          FROM a GROUP BY anchor_id)
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(group_size - 1) AS BIGINT) AS n_dropped_docs,
+           CAST(SUM(tokens_total) AS BIGINT) AS tokens_total,
+           CAST(SUM(tokens_dropped) AS BIGINT) AS tokens_dropped
+    FROM c GROUP BY group_size
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SAVINGS sheet: component-size histogram of the text
+    near-dup closure with doc and token drop totals per size — the
+    "what does dedup buy us" number a curation review asks for before
+    committing to a keeper policy (unique docs are size-1 components
+    with zero savings, so the histogram covers the whole corpus and the
+    size-1 row doubles as the uniqueness count).  Keeper = the min-id
+    anchor, matching dedup_survivor_docs.
+
+    Scale: token counts are an expression projection; the component
+    frame is the session-cached _near_dup_groups shared with the keeper
+    entries (one banding pass per fixture); both groupBys are keyed on
+    anchor/size — component-bounded, never corpus-wide state."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", tx.token_count("text").cast("long").alias("__n")
+    )
+    g = _near_dup_groups(spark, sf_dir)
+    a = tk.join(g, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("anchor_id"),
+        "__n",
+    )
+    c = a.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.sum("__n").alias("__tok"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("anchor_id"), F.col("__n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__tokdrop"),
+    )
+    return c.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("group_size").cast("long").alias("n_docs"),
+        F.sum(F.col("group_size") - 1).cast("long").alias("n_dropped_docs"),
+        F.sum("__tok").cast("long").alias("tokens_total"),
+        F.sum("__tokdrop").cast("long").alias("tokens_dropped"),
     )
 
 
@@ -1811,6 +2036,66 @@ def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_audio_silence",
+    oracle=f"""
+    WITH sg AS (SELECT doc_id, 20 + doc_id % 5 AS nf FROM documents),
+    fr AS (SELECT doc_id, f.j AS frame_index
+           FROM sg, LATERAL (SELECT unnest(range(0, nf)) AS j) f),
+    sm AS (SELECT doc_id, frame_index,
+                  CASE WHEN (doc_id + (frame_index * 16 + i.k) // {mm.AUDIOSEG_SEG}) % 3 = 0
+                       THEN ((frame_index * 16 + i.k) * 7) % 9 - 4
+                       ELSE (doc_id * 31 + (frame_index * 16 + i.k) * 17) % 65536 - 32768
+                  END AS s
+           FROM fr, LATERAL (SELECT unnest(range(0, 16)) AS k) i),
+    en AS (SELECT doc_id, frame_index, SUM(s * s) AS energy
+           FROM sm GROUP BY 1, 2),
+    fl AS (SELECT doc_id, frame_index,
+                  energy < {mm.SILENCE_ENERGY} AS silent FROM en),
+    rn AS (SELECT doc_id, frame_index,
+                  frame_index - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                   ORDER BY frame_index) AS grp
+           FROM fl WHERE silent),
+    r AS (SELECT doc_id, grp, COUNT(*) AS run_len,
+                 MIN(frame_index) AS run_start, MAX(frame_index) AS run_end
+          FROM rn GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent
+          FROM fl GROUP BY 1),
+    g AS (SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                 CAST(MAX(run_len) AS BIGINT) AS longest_run,
+                 CAST(MAX(CASE WHEN run_start = 0 THEN run_len ELSE 0 END)
+                      AS BIGINT) AS lead_silent,
+                 CAST(MAX(CASE WHEN run_end = a.n_frames - 1 THEN run_len
+                          ELSE 0 END) AS BIGINT) AS tail_silent
+          FROM r JOIN a ON a.doc_id = r.doc_id GROUP BY 1)
+    SELECT a.doc_id, a.n_frames, a.n_silent,
+           COALESCE(g.n_runs, 0) AS n_runs,
+           COALESCE(g.longest_run, 0) AS longest_run,
+           COALESCE(g.lead_silent, 0) AS lead_silent,
+           COALESCE(g.tail_silent, 0) AS tail_silent
+    FROM a LEFT JOIN g ON g.doc_id = a.doc_id
+    """,
+)
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation (VAD trimming's measurement pass) over the
+    segmented-audio store: REAL WAV decode → per-16-sample-frame Σs²
+    (exact BIGINT) → integer threshold at −24 dBFS peak-equivalent →
+    gaps-and-islands run stats per clip (multimodal.silence_stats).
+    The audioseg fixture alternates 64-sample tone/silence segments
+    ((id + seg) mod 3 picks silent), so every clip exercises multi-run
+    segmentation; the oracle replays PCM formula → framing → energy →
+    runs from first principles.  Note the gate is ENERGY, not the
+    fixture's segment label: a loud segment whose ramp crosses the
+    ±2048 zero band reads silent — the honest VAD semantics.
+
+    Scale: Arrow-batched decode (constant task memory), then one
+    doc_id-keyed exchange for windows and counts."""
+    fe = mm.decode_wav_frame_energy(mm.payload_view(spark, sf_dir, "audioseg"))
+    return mm.silence_stats(fe)
+
+
+@register(
     "multimodal_pgm_decode",
     oracle="""
     WITH base AS (
@@ -2144,6 +2429,95 @@ def _image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
     _IMG_GROUPS_STORE[key] = groups
     return groups
+
+
+def _vidscene_px_sql(xe: str, ye: str) -> str:
+    return (
+        f"((g.doc_id * 9 + 5 * (g.j // {mm.VIDSCENE_SCENE}) + 1)"
+        f" * (13 * ({xe}) + 31 * ({ye}) + 7) + ({xe}) * ({ye})) % 256"
+    )
+
+
+_VIDSCENE_CTES = f"""vs AS (
+      SELECT doc_id,
+             16 + 2 * (doc_id % 8) AS w,
+             12 + 2 * (doc_id % 5) AS h,
+             12 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    sgrid AS (
+      SELECT d.doc_id, fj.j, sy.g AS sy, sx.g AS sx,
+             ((sx.g * (d.w // 2)) // 9) AS tx,
+             ((sy.g * (d.h // 2)) // 7) AS ty
+      FROM vs d,
+           LATERAL (SELECT unnest(range(0, d.nf)) AS j) fj,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS g) sy,
+           LATERAL (SELECT unnest(generate_series(0, 8)) AS g) sx
+    ),
+    st AS (
+      SELECT doc_id, j, sy, sx,
+             (({_vidscene_px_sql('2 * g.tx', '2 * g.ty')})
+            + ({_vidscene_px_sql('2 * g.tx + 1', '2 * g.ty')})
+            + ({_vidscene_px_sql('2 * g.tx', '2 * g.ty + 1')})
+            + ({_vidscene_px_sql('2 * g.tx + 1', '2 * g.ty + 1')}))
+             // 4 AS v
+      FROM sgrid g
+    ),
+    sb AS (
+      SELECT doc_id, j, sy, sx, v,
+             LEAD(v) OVER (PARTITION BY doc_id, j, sy ORDER BY sx) AS nxt
+      FROM st
+    ),
+    shs AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN nxt > v
+                           THEN CAST(1 AS BIGINT) << (sy * 8 + sx)
+                           ELSE 0 END) AS BIGINT) AS dh
+      FROM sb WHERE sx < 8 GROUP BY doc_id, j
+    )"""
+
+
+@register(
+    "multimodal_video_scenes",
+    oracle=f"""
+    WITH {_VIDSCENE_CTES},
+    lg AS (SELECT doc_id, j, dh,
+                  LAG(dh) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+           FROM shs),
+    ct AS (SELECT doc_id, j,
+                  CASE WHEN prev IS NULL
+                            OR bit_count(xor(prev, dh)) > 8
+                       THEN 1 ELSE 0 END AS cut
+           FROM lg),
+    sc AS (SELECT doc_id, j,
+                  SUM(cut) OVER (PARTITION BY doc_id ORDER BY j
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS scene
+           FROM ct),
+    sl AS (SELECT doc_id, scene, COUNT(*) AS len
+           FROM sc GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(len) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes,
+           CAST(MAX(len) AS BIGINT) AS longest_scene
+    FROM sl GROUP BY doc_id
+    """,
+)
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the hard-cut video store: per-frame
+    56-bit dHash (the image grid over the real Y4M frame walk) → lag
+    Hamming distance per clip → cut when > 8 bits → scene runs and the
+    per-clip shot card (multimodal.frame_scene_stats).  The vidscene
+    fixture renders identical frames within each 4-frame scene and an
+    unrelated gradient pattern at each cut, so within-scene distance is
+    exactly 0 and every cut fires; the oracle replays pixel → thumbnail
+    → grid → hash → lag → running cut sum, all integer.
+
+    Scale: the decode is Arrow-batched constant-memory; the detection
+    is one doc_id-keyed window + grouped count — a single clip-id
+    exchange, no joins."""
+    fh = mm.decode_y4m_frame_dhash(mm.payload_view(spark, sf_dir, "vidscene"))
+    return mm.frame_scene_stats(fh)
 
 
 @register(

@@ -2592,3 +2592,94 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TEXTRANK_TOPK)
         .select(F.col("node").alias("keyword"), "rank")
     )
+
+
+@register(
+    "text_zipf_audit",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tf AS (SELECT token, COUNT(*) AS c
+           FROM (SELECT unnest(t) AS token FROM tk) GROUP BY token),
+    r AS (SELECT token, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk
+          FROM tf),
+    l AS (SELECT CAST(ROUND(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+          FROM r WHERE rk <= 50),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          FROM l)
+    SELECT n AS n_terms,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 OR n = 0 THEN NULL
+                ELSE ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                            * sx) / n, 6)
+           END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: OLS of ln(count) on ln(rank) over the
+    top-50 terms — slope near −1 is the natural-language signature;
+    synthetic, templated, or spammy corpora flatten or steepen it, so
+    the slope (with r² as the fit check) is a one-row corpus-health
+    probe.
+
+    Determinism: each ln is rounded at 6 and fixed as DECIMAL(12,6);
+    the five moment sums are exact DECIMAL folds (order-free); the
+    slope/intercept/r² ratios are fixed-order double expressions off
+    those exact sums, rounded at 6 — the PMI/OLS discipline.
+
+    Scale: one token-keyed grouped count (map-side combine); the
+    ranking window runs over the VOCAB-sized aggregate and the moment
+    fold over 50 rows — metadata scale past the first exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50)
+    logs = top.select(
+        F.round(F.log(F.col("rk").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("y"),
+    )
+    s = logs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # a degenerate vocabulary (n < 2, or all-equal ranks) zeroes a
+    # denominator: NULL beats an engine-dependent 0/0 (NaN vs error)
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.when(den != 0, F.round(num / den, 6)).alias("slope"),
+        F.when(
+            (den != 0) & (n != 0),
+            F.round((F.col("sy") - (num / den) * F.col("sx")) / n, 6),
+        ).alias("intercept"),
+        F.when(den * deny != 0, F.round((num * num) / (den * deny), 6)).alias(
+            "r2"
+        ),
+    )

@@ -744,3 +744,85 @@ def test_audio_video_fingerprints_empty_inputs(spark):
     assert [f.name for f in vfp.schema.fields] == [
         "doc_id", "frame_index", "fdhash",
     ]
+
+
+def test_mixture_waterfill_semantics_and_empty(spark):
+    """Saturation semantics pinned on a skewed hand frame: the small
+    source's 1.2-epoch cap binds (√n upweights it past the cap), the
+    large source takes the leftover, and the total allocation meets the
+    budget.  Empty counts → empty output, right schema.  Budget beyond
+    Σcap → every source saturates and the total clamps to Σcap."""
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    sch = "source string, n_tokens long"
+    counts = spark.createDataFrame(
+        [("tiny", 100), ("big", 10000)], sch
+    )
+    out = {r.source: r for r in sel.mixture_waterfill(counts).collect()}
+    assert out["tiny"].saturated and not out["big"].saturated
+    assert out["tiny"].alloc_tokens == float(out["tiny"].cap_tokens) == 120.0
+    # budget = 23/20 of 10100 = 11615; big takes the rest
+    assert abs(out["big"].alloc_tokens - (11615 - 120)) < 1e-6
+    assert abs(out["big"].epochs - round(11495 / 10000, 6)) < 1e-9
+    # epochs never exceed the cap
+    assert all(r.epochs <= 1.2 + 1e-9 for r in out.values())
+
+    empty = sel.mixture_waterfill(spark.createDataFrame([], sch))
+    assert empty.count() == 0
+    assert set(empty.columns) == {
+        "source", "n_tokens", "weight_micro", "cap_tokens",
+        "saturated", "alloc_tokens", "epochs",
+    }
+
+    clamp = {
+        r.source: r
+        for r in sel.mixture_waterfill(counts, budget_tokens=50000).collect()
+    }
+    assert all(r.saturated for r in clamp.values())
+    assert sum(r.alloc_tokens for r in clamp.values()) == 120 + 12000
+
+
+def test_silence_and_scene_stats_degenerate(spark):
+    """Hand-frame run/scene semantics plus empties: a clip that is all
+    silence is one full-length run with lead == tail == n; a one-frame
+    clip is one scene; empty inputs stay empty with the full schema."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    esch = "doc_id long, frame_index long, energy long"
+    rows = [
+        # doc 1: S S L L S -> runs [0-1],[4]: n_runs 2, longest 2
+        (1, 0, 0), (1, 1, 5), (1, 2, 10**9), (1, 3, 10**9), (1, 4, 100),
+        # doc 2: all silent
+        (2, 0, 1), (2, 1, 2), (2, 2, 3),
+        # doc 3: no silence
+        (3, 0, 10**9),
+    ]
+    out = {
+        r.doc_id: r
+        for r in mm.silence_stats(spark.createDataFrame(rows, esch)).collect()
+    }
+    assert (out[1].n_runs, out[1].longest_run) == (2, 2)
+    assert (out[1].lead_silent, out[1].tail_silent) == (2, 1)
+    assert (out[2].n_silent, out[2].n_runs, out[2].lead_silent,
+            out[2].tail_silent) == (3, 1, 3, 3)
+    assert (out[3].n_silent, out[3].n_runs, out[3].longest_run) == (0, 0, 0)
+    assert mm.silence_stats(spark.createDataFrame([], esch)).count() == 0
+
+    fsch = "doc_id long, frame_index long, fdhash long"
+    frames = [
+        # doc 1: identical, identical, far (> 8 bits), identical
+        (1, 0, 0), (1, 1, 0), (1, 2, (1 << 9) - 1), (1, 3, (1 << 9) - 1),
+        # doc 2: a single frame is a single scene
+        (2, 0, 42),
+    ]
+    sc = {
+        r.doc_id: r
+        for r in mm.frame_scene_stats(
+            spark.createDataFrame(frames, fsch)
+        ).collect()
+    }
+    assert (sc[1].n_scenes, sc[1].longest_scene) == (2, 2)
+    assert (sc[2].n_frames, sc[2].n_scenes) == (1, 1)
+    empty = mm.frame_scene_stats(spark.createDataFrame([], fsch))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "n_frames", "n_scenes", "longest_scene"}

@@ -964,3 +964,88 @@ def test_unigram_pieces_served_from_session_cache(spark, sf_dir):
     _unigram_frames(spark, sf_dir)
     plan = _plan(spark, "text_unigram_lm_pieces", sf_dir)
     assert "InMemoryTableScan" in plan.split("InMemoryRelation")[0]
+
+
+def test_gopher_rules_zero_shuffle_codegen(spark, sf_dir):
+    """The rule card is a projection: every ratio rule is a
+    cross-multiplied integer predicate — zero exchanges, no joins."""
+    head = _plan(spark, "text_gopher_rules", sf_dir).split("\n\n")[0]
+    assert "Exchange" not in head
+    assert "Join" not in head
+    assert "BatchEvalPython" not in head  # expressions, not Python UDFs
+
+
+def test_audio_silence_single_clip_exchange(spark, sf_dir):
+    """Decode feeds doc_id-keyed windows and counts: the report is a
+    couple of doc_id exchanges over a one-long-per-frame frame — no
+    joins wider than the per-clip aggregates, no cartesian."""
+    head = _plan(spark, "multimodal_audio_silence", sf_dir).split("\n\n")[0]
+    assert "CartesianProduct" not in head
+    assert "BroadcastNestedLoopJoin" not in head
+    assert "ArrowEvalPython" in head or "MapInPandas" in head  # Arrow decode
+
+
+def test_video_scenes_single_clip_exchange_no_joins(spark, sf_dir):
+    """Scene detection is window + grouped count on doc_id: zero joins,
+    one clip-id exchange chain (AQE may add wrappers)."""
+    head = _plan(spark, "multimodal_video_scenes", sf_dir).split("\n\n")[0]
+    assert "Join" not in head
+    assert "CartesianProduct" not in head
+
+
+def test_contamination_verdict_reuses_cached_passes(spark, sf_dir):
+    """The verdict composes the session-cached span + winnow frames:
+    the corpus text is NOT re-shingled — at most the base doc_id
+    projection reads documents parquet; the probe sides come from
+    InMemoryTableScan."""
+    QUERIES["dedup_benchmark_span_hits"](spark, sf_dir).count()
+    QUERIES["dedup_benchmark_winnow_hits"](spark, sf_dir).count()
+    head = _plan(spark, "dedup_contamination_verdict", sf_dir).split("\n\n")[0]
+    assert head.count("InMemoryTableScan") >= 2
+    # documents parquet appears only for the base/verify projections,
+    # never for a full re-shingle (the shingle pass would show regexp
+    # splits over a parquet scan)
+    assert "CartesianProduct" not in head
+
+
+def test_mixture_waterfill_metadata_scale(spark, sf_dir):
+    """One data pass (the grouped token count); everything downstream —
+    totals, exclusive prefix sums, saturated-set sums — is global
+    windows over the per-source metadata frame: ONE parquet scan, zero
+    joins (the self-referencing-aggregate alternative measured four
+    full scans)."""
+    head = _plan(spark, "select_mixture_waterfill", sf_dir).split("\n\n")[0]
+    assert head.count("Scan parquet") == 1  # documents read once
+    assert "Join" not in head
+    assert "CartesianProduct" not in head
+
+
+def test_iban_redact_is_shuffle_free_codegen(spark, sf_dir):
+    """The mod-97 Horner fold is unrolled integer expressions over
+    substring digits — zero exchanges, zero joins, zero Python (the
+    Luhn discipline at 24-digit length)."""
+    head = _plan(spark, "text_pii_iban_redact", sf_dir).split("\n\n")[0]
+    assert "Exchange" not in head
+    assert "Join" not in head
+    assert "BatchEvalPython" not in head
+
+
+def test_savings_report_reuses_cached_groups(spark, sf_dir):
+    """The component frame must come from the session-cached
+    _near_dup_groups (InMemoryTableScan), not a fresh banding pass:
+    documents parquet is read once for the token projection."""
+    QUERIES["dedup_quality_keeper"](spark, sf_dir).count()  # warm the cache
+    head = _plan(spark, "dedup_savings_report", sf_dir).split("\n\n")[0]
+    assert "InMemoryTableScan" in head
+    assert head.count("Scan parquet") == 1
+    assert "CartesianProduct" not in head
+
+
+def test_zipf_audit_windows_over_vocab_not_corpus(spark, sf_dir):
+    """One corpus pass (the token grouped count); the ranking window
+    and moment fold run over the vocab-sized aggregate — no SMJ, no
+    cartesian, a single parquet scan."""
+    head = _plan(spark, "text_zipf_audit", sf_dir).split("\n\n")[0]
+    assert head.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in head
+    assert "CartesianProduct" not in head
