@@ -71,9 +71,6 @@ _GATE_PRIORITY = [
     "text_bpe_tokens_fingerprint",
     "dedup_benchmark_span_hits",
     "dedup_span_contamination",
-    "dedup_connected_groups",
-    "select_leakage_safe_split",
-    "dedup_quality_keeper",
     # (2) registered in r14 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: select_dsir_importance, text_ngram_novelty,
@@ -81,7 +78,8 @@ _GATE_PRIORITY = [
     # text_quality_classifier, text_bpe_encode, text_tokenizer_fertility,
     # text_bigram_surprisal, text_boilerplate_scrub, text_bpe_segment,
     # text_bpe_merges, dedup_semantic_clusters, sim_mmr_rerank,
-    # sim_hard_negatives).
+    # sim_hard_negatives, dedup_quality_keeper, select_leakage_safe_split,
+    # dedup_connected_groups).
     "dedup_benchmark_winnow_hits",
     "multimodal_audio_chromaprint",
     "dedup_audio_fingerprint_pairs",
@@ -96,6 +94,9 @@ _GATE_PRIORITY = [
     "dedup_savings_report",
     "text_zipf_audit",
     "text_pii_iban_redact",
+    "pipeline_source_report",
+    "text_heaps_audit",
+    "events_top_paths",
 ]
 
 

@@ -1091,3 +1091,59 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_score.alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).cast("long").alias("segment"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events),
+    p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS c
+          FROM s WHERE e3 IS NOT NULL GROUP BY 1),
+    r AS (SELECT path, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, path) AS rk
+          FROM p)
+    SELECT path, CAST(c AS BIGINT) AS n_occurrences,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common 3-event sequences across all
+    user timelines (consecutive by exact (µs, event_id) order) — the
+    "what do users actually do" view funnels presuppose: funnels test a
+    HYPOTHESIZED sequence, this surfaces the dominant ones to
+    hypothesize about.
+
+    Scale: one user_id window (the sessionization exchange) builds the
+    sliding trigrams; the path groupBy is event-type-trigram-keyed
+    (vocabulary-bounded, map-side combinable); the top-10 window runs
+    over the path-vocabulary aggregate, never the data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = s.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy(F.desc("c"), F.asc("path"))
+    return (
+        p.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "path",
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

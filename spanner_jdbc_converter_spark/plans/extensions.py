@@ -139,6 +139,55 @@ def _quality_select_sql() -> str:
     """
 
 
+def _gopher_metric_cols() -> list:
+    """The five Gopher rule METRICS off a staged (text, __t) projection —
+    shared by the rule-card entry and the per-source dashboard so both
+    compute them inside one documents scan."""
+    stops = list(tx._STOPWORDS)
+    return [
+        F.size("__t").cast("long").alias("n_tok"),
+        F.aggregate(
+            "__t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.filter("__t", lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_distinct(F.filter("__t", lambda x: x.isin(stops))))
+        .cast("long")
+        .alias("n_stop_distinct"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("n_sym"),
+    ]
+
+
+def _gopher_rule_cols() -> dict:
+    """Rule booleans over the metric columns (cross-multiplied integer
+    predicates), plus the conjunction."""
+    r = {
+        "r_word_count": F.col("n_tok").between(50, 100000),
+        "r_mean_word_len": (3 * F.col("n_tok") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 10 * F.col("n_tok")),
+        "r_alpha_frac": 5 * F.col("n_alpha") >= 4 * F.col("n_tok"),
+        "r_stopwords": F.col("n_stop_distinct") >= 2,
+        "r_symbol_ratio": 10 * F.col("n_sym") <= F.col("n_tok"),
+    }
+    passes = None
+    for c in r.values():
+        passes = c if passes is None else passes & c
+    r["passes"] = passes
+    return r
+
+
+
 @register(
     "text_gopher_rules",
     oracle=f"""
@@ -184,52 +233,22 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σlen ≤ 10n, 5·n_alpha ≥ 4n, 10·n_sym ≤ n) — exact on both engines,
     no float thresholds.  Scale: one staged token array per doc, pure
     codegen expressions, zero shuffles — the rule card is a projection."""
-    stops = list(tx._STOPWORDS)
     d = load_table(spark, sf_dir, "documents")
     m = d.select(
         "doc_id",
         "text",
         tx.tokens("text").alias("__t"),
-    ).select(
-        "doc_id",
-        F.size("__t").cast("long").alias("n_tok"),
-        F.aggregate(
-            "__t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-        ).alias("sum_len"),
-        F.size(F.filter("__t", lambda x: x.rlike("[a-z]")))
-        .cast("long")
-        .alias("n_alpha"),
-        F.size(F.array_distinct(F.filter("__t", lambda x: x.isin(stops))))
-        .cast("long")
-        .alias("n_stop_distinct"),
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-            + (
-                F.length("text")
-                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-            )
-            / F.lit(3)
-        )
-        .cast("long")
-        .alias("n_sym"),
-    )
-    r_wc = F.col("n_tok").between(50, 100000)
-    r_mwl = (3 * F.col("n_tok") <= F.col("sum_len")) & (
-        F.col("sum_len") <= 10 * F.col("n_tok")
-    )
-    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_tok")
-    r_stop = F.col("n_stop_distinct") >= 2
-    r_sym = 10 * F.col("n_sym") <= F.col("n_tok")
+    ).select("doc_id", *_gopher_metric_cols())
+    r = _gopher_rule_cols()
     return m.select(
         "doc_id",
         "n_tok",
-        r_wc.alias("r_word_count"),
-        r_mwl.alias("r_mean_word_len"),
-        r_alpha.alias("r_alpha_frac"),
-        r_stop.alias("r_stopwords"),
-        r_sym.alias("r_symbol_ratio"),
-        (r_wc & r_mwl & r_alpha & r_stop & r_sym).alias("passes"),
+        r["r_word_count"].alias("r_word_count"),
+        r["r_mean_word_len"].alias("r_mean_word_len"),
+        r["r_alpha_frac"].alias("r_alpha_frac"),
+        r["r_stopwords"].alias("r_stopwords"),
+        r["r_symbol_ratio"].alias("r_symbol_ratio"),
+        r["passes"].alias("passes"),
     )
 
 
@@ -3099,4 +3118,124 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.mmr_rerank(queries, e, k_candidates=10, k_select=5)
     return out.select(
         "query_id", "match_id", "mmr_rank", "relevance", "mmr_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The per-source curation dashboard — the review sheet over every gate.
+# ---------------------------------------------------------------------------
+
+from spanner_jdbc_converter_spark.plans.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+def _source_report_oracle() -> str:
+    """Composes the ALREADY-REGISTERED gopher + verdict oracles as
+    derived tables (their SQL is the single source of truth — no
+    duplicated rule text) plus the shared quality fragment and the
+    recursive closure."""
+    return f"""
+    WITH RECURSIVE {_closure_ctes()},
+    tk AS (SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+           FROM documents),
+    q AS ({_quality_select_sql()}),
+    gp AS (SELECT doc_id, passes FROM ({_ORACLE["text_gopher_rules"]})),
+    vv AS (SELECT doc_id, verdict
+           FROM ({_ORACLE["dedup_contamination_verdict"]}))
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk.n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(q.quality AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quality,
+           CAST(SUM(CASE WHEN gp.passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_pass,
+           CAST(SUM(CASE WHEN vv.verdict = 'drop' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN vv.verdict = 'review' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_review,
+           CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_members
+    FROM tk
+    JOIN q ON q.doc_id = tk.doc_id
+    JOIN gp ON gp.doc_id = tk.doc_id
+    LEFT JOIN vv ON vv.doc_id = tk.doc_id
+    LEFT JOIN grp g ON g.doc_id = tk.doc_id
+    GROUP BY tk.source
+    """
+
+
+@register("pipeline_source_report", oracle=_source_report_oracle())
+def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE curation dashboard — the sheet a data team reviews
+    before changing mixture weights or dropping a provider: doc/token
+    mass, mean heuristic quality, Gopher-rule pass count, contamination
+    drops and reviews (NULL for benchmark-side docs, which have no
+    verdict), and near-dup component membership.  One row per source,
+    every column derived from the SAME gates the per-doc entries
+    certify (their oracle SQL is composed verbatim, not re-stated).
+
+    Scale: every input is either an expression projection (quality,
+    rules, token counts) or a session-cached frame (winnow/span passes,
+    the near-dup closure); the joins are doc-keyed and the final
+    aggregation is per-source metadata.  Mean quality folds exactly:
+    per-doc round-6 scores sum as DECIMAL(12,6) before the one double
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    # ONE text-bearing scan computes tokens, quality, and the Gopher
+    # rule metrics together (the shared _gopher_metric_cols); composing
+    # the registered entries here instead measured 15 documents scans —
+    # Catalyst does not merge scans across join subtrees.
+    base = (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("text"),
+            tx.tokens("text").alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "__t",
+            tx.quality_score_from_tokens("text", F.col("__t")).alias(
+                "__quality"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "__quality",
+            F.size("__t").cast("long").alias("__n"),
+            *_gopher_metric_cols(),
+        )
+        .withColumn("passes", _gopher_rule_cols()["passes"])
+    )
+    vv = dedup_contamination_verdict(spark, sf_dir).select(
+        "doc_id", "verdict"
+    )
+    g = _near_dup_groups(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("__dup")
+    )
+    joined = base.join(vv, on="doc_id", how="left").join(
+        g, on="doc_id", how="left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__quality").cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher_pass"),
+        F.sum(F.when(F.col("verdict") == "drop", 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("verdict") == "review", 1).otherwise(0))
+        .cast("long")
+        .alias("n_review"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_members"),
     )

@@ -2683,3 +2683,94 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+@register(
+    "text_heaps_audit",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    e AS (SELECT source, unnest(t) AS token FROM tk),
+    p AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT token) AS BIGINT) AS n_vocab
+          FROM e GROUP BY source),
+    l AS (SELECT source, n_tokens, n_vocab,
+                 CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(12,6))
+                   AS x,
+                 CAST(ROUND(ln(CAST(n_vocab AS DOUBLE)), 6) AS DECIMAL(12,6))
+                   AS y
+          FROM p),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          FROM l)
+    SELECT n AS n_sources,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS beta,
+           CASE WHEN n * sxx - sx * sx = 0 OR n = 0 THEN NULL
+                ELSE ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                            * sx) / n, 6)
+           END AS ln_k,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def text_heaps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law audit: OLS of ln(vocab) on ln(tokens) ACROSS SOURCES —
+    the lexical-diversity growth exponent (V = K·N^β, β ≈ 0.4-0.6 for
+    natural text; templated or deduplicated-to-death sources flatten
+    β toward 0, token-spam pushes it toward 1).  The per-source twin of
+    text_zipf_audit's rank-frequency slope, sharing its determinism
+    discipline: ln rounded at 6 into DECIMAL(12,6), exact order-free
+    moment folds, fixed-order double ratios, NULL-guarded degenerate
+    denominators.
+
+    Scale: one (source, token) grouped distinct + count — map-side
+    combinable; the regression runs over the per-source metadata frame
+    (one row per source)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (
+        d.select("source", F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("token").cast("long").alias("n_vocab"),
+        )
+    )
+    logs = p.select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log(F.col("n_vocab").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("y"),
+    )
+    s = logs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_sources"),
+        F.when(den != 0, F.round(num / den, 6)).alias("beta"),
+        F.when(
+            (den != 0) & (n != 0),
+            F.round((F.col("sy") - (num / den) * F.col("sx")) / n, 6),
+        ).alias("ln_k"),
+        F.when(den * deny != 0, F.round((num * num) / (den * deny), 6)).alias(
+            "r2"
+        ),
+    )

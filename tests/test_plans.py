@@ -1049,3 +1049,42 @@ def test_zipf_audit_windows_over_vocab_not_corpus(spark, sf_dir):
     assert head.count("Scan parquet") == 1
     assert "SortMergeJoin" not in head
     assert "CartesianProduct" not in head
+
+
+def test_source_report_composes_cached_gates(spark, sf_dir):
+    """The dashboard must reuse the session-cached winnow/span passes
+    and the cached near-dup closure — never re-shingle or re-band: with
+    the caches warm, at most 3 scans READ TEXT (the fused
+    quality+rules+tokens base and the verdict internals); the remaining
+    scans are doc_id-pruned id probes, and the cached frames surface as
+    InMemoryTableScan."""
+    QUERIES["dedup_benchmark_span_hits"](spark, sf_dir).count()
+    QUERIES["dedup_benchmark_winnow_hits"](spark, sf_dir).count()
+    QUERIES["dedup_quality_keeper"](spark, sf_dir).count()
+    plan = _plan(spark, "pipeline_source_report", sf_dir)
+    head = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in head
+    assert "CartesianProduct" not in head
+    text_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "text" in ln
+    )
+    assert text_scans <= 3
+
+
+def test_heaps_audit_single_pass_regression_over_metadata(spark, sf_dir):
+    """One corpus pass for the (source, token) counts; the regression
+    runs over the per-source frame."""
+    head = _plan(spark, "text_heaps_audit", sf_dir).split("\n\n")[0]
+    assert head.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in head
+    assert "CartesianProduct" not in head
+
+
+def test_top_paths_single_user_window_vocab_topk(spark, sf_dir):
+    """The trigram build is the user_id window exchange; the path count
+    is vocabulary-keyed; no joins at all."""
+    head = _plan(spark, "events_top_paths", sf_dir).split("\n\n")[0]
+    assert "Join" not in head
+    assert head.count("Scan parquet") == 1
