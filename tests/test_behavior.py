@@ -451,3 +451,74 @@ class TestRFM:
         # the most recent purchaser scores r=5, the stalest r=1
         by_r = sorted(rows, key=lambda r: r.r_us)
         assert by_r[0].r_score == 5 and by_r[-1].r_score == 1
+
+
+class TestIbanMod97:
+    def test_fold_matches_python_bignum_and_real_iban(self, spark):
+        """The unrolled Horner fold must equal Python's arbitrary-
+        precision int(...) % 97 on the rearranged 24-digit number — and
+        a textbook-valid IBAN (DE remainder 1) validates while a
+        one-digit corruption fails."""
+        from pyspark.sql import functions as F
+
+        from spanner_jdbc_converter_spark.plans.curation import (
+            _iban_candidate_col,
+        )
+
+        # a canonical valid German IBAN (check digits 89 for this BBAN)
+        valid = "DE89370400440532013000"
+        rearranged = valid[4:] + "131400"  # BBAN + D E digits + '00'
+        check = 98 - int(rearranged) % 97
+        assert f"DE{check:02d}" == valid[:4]
+        corrupt = valid[:-1] + str((int(valid[-1]) + 1) % 10)
+        df = spark.createDataFrame(
+            [(valid,), (corrupt,), ("DE00123",)], "cand string"
+        ).select(
+            "cand", (_iban_candidate_col(F.col("cand")) == 1).alias("ok")
+        )
+        got = {r.cand: r.ok for r in df.collect()}
+        assert got[valid] is True
+        assert got[corrupt] is False
+        assert got["DE00123"] is False  # wrong length folds zeros, never 1
+        # cross-check the fold against bignum mod for both full-length
+        # candidates
+        for cand in (valid, corrupt):
+            num = int(cand[4:] + "1314" + cand[2:4])
+            assert (num % 97 == 1) == got[cand]
+
+
+class TestRegressionAudits:
+    def test_zipf_moments_match_numpy_polyfit(self, spark, sf_dir):
+        """The fixed-order OLS off exact DECIMAL moments must agree with
+        numpy's least-squares on the SAME rounded ln inputs to ~1e-6 —
+        guards the moment algebra against sign/order mistakes."""
+        import numpy as np
+
+        from spanner_jdbc_converter_spark.plans import QUERIES
+
+        row = QUERIES["text_zipf_audit"](spark, sf_dir).collect()[0]
+        tf = QUERIES["text_top_tokens"](spark, sf_dir)
+        # rebuild the same rounded inputs: top-50 by (count desc, token)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from spanner_jdbc_converter_spark.catalog import load_table
+        from spanner_jdbc_converter_spark.operators import text as tx
+
+        d = load_table(spark, sf_dir, "documents")
+        counts = (
+            d.select(F.explode(tx.tokens("text")).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.orderBy(F.desc("c"), F.asc("t"))),
+            )
+            .filter(F.col("rk") <= 50)
+            .collect()
+        )
+        x = np.array([round(np.log(r.rk), 6) for r in counts])
+        y = np.array([round(np.log(r.c), 6) for r in counts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(row.slope - slope) < 1e-5
+        assert abs(row.intercept - intercept) < 1e-5
