@@ -450,6 +450,181 @@ def running_pattern_match(
     )
 
 
+_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("lead_silent", T.LongType()),
+        T.StructField("tail_silent", T.LongType()),
+    ]
+)
+_SILENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("cur_run", T.LongType()),
+        T.StructField("longest", T.LongType()),
+        T.StructField("lead", T.LongType()),
+    ]
+)
+
+
+def running_silence_runs(frames: DataFrame, threshold: int) -> DataFrame:
+    """Custom stateful streaming operator: silence segmentation over a
+    stream of per-frame energies — the streaming twin of the BATCH
+    entry multimodal_audio_silence
+    (operators/multimodal.py::silence_stats).  State per clip is SIX
+    longs; a frame is silent when its exact-integer energy sits under
+    ``threshold``.  lead_silent freezes once the first loud frame
+    arrives; tail_silent is the currently-open silent run at emit time
+    (exactly the batch definition on complete data).  Rows within a
+    micro-batch fold in frame_index order, so on in-order delivery the
+    final card is INTEGER-identical to the batch operator — asserted in
+    tests/test_streaming.py with clips split across micro-batches."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            n_frames, n_silent, n_runs, cur_run, longest, lead = state.get
+        else:
+            n_frames, n_silent, n_runs, cur_run, longest, lead = (0,) * 6
+        pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+            "frame_index"
+        )
+        for e in pdf["energy"]:
+            silent = int(e) < threshold
+            if silent:
+                n_silent += 1
+                if cur_run == 0:
+                    n_runs += 1
+                cur_run += 1
+                longest = max(longest, cur_run)
+                if lead == n_frames:  # still in the leading run
+                    lead += 1
+            else:
+                cur_run = 0
+            n_frames += 1
+        state.update((n_frames, n_silent, n_runs, cur_run, longest, lead))
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "n_frames": [n_frames],
+                "n_silent": [n_silent],
+                "n_runs": [n_runs],
+                "longest_run": [longest],
+                "lead_silent": [lead],
+                "tail_silent": [cur_run],
+            }
+        )
+
+    return (
+        frames.select("doc_id", "frame_index", "energy")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SILENCE_SCHEMA,
+            stateStructType=_SILENCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_scenes", T.LongType()),
+        T.StructField("longest_scene", T.LongType()),
+    ]
+)
+_SCENE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_hash", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_scenes", T.LongType()),
+        T.StructField("cur_len", T.LongType()),
+        T.StructField("longest", T.LongType()),
+    ]
+)
+
+
+def running_scene_cuts(frames: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Custom stateful streaming operator: scene-cut detection over a
+    stream of per-frame perceptual hashes — the streaming twin of the
+    BATCH entry multimodal_video_scenes
+    (operators/multimodal.py::frame_scene_stats).  State per clip is
+    FIVE longs (last hash, frame count, scene count, current/longest
+    run) regardless of clip length; a frame whose 56-bit hash sits more
+    than ``max_hamming`` XOR-popcount bits from its predecessor opens a
+    scene.  Rows within a micro-batch fold in frame_index order (the
+    _values_in_event_order discipline: concatenate chunks, then one
+    global sort per key), so on in-order delivery across batches the
+    emitted card is INTEGER-identical to the batch operator on the same
+    frames — asserted in tests/test_streaming.py.
+
+    The live-ingest use: a video pipeline fingerprints frames as clips
+    land and needs shot boundaries incrementally (for sampling or
+    thumbnailing) without re-decoding the growing store — exactly what
+    bounded per-clip state buys at 100 TB."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            last_hash, n_frames, n_scenes, cur_len, longest = state.get
+        else:
+            last_hash, n_frames, n_scenes, cur_len, longest = (-1, 0, 0, 0, 0)
+        pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+            "frame_index"
+        )
+        for h in pdf["fdhash"]:
+            h = int(h)
+            cut = last_hash < 0 or bin(last_hash ^ h).count("1") > max_hamming
+            if cut:
+                n_scenes += 1
+                cur_len = 1
+            else:
+                cur_len += 1
+            longest = max(longest, cur_len)
+            n_frames += 1
+            last_hash = h
+        state.update((last_hash, n_frames, n_scenes, cur_len, longest))
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "n_frames": [n_frames],
+                "n_scenes": [n_scenes],
+                "longest_scene": [longest],
+            }
+        )
+
+    return (
+        frames.select("doc_id", "frame_index", "fdhash")
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SCENE_SCHEMA,
+            stateStructType=_SCENE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_cms_cells(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Streaming count-min sketch maintenance: the batch grid operator
     (operators/sketches.py::cms_cells — same md5 hash family, same

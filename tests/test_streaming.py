@@ -937,3 +937,104 @@ def test_ingest_image_gate_heals_missing_sidecar(spark, tmp_path):
     assert [
         r.doc_id for r in spark.read.parquet(hashes).select("doc_id").collect()
     ] == [7]
+
+
+def test_streaming_scene_cuts_equals_batch(spark, tmp_path):
+    """The stateful scene-cut twin must land on exactly the batch
+    operator's per-clip card (integer XOR/popcount end to end) — with
+    each clip's frames SPLIT ACROSS TWO FILES (micro-batches) so the
+    five-long state genuinely carries the walk over the batch boundary."""
+    from pyspark.sql import Window
+
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    fh = mm.decode_y4m_frame_dhash(
+        mm.payload_view(spark, "/root/testdata/sf0.001", "vidscene")
+    ).cache()
+    half = 6  # every clip has 12-16 frames: both files are non-trivial
+    src = str(tmp_path / "frames")
+    fh.filter(F.col("frame_index") < half).repartition(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    fh.filter(F.col("frame_index") >= half).repartition(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, frame_index long, fdhash long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")  # dir-per-drop layout
+        .parquet(src)
+    )
+    result = ops.run_stream_to_memory(
+        ops.running_scene_cuts(stream), "scene_mem", output_mode="update"
+    )
+    w = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("n_frames"))
+    )
+    final = {
+        r.doc_id: (r.n_frames, r.n_scenes, r.longest_scene)
+        for r in result.withColumn("_r", w).filter(F.col("_r") == 1).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_frames, r.n_scenes, r.longest_scene)
+        for r in mm.frame_scene_stats(fh).collect()
+    }
+    fh.unpersist()
+    assert final == batch
+    assert len(final) > 0
+    # the split actually exercised cross-batch state: scenes span the
+    # boundary (scene length 4 does not divide 6)
+    assert any(v[1] >= 3 for v in final.values())
+
+
+def test_streaming_silence_runs_equals_batch(spark, tmp_path):
+    """The stateful silence twin must land on exactly the batch
+    operator's per-clip card — six-long state carrying open runs across
+    the micro-batch boundary (each clip's frames split across two
+    files), integer energies end to end."""
+    from pyspark.sql import Window
+
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    fe = mm.decode_wav_frame_energy(
+        mm.payload_view(spark, "/root/testdata/sf0.001", "audioseg")
+    ).cache()
+    half = 10  # clips have 20-24 frames; both files are non-trivial
+    src = str(tmp_path / "energies")
+    fe.filter(F.col("frame_index") < half).repartition(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    fe.filter(F.col("frame_index") >= half).repartition(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, frame_index long, energy long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    result = ops.run_stream_to_memory(
+        ops.running_silence_runs(stream, threshold=mm.SILENCE_ENERGY),
+        "silence_mem",
+        output_mode="update",
+    )
+    w = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("n_frames"))
+    )
+    cols = (
+        "n_frames", "n_silent", "n_runs", "longest_run",
+        "lead_silent", "tail_silent",
+    )
+    final = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in result.withColumn("_r", w).filter(F.col("_r") == 1).collect()
+    }
+    batch = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in mm.silence_stats(fe).collect()
+    }
+    fe.unpersist()
+    assert final == batch
+    # the fixture really exercises multi-run state: some clip has >= 2
+    # runs, and some clip's silent run SPANS the file boundary
+    assert any(v[2] >= 2 for v in final.values())
