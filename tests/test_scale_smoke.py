@@ -734,3 +734,144 @@ def test_residual_ivfpq_at_10x_corpus(spark):
     wall = time.time() - t0
     assert out and all(r["count"] == 5 for r in out)
     assert wall < 180, f"residual ivfpq at 10x took {wall:.0f}s"
+
+
+def test_audio_fingerprint_pairs_at_10x_corpus(spark):
+    """Audio near-dedup at 10x the sf0.1 clip count (50k clips): ids
+    shift by a multiple of WAVDUP_FAMILY, so every replica block forms
+    NEW independent near-dup families (family structure — 8 single-
+    sample variants of a base clip — survives, volume scales).  Pair
+    output must scale linearly with the corpus and the banded window
+    join must stay bucket-bounded."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    shift = (
+        (n + mm.WAVDUP_FAMILY - 1) // mm.WAVDUP_FAMILY
+    ) * mm.WAVDUP_FAMILY
+
+    def run_pairs(docs_df):
+        fps = mm.decode_wav_chromaprint(
+            _wavdup_payload(spark, docs_df)
+        )
+        wids = fps.select(
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("win_id")).alias("wid"),
+            "afp",
+        )
+        p = dd.hamming_band_pairs(
+            wids, "afp", "wid", max_hamming=2, bands=4, bits=mm.CHROMA_BITS
+        )
+        return (
+            p.select(
+                F.shiftright(F.col("id_a"), 20).alias("a"),
+                F.shiftright(F.col("id_b"), 20).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .count()
+        )
+
+    def _wavdup_payload(spark_, docs_df):
+        from pyspark.sql import types as T
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": pdf["doc_id"].map(
+                            lambda x: mm._wav_bytes(
+                                mm._synth_dup_samples(int(x))
+                            )
+                        ),
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        return docs_df.select("doc_id").mapInPandas(run, schema)
+
+    base_pairs = run_pairs(d)
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(d)
+        .select((F.col("doc_id") + F.col("id") * shift).alias("doc_id"))
+    )
+    t0 = time.time()
+    n_pairs = run_pairs(scaled)
+    wall = time.time() - t0
+    assert base_pairs > 0
+    assert n_pairs >= COPIES * base_pairs  # new families add, never subtract
+    assert wall < 240, f"audio pairs at 10x took {wall:.0f}s"
+
+
+def test_video_frame_pairs_at_10x_corpus(spark):
+    """Video shared-frame containment at 10x the sf0.1 clip count: ids
+    shift by a multiple of VIDDUP_FAMILY so each replica block forms
+    new shifted-window families — per-hash posting lists stay at the
+    family size (~6), far under SPAN_MAX_DF, so pair output scales
+    linearly and nothing quadratic appears."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, SF_DIR, "documents")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    shift = (
+        (n + mm.VIDDUP_FAMILY - 1) // mm.VIDDUP_FAMILY
+    ) * mm.VIDDUP_FAMILY
+
+    def run_pairs(docs_df):
+        from pyspark.sql import types as T
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": pdf["doc_id"].map(
+                            lambda x: mm._y4m_bytes(
+                                *mm._synth_dup_video(int(x))
+                            )
+                        ),
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        fh = mm.decode_y4m_frame_dhash(
+            docs_df.select("doc_id").mapInPandas(run, schema)
+        )
+        spans = fh.select(
+            "doc_id", F.col("fdhash").alias("__h")
+        ).dropDuplicates(["doc_id", "__h"])
+        return dd.verbatim_span_pairs(docs_df, spans=spans).count()
+
+    base_pairs = run_pairs(d)
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(d)
+        .select(
+            (F.col("doc_id") + F.col("id") * shift).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    t0 = time.time()
+    n_pairs = run_pairs(scaled)
+    wall = time.time() - t0
+    assert base_pairs > 0
+    assert n_pairs >= COPIES * base_pairs
+    assert wall < 240, f"video pairs at 10x took {wall:.0f}s"
