@@ -883,6 +883,56 @@ def _kept_tokens(toks_col: Column, ngram: int) -> Column:
     )
 
 
+#: Intra-document repetition span width.  3 keeps the fixture-positive
+#: mass high; production corpora typically scrub at 5-10 (the Gopher
+#: duplicate-n-gram bands) — the width is a parameter, not a policy.
+INTRADOC_NGRAM = 3
+
+
+def intradoc_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = INTRADOC_NGRAM,
+) -> DataFrame:
+    """Remove REPEATED spans within each document and reassemble the
+    text — the intra-doc sibling of :func:`boilerplate_scrub` (which
+    needs cross-document df evidence and so cannot see a passage pasted
+    twice into ONE doc).  A word is removed iff some ``ngram``-span
+    covering it is a REPEAT occurrence — its identical span text
+    appeared earlier in the same document (strictly smaller start
+    position).  The first occurrence always survives, so scrubbing is
+    idempotent and content-preserving; this is the "remove duplicated
+    n-gram runs" cleanup of the Gopher/MassiveText repetition rules,
+    as a transform rather than a score.
+
+    Scale: one positioned shingle pass (shared :func:`_span_pos_hashes`
+    window pipeline), one (id, span-hash) exchange for the
+    first-occurrence min, per-doc repeat-start lists on the id
+    partitioning, and the same expression-only indexed rebuild as the
+    boilerplate scrub — no UDFs, state bounded per document.
+
+    Output: (id, n_tokens, n_removed, clean_text)."""
+    from pyspark.sql import Window
+
+    sp = _span_pos_hashes(df, text_col, id_col, ngram)
+    w = Window.partitionBy(id_col, "__h")
+    starts = (
+        sp.withColumn("__first", F.min("__pos").over(w))
+        .filter(F.col("__pos") > F.col("__first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+    toks_col = tokens(text_col)
+    kept = _kept_tokens(toks_col, ngram)
+    return df.join(starts, on=id_col, how="left").select(
+        F.col(id_col),
+        F.size(toks_col).cast("long").alias("n_tokens"),
+        (F.size(toks_col) - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 # -- Bigram LM surprisal -----------------------------------------------------
 
 

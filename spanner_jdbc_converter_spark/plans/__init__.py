@@ -69,8 +69,6 @@ _GATE_PRIORITY = [
     "text_quality_scores",
     "text_lang_id",
     "text_bpe_tokens_fingerprint",
-    "dedup_benchmark_span_hits",
-    "dedup_span_contamination",
     # (2) registered in r14 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers
     # (displaced so far: select_dsir_importance, text_ngram_novelty,
@@ -79,7 +77,8 @@ _GATE_PRIORITY = [
     # text_bigram_surprisal, text_boilerplate_scrub, text_bpe_segment,
     # text_bpe_merges, dedup_semantic_clusters, sim_mmr_rerank,
     # sim_hard_negatives, dedup_quality_keeper, select_leakage_safe_split,
-    # dedup_connected_groups).
+    # dedup_connected_groups, dedup_span_contamination,
+    # dedup_benchmark_span_hits).
     "dedup_benchmark_winnow_hits",
     "multimodal_audio_chromaprint",
     "dedup_audio_fingerprint_pairs",
@@ -97,6 +96,8 @@ _GATE_PRIORITY = [
     "pipeline_source_report",
     "text_heaps_audit",
     "events_top_paths",
+    "validate_tokenizer_roundtrip",
+    "text_intradoc_scrub",
 ]
 
 

@@ -2774,3 +2774,137 @@ def text_heaps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+from spanner_jdbc_converter_spark.plans.registry import ORACLE as _ORACLE_MAP, QUERIES  # noqa: E402
+
+
+def _roundtrip_oracle() -> str:
+    """Composes the two REGISTERED encode oracles verbatim: a tokenizer
+    whose piece stream does not reassemble to the exact token stream is
+    silently corrupting training text."""
+    return f"""
+    WITH tk AS (SELECT doc_id,
+                       array_to_string({_TOKS_SQL}, '') AS orig
+                FROM documents),
+    b AS (SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS rec
+          FROM ({_ORACLE_MAP["text_bpe_encode"]}) GROUP BY doc_id),
+    u AS (SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS rec
+          FROM ({_ORACLE_MAP["text_unigram_encode"]}) GROUP BY doc_id),
+    rb AS (SELECT 'bpe' AS tokenizer,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(CASE WHEN COALESCE(b.rec, '') <> tk.orig
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
+           FROM tk LEFT JOIN b ON b.doc_id = tk.doc_id),
+    ru AS (SELECT 'unigram' AS tokenizer,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(CASE WHEN COALESCE(u.rec, '') <> tk.orig
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
+           FROM tk LEFT JOIN u ON u.doc_id = tk.doc_id)
+    SELECT * FROM rb UNION ALL SELECT * FROM ru
+    """
+
+
+@register("validate_tokenizer_roundtrip", oracle=_roundtrip_oracle())
+def validate_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND-TRIP audit: for BOTH tokenizer families, every
+    document's piece stream must reassemble (concat in pos order) to the
+    exact concatenation of its word tokens — the invariant that makes a
+    tokenizer safe to train through; a lossy segmentation (dropped
+    char, duplicated piece, bad merge) silently corrupts every
+    downstream token count and packed sequence.  Emits one row per
+    family with the mismatch count (expected 0 — the entry is the audit
+    a pipeline alerts on, and the oracle replays both segmentations
+    end-to-end).  Docs with no tokens reconstruct the empty string and
+    count as matches via the COALESCE.
+
+    Scale: both encode streams are the session-cached entries
+    (vocabulary joins + piece explodes); the audit adds one doc-keyed
+    sort-agg per family and a two-row union."""
+    d = load_table(spark, sf_dir, "documents")
+    orig = d.select(
+        "doc_id", F.array_join(tx.tokens("text"), "").alias("orig")
+    )
+
+    def card(pieces: DataFrame, name: str) -> DataFrame:
+        rec = (
+            pieces.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "piece"))
+                        ),
+                        lambda s: s["piece"],
+                    ),
+                    "",
+                ).alias("rec")
+            )
+        )
+        j = orig.join(rec, on="doc_id", how="left")
+        return j.agg(
+            F.lit(name).alias("tokenizer"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("rec"), F.lit("")) != F.col("orig"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatched"),
+        ).select("tokenizer", "n_docs", "n_mismatched")
+
+    bpe = QUERIES["text_bpe_encode"](spark, sf_dir)
+    uni = QUERIES["text_unigram_encode"](spark, sf_dir)
+    return card(bpe, "bpe").unionByName(card(uni, "unigram"))
+
+
+def _intradoc_oracle(n: int) -> str:
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+
+    span = f"array_to_string(t[i:i + {n} - 1], ' ')"
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sp AS (SELECT doc_id, i - 1 AS s, {md5_long_sql("span")} AS h
+           FROM (SELECT doc_id, i, {span} AS span
+                 FROM tk, unnest(range(1, len(t) - {n} + 2)) AS r(i))),
+    rep AS (SELECT doc_id, s FROM (
+              SELECT doc_id, s, MIN(s) OVER (PARTITION BY doc_id, h) AS f
+              FROM sp)
+            WHERE s > f),
+    st AS (SELECT doc_id, list(s) AS starts FROM rep GROUP BY doc_id),
+    j AS (SELECT tk.doc_id, tk.t,
+                 list_transform(
+                   list_filter(range(1, len(tk.t) + 1),
+                     i -> len(list_filter(
+                            COALESCE(st.starts, CAST([] AS BIGINT[])),
+                            s -> s <= i - 1 AND i - 1 < s + {n})) = 0),
+                   i -> tk.t[i]) AS kept
+          FROM tk LEFT JOIN st USING (doc_id))
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM j
+    """
+
+
+@register(
+    "text_intradoc_scrub",
+    oracle=_intradoc_oracle(tx.INTRADOC_NGRAM),
+)
+def text_intradoc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: every word covered by a
+    REPEAT occurrence of a word-3-gram (its identical span appeared
+    earlier in the SAME doc) is scrubbed; first occurrences survive, so
+    the pass is idempotent.  The transform form of the Gopher
+    duplicate-n-gram rules — boilerplate_scrub cannot see a passage
+    pasted twice into one document (df = 1), and repetition_profile
+    only scores it.
+
+    Scale: one positioned shingle pass, one (id, hash) exchange for
+    first-occurrence minima, per-doc start lists, expression-only
+    indexed rebuild — no UDFs.  The oracle replays first-occurrence
+    detection, coverage, and reassembly.  See
+    operators/text.py::intradoc_scrub."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.intradoc_scrub(d)

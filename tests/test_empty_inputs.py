@@ -826,3 +826,37 @@ def test_silence_and_scene_stats_degenerate(spark):
     empty = mm.frame_scene_stats(spark.createDataFrame([], fsch))
     assert empty.count() == 0
     assert set(empty.columns) == {"doc_id", "n_frames", "n_scenes", "longest_scene"}
+
+
+def test_intradoc_scrub_semantics_idempotent_and_empty(spark):
+    """Hand docs pin the repeat-coverage rule: the FIRST occurrence
+    always survives, a doc of pure repetition collapses to its first
+    span, a repeat-free doc passes through untouched, re-scrubbing the
+    cleaned text changes nothing (idempotent), and empty text yields
+    ('', 0 removed) rather than NULL."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    sch = "doc_id long, text string"
+    rows = [
+        (1, "x y z x y z x y z"),   # pure repetition -> first span only
+        (2, "a b c d e f"),          # no repeats -> untouched
+        (3, ""),                     # empty
+        (4, "p q r s p q r t"),      # repeat 'p q r' at pos 4 covers 4-6
+    ]
+    out = {
+        r.doc_id: r
+        for r in tx.intradoc_scrub(spark.createDataFrame(rows, sch)).collect()
+    }
+    assert out[1].clean_text == "x y z" and out[1].n_removed == 6
+    assert out[2].clean_text == "a b c d e f" and out[2].n_removed == 0
+    assert out[3].clean_text == "" and out[3].n_removed == 0
+    assert out[4].clean_text == "p q r s t" and out[4].n_removed == 3
+
+    # idempotent: scrubbing the cleaned text is a no-op
+    cleaned = spark.createDataFrame(
+        [(r.doc_id, r.clean_text) for r in out.values()], sch
+    )
+    again = {r.doc_id: r for r in tx.intradoc_scrub(cleaned).collect()}
+    for i, r in out.items():
+        assert again[i].clean_text == r.clean_text
+        assert again[i].n_removed == 0

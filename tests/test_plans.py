@@ -1088,3 +1088,24 @@ def test_top_paths_single_user_window_vocab_topk(spark, sf_dir):
     head = _plan(spark, "events_top_paths", sf_dir).split("\n\n")[0]
     assert "Join" not in head
     assert head.count("Scan parquet") == 1
+
+
+def test_tokenizer_roundtrip_reuses_cached_encodes(spark, sf_dir):
+    """The audit composes the session-cached encode streams — warm
+    caches mean the learn loops never rerun (InMemoryTableScan present,
+    no cartesian)."""
+    QUERIES["text_bpe_encode"](spark, sf_dir).count()
+    QUERIES["text_unigram_encode"](spark, sf_dir).count()
+    head = _plan(spark, "validate_tokenizer_roundtrip", sf_dir).split("\n\n")[0]
+    assert "InMemoryTableScan" in head
+    assert "CartesianProduct" not in head
+
+
+def test_intradoc_scrub_id_keyed_no_joins_beyond_starts(spark, sf_dir):
+    """One positioned shingle pass + one (id, hash) first-occurrence
+    exchange + the per-doc start-list join back — no cartesian, no
+    Python, documents read at most twice (shingle side + rebuild side)."""
+    head = _plan(spark, "text_intradoc_scrub", sf_dir).split("\n\n")[0]
+    assert "CartesianProduct" not in head
+    assert "BatchEvalPython" not in head
+    assert head.count("Scan parquet") <= 2
