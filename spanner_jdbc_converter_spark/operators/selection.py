@@ -435,13 +435,25 @@ def mixture_waterfill(
             "cap_tokens"
         ),
     )
+    # A ZERO-token source (everything filtered upstream) has weight 0
+    # and cap 0 — it can never receive allocation, and its λ = cap/weight
+    # is 0/0, which ANSI mode raises on.  Rather than a second lineage
+    # (a union branch measured a second parquet scan), zero-weight rows
+    # stay in the ONE frame with a guarded λ literal (−1: they sort
+    # first, deterministically, and contribute nothing to any sum), an
+    # unsaturated flag by the 0<0 predicate, alloc 0 by the ratio, and a
+    # guarded 0.0 epochs.
     # Everything downstream of the grouped count is PER-SOURCE metadata,
     # so the totals, the exclusive prefix sums, and the saturated-set
     # sums are all GLOBAL WINDOWS over the same tiny frame — one lineage,
     # one data scan, zero joins (a self-referencing aggregate would
     # recompute the whole scan per branch: four parquet passes measured).
     # The single-partition window is by construction metadata-sized.
-    lam = F.col("cap_tokens").cast("double") / F.col("weight_micro").cast("double")
+    lam = F.when(
+        F.col("weight_micro") > 0,
+        F.col("cap_tokens").cast("double")
+        / F.col("weight_micro").cast("double"),
+    ).otherwise(F.lit(-1.0))
     w_prev = Window.orderBy(lam, "source").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -505,9 +517,13 @@ def mixture_waterfill(
         staged.withColumn("alloc_tokens", alloc)
         .withColumn(
             "epochs",
-            F.round(
-                F.col("alloc_tokens") / F.col("n_tokens").cast("double"), 6
-            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("alloc_tokens") / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select(
             "source",

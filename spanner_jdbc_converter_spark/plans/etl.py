@@ -1115,11 +1115,19 @@ def select_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH f AS (SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents),
     p AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM f GROUP BY source),
-    c AS (SELECT source, n_tokens,
-                 CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS weight_micro,
-                 CAST((n_tokens * 1200000) // 1000000 AS BIGINT) AS cap_tokens
-          FROM p),
+    c0 AS (SELECT source, n_tokens,
+                  CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                    AS weight_micro,
+                  CAST((n_tokens * 1200000) // 1000000 AS BIGINT) AS cap_tokens
+           FROM p),
+    -- zero-token sources route around the waterfill (operator contract:
+    -- alloc 0, 0 epochs, unsaturated; their 0/0 λ would poison the sort)
+    zz AS (SELECT source, n_tokens, weight_micro, cap_tokens,
+                  FALSE AS saturated,
+                  CAST(0.0 AS DOUBLE) AS alloc_tokens,
+                  CAST(0.0 AS DOUBLE) AS epochs
+           FROM c0 WHERE n_tokens <= 0),
+    c AS (SELECT * FROM c0 WHERE n_tokens > 0),
     t AS (SELECT SUM(weight_micro) AS w, SUM(cap_tokens) AS cc,
                  (SUM(n_tokens) * 23) // 20 AS b
           FROM c),
@@ -1156,6 +1164,7 @@ def select_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            alloc_tokens,
            ROUND(alloc_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs
     FROM o
+    UNION ALL SELECT * FROM zz
     """,
 )
 def select_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:

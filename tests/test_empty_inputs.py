@@ -781,6 +781,19 @@ def test_mixture_waterfill_semantics_and_empty(spark):
     assert all(r.saturated for r in clamp.values())
     assert sum(r.alloc_tokens for r in clamp.values()) == 120 + 12000
 
+    # a ZERO-token source (everything filtered upstream) must not poison
+    # the λ sort with 0/0 (ANSI divide-by-zero): it routes around the
+    # waterfill with alloc 0 / 0 epochs, and the positive sources keep
+    # the exact allocation they get without it
+    withzero = spark.createDataFrame(
+        [("empty", 0), ("tiny", 100), ("big", 10000)], sch
+    )
+    wz = {r.source: r for r in sel.mixture_waterfill(withzero).collect()}
+    assert (wz["empty"].alloc_tokens, wz["empty"].epochs) == (0.0, 0.0)
+    assert not wz["empty"].saturated
+    assert wz["tiny"].alloc_tokens == out["tiny"].alloc_tokens
+    assert wz["big"].alloc_tokens == out["big"].alloc_tokens
+
 
 def test_silence_and_scene_stats_degenerate(spark):
     """Hand-frame run/scene semantics plus empties: a clip that is all
