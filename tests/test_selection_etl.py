@@ -291,3 +291,50 @@ def test_pack_next_fit_matches_reference_walk_property(spark):
         assert got == want
 
     check()
+
+
+def test_mixture_waterfill_invariants_random_skews(spark):
+    """Property (hypothesis): for random per-source token counts and
+    budgets, the water-filling allocation satisfies its defining
+    invariants — Σalloc = min(budget, Σcap) to rounding, no source
+    exceeds its cap, saturated sources sit exactly AT their cap, and
+    unsaturated allocations are weight-proportional (equal alloc/weight
+    ratios within rounding)."""
+    from hypothesis import given, settings, strategies as st
+
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=500_000),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=2_000_000),
+    )
+    def run(ns, budget):
+        counts = spark.createDataFrame(
+            [(f"s{i}", n) for i, n in enumerate(ns)],
+            "source string, n_tokens long",
+        )
+        rows = sel.mixture_waterfill(counts, budget_tokens=budget).collect()
+        caps = {r.source: r.cap_tokens for r in rows}
+        total_cap = sum(caps.values())
+        total_alloc = sum(r.alloc_tokens for r in rows)
+        assert abs(total_alloc - min(budget, total_cap)) < 1e-3 * max(
+            1, len(rows)
+        )
+        ratios = []
+        for r in rows:
+            assert r.alloc_tokens <= r.cap_tokens + 1e-6
+            if r.saturated:
+                assert r.alloc_tokens == float(r.cap_tokens)
+            elif r.weight_micro > 0:
+                ratios.append(r.alloc_tokens / r.weight_micro)
+            else:
+                assert r.alloc_tokens == 0.0
+        if len(ratios) > 1:
+            assert max(ratios) - min(ratios) < 1e-6
+
+    run()
