@@ -20,14 +20,15 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-14 window, derived verbatim from that proposal after
-# GATE_HISTORY was regenerated from CORRECTNESS_r13 as the FIRST commit of
-# the round per VERDICT r13 "Next round #1"; tests/test_config.py asserts
+# list is the round-15 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r14 as the FIRST commit of
+# the round per VERDICT r14 "Next round #3"; tests/test_config.py asserts
 # the window stays consistent with the history):
-#   (0) the 23 entries whose last driver row is r9 — the staleness tail
-#       that survived the r13 rotation and that VERDICT r13 requires
-#       front-loaded (post-r13 histogram: nothing older than r9 exists);
-#   (1) the 27 oldest r10 entries, proposal order;
+#   (0) the 42 entries whose last driver row is r10 — the staleness tail
+#       VERDICT r14 names explicitly (agg_cms_*, agg_decile_binning,
+#       agg_hll_hourly_users, ...) — after this round no entry is older
+#       than 4 rounds unchecked;
+#   (1) the 8 oldest r11 entries, proposal order;
 #   (2) every entry registered THIS round — membership explicit, the
 #       list is EXACTLY the 50-slot window.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
@@ -36,68 +37,60 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # proposal so the frozen window always contains every never-checked entry —
 # a round must mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r9 (the 23-entry stale tail — nothing older exists)
-    "validate_fk_orphans",
-    "validate_column_profile",
-    "select_mix_report",
-    "text_vocab_df",
-    "join_doc_embedding_features",
-    "pipeline_curate_documents",
-    "dedup_incremental_batch",
-    "events_interval_join",
-    "events_asof_join",
-    "events_rolling_window_1h",
-    "cluster_kmeans_embeddings",
-    "text_tfidf_top_terms",
-    "events_zscore_outliers",
-    "agg_value_histogram",
-    "join_fuzzy_blocked_names",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "agg_winsorized_stats",
-    "agg_hll_distinct_custkeys",
-    "text_bigram_stats",
-    "select_quality_weighted_sample",
-    "layout_zorder_cells",
-    "select_train_val_test_split",
-    # (1) last driver row r10 (oldest-first, proposal order)
-    "q11_important_parts",
-    "grouping_sets_priority_status",
-    "events_banded_range_join",
-    "events_hypertable_rollup",
-    "skew_salted_aggregation",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_bpe_tokens_fingerprint",
-    # (2) registered in r14 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers
-    # (displaced so far: select_dsir_importance, text_ngram_novelty,
-    # select_pack_bpe_sequences, validate_quality_drift,
-    # text_quality_classifier, text_bpe_encode, text_tokenizer_fertility,
-    # text_bigram_surprisal, text_boilerplate_scrub, text_bpe_segment,
-    # text_bpe_merges, dedup_semantic_clusters, sim_mmr_rerank,
-    # sim_hard_negatives, dedup_quality_keeper, select_leakage_safe_split,
-    # dedup_connected_groups, dedup_span_contamination,
-    # dedup_benchmark_span_hits).
-    "dedup_benchmark_winnow_hits",
-    "multimodal_audio_chromaprint",
-    "dedup_audio_fingerprint_pairs",
-    "multimodal_video_frame_dhash",
-    "dedup_video_frame_pairs",
-    "dedup_image_keeper",
-    "text_gopher_rules",
-    "dedup_contamination_verdict",
-    "multimodal_audio_silence",
-    "multimodal_video_scenes",
-    "select_mixture_waterfill",
-    "dedup_savings_report",
-    "text_zipf_audit",
-    "text_pii_iban_redact",
-    "pipeline_source_report",
-    "text_heaps_audit",
-    "events_top_paths",
-    "validate_tokenizer_roundtrip",
-    "text_intradoc_scrub",
+    # (0) last driver row r10 (the 42-entry stale tail, proposal order)
+    "dedup_benchmark_span_hits",
+    "dedup_span_contamination",
+    "dedup_connected_groups",
+    "select_leakage_safe_split",
+    "dedup_quality_keeper",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "dedup_semantic_clusters",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "text_boilerplate_scrub",
+    "text_bigram_surprisal",
+    "text_tokenizer_fertility",
+    "text_bpe_encode",
+    "text_quality_classifier",
+    "validate_quality_drift",
+    "select_pack_bpe_sequences",
+    "text_ngram_novelty",
+    "select_dsir_importance",
+    "cluster_kcenter_coreset",
+    "events_sessionization",
+    "events_markov_transitions",
+    "events_mad_outliers",
+    "events_hourly_resample_ffill",
+    "events_lag1_autocorr",
+    "events_session_features",
+    "events_seasonal_deviation",
+    "events_cusum_alarms",
+    "text_bm25_ranking",
+    "select_interleave_sources",
+    "join_copurchase_lift",
+    "report_source_data_card",
+    "select_epoch_shuffle",
+    "agg_cms_heavy_hitters",
+    "agg_decile_binning",
+    "events_time_weighted_avg",
+    "graph_pagerank_brands",
+    "agg_incremental_rollup_merge",
+    "agg_cms_join_cardinality",
+    "join_bloom_prefilter",
+    "events_latest_per_user",
+    "agg_hll_hourly_users",
+    # (1) last driver row r11 (oldest-first, proposal order)
+    "join_bucketed_colocated",
+    "text_top_tokens",
+    "text_token_stats",
+    "text_mixed_lang_windows",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signatures",
+    # (2) registered in r15 (the RULE above): each new entry displaces the
+    # newest tail entry of group (1) in the same commit it registers.
 ]
 
 
