@@ -102,6 +102,28 @@ def main() -> None:
 
     calibration = _calibrate()
 
+    # Session-cache warm-up pre-pass (VERDICT r14 "Next round #1"): build
+    # every (appId, sf_dir)-keyed shared store (plans/registry.py
+    # CACHE_PRIMERS — _curated, PQ/residual codebooks, span/winnow/group
+    # frames, BPE/unigram vocab frames, signature state) BEFORE the timed
+    # loop, so no timed entry ever pays another entry's cache build and the
+    # record is registry-position-independent.  Also runs for
+    # SPARK_GRAFT_BENCH_ONLY subset runs so ×5 isolation measures the same
+    # warm-store condition as the record run.
+    from spanner_jdbc_converter_spark.plans.registry import prime_session_caches
+
+    prime_start = time.perf_counter()
+    try:
+        primed = prime_session_caches(spark, sf_dir)
+    except Exception as exc:
+        primed = []
+        print(f"bench: cache prime failed (continuing unprimed): {exc}", file=sys.stderr)
+    prime_seconds = round(time.perf_counter() - prime_start, 3)
+    print(
+        f"bench: primed {len(primed)} session caches in {prime_seconds}s",
+        file=sys.stderr,
+    )
+
     # Optional subset filter for local experiments (comma-separated entry
     # names) — full-corpus runs remain the round record.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -152,6 +174,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": BENCH_RUNS,
         "calibration_seconds": calibration,
+        "cache_prime_seconds": prime_seconds,
         "queries": timings,
         "cold_queries": cold,
     }
@@ -175,7 +198,10 @@ def main() -> None:
     # BEFORE the stdout line: a consumer that closes the pipe early
     # (`bench.py | head`) must not SIGPIPE-kill the history write.
     hist = os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "bench_history/latest.json")
-    # latest.json is overwritten each run; ALSO write a per-round file
+    # latest.json is UNTRACKED scratch (gitignored since r15 — VERDICT
+    # r11/r12/r13/r14 all flagged the driver's post-round run dirtying the
+    # tree; the committed round record is ONLY the per-round file below).
+    # It is overwritten each run; ALSO write a per-round file
     # (bench_history/r{N}.json) so warm medians stay diffable across
     # rounds (VERDICT r5 #6 — r4's full medians were lost to the
     # overwrite).  The per-round file is written ONLY under an explicit

@@ -31,22 +31,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(REPO, "bench_history")
 
 
-def load_normalized(path: str) -> tuple[dict[str, float], float]:
-    """(normalized warm medians, calibration) — computed from the raw
-    medians when the record predates the precomputed field."""
+def load_normalized(path: str) -> tuple[dict[str, float], float, dict[str, float]]:
+    """(normalized warm medians, calibration, RAW warm medians) — the
+    normalized view is computed from the raw medians when the record
+    predates the precomputed field.  Raw medians ride along for the
+    absolute-delta flag (VERDICT r14 "What's wrong #2": a +3.69 s swing
+    slipped under the 1.8x ratio gate on a 8 s entry)."""
     with open(path) as fh:
         rec = json.load(fh)
     cal = float(rec.get("calibration_seconds") or 0.0)
+    raw = {k: float(v) for k, v in rec.get("queries", {}).items()}
     if "queries_normalized" in rec:
         norm = {k: float(v) for k, v in rec["queries_normalized"].items()}
     else:
         if cal <= 0:
             raise SystemExit(f"{path}: no calibration probe — cannot normalize")
         norm = {
-            k: (round(v / cal, 3) if v >= 0 else -1.0)
-            for k, v in rec.get("queries", {}).items()
+            k: (round(v / cal, 3) if v >= 0 else -1.0) for k, v in raw.items()
         }
-    return norm, cal
+    return norm, cal, raw
 
 
 def newest_round_files() -> tuple[str, str]:
@@ -72,6 +75,14 @@ def main() -> None:
     ap.add_argument("new", nargs="?", help="newer history file")
     ap.add_argument("--threshold", type=float, default=1.35)
     ap.add_argument(
+        "--abs-delta",
+        type=float,
+        default=1.5,
+        help="ALSO flag entries whose RAW warm median grew by more than this"
+        " many seconds, regardless of ratio (VERDICT r14 #2 — big entries"
+        " can regress materially while staying under the ratio gate)",
+    )
+    ap.add_argument(
         "--all", action="store_true", help="print every entry, not just flagged"
     )
     args = ap.parse_args()
@@ -83,18 +94,21 @@ def main() -> None:
     else:
         ap.error("pass both paths or neither")
 
-    old, old_cal = load_normalized(old_path)
-    new, new_cal = load_normalized(new_path)
+    old, old_cal, old_raw = load_normalized(old_path)
+    new, new_cal, new_raw = load_normalized(new_path)
 
     rows = []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
         if o <= 0 or n <= 0:  # failed/timed-out runs compare as absent
             continue
-        rows.append((n / o, o, n, name))
+        raw_delta = new_raw.get(name, 0.0) - old_raw.get(name, 0.0)
+        rows.append((n / o, o, n, name, raw_delta))
     rows.sort(reverse=True)
 
-    flagged = [r for r in rows if r[0] > args.threshold]
+    flagged = [
+        r for r in rows if r[0] > args.threshold or r[4] > args.abs_delta
+    ]
     improved = [r for r in rows if r[0] < 1 / args.threshold]
     shown = rows if args.all else flagged
 
@@ -102,11 +116,18 @@ def main() -> None:
         f"# {os.path.basename(old_path)} (cal {old_cal}) -> "
         f"{os.path.basename(new_path)} (cal {new_cal}); "
         f"{len(rows)} comparable entries, threshold {args.threshold}x"
+        f" or raw +{args.abs_delta}s"
     )
     print(f"# flagged regressions: {len(flagged)}  improvements: {len(improved)}")
-    for ratio, o, n, name in shown:
-        mark = "REGRESSED" if ratio > args.threshold else (
-            "improved" if ratio < 1 / args.threshold else ""
+    for ratio, o, n, name, raw_delta in shown:
+        mark = (
+            "REGRESSED"
+            if ratio > args.threshold
+            else (
+                f"REGRESSED(abs +{raw_delta:.2f}s)"
+                if raw_delta > args.abs_delta
+                else ("improved" if ratio < 1 / args.threshold else "")
+            )
         )
         print(f"{ratio:7.2f}x  {o:8.2f} -> {n:8.2f}  {name}  {mark}")
     missing = sorted(set(old) ^ set(new))

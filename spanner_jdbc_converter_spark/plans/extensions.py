@@ -3239,3 +3239,36 @@ def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-cache primers (VERDICT r14 "Next round #1" — see plans/registry.py
+# CACHE_PRIMERS): build this module's shared stores untimed before a bench
+# sweep so no timed entry pays another entry's cache build.
+# ---------------------------------------------------------------------------
+from spanner_jdbc_converter_spark.plans.registry import register_cache_primer  # noqa: E402
+
+
+@register_cache_primer("extensions._SPAN_STORE")
+def _prime_span_store(spark: SparkSession, sf_dir: str) -> None:
+    _span_hash_frame(spark, sf_dir)
+
+
+@register_cache_primer("extensions._WINNOW_STORE")
+def _prime_winnow_store(spark: SparkSession, sf_dir: str) -> None:
+    _winnow_frame(spark, sf_dir)
+
+
+@register_cache_primer("extensions._GROUPS_STORE")
+def _prime_groups_store(spark: SparkSession, sf_dir: str) -> None:
+    _near_dup_groups(spark, sf_dir)
+
+
+@register_cache_primer("extensions._IMG_GROUPS_STORE")
+def _prime_img_groups_store(spark: SparkSession, sf_dir: str) -> None:
+    _image_groups(spark, sf_dir)
+
+
+@register_cache_primer("extensions._OPREP_STORE")
+def _prime_oprep_store(spark: SparkSession, sf_dir: str) -> None:
+    _op_report_for(spark, sf_dir)

@@ -168,3 +168,54 @@ def test_gate_window_contains_every_never_checked_entry():
     never = [n for n in QUERIES if n not in hist["entries"]]
     missing = [n for n in never if n not in window]
     assert not missing, f"never-checked entries outside the gate window: {missing}"
+
+
+def test_cache_primer_registry_covers_every_session_store():
+    """VERDICT r14 "Next round #1": every module-level session-cache
+    store in the corpus modules must have a registered primer so
+    bench.py's untimed pre-pass (plans/registry.py::prime_session_caches)
+    builds it before the timed loop — a store minted without a primer
+    silently reintroduces the position-dependent cache-build tax this
+    round removed."""
+    import spanner_jdbc_converter_spark.plans  # noqa: F401 — load all corpus modules
+
+    from spanner_jdbc_converter_spark.plans import etl, extensions, mining
+    from spanner_jdbc_converter_spark.plans.registry import CACHE_PRIMERS
+
+    for mod, modname in ((etl, "etl"), (extensions, "extensions"), (mining, "mining")):
+        stores = [
+            a
+            for a in vars(mod)
+            if a.endswith("_STORE") and isinstance(getattr(mod, a), dict)
+        ]
+        assert stores, f"{modname}: expected at least one session store"
+        missing = [a for a in stores if f"{modname}.{a}" not in CACHE_PRIMERS]
+        assert not missing, f"{modname}: stores without primers: {missing}"
+    unknown = [
+        k
+        for k in CACHE_PRIMERS
+        if k.split(".", 1)[0] not in ("etl", "extensions", "mining")
+    ]
+    assert not unknown, f"primers for unknown modules: {unknown}"
+
+
+def test_prime_session_caches_populates_every_store(spark, sf_dir):
+    """Functional half of the primer contract: one prime_session_caches
+    call at the test fixture scale must leave every registered store
+    holding the (appId, sf_dir) key its entries will hit."""
+    import os
+
+    from spanner_jdbc_converter_spark.plans import etl, extensions, mining
+    from spanner_jdbc_converter_spark.plans.registry import (
+        CACHE_PRIMERS,
+        prime_session_caches,
+    )
+
+    primed = prime_session_caches(spark, sf_dir)
+    assert sorted(primed) == sorted(CACHE_PRIMERS)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    mods = {"etl": etl, "extensions": extensions, "mining": mining}
+    for store_name in CACHE_PRIMERS:
+        modname, attr = store_name.split(".", 1)
+        store = getattr(mods[modname], attr)
+        assert key in store, f"{store_name} not populated for session key"
