@@ -901,10 +901,15 @@ def intradoc_scrub(
     twice into ONE doc).  A word is removed iff some ``ngram``-span
     covering it is a REPEAT occurrence — its identical span text
     appeared earlier in the same document (strictly smaller start
-    position).  The first occurrence always survives, so scrubbing is
-    idempotent and content-preserving; this is the "remove duplicated
-    n-gram runs" cleanup of the Gopher/MassiveText repetition rules,
-    as a transform rather than a score.
+    position).  The first occurrence always survives.  The scrub is a
+    SINGLE pass against the ORIGINAL text's span positions — it is NOT
+    idempotent in general (ADVICE r14): removal can create new adjacent
+    repeats, e.g. at ngram=3 ``'a b a b b b b a'`` scrubs to
+    ``'a b a b a'``, which a second pass would reduce further to
+    ``'a b'``.  Callers wanting a fixpoint iterate externally; the
+    one-pass definition is what the oracle replays and what the
+    Gopher/MassiveText "remove duplicated n-gram runs" cleanup
+    specifies, as a transform rather than a score.
 
     Scale: one positioned shingle pass (shared :func:`_span_pos_hashes`
     window pipeline), one (id, span-hash) exchange for the

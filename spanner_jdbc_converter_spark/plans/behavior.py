@@ -1104,7 +1104,8 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts, event_id) AS e3
       FROM events),
     p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS c
-          FROM s WHERE e3 IS NOT NULL GROUP BY 1),
+          FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+                   AND e3 IS NOT NULL GROUP BY 1),
     r AS (SELECT path, c,
                  ROW_NUMBER() OVER (ORDER BY c DESC, path) AS rk
           FROM p)
@@ -1133,7 +1134,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("e1"),
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e3").isNotNull())
+    ).filter(
+        # ADVICE r14: require ALL THREE legs non-null, not just e3 —
+        # concat_ws SKIPS nulls while the oracle's || propagates them, so
+        # a NULL event_type (none in the current fixture, but nothing
+        # forbids one) would silently diverge the engines.  With the full
+        # filter both engines agree regardless of fixture content.
+        F.col("e1").isNotNull() & F.col("e2").isNotNull() & F.col("e3").isNotNull()
+    )
     p = s.groupBy(
         F.concat_ws(">", "e1", "e2", "e3").alias("path")
     ).agg(F.count(F.lit(1)).alias("c"))

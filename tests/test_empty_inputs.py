@@ -841,12 +841,14 @@ def test_silence_and_scene_stats_degenerate(spark):
     assert set(empty.columns) == {"doc_id", "n_frames", "n_scenes", "longest_scene"}
 
 
-def test_intradoc_scrub_semantics_idempotent_and_empty(spark):
+def test_intradoc_scrub_semantics_single_pass_and_empty(spark):
     """Hand docs pin the repeat-coverage rule: the FIRST occurrence
     always survives, a doc of pure repetition collapses to its first
-    span, a repeat-free doc passes through untouched, re-scrubbing the
-    cleaned text changes nothing (idempotent), and empty text yields
-    ('', 0 removed) rather than NULL."""
+    span, a repeat-free doc passes through untouched, and empty text
+    yields ('', 0 removed) rather than NULL.  The scrub is ONE pass
+    against the original span positions — NOT idempotent in general
+    (ADVICE r14): removal can create new adjacent repeats, and the
+    counterexample below pins that documented behavior."""
     from spanner_jdbc_converter_spark.operators import text as tx
 
     sch = "doc_id long, text string"
@@ -865,7 +867,9 @@ def test_intradoc_scrub_semantics_idempotent_and_empty(spark):
     assert out[3].clean_text == "" and out[3].n_removed == 0
     assert out[4].clean_text == "p q r s t" and out[4].n_removed == 3
 
-    # idempotent: scrubbing the cleaned text is a no-op
+    # Re-scrubbing THESE cleaned docs happens to be a no-op (no new
+    # repeats were created) — that is a property of the docs, not of
+    # the operator.
     cleaned = spark.createDataFrame(
         [(r.doc_id, r.clean_text) for r in out.values()], sch
     )
@@ -873,3 +877,17 @@ def test_intradoc_scrub_semantics_idempotent_and_empty(spark):
     for i, r in out.items():
         assert again[i].clean_text == r.clean_text
         assert again[i].n_removed == 0
+
+    # ADVICE r14 counterexample: the one-pass scrub is NOT idempotent.
+    # 'a b a b b b b a' at ngram=3: repeat spans start at 3 ('b b b'
+    # repeats? no — spans are ('a b a',0) ('b a b',1) ('a b b',2)
+    # ('b b b',3) ('b b b',4)=repeat ('b b a',5); the repeat at 4
+    # covers tokens 4-6) -> kept 'a b a b a'; a SECOND pass sees the
+    # new repeat 'a b a' and reduces further to 'a b'.
+    hard = spark.createDataFrame([(9, "a b a b b b b a")], sch)
+    once = tx.intradoc_scrub(hard).collect()[0]
+    assert once.clean_text == "a b a b a"
+    twice = tx.intradoc_scrub(
+        spark.createDataFrame([(9, once.clean_text)], sch)
+    ).collect()[0]
+    assert twice.clean_text == "a b"  # strictly shrinks: one pass != fixpoint
