@@ -1,0 +1,200 @@
+"""Baseline JFIF codec tests (VERDICT r14 "What's missing #1"): the
+encode → marker-walk → Huffman → dequant → integer-IDCT round trip, the
+corrupt-stream rejection matrix, the oracle's literal-basis pin, and the
+near-dup family geometry the dedup entry relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+
+def _expected_planes(doc_id: int):
+    """Formula replay: coefficients -> dequant -> integer IDCT, the
+    exact computation the DuckDB oracle runs."""
+    w, h = mm._jpeg_dims(doc_id)
+    S = np.asarray(mm._JPEG_IDCT_S, dtype=np.int64)
+    M = np.einsum("ux,vy->vuyx", S, S).reshape(64, 64)
+    planes = []
+    for comp in range(3):
+        q = mm._JPEG_QT_LUMA if comp == 0 else mm._JPEG_QT_CHROMA
+        plane = np.zeros((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                zz = mm._jpeg_block_coefs(doc_id, comp, bx, by)
+                coef = np.zeros(64, dtype=np.int64)
+                for kk in range(64):
+                    coef[mm._JPEG_ZIGZAG[kk]] = zz[kk] * q[kk]
+                px = 128 + ((coef @ M) + (1 << 23) >> 24)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(px, 0, 255).astype(np.uint8).reshape(8, 8)
+                )
+        planes.append(plane)
+    return w, h, planes
+
+
+def test_jpeg_round_trip_matches_formula_replay():
+    """Decoded pixels must equal the coefficient-formula + integer-IDCT
+    replay bit-for-bit for every component — entropy coding is lossless
+    by construction, so ANY divergence is a codec bug."""
+    for doc_id in (0, 1, 2, 3, 7, 12, 23, 40, 97):
+        payload = mm._jpeg_bytes(doc_id)
+        w, h, planes = mm._jpeg_decode(payload)
+        ew, eh, eplanes = _expected_planes(doc_id)
+        assert (w, h) == (ew, eh)
+        for c in range(3):
+            assert np.array_equal(planes[c], eplanes[c]), (doc_id, c)
+
+
+def test_jpeg_stream_is_structurally_real():
+    """The payload is a genuine JFIF stream other decoders would accept
+    structurally: SOI/APP0-JFIF/DQT/SOF0/DHT/SOS markers in order, EOI
+    terminated, and 0xFF bytes inside the scan always stuffed."""
+    data = mm._jpeg_bytes(5)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data
+    # every 0xFF in the entropy region is followed by 0x00 (stuffed)
+    sos = data.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    scan = data[scan_start:-2]
+    for i, b in enumerate(scan[:-1]):
+        if b == 0xFF:
+            assert scan[i + 1] == 0x00, f"unstuffed 0xFF at scan byte {i}"
+
+
+def test_jpeg_oracle_basis_rows_pin():
+    """The literal IDCT basis rows embedded in the oracle SQL must match
+    the decoder's table — a drift here silently decouples the engines."""
+    from spanner_jdbc_converter_spark.plans import extensions as ext
+
+    assert all(v == ext._J_S0 for v in mm._JPEG_IDCT_S[0])
+    assert mm._JPEG_IDCT_S[1] == ext._J_S1
+    assert mm._JPEG_IDCT_S[2] == ext._J_S2
+    # and the quant formulas at the six live zigzag slots
+    assert [mm._JPEG_QT_LUMA[k] for k in range(6)] == [8, 10, 12, 14, 16, 8]
+    assert [mm._JPEG_QT_CHROMA[k] for k in range(6)] == [12, 16, 20, 12, 16, 20]
+
+
+def test_jpeg_dims_support_dhash_grid():
+    """Every family's dims are block-aligned and large enough for the
+    9×7 dHash grid on the half-size thumbnail (w≥18, h≥14)."""
+    for doc_id in range(64):
+        w, h = mm._jpeg_dims(doc_id)
+        assert w % 8 == 0 and h % 8 == 0
+        assert w >= 18 and h >= 14
+
+
+def test_jpeg_family_near_dup_geometry():
+    """Members of a //4 family hash within the ≤3-bit pairing threshold
+    of at least one sibling (the ±1 AC wobble is a few grey levels);
+    cross-family hashes are far — the structure dedup_jpeg_image_pairs
+    banks on."""
+
+    def dh(doc_id: int) -> int:
+        w, h, planes = mm._jpeg_decode(mm._jpeg_bytes(doc_id))
+        return mm._dhash56(w, h, planes[0].tobytes())
+
+    for fam in range(3):
+        hs = [dh(fam * 4 + m) for m in range(4)]
+        intra = [
+            bin(hs[i] ^ hs[j]).count("1")
+            for i in range(4)
+            for j in range(i + 1, 4)
+        ]
+        assert max(intra) <= 8 and min(intra) <= 3, (fam, intra)
+    assert bin(dh(0) ^ dh(4)).count("1") > 10
+    assert bin(dh(1) ^ dh(9)).count("1") > 10
+
+
+def _corrupt(data: bytes, **kw) -> bytes:
+    b = bytearray(data)
+    for pos, val in kw.items():
+        b[int(pos[1:])] = val
+    return bytes(b)
+
+
+def test_jpeg_corrupt_stream_rejection_matrix():
+    """Every stream this decoder cannot FAITHFULLY decode must raise
+    ValueError — never return garbage pixels silently."""
+    good = mm._jpeg_bytes(3)
+
+    # not a JPEG at all / clobbered SOI
+    with pytest.raises(ValueError, match="SOI"):
+        mm._jpeg_decode(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="SOI"):
+        mm._jpeg_decode(_corrupt(good, _0=0x00))
+
+    # truncated: mid-segment and mid-entropy-scan
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(good[:20])
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(good[: len(good) // 2])  # no EOI / truncated scan
+
+    # progressive SOF2 (flip the SOF0 marker byte)
+    sof = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="non-baseline"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 1}": 0xC2}))
+
+    # 16-bit quant table (DQT precision nibble)
+    dqt = good.index(b"\xff\xdb")
+    with pytest.raises(ValueError, match="16-bit"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{dqt + 4}": 0x10}))
+
+    # subsampling (first component's h/v sampling factors 2x2)
+    with pytest.raises(ValueError, match="subsampled"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 11}": 0x22}))
+
+    # restart intervals: inject a DRI segment before SOS
+    sos = good.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    with pytest.raises(ValueError, match="DRI"):
+        mm._jpeg_decode(good[:sos] + dri + good[sos:])
+
+    # unstuffed marker inside the entropy stream
+    scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+    bad = bytearray(good)
+    bad[scan_start + 4 : scan_start + 6] = b"\xff\xd5"
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(bytes(bad))
+
+    # SOS naming an unknown component id
+    with pytest.raises(ValueError, match="unknown component"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sos + 5}": 0x09}))
+
+    # and the good stream still decodes after all that
+    w, h, planes = mm._jpeg_decode(good)
+    assert (w, h) == mm._jpeg_dims(3) and len(planes) == 3
+
+
+def test_jpeg_spark_entries_empty_and_schema(spark):
+    """decode_jpeg_features / decode_jpeg_dhash honor the schema contract
+    on empty input and produce formula-consistent rows on a tiny frame."""
+    sch = "doc_id long"
+    empty = spark.createDataFrame([], sch)
+    f = mm.decode_jpeg_features(mm.attach_jpeg_payload(empty))
+    assert f.count() == 0
+    assert set(f.columns) == {
+        "doc_id", "width", "height", "mean_luma", "grad_energy", "rgb_checksum",
+    }
+    small = spark.createDataFrame([(0,), (1,), (4,)], sch)
+    rows = {
+        r.doc_id: r
+        for r in mm.decode_jpeg_features(mm.attach_jpeg_payload(small)).collect()
+    }
+    for doc_id, r in rows.items():
+        w, h, planes = _expected_planes(doc_id)
+        y = planes[0].astype(np.int64)
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_luma == (int(y.sum()) * 1_000_000 // (w * h)) / 1_000_000
+        assert r.grad_energy == int(np.abs(np.diff(y, axis=1)).sum())
+    hashes = {
+        r.doc_id: r.dhash
+        for r in mm.decode_jpeg_dhash(mm.attach_jpeg_payload(small)).collect()
+    }
+    for doc_id, dh in hashes.items():
+        w, h, planes = _expected_planes(doc_id)
+        assert dh == mm._dhash56(w, h, planes[0].tobytes())

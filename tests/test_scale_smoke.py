@@ -875,3 +875,31 @@ def test_video_frame_pairs_at_10x_corpus(spark):
     assert base_pairs > 0
     assert n_pairs >= COPIES * base_pairs
     assert wall < 240, f"video pairs at 10x took {wall:.0f}s"
+
+
+def test_jpeg_dhash_at_10x_corpus(spark):
+    """Baseline-JPEG decode + dHash pairing at 10x the sf0.1 image count
+    (50k payloads): the coefficient field is periodic in the //4 family
+    index with period lcm(33, 11, 4) = 132 (DC fam*37%33, AC fam*13%11,
+    dims fam%4 patterns), so shifting ids by a multiple of 4*132 = 528
+    replicates images EXACTLY — the banded bucket join faces maximal
+    collision pressure while the full Huffman+IDCT decode runs per
+    payload.  Every replica pair must surface at hamming 0."""
+    from spanner_jdbc_converter_spark.operators import dedup as dd
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    shift = ((n + 527) // 528) * 528  # keep doc_id % 528 — identical images
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(d)
+        .select((F.col("doc_id") + F.col("id") * shift).alias("doc_id"))
+    )
+    hashes = mm.decode_jpeg_dhash(mm.attach_jpeg_payload(scaled))
+    t0 = time.time()
+    pairs = dd.hamming_band_pairs(hashes, "dhash", "doc_id", max_hamming=0)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    assert n_pairs >= (COPIES * (COPIES - 1) // 2) * n
+    assert wall < 240, f"jpeg dhash at 10x took {wall:.0f}s"
