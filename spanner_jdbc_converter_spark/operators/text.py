@@ -938,6 +938,58 @@ def intradoc_scrub(
     )
 
 
+def crossdoc_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int | None = None,
+) -> DataFrame:
+    """CROSS-document exact-substring scrub (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    transform): remove every word covered by a ``ngram``-token span
+    whose verbatim text also appears in an EARLIER document (smaller
+    ``id_col``); the whole first-occurrence document survives untouched.
+    The corpus-wide sibling of :func:`intradoc_scrub` (same-doc repeats)
+    and :func:`boilerplate_scrub` (df≥3 template spans): this is the
+    transform form of dedup.verbatim_span_pairs — at the default
+    copy-evidence width (dedup.SPAN_NGRAM = 32 words) a hit is a copied
+    passage, and here it is REWRITTEN out rather than just reported.
+
+    Like the intra-doc scrub this is a SINGLE pass against the ORIGINAL
+    corpus's span positions, not a fixpoint: reassembly can in
+    principle create new 32-token coincidences, and first-occurrence
+    docs keep spans that other docs lose.  One pass is the published
+    semantics; iterate externally if a fixpoint is wanted.
+
+    Scale: one positioned shingle pass; the global first-occurrence is
+    a grouped MIN on the span hash (map-side combinable — NO pair join
+    and no posting-list expansion, so a 100 TB corpus costs one
+    hash-keyed exchange), whose output joins back on the same key (AQE
+    reuses the exchange); per-doc start lists and the expression-only
+    indexed rebuild ride the id partitioning.
+
+    Output: (id, n_tokens, n_removed, clean_text)."""
+    from spanner_jdbc_converter_spark.operators.dedup import SPAN_NGRAM
+
+    n = SPAN_NGRAM if ngram is None else ngram
+    sp = _span_pos_hashes(df, text_col, id_col, n)
+    firsts = sp.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    starts = (
+        sp.join(firsts, on="__h")
+        .filter(F.col(id_col) > F.col("__first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__starts"))
+    )
+    toks_col = tokens(text_col)
+    kept = _kept_tokens(toks_col, n)
+    return df.join(starts, on=id_col, how="left").select(
+        F.col(id_col),
+        F.size(toks_col).cast("long").alias("n_tokens"),
+        (F.size(toks_col) - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 # -- Bigram LM surprisal -----------------------------------------------------
 
 

@@ -891,3 +891,52 @@ def test_intradoc_scrub_semantics_single_pass_and_empty(spark):
         spark.createDataFrame([(9, once.clean_text)], sch)
     ).collect()[0]
     assert twice.clean_text == "a b"  # strictly shrinks: one pass != fixpoint
+
+
+def test_crossdoc_scrub_semantics_and_empty(spark):
+    """Hand docs pin the cross-document rule (ngram=3 for visibility):
+    a span's FIRST document (min id) survives untouched, every later
+    doc loses the covered words, intra-doc-only repeats are NOT this
+    operator's business, and empty text yields ('', 0 removed)."""
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    sch = "doc_id long, text string"
+    rows = [
+        (1, "a b c d e f"),          # owns 'a b c' (first occurrence)
+        (2, "x a b c y z"),          # loses the copied span
+        (3, "a b c q r"),            # loses it too (start 0)
+        (4, "p q r p q r"),          # intra-doc repeat only -> untouched
+        (5, ""),                     # empty
+    ]
+    out = {
+        r.doc_id: r
+        for r in tx.crossdoc_scrub(
+            spark.createDataFrame(rows, sch), ngram=3
+        ).collect()
+    }
+    assert out[1].clean_text == "a b c d e f" and out[1].n_removed == 0
+    assert out[2].clean_text == "x y z" and out[2].n_removed == 3
+    assert out[3].clean_text == "q r" and out[3].n_removed == 3
+    assert out[4].clean_text == "p q r p q r" and out[4].n_removed == 0
+    assert out[5].clean_text == "" and out[5].n_removed == 0
+
+
+def test_crossdoc_scrub_idempotent_on_fixture(spark, sf_dir):
+    """One corpus-wide pass at the production width (32 words) removes
+    every cross-doc verbatim span the fixture contains; re-scrubbing
+    the cleaned corpus removes nothing.  (A property of this corpus —
+    reassembly could in principle mint new 32-gram coincidences; the
+    operator documents single-pass semantics.)"""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.catalog import load_table
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    once = tx.crossdoc_scrub(d)
+    n_hit = once.filter(F.col("n_removed") > 0).count()
+    assert n_hit > 0, "fixture must exercise the cross-doc path"
+    again = tx.crossdoc_scrub(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    assert again.filter(F.col("n_removed") > 0).count() == 0
