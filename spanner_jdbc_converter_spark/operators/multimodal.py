@@ -1553,8 +1553,9 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 #: payload column invalidates pre-existing stores (v2: + png_payload;
 #: v3: + wavdup_payload, the near-dup audio family; v4: +
 #: viddup_payload, the shifted-window near-dup video family; v6: +
-#: jpeg_payload, the baseline-JFIF near-dup image family).
-_STORE_VERSION = "v6"
+#: jpeg_payload, the baseline-JFIF near-dup image family; v7: jpeg
+#: payloads for doc_id % 3 == 0 carry DRI/RSTn restart markers).
+_STORE_VERSION = "v7"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -1774,10 +1775,11 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
 # is a genuine baseline walk: SOI/APPn/DQT/SOF0/DHT/SOS/EOI marker parse,
 # canonical Huffman (spec C.2), 0xFF00 byte unstuffing, DC prediction,
 # zigzag + dequant from the STREAM's tables, and a fixed-point integer IDCT
-# (literal ±2048-scale cosine table, one deterministic round-and-shift).
+# (literal ±2048-scale cosine table, one deterministic round-and-shift),
+# honoring DRI restart intervals (sequence-checked RSTn, predictor reset).
 # Rejects (ValueError) everything it cannot faithfully decode: progressive/
-# extended SOFs, subsampling, 16-bit quant tables, restart intervals,
-# truncated or marker-corrupt streams.
+# extended SOFs, subsampling, 16-bit quant tables, truncated or
+# marker-corrupt streams.
 # ---------------------------------------------------------------------------
 
 #: JPEG zigzag scan order (ISO/IEC 10918-1 Figure 5; natural index v*8+u).
@@ -1963,15 +1965,35 @@ class _JpegBitWriter:
             self.n = 0
         return bytes(self.buf)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-fill) and emit RST(idx mod 8) — markers are
+        written RAW (never stuffed)."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
 
-def _jpeg_bytes(doc_id: int) -> bytes:
+
+#: Every third stored payload carries a DRI segment + RST markers at
+#: this interval (in MCUs) — camera-style streams restart-interval
+#: their scans, so the decode path must be exercised on both shapes.
+_JPEG_DRI_INTERVAL = 2
+
+
+def _jpeg_restart_interval(doc_id: int) -> int:
+    return _JPEG_DRI_INTERVAL if doc_id % 3 == 0 else 0
+
+
+def _jpeg_bytes(doc_id: int, restart_interval: int | None = None) -> bytes:
     """Encode the doc's synthetic coefficient field as a REAL baseline
     JFIF stream: 3 components (YCbCr 4:4:4), Annex K Huffman tables,
     two DQT tables in one segment, four DHT tables in one segment,
-    interleaved MCU scan with DC prediction, RLE/EOB AC coding, and
-    byte stuffing."""
+    interleaved MCU scan with DC prediction, RLE/EOB AC coding, byte
+    stuffing, and — for doc_id % 3 == 0 (or an explicit
+    ``restart_interval``) — a DRI segment with byte-aligned RSTn
+    markers every that-many MCUs, DC predictors reset at each."""
     import struct
 
+    if restart_interval is None:
+        restart_interval = _jpeg_restart_interval(doc_id)
     w, h = _jpeg_dims(doc_id)
     dc_l = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
     ac_l = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
@@ -1980,8 +2002,15 @@ def _jpeg_bytes(doc_id: int) -> bytes:
 
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
+    mcu = 0
+    rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                pred = [0, 0, 0]
+            mcu += 1
             for comp in range(3):
                 dct = dc_l if comp == 0 else dc_c
                 act = ac_l if comp == 0 else ac_c
@@ -2031,6 +2060,8 @@ def _jpeg_bytes(doc_id: int) -> bytes:
     ):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.flush()
     out += b"\xff\xd9"
@@ -2068,6 +2099,26 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, expected: int) -> None:
+        """Consume a byte-aligned RST(expected mod 8) marker: discard
+        the current partial byte (encoder 1-fill padding) and verify
+        the marker index — a skew means a dropped/duplicated restart
+        segment and the MCU stream can no longer be trusted."""
+        self.n = 0  # byte-align: drop padding bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG entropy stream truncated at restart")
+        m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+        if m0 != 0xFF or not (0xD0 <= m1 <= 0xD7):
+            raise ValueError(
+                f"expected JPEG restart marker, found {m0:02x}{m1:02x}"
+            )
+        if m1 - 0xD0 != expected % 8:
+            raise ValueError(
+                f"JPEG restart marker out of sequence: got RST{m1 - 0xD0},"
+                f" expected RST{expected % 8}"
+            )
+        self.pos += 2
+
 
 def _jpeg_read_symbol(br: "_JpegBitReader", table: dict) -> int:
     code = 0
@@ -2090,10 +2141,12 @@ def _jpeg_decode(data: bytes):
     """Baseline JFIF parse + entropy decode + integer reconstruction.
 
     Returns (w, h, planes) with planes a list of three numpy uint8
-    arrays (h, w) — Y, Cb, Cr.  Verifies marker structure, rejects
-    every non-baseline variant (progressive & other SOFs, subsampling,
-    16-bit DQT, restart intervals, unknown components), and raises
-    ValueError on any truncation or Huffman/structure corruption.
+    arrays (h, w) — Y, Cb, Cr.  Verifies marker structure, honors DRI
+    restart intervals (byte-aligned RSTn consumption, sequence-checked,
+    DC predictors reset), rejects every non-baseline variant
+    (progressive & other SOFs, subsampling, 16-bit DQT, unknown
+    components), and raises ValueError on any truncation or
+    Huffman/structure corruption.
 
     The IDCT is one exact int64 matmul per block batch against the
     2^22-scaled two-axis basis (_JPEG_IDCT_S), rounded with +2^23 then
@@ -2109,6 +2162,7 @@ def _jpeg_decode(data: bytes):
     qt: dict[int, list] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    restart_interval = 0
     w = h = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
@@ -2168,8 +2222,10 @@ def _jpeg_decode(data: bytes):
                 tree = _jpeg_decode_table(bits, vals)
                 (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 15] = tree
                 j += 17 + nv
-        elif marker == 0xDD:
-            raise ValueError("JPEG restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("malformed JPEG DRI segment")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             j = 1
@@ -2197,8 +2253,15 @@ def _jpeg_decode(data: bytes):
     coefs = np.zeros((n_blocks, 64), dtype=np.int64)
     pred = [0] * len(scan)
     bi = 0
+    mcu = 0
+    rst = 0
     for _by in range(bh_):
         for _bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst)
+                rst += 1
+                pred = [0] * len(scan)
+            mcu += 1
             for si, (ci, dct, act) in enumerate(scan):
                 try:
                     dtab, atab = huff_dc[dct], huff_ac[act]
@@ -2307,8 +2370,12 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
             # 1e-6 ties here, unlike the PNG dims)
             mean = (int(y.sum()) * 1_000_000 // (w * h)) / 1_000_000
             grad = int(np.abs(np.diff(y, axis=1)).sum())
-            cb = planes[1].astype(np.int64) - 128
-            cr = planes[2].astype(np.int64) - 128
+            if len(planes) >= 3:
+                cb = planes[1].astype(np.int64) - 128
+                cr = planes[2].astype(np.int64) - 128
+            else:  # grayscale baseline: neutral chroma -> R = G = B = Y
+                cb = np.zeros_like(y)
+                cr = np.zeros_like(y)
             r = np.clip(y + ((_JPEG_CR_R * cr + 32768) >> 16), 0, 255)
             g = np.clip(
                 y - ((_JPEG_CB_G * cb + _JPEG_CR_G * cr + 32768) >> 16), 0, 255

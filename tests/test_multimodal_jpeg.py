@@ -51,12 +51,15 @@ def test_jpeg_round_trip_matches_formula_replay():
 def test_jpeg_stream_is_structurally_real():
     """The payload is a genuine JFIF stream other decoders would accept
     structurally: SOI/APP0-JFIF/DQT/SOF0/DHT/SOS markers in order, EOI
-    terminated, and 0xFF bytes inside the scan always stuffed."""
+    terminated, and 0xFF bytes inside the scan always stuffed (doc 5 —
+    no restart interval) or stuffed-or-RSTn (doc 0 — DRI stream with
+    byte-aligned sequence-numbered restart markers)."""
     data = mm._jpeg_bytes(5)
     assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
     assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
     for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
         assert marker in data
+    assert b"\xff\xdd" not in data  # doc 5: no restart interval
     # every 0xFF in the entropy region is followed by 0x00 (stuffed)
     sos = data.index(b"\xff\xda")
     scan_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
@@ -64,6 +67,27 @@ def test_jpeg_stream_is_structurally_real():
     for i, b in enumerate(scan[:-1]):
         if b == 0xFF:
             assert scan[i + 1] == 0x00, f"unstuffed 0xFF at scan byte {i}"
+
+    # DRI stream: markers present, in sequence, everything else stuffed
+    data = mm._jpeg_bytes(0)
+    assert b"\xff\xdd" in data
+    sos = data.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    scan = data[scan_start:-2]
+    rsts = []
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF:
+            nxt = scan[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                rsts.append(nxt - 0xD0)
+                i += 2
+                continue
+            assert nxt == 0x00, f"unstuffed 0xFF at scan byte {i}"
+            i += 2
+            continue
+        i += 1
+    assert rsts == [k % 8 for k in range(len(rsts))] and rsts
 
 
 def test_jpeg_oracle_basis_rows_pin():
@@ -148,11 +172,26 @@ def test_jpeg_corrupt_stream_rejection_matrix():
     with pytest.raises(ValueError, match="subsampled"):
         mm._jpeg_decode(_corrupt(good, **{f"_{sof + 11}": 0x22}))
 
-    # restart intervals: inject a DRI segment before SOS
+    # restart interval claimed but no RST markers present: inject a
+    # DRI(1) segment into a non-restart stream — the decoder must
+    # demand the marker at MCU 1 and refuse the bare entropy bytes
     sos = good.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x08"
-    with pytest.raises(ValueError, match="DRI"):
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    with pytest.raises(ValueError, match="expected JPEG restart"):
         mm._jpeg_decode(good[:sos] + dri + good[sos:])
+
+    # malformed DRI body (wrong length)
+    with pytest.raises(ValueError, match="malformed JPEG DRI"):
+        mm._jpeg_decode(good[:sos] + b"\xff\xdd\x00\x03\x00" + good[sos:])
+
+    # out-of-sequence restart marker: doc 0 carries DRI/RST markers —
+    # corrupt the first RST0 into RST5
+    rst_stream = mm._jpeg_bytes(0)
+    first_rst = rst_stream.index(b"\xff\xd0")
+    broken = bytearray(rst_stream)
+    broken[first_rst + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        mm._jpeg_decode(bytes(broken))
 
     # unstuffed marker inside the entropy stream
     scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
