@@ -142,7 +142,10 @@ def pagerank_oracle_sql(
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    with_clustering: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED edge
     list (pass each edge once, either direction; duplicates and self
@@ -159,7 +162,11 @@ def triangle_counts(
     frame is |V|-sized and broadcast.
 
     Output: (node, n_triangles) for every node of the edge set —
-    nodes in no triangle included with 0.  Exact integers only.
+    nodes in no triangle included with 0.  Exact integers only.  With
+    ``with_clustering=True`` the frame becomes (node, degree,
+    n_triangles, clustering) restricted to degree ≥ 2 — clustering =
+    2T / (deg·(deg−1)), ONE double division rounded to 6 (r15: the
+    graph_triangle_coeffs surface; one implementation, two shapes).
     """
     # Materialize the canonical edge frame ONCE — it feeds four branches
     # (degree, both wedge sides, the closing membership join); without
@@ -202,13 +209,33 @@ def triangle_counts(
         F.col("u").alias("t1"), F.col("v").alias("t2")
     )
     tris = wedges.join(und, ["t1", "t2"]).select("s", "t1", "t2")
+    # ONE pass over the triangle stream: a union of three selects would
+    # re-run the (potentially hundreds-of-millions-of-rows) wedge join
+    # once per branch — Spark does not dedupe common subplans across
+    # union legs (measured 12 min vs 4 min on the 10x part graph).
     per_node = (
-        tris.select(F.col("s").alias("node"))
-        .union(tris.select(F.col("t1").alias("node")))
-        .union(tris.select(F.col("t2").alias("node")))
+        tris.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    if with_clustering:
+        return (
+            deg.filter(F.col("deg") >= 2)
+            .join(per_node, "node", "left")
+            .select(
+                "node",
+                F.col("deg").cast("long").alias("degree"),
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                .cast("long")
+                .alias("n_triangles"),
+                F.round(
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    * 2.0
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                    6,
+                ).alias("clustering"),
+            )
+        )
     return (
         deg.select("node")
         .join(per_node, "node", "left")
@@ -330,3 +357,44 @@ def pagerank_weighted_oracle_sql(
     q.append(last.rstrip(","))
     q.append(f"SELECT node, rank FROM r{iterations}")
     return "\n".join(q)
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB replay of :func:`triangle_counts` over an edge derivation
+    (``edges_sql`` must yield columns src, dst): same (degree, id)
+    orientation, wedge closure, per-node explode, coefficient round."""
+    return f"""
+    WITH raw_edges AS ({edges_sql}),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw_edges WHERE src <> dst),
+    nodes AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT node, COUNT(*) AS deg FROM nodes GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS dv
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    tris AS (
+      SELECT e1.u, e1.v AS v1, e2.v AS v2
+      FROM oriented e1
+      JOIN oriented e2 ON e1.u = e2.u
+       AND ((e1.dv, e1.v) < (e2.dv, e2.v))
+      JOIN oriented c ON c.u = e1.v AND c.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT v1 FROM tris
+        UNION ALL SELECT v2 FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(COALESCE(p.n_triangles, 0) * 2.0
+                 / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6) AS clustering
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    WHERE d.deg >= 2
+    """

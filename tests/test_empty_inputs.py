@@ -940,3 +940,42 @@ def test_crossdoc_scrub_idempotent_on_fixture(spark, sf_dir):
         once.select("doc_id", F.col("clean_text").alias("text"))
     )
     assert again.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_triangle_counts_hand_graph_and_empty(spark):
+    """Hand graph pins the degree-oriented closure: K4 minus one edge
+    has exactly two triangles sharing an edge; per-node counts and
+    clustering coefficients follow in closed form.  Empty and
+    triangle-free inputs return the right shapes."""
+    from spanner_jdbc_converter_spark.operators import graph as gr
+
+    sch = "src long, dst long"
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    out = {
+        r.node: r
+        for r in gr.triangle_counts(
+            spark.createDataFrame(edges, sch), with_clustering=True
+        ).collect()
+    }
+    assert {n: r.n_triangles for n, r in out.items()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert out[1].degree == 3 and out[1].clustering == round(2 * 2 / (3 * 2), 6)
+    assert out[3].degree == 2 and out[3].clustering == 1.0
+
+    # triangle-free path graph: zero counts, zero coefficients
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], sch)
+    rows = gr.triangle_counts(path, with_clustering=True).collect()
+    assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in rows)
+    assert {r.node for r in rows} == {2, 3}  # degree-1 endpoints excluded
+    # default shape keeps EVERY node (graph_triangle_brands contract)
+    assert {r.node for r in gr.triangle_counts(path).collect()} == {1, 2, 3, 4}
+
+    # empty edge set
+    assert gr.triangle_counts(spark.createDataFrame([], sch)).count() == 0
+
+    # duplicate + reversed + self-loop edges collapse to the same graph
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (3, 1)], sch
+    )
+    got = {r.node: r.n_triangles for r in gr.triangle_counts(noisy).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
