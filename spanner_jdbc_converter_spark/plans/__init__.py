@@ -83,10 +83,10 @@ _GATE_PRIORITY = [
     # (1) last driver row r11 (oldest-first, proposal order; displaced
     # so far by r15 registrations: dedup_fingerprint_groups,
     # dedup_minhash_signatures, dedup_winnow_pairs,
-    # dedup_winnow_fingerprints, text_mixed_lang_windows)
+    # dedup_winnow_fingerprints, text_mixed_lang_windows,
+    # text_token_stats)
     "join_bucketed_colocated",
     "text_top_tokens",
-    "text_token_stats",
     # (2) registered in r15 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers.
     "multimodal_jpeg_decode",
@@ -94,6 +94,7 @@ _GATE_PRIORITY = [
     "text_crossdoc_scrub",
     "validate_stream_disorder",
     "graph_triangle_coeffs",
+    "text_pii_contact_redact",
 ]
 
 

@@ -1308,3 +1308,110 @@ def select_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.join(g, j["_t"] == g["_g"]).select(
         "doc_id", "source", "quality", "norm_quality"
     )
+
+
+# ---------------------------------------------------------------------------
+# Contact-PII redaction — the non-checksummed siblings of the Luhn/IBAN
+# gates: emails and fixed-format phone numbers masked at scan speed.
+# ---------------------------------------------------------------------------
+
+#: Conservative regex subset that Java (Spark) and RE2 (DuckDB) parse
+#: identically: character classes, +, bounded repeats — no lookaround,
+#: no backreferences, no \b.
+EMAIL_PATTERN = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z][a-z]+"
+PHONE_PATTERN = "[0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def _contact_fixture_sql() -> str:
+    """Deterministic contact card per customer: a TPC-H-shaped phone
+    ('NN-NNN-NNN-NNNN', every group synthesized at guaranteed width
+    from custkey so no padding is needed), mangled to a non-matching
+    shape on custkey % 5 = 0 (leading digit dropped), a synthesized
+    email, omitted entirely on custkey % 9 = 0 — negatives, positives,
+    and malformed candidates all live in the fixture."""
+    email = "'user' || CAST(c_custkey AS VARCHAR) || '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.com'"
+    full = (
+        "CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||"
+        " CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||"
+        " CAST(100 + (c_custkey * 13) % 900 AS VARCHAR) || '-' ||"
+        " CAST(1000 + (c_custkey * 31) % 9000 AS VARCHAR)"
+    )
+    phone = f"CASE WHEN c_custkey % 5 = 0 THEN substring({full}, 2) ELSE {full} END"
+    return (
+        "c_name || CASE WHEN c_custkey % 9 = 0 THEN '' ELSE"
+        f" ' call ' || {phone} || ' mail ' || {email} END || ' ack'"
+    )
+
+
+def _contact_fixture_col():
+    email = F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@ex"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".com"),
+    )
+    c = F.col("c_custkey")
+    full = F.concat_ws(
+        "-",
+        (c % 90 + 10).cast("string"),
+        ((c * 7) % 900 + 100).cast("string"),
+        ((c * 13) % 900 + 100).cast("string"),
+        ((c * 31) % 9000 + 1000).cast("string"),
+    )
+    phone = F.when(c % 5 == 0, F.substring(full, 2, 32)).otherwise(full)
+    return F.concat(
+        F.col("c_name"),
+        F.when(c % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" call "), phone, F.lit(" mail "), email)
+        ),
+        F.lit(" ack"),
+    )
+
+
+@register(
+    "text_pii_contact_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey, {_contact_fixture_sql()} AS profile
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(profile, '{EMAIL_PATTERN}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(profile, '{PHONE_PATTERN}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(profile, '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+             '{PHONE_PATTERN}', '[PHONE]', 'g') AS redacted
+    FROM p
+    """,
+)
+def text_pii_contact_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email + phone redaction — the pattern-PII pass every published
+    curation pipeline runs before training (C4/Dolma-style masking),
+    complementing the CHECKSUMMED family (Luhn cards, mod-97 IBANs):
+    contacts have no checksum, so the gate is a conservative regex
+    subset that Java regex and RE2 parse identically (classes and
+    repeats only — no lookaround/backrefs/anchors, so Spark and DuckDB
+    cannot disagree on a match).  The fixture plants a TPC-H-shaped
+    synthesized phone (matched), a digit-dropped mangle on custkey
+    % 5 = 0 (must NOT match), a synthesized email, and no-PII rows on
+    custkey % 9 = 0 — positives, negatives, and malformed candidates
+    all exercised.
+
+    Scale: pure codegen string expressions — regexp_count + two chained
+    regexp_replace, zero shuffle, zero UDF, scan-speed at 100 TB; the
+    profile is derived in-plan so no fixture columns are modified."""
+    c = load_table(spark, sf_dir, "customer")
+    profile = _contact_fixture_col()
+    return c.select(
+        "c_custkey",
+        F.regexp_count(profile, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(profile, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(profile, EMAIL_PATTERN, "[EMAIL]"),
+            PHONE_PATTERN,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
