@@ -535,3 +535,66 @@ def mixture_waterfill(
             "epochs",
         )
     )
+
+
+#: 2^60 — the md5_long value range; exact in a double.
+_ES_U_DENOM = float(1 << 60)
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed_tag: str = "wres",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement, K items per
+    group, inclusion probability ∝ weight — the Efraimidis–Spirakis
+    A-ES scheme: each item draws a deterministic uniform u ∈ (0, 1]
+    (md5 of the tagged id, so reproducible across runs, engines, and
+    partitionings) and the K items with the largest u^(1/w) win —
+    equivalently, here, the K SMALLEST keys −ln(u)/w.  This is THE
+    one-pass distributed answer to "give me a K-doc weighted sample
+    per source over 100 TB": no sequential reservoir state, no
+    rejection loop, no global sort — a per-row key expression and one
+    per-group top-K.
+
+    Parity: the key is rounded to 6 digits BEFORE ranking (ln is libm
+    on both engines; the round absorbs ulp drift — the bigram-surprisal
+    convention) with the id as the total-order tiebreak, so both
+    engines rank identically.  Items with weight ≤ 0 are excluded (the
+    ES domain).
+
+    Scale: zero joins; ONE shuffle on the group key, and the
+    rank-≤-K filter compiles to WindowGroupLimit (running top-K before
+    the window sort) so no group is ever fully sorted or materialized.
+
+    Output: (group, id, weight, es_key, rank), rank 1..K per group."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_long(F.concat(F.lit(f"{seed_tag}:"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(_ES_U_DENOM)
+    key = F.round(-F.log(u) / w, 6)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("es_key"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            "weight",
+            "es_key",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2982,3 +2982,52 @@ def _prime_bpe_store(spark: SparkSession, sf_dir: str) -> None:
 @register_cache_primer("mining._UNIGRAM_STORE")
 def _prime_unigram_store(spark: SparkSession, sf_dir: str) -> None:
     _unigram_frames(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (Efraimidis–Spirakis) — K per source, ∝ n_chars.
+# ---------------------------------------------------------------------------
+
+_WRES_K = 10
+
+
+@register(
+    "select_weighted_reservoir",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             ({md5_long_sql("concat('wres:', CAST(doc_id AS VARCHAR))")} + 1)
+               / {_U_DENOM!r} AS u
+      FROM documents WHERE n_chars > 0),
+    kk AS (
+      SELECT source, doc_id, weight, ROUND(-ln(u) / weight, 6) AS es_key
+      FROM w),
+    r AS (
+      SELECT source, doc_id, weight, es_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY es_key, doc_id) AS rank
+      FROM kk)
+    SELECT source, doc_id, weight, es_key, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_WRES_K}
+    """,
+)
+def select_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted K-per-source sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, weight = n_chars): the distributed one-pass answer to
+    "sample K docs per source, longer docs proportionally more likely"
+    — no sequential reservoir, no rejection, no global sort, unlike the
+    Bernoulli entry (select_quality_weighted_sample) it returns an
+    EXACT-size sample per group.
+
+    Parity: u is the deterministic md5 uniform shifted to (0, 1]; the
+    −ln(u)/w key rounds at 6 BEFORE ranking (the surprisal convention —
+    the round absorbs libm ulp drift) and doc_id breaks ties, so both
+    engines produce the identical top-K.  Scale: one shuffle on source;
+    rank ≤ K compiles to WindowGroupLimit (running top-K, no full group
+    sort).  See operators/selection.py::weighted_reservoir."""
+    from spanner_jdbc_converter_spark.operators import selection as _sel
+
+    d = load_table(spark, sf_dir, "documents")
+    return _sel.weighted_reservoir(
+        d, "source", "doc_id", "n_chars", k=_WRES_K
+    )

@@ -979,3 +979,38 @@ def test_triangle_counts_hand_graph_and_empty(spark):
     )
     got = {r.node: r.n_triangles for r in gr.triangle_counts(noisy).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_weighted_reservoir_semantics_and_edges(spark):
+    """Pure-Python replay of the A-ES key (same md5 uniform, same
+    round-6 −ln(u)/w, same (key, id) tiebreak) must select the exact
+    same K; zero/negative weights are excluded; K ≥ group size returns
+    the whole group ranked."""
+    import hashlib
+    import math
+
+    from spanner_jdbc_converter_spark.operators import selection as sel
+
+    def u_of(i: int) -> float:
+        h = int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:15], 16)
+        return (h + 1) / float(1 << 60)
+
+    rows = [(i, "g", float(50 + (i * 37) % 900)) for i in range(40)]
+    rows += [(100, "g", 0.0), (101, "g", -5.0)]  # excluded: w <= 0
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = sel.weighted_reservoir(df, "source", "doc_id", "w", k=7).collect()
+    got = [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+
+    keyed = sorted(
+        (round(-math.log(u_of(i)) / w, 6), i) for i, _g, w in rows if w > 0
+    )
+    want = [(i, rk + 1) for rk, (_k, i) in enumerate(keyed[:7])]
+    assert got == want
+
+    # K >= group size: everything survives, ranked
+    all_out = sel.weighted_reservoir(df, "source", "doc_id", "w", k=1000)
+    assert all_out.count() == 40  # the two non-positive weights stay out
+
+    # empty input
+    empty = spark.createDataFrame([], "doc_id long, source string, w double")
+    assert sel.weighted_reservoir(empty, "source", "doc_id", "w", k=3).count() == 0
