@@ -2199,12 +2199,20 @@ def _jpeg_decode(data: bytes):
             j = 6
             for _ in range(nc):
                 cid, hv, tq = body[j], body[j + 1], body[j + 2]
-                if hv != 0x11:
-                    raise ValueError(
-                        "subsampled JPEG unsupported (4:4:4 / grayscale only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hv >> 4, hv & 15))
                 j += 3
+            factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
+            # supported layouts: 4:4:4 / grayscale (all 1x1) and 4:2:0
+            # (2x2 luma + 1x1 chroma) — the two shapes that cover
+            # essentially all real baseline corpora
+            if not (
+                all(f == (1, 1) for f in factors)
+                or (nc == 3 and factors == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    f"unsupported JPEG sampling factors {factors}"
+                    " (4:4:4, grayscale, or 4:2:0 only)"
+                )
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -2231,7 +2239,9 @@ def _jpeg_decode(data: bytes):
             j = 1
             for _ in range(ns):
                 cid, tabs = body[j], body[j + 1]
-                idx = next((k for k, (c, _q) in enumerate(comps) if c == cid), None)
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cid), None
+                )
                 if idx is None:
                     raise ValueError("JPEG SOS names an unknown component")
                 scan.append((idx, tabs >> 4, tabs & 15))
@@ -2242,21 +2252,28 @@ def _jpeg_decode(data: bytes):
         i += seglen
     if w is None or scan_start is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if w % 8 or h % 8:
-        raise ValueError("JPEG dims must be block-aligned (no partial MCU)")
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError("JPEG dims must be MCU-aligned (no partial MCU)")
     end = data.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("JPEG missing EOI")
     br = _JpegBitReader(data[scan_start:end])
-    bw_, bh_ = w // 8, h // 8
-    n_blocks = bw_ * bh_ * len(scan)
-    coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    # per-scan-component geometry: native plane dims + block-grid width
+    geom = []  # (cw, ch, blocks_per_row)
+    coefs: list = []
+    for si, (ci, _dct, _act) in enumerate(scan):
+        _cid, _tq, hf, vf = comps[ci]
+        cw, ch = w * hf // hmax, h * vf // vmax
+        geom.append((cw, ch, cw // 8, hf, vf))
+        coefs.append(np.zeros(((cw // 8) * (ch // 8), 64), dtype=np.int64))
     pred = [0] * len(scan)
-    bi = 0
     mcu = 0
     rst = 0
-    for _by in range(bh_):
-        for _bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart(rst)
                 rst += 1
@@ -2268,39 +2285,161 @@ def _jpeg_decode(data: bytes):
                     q = qt[comps[ci][1]]
                 except KeyError as exc:
                     raise ValueError(f"JPEG scan references missing table: {exc}")
-                size = _jpeg_read_symbol(br, dtab)
-                pred[si] += _jpeg_extend(br.bits(size), size) if size else 0
-                zz = [0] * 64
-                zz[0] = pred[si]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_read_symbol(br, atab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 15
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    zz[k] = _jpeg_extend(br.bits(size), size)
-                    k += 1
-                row = coefs[bi]
-                for kk in range(64):
-                    if zz[kk]:
-                        row[_JPEG_ZIGZAG[kk]] = zz[kk] * q[kk]
-                bi += 1
-    # batched integer IDCT: M[(v*8+u), (y*8+x)] = S[u][x] * S[v][y]
+                _cw, _ch, bpr, hf, vf = geom[si]
+                for j in range(vf):
+                    for ii in range(hf):
+                        size = _jpeg_read_symbol(br, dtab)
+                        pred[si] += (
+                            _jpeg_extend(br.bits(size), size) if size else 0
+                        )
+                        zz = [0] * 64
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_read_symbol(br, atab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 15
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            zz[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        row = coefs[si][(my * vf + j) * bpr + (mx * hf + ii)]
+                        for kk in range(64):
+                            if zz[kk]:
+                                row[_JPEG_ZIGZAG[kk]] = zz[kk] * q[kk]
+    # batched integer IDCT: M[(v*8+u), (y*8+x)] = S[u][x] * S[v][y];
+    # subsampled planes reconstruct at native res then upsample by
+    # pixel replication (deterministic, JFIF-compatible)
     S = np.asarray(_JPEG_IDCT_S, dtype=np.int64)
     M = np.einsum("ux,vy->vuyx", S, S).reshape(64, 64)
-    px = 128 + ((coefs @ M) + (1 << 23) >> 24)
-    px = np.clip(px, 0, 255).astype(np.uint8).reshape(bh_, bw_, len(scan), 8, 8)
-    planes = [
-        px[:, :, si].transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
-        for si in range(len(scan))
-    ]
+    planes = []
+    for si in range(len(scan)):
+        cw, ch, bpr, _hf, _vf = geom[si]
+        px = 128 + ((coefs[si] @ M) + (1 << 23) >> 24)
+        px = (
+            np.clip(px, 0, 255)
+            .astype(np.uint8)
+            .reshape(ch // 8, bpr, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ch, cw)
+        )
+        if ch != h or cw != w:
+            px = np.repeat(np.repeat(px, h // ch, axis=0), w // cw, axis=1)
+        planes.append(px)
     return w, h, planes
+
+
+def _jpeg420_dims(doc_id: int) -> tuple[int, int]:
+    """4:2:0 family dims — multiples of 16 (one MCU = 16×16 luma)."""
+    fam = doc_id // _JPEG_FAMILY
+    return 32 + 16 * (fam % 2), 16 + 16 * ((fam // 2) % 2)
+
+
+def _jpeg420_bytes(doc_id: int) -> bytes:
+    """Encode the doc's coefficient field as a REAL 4:2:0 baseline JFIF
+    stream — the layout virtually every camera JPEG uses: luma sampled
+    2×2 per MCU (four Y blocks, coefficient formula indexed by GLOBAL
+    luma block coords), chroma 1×1 at MCU coords, interleaved
+    Y00 Y01 Y10 Y11 Cb Cr per spec A.2.3.  Same Annex-K tables, DQT
+    pair, DC prediction, and stuffing as the 4:4:4 encoder."""
+    import struct
+
+    w, h = _jpeg420_dims(doc_id)
+    dc_l = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac_l = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
+    dc_c = _jpeg_canonical_codes(*_JPEG_STD_DC_CHROMA)
+    ac_c = _jpeg_canonical_codes(*_JPEG_STD_AC_CHROMA)
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(comp, bx, by, dct, act):
+        zz = _jpeg_block_coefs(doc_id, comp, bx, by)
+        size, raw = _jpeg_mag_bits(zz[0] - pred[comp])
+        pred[comp] = zz[0]
+        code, ln = dct[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(raw, size)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            size, raw = _jpeg_mag_bits(zz[k])
+            code, ln = act[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(raw, size)
+            run = 0
+        if run:
+            code, ln = act[0x00]
+            bw.put(code, ln)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for j in range(2):
+                for ii in range(2):
+                    put_block(0, mx * 2 + ii, my * 2 + j, dc_l, ac_l)
+            put_block(1, mx, my, dc_c, ac_c)
+            put_block(2, mx, my, dc_c, ac_c)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(_JPEG_QT_LUMA) + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    dht = b""
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_STD_DC_LUMA),
+        (0x10, _JPEG_STD_AC_LUMA),
+        (0x01, _JPEG_STD_DC_CHROMA),
+        (0x11, _JPEG_STD_AC_CHROMA),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += seg(0xFFC4, dht)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL 4:2:0 baseline JFIF stream per row."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[id_col].map(lambda d: _jpeg420_bytes(int(d))),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

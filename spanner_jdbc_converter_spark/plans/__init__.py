@@ -84,8 +84,8 @@ _GATE_PRIORITY = [
     # so far by r15 registrations: dedup_fingerprint_groups,
     # dedup_minhash_signatures, dedup_winnow_pairs,
     # dedup_winnow_fingerprints, text_mixed_lang_windows,
-    # text_token_stats, text_top_tokens)
-    "join_bucketed_colocated",
+    # text_token_stats, text_top_tokens, join_bucketed_colocated —
+    # group (1) fully displaced; all eight r11 entries rotate to r16)
     # (2) registered in r15 (the RULE above): each new entry displaces the
     # newest tail entry of group (1) in the same commit it registers.
     "multimodal_jpeg_decode",
@@ -95,6 +95,7 @@ _GATE_PRIORITY = [
     "graph_triangle_coeffs",
     "text_pii_contact_redact",
     "select_weighted_reservoir",
+    "multimodal_jpeg420_decode",
 ]
 
 

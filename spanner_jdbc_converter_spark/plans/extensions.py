@@ -3514,3 +3514,151 @@ def dedup_jpeg_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.hamming_band_pairs(
         hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
     )
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 baseline JPEG decode — the camera layout (2×2-sampled luma, half-res
+# chroma).  Same coefficient formulas and integer IDCT as the 4:4:4 family;
+# the oracle additionally replays the half-res chroma plane and the
+# pixel-replication upsample (gx//2, gy//2 join).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg420_pixel_ctes() -> str:
+    s1 = f"[{', '.join(str(v) for v in _J_S1)}]"
+    s2 = f"[{', '.join(str(v) for v in _J_S2)}]"
+
+    def pix(coef_cte: str) -> str:
+        return f"""
+      SELECT doc_id, w, h, comp,
+             bx * 8 + xs.x AS gx, by * 8 + ys.y AS gy,
+             LEAST(255, GREATEST(0, 128 + CAST(floor((
+                 c0 * {_J_S0} * {_J_S0}
+               + c1 * ({s1}[xs.x + 1]) * {_J_S0}
+               + c2 * {_J_S0} * ({s1}[ys.y + 1])
+               + c3 * {_J_S0} * ({s2}[ys.y + 1])
+               + c4 * ({s1}[xs.x + 1]) * ({s1}[ys.y + 1])
+               + c5 * ({s2}[xs.x + 1]) * {_J_S0}
+               + 8388608) / 16777216.0) AS BIGINT))) AS v
+      FROM {coef_cte},
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys"""
+
+    def coef(blocks_cte: str) -> str:
+        return f"""
+      SELECT b.doc_id, b.w, b.h, b.comp, b.bx, b.by,
+             (((b.doc_id // 4) * 37 + b.comp * 11 + b.bx * 3 + b.by * 5) % 33 - 16)
+               * (CASE WHEN b.comp = 0 THEN 8 ELSE 12 END) AS c0,
+             (((b.doc_id // 4) * 13 + b.comp * 5 + b.bx * 2 + b.by * 3 + 1) % 11 - 5)
+               * (CASE WHEN b.comp = 0 THEN 10 ELSE 16 END) AS c1,
+             (((b.doc_id // 4) * 13 + b.comp * 5 + b.bx * 2 + b.by * 3 + 4) % 11 - 5)
+               * (CASE WHEN b.comp = 0 THEN 12 ELSE 20 END) AS c2,
+             (((b.doc_id // 4) * 13 + b.comp * 5 + b.bx * 2 + b.by * 3 + 9) % 11 - 5)
+               * (CASE WHEN b.comp = 0 THEN 14 ELSE 12 END) AS c3,
+             (((b.doc_id // 4) * 13 + b.comp * 5 + b.bx * 2 + b.by * 3 + 16) % 11 - 5
+               + (b.doc_id % 4) % 2)
+               * 16 AS c4,
+             (((b.doc_id // 4) * 13 + b.comp * 5 + b.bx * 2 + b.by * 3 + 25) % 11 - 5
+               + ((b.doc_id % 4) // 2) % 2)
+               * (CASE WHEN b.comp = 0 THEN 8 ELSE 20 END) AS c5
+      FROM ({blocks_cte}) b"""
+
+    luma_blocks = """
+        SELECT d.doc_id, d.w, d.h, 0 AS comp, bxs.bx, bys.by
+        FROM dims420 d,
+             LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS bx) bxs,
+             LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS by) bys"""
+    chroma_blocks = """
+        SELECT d.doc_id, d.w, d.h, c.comp, bxs.bx, bys.by
+        FROM dims420 d,
+             LATERAL (SELECT unnest(generate_series(0, d.w // 16 - 1)) AS bx) bxs,
+             LATERAL (SELECT unnest(generate_series(0, d.h // 16 - 1)) AS by) bys,
+             (SELECT unnest([1, 2]) AS comp) c"""
+
+    return f"""dims420 AS (
+      SELECT doc_id,
+             32 + 16 * ((doc_id // 4) % 2) AS w,
+             16 + 16 * (((doc_id // 4) // 2) % 2) AS h
+      FROM documents
+    ),
+    jl_coef AS ({coef(luma_blocks)}),
+    jl AS ({pix("jl_coef")}),
+    jc_coef AS ({coef(chroma_blocks)}),
+    jc AS ({pix("jc_coef")})"""
+
+
+_JPEG420_DECODE_ORACLE = f"""
+    WITH {_jpeg420_pixel_ctes()},
+    jmean AS (
+      SELECT doc_id,
+             CAST((SUM(v) * 1000000) // (MAX(w) * MAX(h)) AS DOUBLE)
+               / 1000000.0 AS mean_luma
+      FROM jl GROUP BY doc_id
+    ),
+    jgrad AS (
+      SELECT doc_id, CAST(SUM(ABS(nxt - v)) AS BIGINT) AS grad_energy
+      FROM (
+        SELECT doc_id, v,
+               LEAD(v) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt
+        FROM jl
+      ) WHERE nxt IS NOT NULL GROUP BY doc_id
+    ),
+    jcc AS (
+      SELECT doc_id, gx AS hx, gy AS hy,
+             MAX(CASE WHEN comp = 1 THEN v END) - 128 AS cb,
+             MAX(CASE WHEN comp = 2 THEN v END) - 128 AS cr
+      FROM jc GROUP BY doc_id, gx, gy
+    ),
+    jycc AS (
+      SELECT l.doc_id, l.gx, l.gy, l.v AS yv, c.cb, c.cr
+      FROM jl l
+      JOIN jcc c ON c.doc_id = l.doc_id
+       AND c.hx = l.gx // 2 AND c.hy = l.gy // 2
+    ),
+    jrgb AS (
+      SELECT doc_id, gx, gy,
+             LEAST(255, GREATEST(0, yv
+               + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, yv
+               - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, yv
+               + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM jycc
+    ),
+    jsum AS (
+      SELECT doc_id,
+             CAST(SUM((r + 2 * g + 3 * b) * ((gx % 7) + 1) * ((gy % 5) + 1))
+                  AS BIGINT) AS rgb_checksum
+      FROM jrgb GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           m.mean_luma, g.grad_energy, s.rgb_checksum
+    FROM dims420 d
+    JOIN jmean m ON m.doc_id = d.doc_id
+    JOIN jgrad g ON g.doc_id = d.doc_id
+    JOIN jsum s ON s.doc_id = d.doc_id
+    """
+
+
+@register("multimodal_jpeg420_decode", oracle=_JPEG420_DECODE_ORACLE)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 baseline-JPEG decode — the chroma-subsampled layout
+    virtually every camera/web JPEG ships (the 4:4:4 entry covers the
+    studio layout): per MCU the decoder entropy-decodes FOUR luma
+    blocks + one Cb + one Cr, reconstructs the half-res chroma planes,
+    and upsamples by pixel replication; features are the shared
+    decode_jpeg_features math, so the two entries differ ONLY in the
+    stream layout — exactly the axis being certified.
+
+    The oracle replays the luma plane at full res, the chroma planes at
+    HALF res, and the replication upsample as a (gx//2, gy//2) join —
+    a hash match proves the interleaved-MCU walk, the per-component DC
+    prediction chains, the component geometry, and the upsample.
+
+    Scale: identical to the 4:4:4 entry — one Arrow decode pass over
+    the payload column, hash-spread to the session shuffle width."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = mm.attach_jpeg420_payload(d).repartition(
+        _shuffle_width(spark), "doc_id"
+    )
+    return mm.decode_jpeg_features(payloads)

@@ -168,9 +168,9 @@ def test_jpeg_corrupt_stream_rejection_matrix():
     with pytest.raises(ValueError, match="16-bit"):
         mm._jpeg_decode(_corrupt(good, **{f"_{dqt + 4}": 0x10}))
 
-    # subsampling (first component's h/v sampling factors 2x2)
-    with pytest.raises(ValueError, match="subsampled"):
-        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 11}": 0x22}))
+    # unsupported sampling layout (3x3 luma is neither 4:4:4 nor 4:2:0)
+    with pytest.raises(ValueError, match="sampling factors"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 11}": 0x33}))
 
     # restart interval claimed but no RST markers present: inject a
     # DRI(1) segment into a non-restart stream — the decoder must
@@ -237,3 +237,54 @@ def test_jpeg_spark_entries_empty_and_schema(spark):
     for doc_id, dh in hashes.items():
         w, h, planes = _expected_planes(doc_id)
         assert dh == mm._dhash56(w, h, planes[0].tobytes())
+
+
+def test_jpeg420_round_trip_and_structure():
+    """4:2:0 streams decode to exactly the formula + pixel-replication
+    replay; the SOF carries 0x22 luma sampling; 4:2:2 factors and
+    non-MCU-aligned dims are rejected."""
+    S = np.asarray(mm._JPEG_IDCT_S, dtype=np.int64)
+    M = np.einsum("ux,vy->vuyx", S, S).reshape(64, 64)
+
+    def expected(doc_id):
+        w, h = mm._jpeg420_dims(doc_id)
+        planes = []
+        for comp, (cw, ch) in ((0, (w, h)), (1, (w // 2, h // 2)), (2, (w // 2, h // 2))):
+            q = mm._JPEG_QT_LUMA if comp == 0 else mm._JPEG_QT_CHROMA
+            plane = np.zeros((ch, cw), dtype=np.uint8)
+            for by in range(ch // 8):
+                for bx in range(cw // 8):
+                    zz = mm._jpeg_block_coefs(doc_id, comp, bx, by)
+                    coef = np.zeros(64, dtype=np.int64)
+                    for kk in range(64):
+                        coef[mm._JPEG_ZIGZAG[kk]] = zz[kk] * q[kk]
+                    px = np.clip(128 + ((coef @ M) + (1 << 23) >> 24), 0, 255)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        px.reshape(8, 8).astype(np.uint8)
+                    )
+            if (cw, ch) != (w, h):
+                plane = np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+            planes.append(plane)
+        return w, h, planes
+
+    for doc_id in (0, 1, 5, 9, 14):
+        data = mm._jpeg420_bytes(doc_id)
+        w, h, planes = mm._jpeg_decode(data)
+        ew, eh, ep = expected(doc_id)
+        assert (w, h) == (ew, eh)
+        for c in range(3):
+            assert np.array_equal(planes[c], ep[c]), (doc_id, c)
+
+    data = mm._jpeg420_bytes(2)
+    sof = data.index(b"\xff\xc0")
+    assert data[sof + 11] == 0x22  # luma 2x2 sampling declared
+
+    # 4:2:2 (2x1 luma) is NOT a supported layout
+    with pytest.raises(ValueError, match="sampling factors"):
+        mm._jpeg_decode(_corrupt(data, **{f"_{sof + 11}": 0x21}))
+
+    # dims not MCU-aligned: claim h = 24 (not a multiple of 16)
+    bad = bytearray(data)
+    bad[sof + 5 : sof + 7] = (24).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="MCU-aligned"):
+        mm._jpeg_decode(bytes(bad))
