@@ -122,4 +122,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `--propose N | head` closing early is fine
+        import os
+
+        os._exit(0)
