@@ -955,3 +955,44 @@ def test_triangle_counts_at_10x_graph(spark):
     # docstring); the EXACT 10x count assertions above are the
     # linearity proof.
     assert wall < 360, f"triangle counting at 10x took {wall:.0f}s"
+
+
+def test_crossdoc_scrub_at_10x_corpus(spark):
+    """Cross-doc exact-substring scrub at 10x documents: ten shifted
+    copies make every replica's ≥32-token text verbatim-present in a
+    lower-id doc, so every token of every replica (with ≥32 tokens) is
+    covered by a repeated span — replicas scrub to EMPTY while the
+    first copy keeps the corpus's own (much smaller) scrub mass.  The
+    grouped-MIN plan has no pair join, so 10x input is ~10x span rows
+    and nothing quadratic."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spanner_jdbc_converter_spark.operators import text as tx
+
+    scaled = _scaled_docs(spark).select("doc_id", "text")
+    n = load_table(spark, SF_DIR, "documents").agg(
+        F.max("doc_id")
+    ).first()[0] + 1
+    t0 = time.time()
+    out = tx.crossdoc_scrub(scaled)
+    stats = (
+        out.withColumn("copy", (F.col("doc_id") / n).cast("long"))
+        .groupBy((F.col("copy") > 0).alias("is_replica"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") >= 32) & (F.col("clean_text") != ""), 1
+                ).otherwise(0)
+            ).alias("n_survivors_with_spans"),
+        )
+        .collect()
+    )
+    wall = time.time() - t0
+    by = {r.is_replica: r for r in stats}
+    # every replica doc with >= 32 tokens scrubs to empty
+    assert by[True].n_survivors_with_spans == 0
+    # the original copy is NOT mass-scrubbed (its own cross-doc overlap
+    # is the sf0.1 corpus's organic duplication only)
+    assert by[False].n_survivors_with_spans > 0
+    assert wall < 240, f"crossdoc scrub at 10x took {wall:.0f}s"
