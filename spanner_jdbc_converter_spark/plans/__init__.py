@@ -20,82 +20,69 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-15 window, derived verbatim from that proposal after
-# GATE_HISTORY was regenerated from CORRECTNESS_r14 as the FIRST commit of
-# the round per VERDICT r14 "Next round #3"; tests/test_config.py asserts
+# list is the round-16 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r15 as the FIRST commit of
+# the round per VERDICT r15 "Next round #2"; tests/test_config.py asserts
 # the window stays consistent with the history):
-#   (0) the 42 entries whose last driver row is r10 — the staleness tail
-#       VERDICT r14 names explicitly (agg_cms_*, agg_decile_binning,
-#       agg_hll_hourly_users, ...) — after this round no entry is older
-#       than 4 rounds unchecked;
-#   (1) the 8 oldest r11 entries, proposal order;
-#   (2) every entry registered THIS round — membership explicit, the
-#       list is EXACTLY the 50-slot window.
+#   the 50 entries whose last driver row is r11 — the staleness front
+#   (the 8 entries displaced from r15's window by its registrations lead
+#   this list) — after this round no entry is older than r12-checked.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
-# entries of group (1)) and the final commit of the round re-runs the
-# proposal so the frozen window always contains every never-checked entry —
-# a round must mint zero new never-checked entries.
+# entries) and the final commit of the round re-runs the proposal so the
+# frozen window always contains every never-checked entry — a round must
+# mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    # (0) last driver row r10 (the 42-entry stale tail, proposal order)
-    "dedup_benchmark_span_hits",
-    "dedup_span_contamination",
-    "dedup_connected_groups",
-    "select_leakage_safe_split",
-    "dedup_quality_keeper",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "dedup_semantic_clusters",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_boilerplate_scrub",
-    "text_bigram_surprisal",
-    "text_tokenizer_fertility",
-    "text_bpe_encode",
-    "text_quality_classifier",
-    "validate_quality_drift",
-    "select_pack_bpe_sequences",
-    "text_ngram_novelty",
-    "select_dsir_importance",
-    "cluster_kcenter_coreset",
-    "events_sessionization",
-    "events_markov_transitions",
-    "events_mad_outliers",
-    "events_hourly_resample_ffill",
-    "events_lag1_autocorr",
-    "events_session_features",
-    "events_seasonal_deviation",
-    "events_cusum_alarms",
-    "text_bm25_ranking",
-    "select_interleave_sources",
-    "join_copurchase_lift",
-    "report_source_data_card",
-    "select_epoch_shuffle",
-    "agg_cms_heavy_hitters",
-    "agg_decile_binning",
-    "events_time_weighted_avg",
-    "graph_pagerank_brands",
-    "agg_incremental_rollup_merge",
-    "agg_cms_join_cardinality",
-    "join_bloom_prefilter",
-    "events_latest_per_user",
-    "agg_hll_hourly_users",
-    # (1) last driver row r11 (oldest-first, proposal order; displaced
-    # so far by r15 registrations: dedup_fingerprint_groups,
-    # dedup_minhash_signatures, dedup_winnow_pairs,
-    # dedup_winnow_fingerprints, text_mixed_lang_windows,
-    # text_token_stats, text_top_tokens, join_bucketed_colocated —
-    # group (1) fully displaced; all eight r11 entries rotate to r16)
-    # (2) registered in r15 (the RULE above): each new entry displaces the
-    # newest tail entry of group (1) in the same commit it registers.
-    "multimodal_jpeg_decode",
-    "dedup_jpeg_image_pairs",
-    "text_crossdoc_scrub",
-    "validate_stream_disorder",
-    "graph_triangle_coeffs",
-    "text_pii_contact_redact",
-    "select_weighted_reservoir",
-    "multimodal_jpeg420_decode",
+    "join_bucketed_colocated",
+    "text_top_tokens",
+    "text_token_stats",
+    "text_mixed_lang_windows",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "validate_split_leakage",
+    "dedup_simhash_near_pairs",
+    "sim_topk_cosine",
+    "sim_lsh_ann_topk",
+    "sim_ivf_topk",
+    "sim_embedding_near_pairs",
+    "sim_embedding_near_pairs_lsh",
+    "multimodal_media_summary",
+    "multimodal_feature_extract",
+    "vector_column_stats",
+    "dedup_exact_rows",
+    "multimodal_frame_sample",
+    "multimodal_wav_decode",
+    "multimodal_pgm_decode",
+    "multimodal_png_decode",
+    "multimodal_video_decode",
+    "copy_incremental_diff",
+    "copy_merge_upsert",
+    "select_stratified_sample",
+    "select_token_budget",
+    "dedup_survivor_docs",
+    "sim_quantized_topk",
+    "sim_ann_recall_report",
+    "pipeline_curate_report",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_user_totals",
+    "text_bigram_pmi",
+    "cluster_silhouette_report",
+    "ml_linear_probe",
+    "vector_dim_profile",
+    "events_level_shift_detect",
+    "events_scd2_intervals",
+    "events_first_touch_attribution",
+    "events_debounce",
+    "text_pii_scan_redact",
+    "text_pii_email_ip_redact",
+    "select_length_bucketed_batches",
+    "select_curriculum_order",
 ]
 
 
