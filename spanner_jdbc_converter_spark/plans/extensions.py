@@ -3289,8 +3289,14 @@ def _prime_oprep_store(spark: SparkSession, sf_dir: str) -> None:
 def _shuffle_width(spark: SparkSession) -> int:
     """The session's configured shuffle width — the explicit partition
     count for spread-before-CPU-bound-decode repartitions (explicit so
-    AQE cannot coalesce the decode stage away)."""
-    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    AQE cannot coalesce the decode stage away).  Sessions outside this
+    repo may carry a non-integer conf value ("auto" under some AQE
+    managers) — fall back to the cluster's default parallelism then
+    (ADVICE r15)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 #: Literal per-axis IDCT basis rows (only u∈{0,1,2} carry synthetic

@@ -1109,3 +1109,25 @@ def test_intradoc_scrub_id_keyed_no_joins_beyond_starts(spark, sf_dir):
     assert "CartesianProduct" not in head
     assert "BatchEvalPython" not in head
     assert head.count("Scan parquet") <= 2
+
+
+def test_shuffle_width_falls_back_on_non_integer_conf(spark):
+    """`extensions._shuffle_width` must survive sessions whose
+    spark.sql.shuffle.partitions is not a plain integer ("auto" under
+    AQE-managed platforms) by falling back to defaultParallelism
+    (ADVICE r15)."""
+    from spanner_jdbc_converter_spark.plans.extensions import _shuffle_width
+
+    assert _shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = spark.sparkContext
+
+    assert _shuffle_width(_Stub()) == spark.sparkContext.defaultParallelism
