@@ -86,21 +86,32 @@ def main() -> None:
     # is invariant to corpus/code changes, so round-over-round drift in
     # "calibration_seconds" measures the MACHINE/session, not the engine
     # — VERDICT r6 #1's corpus-wide 1.3× swing is exactly the signal this
-    # normalizes.  Warm median of the same run count as real queries.
-    def _calibrate() -> float:
-        runs = []
-        for _ in range(max(2, BENCH_RUNS)):
-            start = time.perf_counter()
-            _force(
-                spark.range(0, 20_000_000, 1, 32)
-                .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
-                .groupBy("k")
-                .agg({"v": "sum", "*": "count"})
-            )
-            runs.append(time.perf_counter() - start)
-        return round(_median(runs[1:]), 4)
+    # normalizes.
+    #
+    # r16 hardening (VERDICT r15 "Next round #1"): a single up-front
+    # warm-median probe proved useless in r15 — it swung 0.31–1.12 s
+    # across the day while raw entry medians sat at parity, so the
+    # normalized flag net caught nothing all round.  The probe is now
+    # the MEDIAN OF K≥5 SAMPLES INTERLEAVED THROUGH THE TIMED LOOP
+    # (same fixed plan as r06–r15, so the unit stays cross-round
+    # comparable): one sample before the loop, one after, the rest
+    # spaced evenly between timed entries — the probe samples the same
+    # machine-load trajectory the entries actually experienced.  The
+    # raw sample list ships in the payload ("calibration_probes") so
+    # NOTES adjudication can see the spread, not just the median.
+    def _probe_once() -> float:
+        start = time.perf_counter()
+        _force(
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+        )
+        return time.perf_counter() - start
 
-    calibration = _calibrate()
+    _probe_once()  # untimed warmup: pay the probe's codegen once
+    CAL_SAMPLES = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_PROBES", "7")))
+    probe_samples: list[float] = [_probe_once()]
 
     # Session-cache warm-up pre-pass (VERDICT r14 "Next round #1"): build
     # every (appId, sf_dir)-keyed shared store (plans/registry.py
@@ -140,9 +151,21 @@ def main() -> None:
     else:
         selected = sorted(QUERIES)
 
+    # Interleave the remaining CAL_SAMPLES-2 mid-loop probes evenly
+    # between entries (the first sample ran above, the last runs after
+    # the loop).
+    mid_probes = max(0, CAL_SAMPLES - 2)
+    probe_stride = max(1, len(selected) // (mid_probes + 1)) if mid_probes else 0
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in selected:
+    for pos, name in enumerate(selected, start=1):
+        if (
+            mid_probes
+            and pos % probe_stride == 0
+            and len(probe_samples) < CAL_SAMPLES - 1
+        ):
+            probe_samples.append(_probe_once())
         runs: list[float] = []
         failed = None
         for i in range(BENCH_RUNS):
@@ -163,6 +186,9 @@ def main() -> None:
         # median of warm runs; with BENCH_RUNS=1 fall back to the cold run
         timings[name] = round(_median(runs[1:]) if len(runs) > 1 else runs[0], 3)
 
+    probe_samples.append(_probe_once())
+    calibration = round(_median(probe_samples), 4)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Key order is deliberate: scalars first, then warm medians, then the
     # cold runs — recorded BENCH lines have truncated in past rounds, and
@@ -174,6 +200,7 @@ def main() -> None:
         "sf": sf_val,
         "runs_per_query": BENCH_RUNS,
         "calibration_seconds": calibration,
+        "calibration_probes": [round(p, 4) for p in probe_samples],
         "cache_prime_seconds": prime_seconds,
         "queries": timings,
         "cold_queries": cold,

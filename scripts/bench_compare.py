@@ -85,7 +85,45 @@ def main() -> None:
     ap.add_argument(
         "--all", action="store_true", help="print every entry, not just flagged"
     )
+    ap.add_argument(
+        "--vs-baseline",
+        action="store_true",
+        help="isolation worklist (VERDICT r15 #1): compare the NEWEST"
+        " record against bench_history/r06.json on RAW warm-median ratios"
+        " at threshold 2.0 and print every entry that must be ×5-isolated"
+        " in-round — no precedent exceptions",
+    )
     args = ap.parse_args()
+
+    if args.vs_baseline:
+        baseline = os.path.join(HIST, "r06.json")
+        newest = args.new or newest_round_files()[1]
+        # raw medians only — r06 predates the calibration probe
+        def _raw(path: str) -> dict[str, float]:
+            with open(path) as fh:
+                return {
+                    k: float(v)
+                    for k, v in json.load(fh).get("queries", {}).items()
+                }
+
+        base_raw, new_raw = _raw(baseline), _raw(newest)
+        work = sorted(
+            (
+                (new_raw[n] / base_raw[n], base_raw[n], new_raw[n], n)
+                for n in set(base_raw) & set(new_raw)
+                if base_raw[n] > 0 and new_raw[n] > 0
+                and new_raw[n] / base_raw[n] > 2.0
+            ),
+            reverse=True,
+        )
+        print(
+            f"# RAW ratios {os.path.basename(baseline)} ->"
+            f" {os.path.basename(newest)}; entries >2.0x needing"
+            f" in-round x5 isolation: {len(work)}"
+        )
+        for ratio, o, n, name in work:
+            print(f"{ratio:7.2f}x  {o:8.2f} -> {n:8.2f}  {name}")
+        sys.exit(1 if work else 0)
 
     if args.old and args.new:
         old_path, new_path = args.old, args.new
