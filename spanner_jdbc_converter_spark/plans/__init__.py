@@ -82,6 +82,9 @@ _GATE_PRIORITY = [
     "text_pii_scan_redact",
     "text_pii_email_ip_redact",
     "select_length_bucketed_batches",
+    # r16 registrations (the RULE below): each displaces the newest
+    # tail entry of the r11-stale block; displaced entries lead r17.
+    "multimodal_jpeg_prog_decode",
     "select_curriculum_order",
 ]
 

@@ -158,10 +158,22 @@ def test_jpeg_corrupt_stream_rejection_matrix():
     with pytest.raises(ValueError):
         mm._jpeg_decode(good[: len(good) // 2])  # no EOI / truncated scan
 
-    # progressive SOF2 (flip the SOF0 marker byte)
+    # SOF2 now DISPATCHES to the progressive decoder (r16) — a baseline
+    # stream with its SOF marker flipped is a MALFORMED progressive
+    # stream (doc 3 carries DRI, which progressive rejects by name),
+    # still ValueError, never garbage pixels
     sof = good.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DRI unsupported in progressive"):
         mm._jpeg_decode(_corrupt(good, **{f"_{sof + 1}": 0xC2}))
+    # ...and without the DRI segment the flip dies on the baseline
+    # Ss=0/Se=63 scan header, which is invalid in progressive
+    nodri = mm._jpeg_bytes(3, restart_interval=0)
+    sof_n = nodri.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="spectral selection"):
+        mm._jpeg_decode(_corrupt(nodri, **{f"_{sof_n + 1}": 0xC2}))
+    # other non-baseline SOFs still reject by name
+    with pytest.raises(ValueError, match="non-baseline"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 1}": 0xC1}))
 
     # 16-bit quant table (DQT precision nibble)
     dqt = good.index(b"\xff\xdb")
@@ -203,6 +215,22 @@ def test_jpeg_corrupt_stream_rejection_matrix():
     # SOS naming an unknown component id
     with pytest.raises(ValueError, match="unknown component"):
         mm._jpeg_decode(_corrupt(good, **{f"_{sos + 5}": 0x09}))
+
+    # corrupt segment bodies whose DECLARED seglen is intact but whose
+    # contents are inconsistent must still raise ValueError, never leak
+    # IndexError/struct.error past the documented contract (ADVICE r15):
+    # SOS ns claiming more scan components than the body holds
+    with pytest.raises(ValueError, match="truncated SOS component list"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sos + 4}": 0x09}))
+    # SOF component count nc pointing past the body
+    with pytest.raises(ValueError, match="truncated SOF component list"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{sof + 9}": 0x09}))
+    # SOF body shorter than its fixed 6-byte head: shrink seglen to 7
+    # (5-byte body) and splice out the dropped tail so the walk stays
+    # aligned on the next marker
+    short_sof = good[:sof + 2] + b"\x00\x07" + good[sof + 4 : sof + 9] + good[sof + 2 + int.from_bytes(good[sof + 2 : sof + 4], "big") :]
+    with pytest.raises(ValueError, match="truncated SOF body"):
+        mm._jpeg_decode(short_sof)
 
     # and the good stream still decodes after all that
     w, h, planes = mm._jpeg_decode(good)
@@ -288,3 +316,178 @@ def test_jpeg420_round_trip_and_structure():
     bad[sof + 5 : sof + 7] = (24).to_bytes(2, "big")
     with pytest.raises(ValueError, match="MCU-aligned"):
         mm._jpeg_decode(bytes(bad))
+
+
+def test_jpeg_progressive_reconverges_with_baseline():
+    """The nine-scan progressive stream (spectral selection + two-level
+    successive approximation) must decode to pixels BIT-IDENTICAL to
+    the single-scan baseline stream of the same coefficient field —
+    progressive entropy coding is lossless, so any divergence is a
+    decoder bug, in both 4:4:4 and 4:2:0 layouts."""
+    for doc_id in range(16):
+        base = mm._jpeg_decode(mm._jpeg_bytes(doc_id, restart_interval=0))
+        prog = mm._jpeg_decode(mm._jpeg_prog_bytes(doc_id))
+        assert (base[0], base[1]) == (prog[0], prog[1])
+        for c in range(3):
+            assert np.array_equal(base[2][c], prog[2][c]), (doc_id, c)
+    for doc_id in (0, 1, 5, 9, 14):
+        base = mm._jpeg_decode(mm._jpeg420_bytes(doc_id))
+        prog = mm._jpeg_decode(mm._jpeg_prog_bytes(doc_id, layout="420"))
+        assert (base[0], base[1]) == (prog[0], prog[1])
+        for c in range(3):
+            assert np.array_equal(base[2][c], prog[2][c]), (doc_id, c)
+
+
+def test_jpeg_progressive_stream_structure():
+    """The progressive payload is structurally a REAL SOF2 multi-scan
+    stream: SOF2 marker, one DHT block, NINE SOS segments (DC first,
+    4 AC first, DC refine, 3 AC refine), their scan headers carrying
+    the documented Ss/Se/Ah/Al ladder."""
+    import struct
+
+    data = mm._jpeg_prog_bytes(7)
+    assert data.index(b"\xff\xc2") > 0
+    assert b"\xff\xc0" not in data[: data.index(b"\xff\xda")]
+    headers = []
+    i = 2
+    while i + 2 <= len(data):
+        assert data[i] == 0xFF
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if marker == 0xDA:
+            body = data[i + 4 : i + 2 + seglen]
+            ns = body[0]
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            headers.append((ns, ss, se, ahl >> 4, ahl & 15))
+            # skip entropy bytes to the next marker
+            j = i + 2 + seglen
+            while j + 1 < len(data) and not (
+                data[j] == 0xFF and data[j + 1] != 0x00
+            ):
+                j += 1
+            i = j
+            continue
+        i += 2 + seglen
+    assert headers == [
+        (3, 0, 0, 0, 1),   # DC first, interleaved, Al=1
+        (1, 1, 5, 0, 1),   # AC first, luma low band
+        (1, 6, 63, 0, 1),  # AC first, luma high band (pure EOBRUN)
+        (1, 1, 63, 0, 1),  # AC first, Cb
+        (1, 1, 63, 0, 1),  # AC first, Cr
+        (3, 0, 0, 1, 0),   # DC refinement (raw bits)
+        (1, 1, 63, 1, 0),  # AC refinement, Y
+        (1, 1, 63, 1, 0),  # AC refinement, Cb
+        (1, 1, 63, 1, 0),  # AC refinement, Cr
+    ]
+
+
+def _drop_scan(data: bytes, index: int) -> bytes:
+    """Remove the index-th SOS segment (header + entropy bytes)."""
+    import struct
+
+    i = 2
+    seen = 0
+    while i + 2 <= len(data):
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if marker == 0xDA:
+            j = i + 2 + seglen
+            while j + 1 < len(data) and not (
+                data[j] == 0xFF and data[j + 1] != 0x00
+            ):
+                j += 1
+            if seen == index:
+                return data[:i] + data[j:]
+            seen += 1
+            i = j
+            continue
+        i += 2 + seglen
+    raise AssertionError("scan index out of range")
+
+
+def test_jpeg_progressive_rejection_matrix():
+    """Progressive streams the decoder cannot FAITHFULLY decode raise
+    ValueError — approximate pixels are never passed off as a decode."""
+    good = mm._jpeg_prog_bytes(5)
+
+    # dropping the DC first scan: AC scan arrives before DC coverage
+    with pytest.raises(ValueError, match="AC scan before DC scan"):
+        mm._jpeg_decode(_drop_scan(good, 0))
+
+    # dropping an AC refinement scan: stream ends not fully refined
+    with pytest.raises(ValueError, match="not refined to full precision"):
+        mm._jpeg_decode(_drop_scan(good, 7))
+
+    # dropping an AC first scan: the following refinement scan's
+    # entropy misaligns against the now-absent history (ValueError
+    # either from the Huffman walk or the band-coverage audit)
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(_drop_scan(good, 3))
+
+    # DRI segment in a progressive stream: rejected by name
+    sos = good.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(ValueError, match="DRI unsupported in progressive"):
+        mm._jpeg_decode(good[:sos] + dri + good[sos:])
+
+    # truncated mid-scan
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(good[: len(good) * 2 // 3])
+
+    # multi-component AC scan: find the first AC SOS (ns=1) and check
+    # the decoder validates Ss>0 => ns==1 (corrupt ns to 2 would break
+    # lengths, so instead corrupt a DC header's Se to 5: Ss=0, Se>0)
+    import struct
+
+    i = 2
+    while True:
+        if good[i + 1] == 0xDA:
+            (seglen,) = struct.unpack(">H", good[i + 2 : i + 4])
+            body_at = i + 4
+            ns = good[body_at]
+            se_at = body_at + 2 + 2 * ns
+            broken = bytearray(good)
+            broken[se_at] = 5  # DC scan claiming Se=5
+            with pytest.raises(ValueError, match="spectral selection"):
+                mm._jpeg_decode(bytes(broken))
+            break
+        (seglen,) = struct.unpack(">H", good[i + 2 : i + 4])
+        i += 2 + seglen
+
+    # successive approximation skipping a bit level (Ah=2, Al=0 — a
+    # two-bit jump; note 0x21 would be a LEGAL Ah=2→Al=1 refinement,
+    # which the full-precision audit rejects instead)
+    # — corrupt the DC refinement scan's Ah/Al byte to 0x20
+    scans = []
+    i = 2
+    while i + 2 <= len(good):
+        if good[i + 1] == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", good[i + 2 : i + 4])
+        if good[i + 1] == 0xDA:
+            scans.append(i)
+            j = i + 2 + seglen
+            while j + 1 < len(good) and not (
+                good[j] == 0xFF and good[j + 1] != 0x00
+            ):
+                j += 1
+            i = j
+            continue
+        i += 2 + seglen
+    dc_refine_at = scans[5]
+    (seglen,) = struct.unpack(">H", good[dc_refine_at + 2 : dc_refine_at + 4])
+    ns = good[dc_refine_at + 4]
+    ahl_at = dc_refine_at + 4 + 1 + 2 * ns + 2
+    with pytest.raises(ValueError, match="step by one bit"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{ahl_at}": 0x20}))
+    # the legal-but-incomplete Ah=2→Al=1 variant trips the precision audit
+    with pytest.raises(ValueError, match="not refined to full precision"):
+        mm._jpeg_decode(_corrupt(good, **{f"_{ahl_at}": 0x21}))
+
+    # and the good stream still decodes after all that
+    w, h, planes = mm._jpeg_decode(good)
+    assert (w, h) == mm._jpeg_dims(5) and len(planes) == 3
