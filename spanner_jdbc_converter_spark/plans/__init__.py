@@ -85,7 +85,7 @@ _GATE_PRIORITY = [
     # r16 registrations (the RULE below): each displaces the newest
     # tail entry of the r11-stale block; displaced entries lead r17.
     "multimodal_jpeg_prog_decode",
-    "select_curriculum_order",
+    "sim_ivfpq_refine_topk",
 ]
 
 

@@ -2219,6 +2219,38 @@ def test_residual_ivfpq_beats_nonresidual_on_clustered_corpus(spark):
     }
     assert rows["ivfpq_residual"] >= rows["ivfpq"], rows
     assert rows["ivfpq_residual"] > 0.0
+    # VERDICT r15 #4: the exact refine stage can only ADD recall over
+    # plain IVF+PQ — both draw candidates from the identical ADC scan,
+    # refine re-ranks the top-REFINE_N of them exactly
+    assert rows["ivfpq_refine"] >= rows["ivfpq"], rows
+
+
+def test_ivfpq_refine_subset_of_adc_candidates_and_exact_scores(spark, sf_dir):
+    """Refine's output pairs are drawn from the ADC top-REFINE_N
+    candidate pool, and each survivor's cosine equals the exact
+    brute-force cosine for that pair — refine changes the RANKING
+    (exact within the pool), never the score function."""
+    from spanner_jdbc_converter_spark.functions.vector import norm as vnorm
+    from spanner_jdbc_converter_spark.operators import similarity as sim
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(vnorm(F.col("embedding")) > 0)
+    )
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    pool = {
+        (r.query_id, r.match_id)
+        for r in sim.ivfpq_topk(queries, e, k=sim.REFINE_N).collect()
+    }
+    exact = {
+        (r.query_id, r.match_id): r.cosine
+        for r in sim.cosine_topk(queries, e, k=10_000).collect()
+    }
+    refined = sim.ivfpq_refine_topk(queries, e, k=5).collect()
+    assert refined
+    for r in refined:
+        assert (r.query_id, r.match_id) in pool
+        assert r.cosine == exact[(r.query_id, r.match_id)]
 
 
 def test_pgm_dhash_matches_direct_compute(spark):

@@ -1131,3 +1131,24 @@ def test_shuffle_width_falls_back_on_non_integer_conf(spark):
         sparkContext = spark.sparkContext
 
     assert _shuffle_width(_Stub()) == spark.sparkContext.defaultParallelism
+
+
+def test_ivfpq_refine_adds_only_broadcasts_and_one_rank_exchange(spark, sf_dir):
+    """The refine stage's 100 TB contract (VERDICT r15 #4): exact
+    re-scoring touches the CANDIDATE SET only — the candidate ids and
+    the norm-carrying query frame broadcast onto the corpus scan (two
+    extra BroadcastExchange), and the only added shuffle is the final
+    |Q|·refine_n rank window.  A corpus-sized exchange or cartesian
+    here would silently turn refine into a second brute-force pass."""
+
+    def counts(name: str) -> tuple[int, int]:
+        head = _plan(spark, name, sf_dir).split("\n\n")[0]
+        assert "CartesianProduct" not in head
+        assert "BatchEvalPython" not in head
+        bx = head.count("BroadcastExchange")
+        return head.count("Exchange") - bx, bx
+
+    base_shuffles, base_bx = counts("sim_ivfpq_topk")
+    ref_shuffles, ref_bx = counts("sim_ivfpq_refine_topk")
+    assert ref_shuffles == base_shuffles + 1
+    assert ref_bx == base_bx + 2
