@@ -141,6 +141,58 @@ def pagerank_oracle_sql(
     return "\n".join(q)
 
 
+def _canonical_undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical (u < v) distinct undirected edge frame, self-loops
+    dropped, MATERIALIZED (it feeds four branches downstream)."""
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _degree_frame(e: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected edge frame."""
+    return (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(s, t1, t2) — every triangle of the canonical edge frame exactly
+    once, enumerated at its lowest-(degree, id) vertex (the Suri &
+    Vassilvitskii orientation: wedge fan-out Σ min-degree², hub skew
+    bounded by construction)."""
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient lower-(degree, id) endpoint → higher
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    # wedges at the low-degree pivot: s→t1, s→t2 (t1 < t2 to count once)
+    o1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    # close the wedge: the (t1, t2) edge must exist (undirected form)
+    und = e.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
+    return wedges.join(und, ["t1", "t2"]).select("s", "t1", "t2")
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -171,44 +223,9 @@ def triangle_counts(
     # Materialize the canonical edge frame ONCE — it feeds four branches
     # (degree, both wedge sides, the closing membership join); without
     # the cut each branch re-runs the full upstream edge derivation.
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    # orient lower-(degree, id) endpoint → higher
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-    )
-    # wedges at the low-degree pivot: s→t1, s→t2 (t1 < t2 to count once)
-    o1 = o.select(F.col("s"), F.col("t").alias("t1"))
-    o2 = o.select(F.col("s"), F.col("t").alias("t2"))
-    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
-    # close the wedge: the (t1, t2) edge must exist (undirected form)
-    und = e.select(
-        F.col("u").alias("t1"), F.col("v").alias("t2")
-    )
-    tris = wedges.join(und, ["t1", "t2"]).select("s", "t1", "t2")
+    e = _canonical_undirected(edges, src_col, dst_col)
+    deg = _degree_frame(e)
+    tris = _oriented_triangles(e, deg)
     # ONE pass over the triangle stream: a union of three selects would
     # re-run the (potentially hundreds-of-millions-of-rows) wedge join
     # once per branch — Spark does not dedupe common subplans across
@@ -397,4 +414,115 @@ def triangle_oracle_sql(edges_sql: str) -> str:
                  / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6) AS clustering
     FROM deg d LEFT JOIN per_node p ON p.node = d.node
     WHERE d.deg >= 2
+    """
+
+
+#: DOULION keep probability is 1/P_INV — p=1/4 cuts expected wedge-pair
+#: work by ~16x while the count·p⁻³ estimator stays unbiased
+#: (Tsourakakis, Kang, Miller, Faloutsos, KDD 2009).
+DOULION_P_INV = 4
+
+
+def triangle_estimate(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    p_inv: int = DOULION_P_INV,
+    seed_tag: str = "doulion",
+) -> DataFrame:
+    """DOULION (1±ε) triangle-count estimate beside the exact count —
+    the sketch-beside-exact discipline (HLL/CMS entries) applied to the
+    O(m^{3/2}) wedge closure: keep each canonical edge with
+    DETERMINISTIC probability 1/p_inv (md5 of the seed-tagged edge
+    key — reproducible across engines and runs, no RNG state), close
+    wedges on the sparsified graph only, and scale the sampled count by
+    p_inv³ (each surviving triangle needed its three edges kept).
+
+    At 100× edges the exact closure's Σ min-degree² wedge work grows
+    superlinearly; the sparsified closure does ~p² of that work for an
+    unbiased global estimate — the knob a 100 TB pass turns when it
+    needs the triangle density, not the per-node counts.
+
+    Output (ONE row): n_edges, n_kept, exact_triangles,
+    sampled_triangles, est_triangles (= sampled · p_inv³, exact
+    integer), rel_error (|est−exact|/exact, ROUND 6; 0.0 on a
+    triangle-free graph).  The exact count rides the SAME oriented
+    closure the estimate sparsifies, so the report grades the
+    estimator against its own exact twin."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    e = _canonical_undirected(edges, src_col, dst_col)
+    kept = e.filter(
+        md5_long(F.concat_ws(":", F.lit(seed_tag), F.col("u"), F.col("v")))
+        % p_inv
+        == 0
+    ).localCheckpoint()
+    exact = (
+        _oriented_triangles(e, _degree_frame(e))
+        .agg(F.count(F.lit(1)).alias("exact_triangles"))
+    )
+    sampled = (
+        _oriented_triangles(kept, _degree_frame(kept))
+        .agg(F.count(F.lit(1)).alias("sampled_triangles"))
+    )
+    sizes = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    est = (F.col("sampled_triangles") * (p_inv**3)).cast("long")
+    rel = F.when(F.col("exact_triangles") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.abs(est - F.col("exact_triangles")).cast("double")
+            / F.col("exact_triangles"),
+            6,
+        )
+    )
+    return (
+        sizes.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(sampled))
+        .select(
+            "n_edges",
+            "n_kept",
+            "exact_triangles",
+            "sampled_triangles",
+            est.alias("est_triangles"),
+            rel.alias("rel_error"),
+        )
+    )
+
+
+def triangle_estimate_oracle_sql(
+    edges_sql: str, p_inv: int = DOULION_P_INV, seed_tag: str = "doulion"
+) -> str:
+    """DuckDB replay of :func:`triangle_estimate`: same canonical edge
+    frame, md5 keep, closed-wedge totals on both graphs (canonical
+    a<b edges make the global count one three-way join), and the
+    p_inv³ estimator."""
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long_sql
+
+    keep = md5_long_sql(
+        f"concat('{seed_tag}:', CAST(a AS VARCHAR), ':', CAST(b AS VARCHAR))"
+    )
+
+    def total(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT COUNT(*) AS n FROM {src} e1
+      JOIN {src} e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b)"""
+
+    return f"""
+    WITH raw_edges AS ({edges_sql}),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw_edges WHERE src <> dst),
+    kept AS (SELECT a, b FROM und WHERE {keep} % {p_inv} = 0),
+    {total("und", "tri_full")},
+    {total("kept", "tri_kept")}
+    SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM kept) AS n_kept,
+           f.n AS exact_triangles,
+           k.n AS sampled_triangles,
+           k.n * {p_inv ** 3} AS est_triangles,
+           CASE WHEN f.n = 0 THEN 0.0
+                ELSE ROUND(ABS(k.n * {p_inv ** 3} - f.n) * 1.0 / f.n, 6)
+           END AS rel_error
+    FROM tri_full f CROSS JOIN tri_kept k
     """

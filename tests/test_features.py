@@ -193,3 +193,59 @@ class TestTriangles:
             ).collect()
         }
         assert out == {"a": 1, "b": 1, "c": 1}
+
+    def test_estimate_report_semantics(self, spark):
+        """DOULION report invariants on a clique: exact count right,
+        sampled count equals a replayed md5-keep closure (determinism —
+        the estimate is reproducible, not RNG), estimator = sampled·p⁻³,
+        rel_error consistent; a triangle-free graph reports 0.0 error."""
+        from pyspark.sql import Row
+
+        from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+        k9 = [(f"n{a}", f"n{b}") for a in range(9) for b in range(9) if a < b]
+        edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in k9])
+        row = gr.triangle_estimate(edges).first()
+        assert row.n_edges == 36
+        assert row.exact_triangles == 84  # C(9,3)
+        assert row.est_triangles == row.sampled_triangles * 64
+        if row.exact_triangles:
+            expect_rel = round(
+                abs(row.est_triangles - row.exact_triangles)
+                / row.exact_triangles,
+                6,
+            )
+            assert row.rel_error == expect_rel
+        # replay the deterministic keep + exact closure on the kept set
+        kept = (
+            edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+            .filter(
+                md5_long(
+                    F.concat_ws(":", F.lit("doulion"), F.col("u"), F.col("v"))
+                )
+                % 4
+                == 0
+            )
+        )
+        assert row.n_kept == kept.count()
+        replay = (
+            gr.triangle_counts(kept, src_col="u", dst_col="v")
+            .agg((F.sum("n_triangles") / 3).cast("long").alias("t"))
+            .first()
+            .t
+        )
+        assert row.sampled_triangles == replay
+        # triangle-free path: zero everywhere, rel_error exactly 0.0
+        path = spark.createDataFrame(
+            [Row(src="a", dst="b"), Row(src="b", dst="c")]
+        )
+        r0 = gr.triangle_estimate(path).first()
+        assert (r0.exact_triangles, r0.sampled_triangles, r0.rel_error) == (
+            0,
+            0,
+            0.0,
+        )

@@ -957,6 +957,85 @@ def test_triangle_counts_at_10x_graph(spark):
     assert wall < 360, f"triangle counting at 10x took {wall:.0f}s"
 
 
+def test_triangle_estimate_at_10x_graph(spark):
+    """DOULION estimate at 10x the co-purchase graph (VERDICT r15 #5):
+    the block-diagonal 10x construction scales the exact count exactly
+    10x, the deterministic md5 keep is copy-invariant only in
+    DISTRIBUTION (shifted ids re-hash), so the estimate is checked
+    against the 10x exact count by RELATIVE ERROR; the sparsified
+    closure must run in a small fraction of the exact smoke's wall —
+    that reduction is the operator's reason to exist."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spanner_jdbc_converter_spark.operators import graph as gr
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_list = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        baskets.select(F.explode(pair_list).alias("pr"))
+        .select(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .distinct()
+    )
+    n = edges.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0] + 1
+    scaled_edges = (
+        spark.range(COPIES)
+        .crossJoin(edges)
+        .select(
+            (F.col("src") + F.col("id") * n).alias("src"),
+            (F.col("dst") + F.col("id") * n).alias("dst"),
+        )
+    )
+    # time the SPARSIFIED closure alone — the wedge-pair reduction IS
+    # the operator's reason to exist, so it gets its own clock (the
+    # full report below also runs the exact closure, whose ~4 min wall
+    # the neighboring exact smoke already envelopes)
+    from spanner_jdbc_converter_spark.functions.hashing import md5_long
+
+    kept = (
+        scaled_edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .filter(
+            md5_long(
+                F.concat_ws(":", F.lit("doulion"), F.col("u"), F.col("v"))
+            )
+            % 4
+            == 0
+        )
+    )
+    t0 = time.time()
+    sparse_t3 = (
+        gr.triangle_counts(kept, src_col="u", dst_col="v")
+        .agg(F.sum("n_triangles").alias("t3"))
+        .first()
+        .t3
+    )
+    sparse_wall = time.time() - t0
+    # the exact closure's smoke envelope is 360 s; 1/16 the wedge-pair
+    # work must land far inside a quarter of it
+    assert sparse_wall < 90, f"sparsified closure took {sparse_wall:.0f}s"
+
+    row = gr.triangle_estimate(scaled_edges).first()
+    # ~1/4 of edges kept (md5 keep over 10x distinct edge keys)
+    assert abs(row.n_kept / row.n_edges - 0.25) < 0.01
+    # the estimator at ~12M kept edges: the sf0.01 fixture measured
+    # 0.13% relative error; the envelope is generous (the estimator
+    # variance shrinks with triangle count)
+    assert row.rel_error < 0.10, row
+    assert row.est_triangles == row.sampled_triangles * 64
+    # the report's sampled closure is the one just timed, replayed
+    assert row.sampled_triangles * 3 == sparse_t3
+
+
 def test_crossdoc_scrub_at_10x_corpus(spark):
     """Cross-doc exact-substring scrub at 10x documents: ten shifted
     copies make every replica's ≥32-token text verbatim-present in a
