@@ -491,3 +491,24 @@ def test_jpeg_progressive_rejection_matrix():
     # and the good stream still decodes after all that
     w, h, planes = mm._jpeg_decode(good)
     assert (w, h) == mm._jpeg_dims(5) and len(planes) == 3
+
+
+def test_jpeg_progressive_dhash_identical_to_baseline(spark, sf_dir):
+    """Cross-container dedup comparability: a doc's progressive payload
+    decodes to the same pixels as its baseline payload, so
+    decode_jpeg_dhash over the jpegprog store column equals the jpeg
+    column's hashes exactly — a production image-dedup pass mixes
+    containers and must treat them as the same image."""
+    base = {
+        r.doc_id: (r.width, r.height, r.dhash)
+        for r in mm.decode_jpeg_dhash(
+            mm.payload_view(spark, sf_dir, "jpeg").limit(30)
+        ).collect()
+    }
+    prog = {
+        r.doc_id: (r.width, r.height, r.dhash)
+        for r in mm.decode_jpeg_dhash(
+            mm.payload_view(spark, sf_dir, "jpegprog").limit(30)
+        ).collect()
+    }
+    assert base and base == {d: prog[d] for d in base}
