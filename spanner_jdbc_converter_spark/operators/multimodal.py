@@ -2214,16 +2214,24 @@ def _jpeg_decode(data: bytes):
                 comps.append((cid, tq, hv >> 4, hv & 15))
                 j += 3
             factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
-            # supported layouts: 4:4:4 / grayscale (all 1x1) and 4:2:0
-            # (2x2 luma + 1x1 chroma) — the two shapes that cover
-            # essentially all real baseline corpora
+            # supported layouts: 4:4:4 / grayscale (all 1x1), 4:2:0
+            # (2x2 luma + 1x1 chroma), and 4:2:2 (2x1 luma — the
+            # video-derived layout; r16): the MCU loop, per-component
+            # geometry, and replication upsample below are all written
+            # over (hf, vf), so the gate lists exactly the shapes the
+            # reconstruction has been VERIFIED on, not what it happens
+            # to run on
             if not (
                 all(f == (1, 1) for f in factors)
-                or (nc == 3 and factors == [(2, 2), (1, 1), (1, 1)])
+                or (
+                    nc == 3
+                    and factors
+                    in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)])
+                )
             ):
                 raise ValueError(
                     f"unsupported JPEG sampling factors {factors}"
-                    " (4:4:4, grayscale, or 4:2:0 only)"
+                    " (4:4:4, grayscale, 4:2:0, or 4:2:2 only)"
                 )
         elif marker == 0xC2:  # SOF2: hand the whole stream to the
             # progressive multi-scan decoder (r16 — VERDICT r15 gap #1)
@@ -2461,6 +2469,113 @@ def attach_jpeg420_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
+def _jpeg422_dims(doc_id: int) -> tuple[int, int]:
+    """4:2:2 family dims — w multiple of 16 (one MCU = 16×8 luma),
+    h multiple of 8."""
+    fam = doc_id // _JPEG_FAMILY
+    return 32 + 16 * (fam % 2), 16 + 8 * ((fam // 2) % 2)
+
+
+def _jpeg422_bytes(doc_id: int) -> bytes:
+    """Encode the doc's coefficient field as a REAL 4:2:2 baseline JFIF
+    stream — the video-derived layout (luma sampled 2×1 per MCU: two
+    horizontal Y blocks, chroma half-res in x only), interleaved
+    Y0 Y1 Cb Cr per spec A.2.3.  Same Annex-K tables, DQT pair, DC
+    prediction, and stuffing as the 4:4:4/4:2:0 encoders."""
+    import struct
+
+    w, h = _jpeg422_dims(doc_id)
+    dc_l = _jpeg_canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac_l = _jpeg_canonical_codes(*_JPEG_STD_AC_LUMA)
+    dc_c = _jpeg_canonical_codes(*_JPEG_STD_DC_CHROMA)
+    ac_c = _jpeg_canonical_codes(*_JPEG_STD_AC_CHROMA)
+
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(comp, bx, by, dct, act):
+        zz = _jpeg_block_coefs(doc_id, comp, bx, by)
+        size, raw = _jpeg_mag_bits(zz[0] - pred[comp])
+        pred[comp] = zz[0]
+        code, ln = dct[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(raw, size)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            size, raw = _jpeg_mag_bits(zz[k])
+            code, ln = act[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(raw, size)
+            run = 0
+        if run:
+            code, ln = act[0x00]
+            bw.put(code, ln)
+
+    for my in range(h // 8):
+        for mx in range(w // 16):
+            put_block(0, mx * 2, my, dc_l, ac_l)
+            put_block(0, mx * 2 + 1, my, dc_l, ac_l)
+            put_block(1, mx, my, dc_c, ac_c)
+            put_block(2, mx, my, dc_c, ac_c)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(_JPEG_QT_LUMA) + bytes([0x01]) + bytes(_JPEG_QT_CHROMA),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    dht = b""
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_STD_DC_LUMA),
+        (0x10, _JPEG_STD_AC_LUMA),
+        (0x01, _JPEG_STD_DC_CHROMA),
+        (0x11, _JPEG_STD_AC_CHROMA),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += seg(0xFFC4, dht)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_jpeg422_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL 4:2:2 baseline JFIF stream per row."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[id_col].map(lambda d: _jpeg422_bytes(int(d))),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
 def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL baseline JFIF stream per row."""
 
@@ -2660,6 +2775,9 @@ def _jpeg_prog_layout(doc_id: int, layout: str):
     elif layout == "420":
         w, h = _jpeg420_dims(doc_id)
         factors = [(2, 2), (1, 1), (1, 1)]
+    elif layout == "422":
+        w, h = _jpeg422_dims(doc_id)
+        factors = [(2, 1), (1, 1), (1, 1)]
     else:  # pragma: no cover - internal misuse
         raise ValueError(f"unknown progressive layout {layout!r}")
     hmax = max(hf for hf, _ in factors)
@@ -2850,11 +2968,15 @@ def _jpeg_prog_decode(data: bytes):
             factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
             if not (
                 all(f == (1, 1) for f in factors)
-                or (nc == 3 and factors == [(2, 2), (1, 1), (1, 1)])
+                or (
+                    nc == 3
+                    and factors
+                    in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)])
+                )
             ):
                 raise ValueError(
                     f"unsupported JPEG sampling factors {factors}"
-                    " (4:4:4, grayscale, or 4:2:0 only)"
+                    " (4:4:4, grayscale, 4:2:0, or 4:2:2 only)"
                 )
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)

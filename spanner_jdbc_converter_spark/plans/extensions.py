@@ -3530,7 +3530,10 @@ def dedup_jpeg_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _jpeg420_pixel_ctes() -> str:
+def _jpeg420_pixel_ctes(vsub: int = 2) -> str:
+    """Coefficient->pixel CTEs for the chroma-subsampled families:
+    vsub=2 is 4:2:0 (chroma half-res in both axes), vsub=1 is 4:2:2
+    (half-res in x only — the video-derived layout, r16)."""
     s1 = f"[{', '.join(str(v) for v in _J_S1)}]"
     s2 = f"[{', '.join(str(v) for v in _J_S2)}]"
 
@@ -3574,17 +3577,17 @@ def _jpeg420_pixel_ctes() -> str:
         FROM dims420 d,
              LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS bx) bxs,
              LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS by) bys"""
-    chroma_blocks = """
+    chroma_blocks = f"""
         SELECT d.doc_id, d.w, d.h, c.comp, bxs.bx, bys.by
         FROM dims420 d,
              LATERAL (SELECT unnest(generate_series(0, d.w // 16 - 1)) AS bx) bxs,
-             LATERAL (SELECT unnest(generate_series(0, d.h // 16 - 1)) AS by) bys,
+             LATERAL (SELECT unnest(generate_series(0, d.h // {8 * vsub} - 1)) AS by) bys,
              (SELECT unnest([1, 2]) AS comp) c"""
 
     return f"""dims420 AS (
       SELECT doc_id,
              32 + 16 * ((doc_id // 4) % 2) AS w,
-             16 + 16 * (((doc_id // 4) // 2) % 2) AS h
+             16 + {8 * vsub} * (((doc_id // 4) // 2) % 2) AS h
       FROM documents
     ),
     jl_coef AS ({coef(luma_blocks)}),
@@ -3593,8 +3596,9 @@ def _jpeg420_pixel_ctes() -> str:
     jc AS ({pix("jc_coef")})"""
 
 
-_JPEG420_DECODE_ORACLE = f"""
-    WITH {_jpeg420_pixel_ctes()},
+def _jpeg_sub_decode_oracle(vsub: int) -> str:
+    return f"""
+    WITH {_jpeg420_pixel_ctes(vsub)},
     jmean AS (
       SELECT doc_id,
              CAST((SUM(v) * 1000000) // (MAX(w) * MAX(h)) AS DOUBLE)
@@ -3619,7 +3623,7 @@ _JPEG420_DECODE_ORACLE = f"""
       SELECT l.doc_id, l.gx, l.gy, l.v AS yv, c.cb, c.cr
       FROM jl l
       JOIN jcc c ON c.doc_id = l.doc_id
-       AND c.hx = l.gx // 2 AND c.hy = l.gy // 2
+       AND c.hx = l.gx // 2 AND c.hy = l.gy // {vsub}
     ),
     jrgb AS (
       SELECT doc_id, gx, gy,
@@ -3646,6 +3650,10 @@ _JPEG420_DECODE_ORACLE = f"""
     """
 
 
+_JPEG420_DECODE_ORACLE = _jpeg_sub_decode_oracle(2)
+_JPEG422_DECODE_ORACLE = _jpeg_sub_decode_oracle(1)
+
+
 @register("multimodal_jpeg420_decode", oracle=_JPEG420_DECODE_ORACLE)
 def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 4:2:0 baseline-JPEG decode — the chroma-subsampled layout
@@ -3665,6 +3673,27 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload column, hash-spread to the session shuffle width."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = mm.attach_jpeg420_payload(d).repartition(
+        _shuffle_width(spark), "doc_id"
+    )
+    return mm.decode_jpeg_features(payloads)
+
+
+@register("multimodal_jpeg422_decode", oracle=_JPEG422_DECODE_ORACLE)
+def multimodal_jpeg422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:2 baseline-JPEG decode — the video-derived layout
+    (broadcast/interlace tooling re-encodes stills as 2×1-sampled
+    JPEGs), completing the chroma-subsampling matrix beside 4:4:4 and
+    4:2:0: per MCU the decoder entropy-decodes TWO horizontal luma
+    blocks + one Cb + one Cr, reconstructs chroma at half resolution in
+    x ONLY, and replicates along x — the same generic (hf, vf) MCU
+    machinery, certified on its third shape.
+
+    The oracle replays luma full-res, chroma half-res-in-x, and the
+    x-only replication join (gx//2, gy) — the vsub-parameterized
+    rendering of the 4:2:0 oracle.  Scale: identical one-Arrow-pass
+    shape to the other JPEG entries."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = mm.attach_jpeg422_payload(d).repartition(
         _shuffle_width(spark), "doc_id"
     )
     return mm.decode_jpeg_features(payloads)

@@ -307,9 +307,11 @@ def test_jpeg420_round_trip_and_structure():
     sof = data.index(b"\xff\xc0")
     assert data[sof + 11] == 0x22  # luma 2x2 sampling declared
 
-    # 4:2:2 (2x1 luma) is NOT a supported layout
+    # 3x1 luma is NOT a supported layout (4:2:2 is, since r16 — but a
+    # 2x2 stream re-declared as 2x1 misaligns, not silently decodes:
+    # the MCU walk then reads a different block count than was coded)
     with pytest.raises(ValueError, match="sampling factors"):
-        mm._jpeg_decode(_corrupt(data, **{f"_{sof + 11}": 0x21}))
+        mm._jpeg_decode(_corrupt(data, **{f"_{sof + 11}": 0x31}))
 
     # dims not MCU-aligned: claim h = 24 (not a multiple of 16)
     bad = bytearray(data)
@@ -512,3 +514,49 @@ def test_jpeg_progressive_dhash_identical_to_baseline(spark, sf_dir):
         ).collect()
     }
     assert base and base == {d: prog[d] for d in base}
+
+
+def test_jpeg422_round_trip_matches_formula_replay():
+    """4:2:2 (video-derived, 2×1 luma) decode must equal the formula
+    replay: luma full-res, chroma half-res in x only, x-replication
+    upsample — the third verified shape of the generic MCU machinery.
+    Progressive 4:2:2 must reconverge with the baseline stream."""
+    S = np.asarray(mm._JPEG_IDCT_S, dtype=np.int64)
+    M = np.einsum("ux,vy->vuyx", S, S).reshape(64, 64)
+
+    def expected(doc_id):
+        w, h = mm._jpeg422_dims(doc_id)
+        planes = []
+        for comp in range(3):
+            q = mm._JPEG_QT_LUMA if comp == 0 else mm._JPEG_QT_CHROMA
+            cw = w if comp == 0 else w // 2
+            plane = np.zeros((h, cw), dtype=np.uint8)
+            for by in range(h // 8):
+                for bx in range(cw // 8):
+                    zz = mm._jpeg_block_coefs(doc_id, comp, bx, by)
+                    coef = np.zeros(64, dtype=np.int64)
+                    for kk in range(64):
+                        coef[mm._JPEG_ZIGZAG[kk]] = zz[kk] * q[kk]
+                    px = 128 + ((coef @ M) + (1 << 23) >> 24)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        np.clip(px, 0, 255).astype(np.uint8).reshape(8, 8)
+                    )
+            if comp:
+                plane = np.repeat(plane, 2, axis=1)
+            planes.append(plane)
+        return w, h, planes
+
+    for doc_id in (0, 1, 5, 9, 14):
+        data = mm._jpeg422_bytes(doc_id)
+        sof = data.index(b"\xff\xc0")
+        assert data[sof + 11] == 0x21  # luma 2x1 sampling declared
+        w, h, planes = mm._jpeg_decode(data)
+        ew, eh, ep = expected(doc_id)
+        assert (w, h) == (ew, eh)
+        for c in range(3):
+            assert np.array_equal(planes[c], ep[c]), (doc_id, c)
+        # progressive 4:2:2 reconverges bit-for-bit
+        prog = mm._jpeg_decode(mm._jpeg_prog_bytes(doc_id, layout="422"))
+        assert (prog[0], prog[1]) == (w, h)
+        for c in range(3):
+            assert np.array_equal(prog[2][c], planes[c]), (doc_id, c)
