@@ -97,7 +97,10 @@ def main() -> None:
 
     if args.vs_baseline:
         baseline = os.path.join(HIST, "r06.json")
-        newest = args.new or newest_round_files()[1]
+        # a single positional binds to args.old — honor it (review r16:
+        # `bench_compare.py SOME.json --vs-baseline` silently compared
+        # the newest rNN.json instead of the named record)
+        newest = args.new or args.old or newest_round_files()[1]
         # raw medians only — r06 predates the calibration probe
         def _raw(path: str) -> dict[str, float]:
             with open(path) as fh:

@@ -2145,6 +2145,101 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment body -> quant tables (shared by the baseline and
+    progressive walks — review r16: the parsers had drifted into two
+    copies that each needed the same truncation hardening)."""
+    j = 0
+    while j < len(body):
+        pq_tq = body[j]
+        if pq_tq >> 4:
+            raise ValueError("16-bit JPEG quant tables unsupported")
+        if j + 65 > len(body):
+            raise ValueError("truncated DQT table")
+        qt[pq_tq & 15] = list(body[j + 1 : j + 65])
+        j += 65
+
+
+def _jpeg_parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment body -> canonical Huffman decode tables."""
+    j = 0
+    while j < len(body):
+        tc_th = body[j]
+        bits = list(body[j + 1 : j + 17])
+        nv = sum(bits)
+        if j + 17 + nv > len(body):
+            raise ValueError("truncated DHT table")
+        vals = list(body[j + 17 : j + 17 + nv])
+        tree = _jpeg_decode_table(bits, vals)
+        (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 15] = tree
+        j += 17 + nv
+
+
+def _jpeg_parse_sof(body: bytes) -> tuple[int, int, list]:
+    """SOF segment body -> (h, w, comps [(cid, tq, hf, vf)]), with the
+    depth/truncation checks, the verified-sampling-factor gate, and the
+    MCU-alignment check — identical for SOF0 and SOF2."""
+    import struct
+
+    if len(body) < 6:
+        raise ValueError("truncated SOF body")
+    depth, h, w, nc = struct.unpack(">BHHB", body[:6])
+    if depth != 8:
+        raise ValueError("only 8-bit JPEG supported")
+    if 6 + 3 * nc > len(body):
+        raise ValueError("truncated SOF component list")
+    comps = []
+    j = 6
+    for _ in range(nc):
+        cid, hv, tq = body[j], body[j + 1], body[j + 2]
+        comps.append((cid, tq, hv >> 4, hv & 15))
+        j += 3
+    factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
+    # supported layouts: 4:4:4 / grayscale (all 1x1), 4:2:0 (2x2 luma),
+    # and 4:2:2 (2x1 luma): the MCU loops, per-component geometry, and
+    # replication upsample are all written over (hf, vf), so this gate
+    # lists exactly the shapes the reconstruction has been VERIFIED on
+    if not (
+        all(f == (1, 1) for f in factors)
+        or (
+            nc == 3
+            and factors in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)])
+        )
+    ):
+        raise ValueError(
+            f"unsupported JPEG sampling factors {factors}"
+            " (4:4:4, grayscale, 4:2:0, or 4:2:2 only)"
+        )
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError("JPEG dims must be MCU-aligned (no partial MCU)")
+    return h, w, comps
+
+
+def _jpeg_parse_sos(body: bytes, comps: list) -> tuple[list, int, int, int, int]:
+    """SOS segment body -> (scan [(comp idx, dc tab, ac tab)], Ss, Se,
+    Ah, Al).  Baseline callers ignore the trailing spectral/approx
+    params; the component-list bounds check covers them (the three
+    bytes are mandatory in every SOS header)."""
+    if not body:
+        raise ValueError("truncated SOS body")
+    ns = body[0]
+    if 1 + 2 * ns + 3 > len(body):
+        raise ValueError("truncated SOS component list")
+    scan = []
+    j = 1
+    for _ in range(ns):
+        cid, tabs = body[j], body[j + 1]
+        idx = next((k for k, c in enumerate(comps) if c[0] == cid), None)
+        if idx is None:
+            raise ValueError("JPEG SOS names an unknown component")
+        scan.append((idx, tabs >> 4, tabs & 15))
+        j += 2
+    ss, se, ahl = body[j], body[j + 1], body[j + 2]
+    return scan, ss, se, ahl >> 4, ahl & 15
+
+
 def _jpeg_decode(data: bytes):
     """Baseline JFIF parse + entropy decode + integer reconstruction.
 
@@ -2191,48 +2286,9 @@ def _jpeg_decode(data: bytes):
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment body")
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(body):
-                pq_tq = body[j]
-                if pq_tq >> 4:
-                    raise ValueError("16-bit JPEG quant tables unsupported")
-                if j + 65 > len(body):
-                    raise ValueError("truncated DQT table")
-                qt[pq_tq & 15] = list(body[j + 1 : j + 65])
-                j += 65
+            _jpeg_parse_dqt(body, qt)
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 6:
-                raise ValueError("truncated SOF body")
-            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if depth != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
-            if 6 + 3 * nc > len(body):
-                raise ValueError("truncated SOF component list")
-            j = 6
-            for _ in range(nc):
-                cid, hv, tq = body[j], body[j + 1], body[j + 2]
-                comps.append((cid, tq, hv >> 4, hv & 15))
-                j += 3
-            factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
-            # supported layouts: 4:4:4 / grayscale (all 1x1), 4:2:0
-            # (2x2 luma + 1x1 chroma), and 4:2:2 (2x1 luma — the
-            # video-derived layout; r16): the MCU loop, per-component
-            # geometry, and replication upsample below are all written
-            # over (hf, vf), so the gate lists exactly the shapes the
-            # reconstruction has been VERIFIED on, not what it happens
-            # to run on
-            if not (
-                all(f == (1, 1) for f in factors)
-                or (
-                    nc == 3
-                    and factors
-                    in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)])
-                )
-            ):
-                raise ValueError(
-                    f"unsupported JPEG sampling factors {factors}"
-                    " (4:4:4, grayscale, 4:2:0, or 4:2:2 only)"
-                )
+            h, w, comps = _jpeg_parse_sof(body)
         elif marker == 0xC2:  # SOF2: hand the whole stream to the
             # progressive multi-scan decoder (r16 — VERDICT r15 gap #1)
             return _jpeg_prog_decode(data)
@@ -2242,37 +2298,13 @@ def _jpeg_decode(data: bytes):
         ):
             raise ValueError(f"non-baseline JPEG SOF 0x{marker:02x} unsupported")
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(body):
-                tc_th = body[j]
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                if j + 17 + nv > len(body):
-                    raise ValueError("truncated DHT table")
-                vals = list(body[j + 17 : j + 17 + nv])
-                tree = _jpeg_decode_table(bits, vals)
-                (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 15] = tree
-                j += 17 + nv
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise ValueError("malformed JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS
-            if not body:
-                raise ValueError("truncated SOS body")
-            ns = body[0]
-            if 1 + 2 * ns > len(body):
-                raise ValueError("truncated SOS component list")
-            j = 1
-            for _ in range(ns):
-                cid, tabs = body[j], body[j + 1]
-                idx = next(
-                    (k for k, c in enumerate(comps) if c[0] == cid), None
-                )
-                if idx is None:
-                    raise ValueError("JPEG SOS names an unknown component")
-                scan.append((idx, tabs >> 4, tabs & 15))
-                j += 2
+            scan, _ss, _se, _ah, _al = _jpeg_parse_sos(body, comps)
             scan_start = i + seglen
             break
         # APPn / COM / anything else with a length: skip
@@ -2281,8 +2313,6 @@ def _jpeg_decode(data: bytes):
         raise ValueError("JPEG missing SOF0 or SOS")
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
-    if w % (8 * hmax) or h % (8 * vmax):
-        raise ValueError("JPEG dims must be MCU-aligned (no partial MCU)")
     end = data.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("JPEG missing EOI")
@@ -2328,6 +2358,12 @@ def _jpeg_decode(data: bytes):
                                 break
                             if rs == 0xF0:  # ZRL
                                 k += 16
+                                # ZRL is never terminal (a coefficient
+                                # must follow within the block)
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run overflows block"
+                                    )
                                 continue
                             run, size = rs >> 4, rs & 15
                             k += run
@@ -2795,14 +2831,23 @@ def _jpeg_prog_layout(doc_id: int, layout: str):
     return w, h, factors, comp_blocks, (w // (8 * hmax), h // (8 * vmax))
 
 
-def _jpeg_prog_bytes(doc_id: int, layout: str = "444") -> bytes:
+def _jpeg_prog_bytes(
+    doc_id: int, layout: str = "444", dc_interleaved: bool = True
+) -> bytes:
     """Encode the doc's synthetic coefficient field as a REAL progressive
     JFIF stream (SOF2): an interleaved DC first scan at Al=1, per-
     component AC first scans (luma's band SPLIT 1–5 / 6–63 to exercise
     spectral selection; the high band is all-zero by construction so it
     is pure EOBRUN), an interleaved DC refinement scan (raw bits), and
     per-component AC refinement scans.  Same Annex-K tables, DQT pair,
-    and byte stuffing as the baseline encoder."""
+    and byte stuffing as the baseline encoder.
+
+    ``dc_interleaved=False`` emits the DC passes as three SEPARATE
+    single-component scans instead (legal per T.81 A.2.2 and produced
+    by jpegtran/mozjpeg scan scripts) — blocks then walk each
+    component's own grid in RASTER order, which differs from the MCU
+    sub-order for subsampled luma; the decoder must honor both (review
+    r16: the MCU-order-only decode silently mis-decoded these)."""
     import struct
 
     w, h, factors, comp_blocks, (mcux, mcuy) = _jpeg_prog_layout(doc_id, layout)
@@ -2832,28 +2877,41 @@ def _jpeg_prog_bytes(doc_id: int, layout: str = "444") -> bytes:
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xFFC4, dht)
 
-    # --- scan 1: DC first, interleaved, Al=1 ---------------------------
-    _jpeg_prog_write_sos(
-        out, seg, [(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1
-    )
-    bw = _JpegBitWriter()
-    pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for comp, (hf, vf) in enumerate(factors):
-                dct = dc_l if comp == 0 else dc_c
-                bpr = mcux * hf
-                for j in range(vf):
-                    for ii in range(hf):
-                        zz0 = comp_blocks[comp][(my * vf + j) * bpr + (mx * hf + ii)][0]
-                        v = zz0 >> 1  # arithmetic shift: DC point transform
-                        size, raw = _jpeg_mag_bits(v - pred[comp])
-                        pred[comp] = v
-                        code, ln = dct[size]
-                        bw.put(code, ln)
-                        if size:
-                            bw.put(raw, size)
-    out += bw.flush()
+    def put_dc_first(bw, comp, zz0, pred):
+        v = zz0 >> 1  # arithmetic shift: DC point transform
+        size, raw = _jpeg_mag_bits(v - pred[comp])
+        pred[comp] = v
+        code, ln = (dc_l if comp == 0 else dc_c)[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(raw, size)
+
+    # --- scan(s) 1: DC first, Al=1 --------------------------------------
+    if dc_interleaved:
+        _jpeg_prog_write_sos(
+            out, seg, [(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1
+        )
+        bw = _JpegBitWriter()
+        pred = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for comp, (hf, vf) in enumerate(factors):
+                    bpr = mcux * hf
+                    for j in range(vf):
+                        for ii in range(hf):
+                            zz0 = comp_blocks[comp][(my * vf + j) * bpr + (mx * hf + ii)][0]
+                            put_dc_first(bw, comp, zz0, pred)
+        out += bw.flush()
+    else:  # three single-component DC scans: RASTER order per grid
+        for comp in range(3):
+            _jpeg_prog_write_sos(
+                out, seg, [(comp + 1, 0x00 if comp == 0 else 0x10)], 0, 0, 0, 1
+            )
+            bw = _JpegBitWriter()
+            pred = [0, 0, 0]
+            for zz in comp_blocks[comp]:
+                put_dc_first(bw, comp, zz[0], pred)
+            out += bw.flush()
 
     # --- scans 2..4: AC first per component (luma band split) ----------
     ac_scans_first = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
@@ -2865,20 +2923,28 @@ def _jpeg_prog_bytes(doc_id: int, layout: str = "444") -> bytes:
         _jpeg_prog_ac_first(bw, comp_blocks[comp], prog_ac, ss, se, 1)
         out += bw.flush()
 
-    # --- scan 5: DC refinement, interleaved, raw bits -------------------
-    _jpeg_prog_write_sos(
-        out, seg, [(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0
-    )
-    bw = _JpegBitWriter()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for comp, (hf, vf) in enumerate(factors):
-                bpr = mcux * hf
-                for j in range(vf):
-                    for ii in range(hf):
-                        zz0 = comp_blocks[comp][(my * vf + j) * bpr + (mx * hf + ii)][0]
-                        bw.put(zz0 & 1, 1)
-    out += bw.flush()
+    # --- scan 5: DC refinement, raw bits ---------------------------------
+    if dc_interleaved:
+        _jpeg_prog_write_sos(
+            out, seg, [(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0
+        )
+        bw = _JpegBitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for comp, (hf, vf) in enumerate(factors):
+                    bpr = mcux * hf
+                    for j in range(vf):
+                        for ii in range(hf):
+                            zz0 = comp_blocks[comp][(my * vf + j) * bpr + (mx * hf + ii)][0]
+                            bw.put(zz0 & 1, 1)
+        out += bw.flush()
+    else:  # per-component raster-order refinement scans
+        for comp in range(3):
+            _jpeg_prog_write_sos(out, seg, [(comp + 1, 0x00)], 0, 0, 1, 0)
+            bw = _JpegBitWriter()
+            for zz in comp_blocks[comp]:
+                bw.put(zz[0] & 1, 1)
+            out += bw.flush()
 
     # --- scans 6..8: AC refinement per component ------------------------
     for comp, ss, se in ((0, 1, 63), (1, 1, 63), (2, 1, 63)):
@@ -2922,8 +2988,10 @@ def _jpeg_prog_decode(data: bytes):
     comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hf, vf)
     coefs: list = []  # per component: list of zigzag-order int lists
     geom: list = []  # per component: (cw, ch, blocks_per_row)
-    dc_done = [False] * 4
-    dc_al = [0] * 4  # current DC successive-approximation level
+    # sized at SOF2 parse — a fixed size would IndexError past the
+    # ValueError contract on nc >= 5 all-1x1 streams (review r16)
+    dc_done: list[bool] = []
+    dc_al: list[int] = []  # current DC successive-approximation level
     ac_al: dict[tuple[int, int], int] = {}  # (comp, band-start) -> level
     eobrun = 0
     saw_scan = False
@@ -2942,50 +3010,18 @@ def _jpeg_prog_decode(data: bytes):
         body = data[i + 2 : i + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment body")
-        if marker == 0xDB:  # DQT (shared shape with baseline)
-            j = 0
-            while j < len(body):
-                pq_tq = body[j]
-                if pq_tq >> 4:
-                    raise ValueError("16-bit JPEG quant tables unsupported")
-                if j + 65 > len(body):
-                    raise ValueError("truncated DQT table")
-                qt[pq_tq & 15] = list(body[j + 1 : j + 65])
-                j += 65
+        if marker == 0xDB:  # DQT (shared parser with baseline)
+            _jpeg_parse_dqt(body, qt)
         elif marker == 0xC2:  # SOF2 progressive
-            if len(body) < 6:
-                raise ValueError("truncated SOF body")
-            depth, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if depth != 8:
-                raise ValueError("only 8-bit progressive JPEG supported")
-            if 6 + 3 * nc > len(body):
-                raise ValueError("truncated SOF component list")
-            j = 6
-            for _ in range(nc):
-                cid, hv, tq = body[j], body[j + 1], body[j + 2]
-                comps.append((cid, tq, hv >> 4, hv & 15))
-                j += 3
-            factors = [(hf, vf) for (_c, _q, hf, vf) in comps]
-            if not (
-                all(f == (1, 1) for f in factors)
-                or (
-                    nc == 3
-                    and factors
-                    in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)])
-                )
-            ):
-                raise ValueError(
-                    f"unsupported JPEG sampling factors {factors}"
-                    " (4:4:4, grayscale, 4:2:0, or 4:2:2 only)"
-                )
+            h, w, comps = _jpeg_parse_sof(body)
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
-            if w % (8 * hmax) or h % (8 * vmax):
-                raise ValueError("JPEG dims must be MCU-aligned (no partial MCU)")
             for _cid, _tq, hf, vf in comps:
                 cw, ch = w * hf // hmax, h * vf // vmax
                 geom.append((cw, ch, cw // 8))
                 coefs.append([[0] * 64 for _ in range((cw // 8) * (ch // 8))])
+            dc_done = [False] * len(comps)
+            dc_al = [0] * len(comps)
         elif marker == 0xC0 or marker in (
             0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -2993,41 +3029,15 @@ def _jpeg_prog_decode(data: bytes):
             raise ValueError(
                 f"unexpected SOF 0x{marker:02x} in progressive decode path"
             )
-        elif marker == 0xC4:  # DHT (shared shape with baseline)
-            j = 0
-            while j < len(body):
-                tc_th = body[j]
-                bits = list(body[j + 1 : j + 17])
-                nv = sum(bits)
-                if j + 17 + nv > len(body):
-                    raise ValueError("truncated DHT table")
-                vals = list(body[j + 17 : j + 17 + nv])
-                tree = _jpeg_decode_table(bits, vals)
-                (huff_ac if tc_th >> 4 else huff_dc)[tc_th & 15] = tree
-                j += 17 + nv
+        elif marker == 0xC4:  # DHT (shared parser with baseline)
+            _jpeg_parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:
             raise ValueError("DRI unsupported in progressive JPEG")
         elif marker == 0xDA:  # SOS: one progressive scan
             if not comps:
                 raise ValueError("progressive SOS before SOF2")
-            if not body:
-                raise ValueError("truncated SOS body")
-            ns = body[0]
-            if 1 + 2 * ns + 3 > len(body):
-                raise ValueError("truncated SOS component list")
-            scan = []
-            j = 1
-            for _ in range(ns):
-                cid, tabs = body[j], body[j + 1]
-                idx = next(
-                    (k for k, c in enumerate(comps) if c[0] == cid), None
-                )
-                if idx is None:
-                    raise ValueError("JPEG SOS names an unknown component")
-                scan.append((idx, tabs >> 4, tabs & 15))
-                j += 2
-            ss, se, ahl = body[j], body[j + 1], body[j + 2]
-            ah, al = ahl >> 4, ahl & 15
+            scan, ss, se, ah, al = _jpeg_parse_sos(body, comps)
+            ns = len(scan)
             if ss > se or se > 63:
                 raise ValueError("invalid progressive spectral selection")
             if (ss == 0) != (se == 0):
@@ -3043,48 +3053,102 @@ def _jpeg_prog_decode(data: bytes):
                 )
             br = _JpegBitReader(data[i + seglen :])
             eobrun = 0
-            if ss == 0:  # DC scan (interleaved over MCUs)
-                hmax = max(c[2] for c in comps)
-                vmax = max(c[3] for c in comps)
-                mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
-                pred = [0] * len(scan)
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for si, (ci, dct, _act) in enumerate(scan):
-                            _cid, _tq, hf, vf = comps[ci]
-                            bpr = geom[ci][2]
-                            for jb in range(vf):
-                                for ib in range(hf):
-                                    blk = coefs[ci][
-                                        (my * vf + jb) * bpr + (mx * hf + ib)
-                                    ]
-                                    if ah == 0:  # DC first pass
-                                        try:
-                                            dtab = huff_dc[dct]
-                                        except KeyError as exc:
-                                            raise ValueError(
-                                                f"JPEG scan references missing table: {exc}"
-                                            )
-                                        size = _jpeg_read_symbol(br, dtab)
-                                        pred[si] += _jpeg_extend(
-                                            br.bits(size), size
-                                        ) if size else 0
-                                        blk[0] = pred[si] << al
-                                    else:  # DC refinement: one raw bit
-                                        if br.bit():
-                                            blk[0] |= 1 << al
+            if ss == 0:  # DC scan
+                # successive-approximation CONTINUITY is validated
+                # ACROSS scans, not just within the header (review r16:
+                # a first scan at Al=3 followed by a 1->0 refinement
+                # passed the per-scan check and the final al==0 audit
+                # while bits 2..1 were never coded — garbage accepted):
+                # a refinement's Ah must equal the component's current
+                # recorded level.
                 for si, (ci, _dct, _act) in enumerate(scan):
                     if ah == 0:
-                        dc_done[ci] = True
-                        dc_al[ci] = al
-                    elif not dc_done[ci]:
-                        raise ValueError("DC refinement before DC first scan")
+                        if dc_done[ci]:
+                            raise ValueError("duplicate progressive DC first scan")
                     else:
-                        dc_al[ci] = al
+                        if not dc_done[ci]:
+                            raise ValueError("DC refinement before DC first scan")
+                        if dc_al[ci] != ah:
+                            raise ValueError(
+                                "progressive successive-approximation"
+                                " discontinuity across DC scans"
+                            )
+
+                def _dc_block(blk, si, ci, dct, pred):
+                    if ah == 0:  # DC first pass
+                        try:
+                            dtab = huff_dc[dct]
+                        except KeyError as exc:
+                            raise ValueError(
+                                f"JPEG scan references missing table: {exc}"
+                            )
+                        size = _jpeg_read_symbol(br, dtab)
+                        pred[si] += (
+                            _jpeg_extend(br.bits(size), size) if size else 0
+                        )
+                        blk[0] = pred[si] << al
+                    else:  # DC refinement: one raw bit
+                        if br.bit():
+                            blk[0] |= 1 << al
+
+                pred = [0] * len(scan)
+                if len(scan) == 1:
+                    # NON-interleaved DC scan (legal per T.81 A.2.2 for
+                    # any ns=1 scan): blocks walk the COMPONENT's own
+                    # grid in raster order — NOT the MCU sub-order.
+                    # coefs[ci] is stored row-major, so iteration order
+                    # is the spec order (review r16: the MCU walk here
+                    # silently mis-decoded single-component DC scans of
+                    # subsampled layouts).
+                    ci, dct, _act = scan[0]
+                    for blk in coefs[ci]:
+                        _dc_block(blk, 0, ci, dct, pred)
+                else:  # interleaved over MCUs
+                    hmax = max(c[2] for c in comps)
+                    vmax = max(c[3] for c in comps)
+                    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for si, (ci, dct, _act) in enumerate(scan):
+                                _cid, _tq, hf, vf = comps[ci]
+                                bpr = geom[ci][2]
+                                for jb in range(vf):
+                                    for ib in range(hf):
+                                        _dc_block(
+                                            coefs[ci][
+                                                (my * vf + jb) * bpr
+                                                + (mx * hf + ib)
+                                            ],
+                                            si,
+                                            ci,
+                                            dct,
+                                            pred,
+                                        )
+                for si, (ci, _dct, _act) in enumerate(scan):
+                    dc_done[ci] = True
+                    dc_al[ci] = al
             else:  # AC scan (single component, band ss..se)
                 ci, _dct, act = scan[0]
                 if not dc_done[ci]:
                     raise ValueError("progressive AC scan before DC scan")
+                # cross-scan SA continuity for the band (see DC note)
+                for band_k in range(ss, se + 1):
+                    prior = ac_al.get((ci, band_k))
+                    if ah == 0:
+                        if prior is not None:
+                            raise ValueError(
+                                "progressive AC band coded twice at Ah=0"
+                            )
+                    else:
+                        if prior is None:
+                            raise ValueError(
+                                "AC refinement before the band's first scan"
+                            )
+                        if prior != ah:
+                            raise ValueError(
+                                "progressive successive-approximation"
+                                " discontinuity across AC scans"
+                            )
                 try:
                     atab = huff_ac[act]
                 except KeyError as exc:
@@ -3106,6 +3170,15 @@ def _jpeg_prog_decode(data: bytes):
                                         eobrun += br.bits(r)
                                     break
                                 k += 16
+                                # ZRL is never terminal: 16 zeros must
+                                # leave room for the coefficient that
+                                # follows (review r16: the silent exit
+                                # here was asymmetric with the
+                                # coefficient path's overflow raise)
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC run overflows band"
+                                    )
                                 continue
                             k += r
                             if k > se:

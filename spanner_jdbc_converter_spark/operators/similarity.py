@@ -927,6 +927,22 @@ def ivfpq_refine_topk(
         id_col=id_col,
         books=books,
     ).select("query_id", "match_id")
+    return exact_rerank(cand, queries, corpus, k, vec_col, id_col)
+
+
+def exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact rounded-cosine re-rank of a (query_id, match_id) candidate
+    frame — the refine stage on its own, so callers that already hold
+    the ADC candidates (ann_recall_report) re-score WITHOUT re-running
+    the IVF+PQ corpus scan.  Plan: candidates and the norm-carrying
+    query frame broadcast onto the corpus scan; one rank exchange."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
@@ -1171,6 +1187,16 @@ def ann_recall_report(
         exact = _stage_checkpoint(exact)
     nz_q = queries.filter(norm(F.col(vec_col)) > 0)
     nz_c = corpus.filter(norm(F.col(vec_col)) > 0)
+    # ONE ADC scan serves both hybrid rows: the ivfpq row is its top-k
+    # prefix, the refine row exact-re-ranks its top-REFINE_N — without
+    # the shared (and, under materialize, checkpointed: union legs do
+    # not dedupe common subplans) frame the report would run the
+    # coarse-assignment + code scan twice (review r16).
+    adc = ivfpq_topk(
+        nz_q, nz_c, REFINE_N, vec_col=vec_col, id_col=id_col, books=pq_books
+    ).select("query_id", "match_id", "rank")
+    if materialize:
+        adc = _stage_checkpoint(adc)
     paths = [
         ("ivf", ivf_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
         ("lsh", lsh_ann_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
@@ -1181,12 +1207,7 @@ def ann_recall_report(
             ),
         ),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
-        (
-            "ivfpq",
-            ivfpq_topk(
-                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=pq_books
-            ),
-        ),
+        ("ivfpq", adc.filter(F.col("rank") <= k)),
         (
             "ivfpq_residual",
             residual_ivfpq_topk(
@@ -1195,8 +1216,13 @@ def ann_recall_report(
         ),
         (
             "ivfpq_refine",
-            ivfpq_refine_topk(
-                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=pq_books
+            exact_rerank(
+                adc.select("query_id", "match_id"),
+                nz_q,
+                nz_c,
+                k,
+                vec_col=vec_col,
+                id_col=id_col,
             ),
         ),
     ]

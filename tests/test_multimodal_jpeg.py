@@ -486,8 +486,10 @@ def test_jpeg_progressive_rejection_matrix():
     ahl_at = dc_refine_at + 4 + 1 + 2 * ns + 2
     with pytest.raises(ValueError, match="step by one bit"):
         mm._jpeg_decode(_corrupt(good, **{f"_{ahl_at}": 0x20}))
-    # the legal-but-incomplete Ah=2→Al=1 variant trips the precision audit
-    with pytest.raises(ValueError, match="not refined to full precision"):
+    # the header-legal Ah=2→Al=1 variant now trips the CROSS-scan
+    # continuity check (review r16): the first pass coded Al=1, so a
+    # refinement claiming Ah=2 skips nothing coded
+    with pytest.raises(ValueError, match="discontinuity"):
         mm._jpeg_decode(_corrupt(good, **{f"_{ahl_at}": 0x21}))
 
     # and the good stream still decodes after all that
@@ -560,3 +562,129 @@ def test_jpeg422_round_trip_matches_formula_replay():
         assert (prog[0], prog[1]) == (w, h)
         for c in range(3):
             assert np.array_equal(prog[2][c], planes[c]), (doc_id, c)
+
+
+def test_jpeg_progressive_noninterleaved_dc_scans_decode_in_raster_order():
+    """Single-component DC scans (legal per T.81 A.2.2, produced by
+    jpegtran/mozjpeg scan scripts) walk the component's OWN grid in
+    raster order — which differs from the MCU sub-order for subsampled
+    luma.  Review r16: the MCU-order-only walk silently mis-decoded
+    these for 4:2:0/4:2:2; all six layout x DC-scan-shape combinations
+    must reconverge with the baseline pixels."""
+    for layout, base_bytes in (
+        ("444", lambda d: mm._jpeg_bytes(d, restart_interval=0)),
+        ("420", mm._jpeg420_bytes),
+        ("422", mm._jpeg422_bytes),
+    ):
+        for dc_interleaved in (True, False):
+            for doc_id in (0, 5, 9):
+                base = mm._jpeg_decode(base_bytes(doc_id))
+                prog = mm._jpeg_decode(
+                    mm._jpeg_prog_bytes(
+                        doc_id, layout=layout, dc_interleaved=dc_interleaved
+                    )
+                )
+                for c in range(3):
+                    assert np.array_equal(base[2][c], prog[2][c]), (
+                        layout,
+                        dc_interleaved,
+                        doc_id,
+                        c,
+                    )
+
+
+def test_jpeg_progressive_sa_discontinuity_across_scans_rejected():
+    """Successive-approximation continuity is validated ACROSS scans
+    (review r16): a DC first scan at Al=3 followed by an Ah=1->Al=0
+    refinement passes every per-scan header check and the final al==0
+    audit, yet bits 2..1 were never coded — the decoder must refuse,
+    not hand back wrong pixels."""
+    import struct
+
+    good = mm._jpeg_prog_bytes(5)
+    # first SOS is the interleaved DC first scan; its Ah/Al byte is the
+    # last byte of the scan header
+    sos = good.index(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", good[sos + 2 : sos + 4])
+    ahl_at = sos + 2 + seglen - 1
+    assert good[ahl_at] == 0x01  # Ah=0, Al=1
+    broken = bytearray(good)
+    broken[ahl_at] = 0x03  # Al=3: a legal first scan, but the 1->0
+    # refinement later now skips bit levels 2..1
+    with pytest.raises(ValueError, match="discontinuity"):
+        mm._jpeg_decode(bytes(broken))
+
+
+def test_jpeg_progressive_many_components_reject_cleanly():
+    """A 5-component all-1x1 SOF2 passes the sampling gate; the decoder
+    must track per-component DC state dynamically (review r16: fixed
+    4-slot arrays leaked IndexError past the ValueError contract when a
+    scan touched component index 4)."""
+    import struct
+
+    dc_l = mm._jpeg_canonical_codes(*mm._JPEG_STD_DC_LUMA)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(mm._JPEG_QT_LUMA))
+    sof = struct.pack(">BHHB", 8, 8, 8, 5)
+    for cid in range(1, 6):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xFFC2, sof)
+    bits, vals = mm._JPEG_STD_DC_LUMA
+    out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    # single-component DC first scan naming component 5 (index 4)
+    out += seg(0xFFDA, bytes([1, 5, 0x00, 0, 0, 0x00]))
+    bw = mm._JpegBitWriter()
+    code, ln = dc_l[0]  # one block, diff 0
+    bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    # components 1..4 never got DC scans: ValueError, never IndexError
+    with pytest.raises(ValueError, match="undecoded components"):
+        mm._jpeg_decode(bytes(out))
+
+
+def test_jpeg_zrl_overflowing_band_rejected():
+    """A ZRL that pushes the coefficient index past the band/block end
+    is structurally invalid (ZRL is never terminal — a coefficient must
+    follow): both decoders raise instead of silently accepting the
+    early-terminated block (review r16 asymmetry)."""
+    import struct
+
+    # progressive: corrupt the luma AC first scan's first symbol into
+    # ZRL repeatedly — band 1..5 cannot absorb 16 zeros
+    good = mm._jpeg_prog_bytes(5)
+    scans = []
+    i = 2
+    while i + 2 <= len(good):
+        if good[i + 1] == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", good[i + 2 : i + 4])
+        if good[i + 1] == 0xDA:
+            scans.append((i, i + 2 + seglen))
+            j = i + 2 + seglen
+            while j + 1 < len(good) and not (
+                good[j] == 0xFF and good[j + 1] != 0x00
+            ):
+                j += 1
+            i = j
+            continue
+        i += 2 + seglen
+    # scan 1 (luma band 1..5): overwrite its entropy head with the
+    # 3-bit ZRL code (0b011 per the prog table order: 00 EOB, 010
+    # 0x01, ... ) — force-fill a byte of ZRLs
+    zrl_code, zrl_len = mm._jpeg_canonical_codes(*mm._JPEG_PROG_AC)[0xF0]
+    byte = 0
+    nbits = 0
+    while nbits + zrl_len <= 8:
+        byte = (byte << zrl_len) | zrl_code
+        nbits += zrl_len
+    byte = (byte << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+    _start, entropy_at = scans[1]
+    broken = bytearray(good)
+    broken[entropy_at] = byte
+    with pytest.raises(ValueError, match="overflows band|invalid Huffman|truncated"):
+        mm._jpeg_decode(bytes(broken))
