@@ -2689,10 +2689,13 @@ def _jpeg_prog_write_sos(out, seg, comps_spec: list, ss: int, se: int, ah: int, 
     out += seg(0xFFDA, body)
 
 
-def _jpeg_prog_ac_first(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, se: int, al: int) -> None:
+def _jpeg_prog_ac_first(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, se: int, al: int, restart_interval: int = 0) -> None:
     """AC first pass (Ah=0): magnitudes point-transformed by Al, EOBRUN
-    accumulation across all-zero bands (spec G.1.2.2)."""
+    accumulation across all-zero bands (spec G.1.2.2); a restart
+    interval flushes the EOBRUN and emits byte-aligned RSTn every that
+    many blocks."""
     eobrun = 0
+    rst = 0
 
     def flush_eob() -> None:
         nonlocal eobrun
@@ -2704,7 +2707,11 @@ def _jpeg_prog_ac_first(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, 
                 bw.put(eobrun - (1 << n), n)
             eobrun = 0
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst += 1
         vals = [
             (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
             for k in range(ss, se + 1)
@@ -2741,12 +2748,13 @@ def _jpeg_prog_ac_first(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, 
     flush_eob()
 
 
-def _jpeg_prog_ac_refine(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, se: int, al: int) -> None:
+def _jpeg_prog_ac_refine(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int, se: int, al: int, restart_interval: int = 0) -> None:
     """AC refinement pass (Ah=Al+1): newly-nonzero coefficients Huffman-
     coded with s=1 + a sign bit, history coefficients contribute one
     correction bit each, deferred behind the pending EOBRUN (spec
-    G.1.2.3)."""
+    G.1.2.3); a restart flushes EOBRUN + pending bits first."""
     eobrun = 0
+    rst = 0
     pending: list[int] = []  # correction bits deferred behind the EOBRUN
 
     def flush_eob() -> None:
@@ -2762,7 +2770,11 @@ def _jpeg_prog_ac_refine(bw: "_JpegBitWriter", blocks: list, act: dict, ss: int,
                 bw.put(b, 1)
             pending = []
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst += 1
         absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
         eob = -1  # index of the LAST newly-nonzero coefficient
         for idx, t in enumerate(absv):
@@ -2832,7 +2844,10 @@ def _jpeg_prog_layout(doc_id: int, layout: str):
 
 
 def _jpeg_prog_bytes(
-    doc_id: int, layout: str = "444", dc_interleaved: bool = True
+    doc_id: int,
+    layout: str = "444",
+    dc_interleaved: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode the doc's synthetic coefficient field as a REAL progressive
     JFIF stream (SOF2): an interleaved DC first scan at Al=1, per-
@@ -2847,7 +2862,12 @@ def _jpeg_prog_bytes(
     by jpegtran/mozjpeg scan scripts) — blocks then walk each
     component's own grid in RASTER order, which differs from the MCU
     sub-order for subsampled luma; the decoder must honor both (review
-    r16: the MCU-order-only decode silently mis-decoded these)."""
+    r16: the MCU-order-only decode silently mis-decoded these).
+
+    ``restart_interval`` emits a DRI segment and byte-aligned RSTn
+    markers every that many MCUs (interleaved scans) / blocks
+    (non-interleaved scans), DC predictors and EOBRUN reset at each —
+    the full spec B.2.4.4 restart discipline in progressive form."""
     import struct
 
     w, h, factors, comp_blocks, (mcux, mcuy) = _jpeg_prog_layout(doc_id, layout)
@@ -2876,6 +2896,8 @@ def _jpeg_prog_bytes(
     ):
         dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
     out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def put_dc_first(bw, comp, zz0, pred):
         v = zz0 >> 1  # arithmetic shift: DC point transform
@@ -2893,8 +2915,15 @@ def _jpeg_prog_bytes(
         )
         bw = _JpegBitWriter()
         pred = [0, 0, 0]
+        mcu = 0
+        rst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.restart(rst)
+                    rst += 1
+                    pred = [0, 0, 0]
+                mcu += 1
                 for comp, (hf, vf) in enumerate(factors):
                     bpr = mcux * hf
                     for j in range(vf):
@@ -2909,7 +2938,12 @@ def _jpeg_prog_bytes(
             )
             bw = _JpegBitWriter()
             pred = [0, 0, 0]
-            for zz in comp_blocks[comp]:
+            rst = 0
+            for bi, zz in enumerate(comp_blocks[comp]):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    bw.restart(rst)
+                    rst += 1
+                    pred = [0, 0, 0]
                 put_dc_first(bw, comp, zz[0], pred)
             out += bw.flush()
 
@@ -2920,7 +2954,9 @@ def _jpeg_prog_bytes(
             out, seg, [(comp + 1, 0x00 if comp == 0 else 0x10)], ss, se, 0, 1
         )
         bw = _JpegBitWriter()
-        _jpeg_prog_ac_first(bw, comp_blocks[comp], prog_ac, ss, se, 1)
+        _jpeg_prog_ac_first(
+            bw, comp_blocks[comp], prog_ac, ss, se, 1, restart_interval
+        )
         out += bw.flush()
 
     # --- scan 5: DC refinement, raw bits ---------------------------------
@@ -2929,8 +2965,14 @@ def _jpeg_prog_bytes(
             out, seg, [(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0
         )
         bw = _JpegBitWriter()
+        mcu = 0
+        rst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.restart(rst)
+                    rst += 1
+                mcu += 1
                 for comp, (hf, vf) in enumerate(factors):
                     bpr = mcux * hf
                     for j in range(vf):
@@ -2942,7 +2984,11 @@ def _jpeg_prog_bytes(
         for comp in range(3):
             _jpeg_prog_write_sos(out, seg, [(comp + 1, 0x00)], 0, 0, 1, 0)
             bw = _JpegBitWriter()
-            for zz in comp_blocks[comp]:
+            rst = 0
+            for bi, zz in enumerate(comp_blocks[comp]):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    bw.restart(rst)
+                    rst += 1
                 bw.put(zz[0] & 1, 1)
             out += bw.flush()
 
@@ -2952,7 +2998,9 @@ def _jpeg_prog_bytes(
             out, seg, [(comp + 1, 0x00 if comp == 0 else 0x10)], ss, se, 1, 0
         )
         bw = _JpegBitWriter()
-        _jpeg_prog_ac_refine(bw, comp_blocks[comp], prog_ac, ss, se, 0)
+        _jpeg_prog_ac_refine(
+            bw, comp_blocks[comp], prog_ac, ss, se, 0, restart_interval
+        )
         out += bw.flush()
 
     out += b"\xff\xd9"
@@ -2968,11 +3016,15 @@ def _jpeg_prog_decode(data: bytes):
     successive-approximation passes); after EOI the recovered integers
     equal the encoder's quantized field, so dequant + the shared
     fixed-point IDCT + upsample reproduce the baseline pixels
-    bit-for-bit.  Rejects (ValueError): DRI/restart markers inside a
-    progressive stream, malformed scan headers (Ss>0 with ns>1, Ss=0
-    with Se>0, Ah-Al successive-approximation skips), scans before
-    SOF2, AC scans before the component's DC scan, and every
-    truncation/corruption the baseline decoder rejects."""
+    bit-for-bit.  Honors DRI restart intervals per spec B.2.4.4 —
+    the interval counts MCUs in interleaved scans and BLOCKS in
+    non-interleaved scans, each RSTn byte-aligned and sequence-checked
+    with DC predictors and EOBRUN reset.  Rejects (ValueError):
+    malformed scan headers (Ss>0 with ns>1, Ss=0 with Se>0, Ah-Al
+    successive-approximation skips within OR across scans), scans
+    before SOF2, AC scans before the component's DC scan, missing or
+    out-of-sequence restart markers, and every truncation/corruption
+    the baseline decoder rejects."""
     import struct
 
     import numpy as np
@@ -2994,6 +3046,7 @@ def _jpeg_prog_decode(data: bytes):
     dc_al: list[int] = []  # current DC successive-approximation level
     ac_al: dict[tuple[int, int], int] = {}  # (comp, band-start) -> level
     eobrun = 0
+    restart_interval = 0
     saw_scan = False
     while i + 2 <= len(data):
         if data[i] != 0xFF:
@@ -3003,7 +3056,9 @@ def _jpeg_prog_decode(data: bytes):
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            raise ValueError("restart markers unsupported in progressive JPEG")
+            # in-scan RSTn markers are consumed by the bit reader; one
+            # surfacing at the segment walk is structural corruption
+            raise ValueError("stray restart marker outside a JPEG scan")
         if i + 2 > len(data):
             raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", data[i : i + 2])
@@ -3031,8 +3086,12 @@ def _jpeg_prog_decode(data: bytes):
             )
         elif marker == 0xC4:  # DHT (shared parser with baseline)
             _jpeg_parse_dht(body, huff_dc, huff_ac)
-        elif marker == 0xDD:
-            raise ValueError("DRI unsupported in progressive JPEG")
+        elif marker == 0xDD:  # DRI (applies per scan, r16: progressive
+            # restart support — interval counts MCUs in interleaved
+            # scans, blocks in non-interleaved scans, per spec B.2.4.4)
+            if len(body) != 2:
+                raise ValueError("malformed JPEG DRI segment")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS: one progressive scan
             if not comps:
                 raise ValueError("progressive SOS before SOF2")
@@ -3092,6 +3151,8 @@ def _jpeg_prog_decode(data: bytes):
                             blk[0] |= 1 << al
 
                 pred = [0] * len(scan)
+                unit = 0  # restart unit: MCU (interleaved) / block (ns=1)
+                rst = 0
                 if len(scan) == 1:
                     # NON-interleaved DC scan (legal per T.81 A.2.2 for
                     # any ns=1 scan): blocks walk the COMPONENT's own
@@ -3102,6 +3163,11 @@ def _jpeg_prog_decode(data: bytes):
                     # subsampled layouts).
                     ci, dct, _act = scan[0]
                     for blk in coefs[ci]:
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            br.restart(rst)
+                            rst += 1
+                            pred = [0] * len(scan)
+                        unit += 1
                         _dc_block(blk, 0, ci, dct, pred)
                 else:  # interleaved over MCUs
                     hmax = max(c[2] for c in comps)
@@ -3109,6 +3175,11 @@ def _jpeg_prog_decode(data: bytes):
                     mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            if restart_interval and unit and unit % restart_interval == 0:
+                                br.restart(rst)
+                                rst += 1
+                                pred = [0] * len(scan)
+                            unit += 1
                             for si, (ci, dct, _act) in enumerate(scan):
                                 _cid, _tq, hf, vf = comps[ci]
                                 bpr = geom[ci][2]
@@ -3154,7 +3225,12 @@ def _jpeg_prog_decode(data: bytes):
                 except KeyError as exc:
                     raise ValueError(f"JPEG scan references missing table: {exc}")
                 p1, m1 = 1 << al, -(1 << al)
-                for blk in coefs[ci]:
+                rst = 0
+                for bi, blk in enumerate(coefs[ci]):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        br.restart(rst)
+                        rst += 1
+                        eobrun = 0  # restart resets ALL entropy state
                     if ah == 0:  # AC first pass (G.1.2.2)
                         if eobrun > 0:
                             eobrun -= 1

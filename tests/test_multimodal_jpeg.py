@@ -160,13 +160,11 @@ def test_jpeg_corrupt_stream_rejection_matrix():
 
     # SOF2 now DISPATCHES to the progressive decoder (r16) — a baseline
     # stream with its SOF marker flipped is a MALFORMED progressive
-    # stream (doc 3 carries DRI, which progressive rejects by name),
-    # still ValueError, never garbage pixels
+    # stream: the baseline Ss=0/Se=63 scan header is invalid in
+    # progressive — still ValueError, never garbage pixels
     sof = good.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="DRI unsupported in progressive"):
+    with pytest.raises(ValueError, match="spectral selection"):
         mm._jpeg_decode(_corrupt(good, **{f"_{sof + 1}": 0xC2}))
-    # ...and without the DRI segment the flip dies on the baseline
-    # Ss=0/Se=63 scan header, which is invalid in progressive
     nodri = mm._jpeg_bytes(3, restart_interval=0)
     sof_n = nodri.index(b"\xff\xc0")
     with pytest.raises(ValueError, match="spectral selection"):
@@ -430,11 +428,21 @@ def test_jpeg_progressive_rejection_matrix():
     with pytest.raises(ValueError):
         mm._jpeg_decode(_drop_scan(good, 3))
 
-    # DRI segment in a progressive stream: rejected by name
+    # DRI claimed but no restart markers present (r16: progressive
+    # restarts are now DECODED, so the failure mode is a missing RSTn
+    # at the first boundary, the baseline discipline)
     sos = good.index(b"\xff\xda")
     dri = b"\xff\xdd\x00\x04\x00\x02"
-    with pytest.raises(ValueError, match="DRI unsupported in progressive"):
+    with pytest.raises(ValueError, match="expected JPEG restart"):
         mm._jpeg_decode(good[:sos] + dri + good[sos:])
+
+    # out-of-sequence restart marker in a progressive stream
+    rst_stream = mm._jpeg_prog_bytes(5, restart_interval=2)
+    first_rst = rst_stream.index(b"\xff\xd0")
+    broken_rst = bytearray(rst_stream)
+    broken_rst[first_rst + 1] = 0xD4
+    with pytest.raises(ValueError, match="out of sequence"):
+        mm._jpeg_decode(bytes(broken_rst))
 
     # truncated mid-scan
     with pytest.raises(ValueError):
@@ -577,20 +585,25 @@ def test_jpeg_progressive_noninterleaved_dc_scans_decode_in_raster_order():
         ("422", mm._jpeg422_bytes),
     ):
         for dc_interleaved in (True, False):
-            for doc_id in (0, 5, 9):
-                base = mm._jpeg_decode(base_bytes(doc_id))
-                prog = mm._jpeg_decode(
-                    mm._jpeg_prog_bytes(
-                        doc_id, layout=layout, dc_interleaved=dc_interleaved
+            for restart_interval in (0, 2):
+                for doc_id in (0, 5, 9):
+                    base = mm._jpeg_decode(base_bytes(doc_id))
+                    prog = mm._jpeg_decode(
+                        mm._jpeg_prog_bytes(
+                            doc_id,
+                            layout=layout,
+                            dc_interleaved=dc_interleaved,
+                            restart_interval=restart_interval,
+                        )
                     )
-                )
-                for c in range(3):
-                    assert np.array_equal(base[2][c], prog[2][c]), (
-                        layout,
-                        dc_interleaved,
-                        doc_id,
-                        c,
-                    )
+                    for c in range(3):
+                        assert np.array_equal(base[2][c], prog[2][c]), (
+                            layout,
+                            dc_interleaved,
+                            restart_interval,
+                            doc_id,
+                            c,
+                        )
 
 
 def test_jpeg_progressive_sa_discontinuity_across_scans_rejected():
