@@ -930,6 +930,30 @@ def ivfpq_refine_topk(
     return exact_rerank(cand, queries, corpus, k, vec_col, id_col)
 
 
+def residual_refine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    refine_n: int = REFINE_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: dict | None = None,
+) -> DataFrame:
+    """Residual IVF+PQ with the exact refine stage — the refine matrix
+    completed: the anchored residual ADC scan ranks candidates, the
+    top-``refine_n`` re-score exactly (:func:`exact_rerank`), same
+    candidate-set-cost contract as :func:`ivfpq_refine_topk`."""
+    cand = residual_ivfpq_topk(
+        queries,
+        corpus,
+        k=refine_n,
+        vec_col=vec_col,
+        id_col=id_col,
+        books=books,
+    ).select("query_id", "match_id")
+    return exact_rerank(cand, queries, corpus, k, vec_col, id_col)
+
+
 def exact_rerank(
     cand: DataFrame,
     queries: DataFrame,
@@ -1155,15 +1179,16 @@ def ann_recall_report(
     measured recall, so parameter tuning flew blind).
 
     recall@k(method) = |approx top-k pairs ∩ exact top-k pairs| / |exact
-    top-k pairs|, pooled over all queries.  The seven production paths
+    top-k pairs|, pooled over all queries.  The eight production paths
     are graded with their corpus-entry parameters: hyperplane LSH
     (8 tables × 4 planes), IVF (nprobe=3, stride-100 centroids),
     product quantization (4 subspaces × 8 codes, ADC scoring), int8
-    quantization, the IVF+PQ hybrid, residual IVF+PQ, and IVF+PQ with
-    the exact refine stage — the last three at the SAME m/ncode/nprobe,
-    so both the residual refinement's and the exact re-rank's accuracy
-    gains are measured, not assumed (PQ-family and int8 paths exclude
-    zero-norm vectors on both sides — the documented contract).
+    quantization, the IVF+PQ hybrid, residual IVF+PQ, and BOTH hybrids
+    with the exact refine stage — all four hybrid rows at the SAME
+    m/ncode/nprobe, so the residual refinement's and the exact
+    re-rank's accuracy gains are measured independently and composed,
+    never assumed (PQ-family and int8 paths exclude zero-norm vectors
+    on both sides — the documented contract).
 
     Plan: the exact top-k (|queries|·k id pairs — tiny) materializes
     once via the stage-checkpoint discipline and feeds the hit-joins;
@@ -1173,9 +1198,9 @@ def ann_recall_report(
     No driver collect; every join side that is small is broadcast.
 
     Output: (method, n_queries, n_exact, n_hits, recall) — one row per
-    method ('ivf', 'ivfpq', 'ivfpq_refine', 'ivfpq_residual', 'lsh',
-    'pq', 'quantized'); a method with zero hits still reports
-    (recall 0.0)."""
+    method ('ivf', 'ivfpq', 'ivfpq_refine', 'ivfpq_residual',
+    'ivfpq_residual_refine', 'lsh', 'pq', 'quantized'); a method with
+    zero hits still reports (recall 0.0)."""
     from functools import reduce
 
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
@@ -1191,12 +1216,17 @@ def ann_recall_report(
     # prefix, the refine row exact-re-ranks its top-REFINE_N — without
     # the shared (and, under materialize, checkpointed: union legs do
     # not dedupe common subplans) frame the report would run the
-    # coarse-assignment + code scan twice (review r16).
+    # coarse-assignment + code scan twice (review r16).  Same shape for
+    # the residual pair of rows.
     adc = ivfpq_topk(
         nz_q, nz_c, REFINE_N, vec_col=vec_col, id_col=id_col, books=pq_books
     ).select("query_id", "match_id", "rank")
+    res_adc = residual_ivfpq_topk(
+        nz_q, nz_c, REFINE_N, vec_col=vec_col, id_col=id_col, books=res_books
+    ).select("query_id", "match_id", "rank")
     if materialize:
         adc = _stage_checkpoint(adc)
+        res_adc = _stage_checkpoint(res_adc)
     paths = [
         ("ivf", ivf_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
         ("lsh", lsh_ann_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
@@ -1208,16 +1238,22 @@ def ann_recall_report(
         ),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),
         ("ivfpq", adc.filter(F.col("rank") <= k)),
-        (
-            "ivfpq_residual",
-            residual_ivfpq_topk(
-                nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=res_books
-            ),
-        ),
+        ("ivfpq_residual", res_adc.filter(F.col("rank") <= k)),
         (
             "ivfpq_refine",
             exact_rerank(
                 adc.select("query_id", "match_id"),
+                nz_q,
+                nz_c,
+                k,
+                vec_col=vec_col,
+                id_col=id_col,
+            ),
+        ),
+        (
+            "ivfpq_residual_refine",
+            exact_rerank(
+                res_adc.select("query_id", "match_id"),
                 nz_q,
                 nz_c,
                 k,

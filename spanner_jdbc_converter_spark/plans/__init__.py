@@ -78,16 +78,16 @@ _GATE_PRIORITY = [
     "events_level_shift_detect",
     "events_scd2_intervals",
     "events_first_touch_attribution",
-    "events_debounce",
     # r16 registrations (the RULE below): each displaces the newest
     # tail entry of the r11-stale block (displaced so far:
-    # text_pii_scan_redact, text_pii_email_ip_redact,
+    # events_debounce, text_pii_scan_redact, text_pii_email_ip_redact,
     # select_length_bucketed_batches, select_curriculum_order — they
     # lead r17's window).
     "multimodal_jpeg_prog_decode",
     "sim_ivfpq_refine_topk",
     "graph_triangle_estimate",
     "multimodal_jpeg422_decode",
+    "sim_residual_refine_topk",
 ]
 
 

@@ -663,6 +663,49 @@ def sim_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_residual_refine_topk",
+    oracle=f"""
+    WITH {_RESPQ_BASE},
+    {_RESPQ_CTES},
+    rrefcand AS (
+      SELECT query_id, match_id
+      FROM (SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                               match_id) AS rank
+            FROM {_RESPQ_PAIRS}) t
+      WHERE rank <= {sim.REFINE_N}),
+    rrefexact AS (
+      SELECT rc.query_id, rc.match_id,
+             ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine
+      FROM rrefcand rc
+      JOIN emb_nz a ON a.vec_id = rc.query_id
+      JOIN emb_nz b ON b.vec_id = rc.match_id)
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, match_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, match_id) AS rank
+          FROM rrefexact) t
+    WHERE rank <= 5
+    """,
+)
+def sim_residual_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ top-5 with the exact refine stage — the refine
+    matrix completed (both hybrids x with/without exact re-rank, all at
+    equal nprobe/m): the anchored residual ADC scan ranks candidates,
+    the top-50 re-score with exact rounded cosines at candidate-set
+    cost.  The oracle composes the bit-audited residual CTE family with
+    the exact re-rank; the recall report's eighth row measures what
+    refine buys the residual path.  See
+    operators/similarity.py::residual_refine_topk."""
+    e = load_table(spark, sf_dir, "embeddings").filter(norm(F.col("embedding")) > 0)
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return sim.residual_refine_topk(
+        queries, e, k=5, books=_res_books_for(spark, sf_dir)
+    )
+
+
+@register(
     "sim_ivfpq_topk",
     oracle=f"""
     WITH {_IVFPQ_CTES}
@@ -815,13 +858,24 @@ _ANN_RECALL_ORACLE = f"""
             JOIN embeddings a ON a.vec_id = rc.query_id
             JOIN embeddings b ON b.vec_id = rc.match_id) t
       WHERE rank <= {_RECALL_K}),
+    respq_ranked AS (
+      SELECT query_id, match_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(adot / (la * lb), 6) DESC,
+                                         match_id) AS rank
+      FROM {_RECALL_RES_PAIRS}),
     respq_top AS (
+      SELECT query_id, match_id FROM respq_ranked WHERE rank <= {_RECALL_K}),
+    res_refine_top AS (
       SELECT query_id, match_id
-      FROM (SELECT query_id, match_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY ROUND(adot / (la * lb), 6) DESC,
-                                               match_id) AS rank
-            FROM {_RECALL_RES_PAIRS}) t
+      FROM (SELECT rc.query_id, rc.match_id,
+                   ROW_NUMBER() OVER (PARTITION BY rc.query_id
+                                      ORDER BY ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) DESC,
+                                               rc.match_id) AS rank
+            FROM (SELECT query_id, match_id FROM respq_ranked
+                  WHERE rank <= {sim.REFINE_N}) rc
+            JOIN embeddings a ON a.vec_id = rc.query_id
+            JOIN embeddings b ON b.vec_id = rc.match_id) t
       WHERE rank <= {_RECALL_K}),
     pq_top AS (
       SELECT query_id, match_id
@@ -897,7 +951,9 @@ _ANN_RECALL_ORACLE = f"""
            UNION ALL SELECT 'quantized', query_id, match_id FROM q_top
            UNION ALL SELECT 'ivfpq', query_id, match_id FROM ivfpq_top
            UNION ALL SELECT 'ivfpq_residual', query_id, match_id FROM respq_top
-           UNION ALL SELECT 'ivfpq_refine', query_id, match_id FROM refine_top),
+           UNION ALL SELECT 'ivfpq_refine', query_id, match_id FROM refine_top
+           UNION ALL SELECT 'ivfpq_residual_refine', query_id, match_id
+             FROM res_refine_top),
     hits AS (SELECT method, count(*) AS n_hits
              FROM un JOIN exact USING (query_id, match_id)
              GROUP BY method),
@@ -906,7 +962,8 @@ _ANN_RECALL_ORACLE = f"""
             FROM exact),
     methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'quantized',
                                'ivfpq', 'ivfpq_residual',
-                               'ivfpq_refine']) AS method)
+                               'ivfpq_refine',
+                               'ivfpq_residual_refine']) AS method)
     SELECT m.method, t.n_queries, t.n_exact,
            COALESCE(h.n_hits, 0) AS n_hits,
            CASE WHEN t.n_exact = 0 THEN 0.0

@@ -2221,8 +2221,10 @@ def test_residual_ivfpq_beats_nonresidual_on_clustered_corpus(spark):
     assert rows["ivfpq_residual"] > 0.0
     # VERDICT r15 #4: the exact refine stage can only ADD recall over
     # plain IVF+PQ — both draw candidates from the identical ADC scan,
-    # refine re-ranks the top-REFINE_N of them exactly
+    # refine re-ranks the top-REFINE_N of them exactly; same dominance
+    # for the residual pair
     assert rows["ivfpq_refine"] >= rows["ivfpq"], rows
+    assert rows["ivfpq_residual_refine"] >= rows["ivfpq_residual"], rows
 
 
 def test_ivfpq_refine_subset_of_adc_candidates_and_exact_scores(spark, sf_dir):
