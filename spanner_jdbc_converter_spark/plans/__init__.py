@@ -20,74 +20,70 @@ from spanner_jdbc_converter_spark.plans import features as _features  # noqa: F4
 # order; coverage rotates each round so every entry periodically gets a
 # driver row.  Per-entry staleness is machine-tracked in GATE_HISTORY.json
 # (regenerate with `python scripts/gate_history.py --propose 50` — this
-# list is the round-16 window, derived verbatim from that proposal after
-# GATE_HISTORY was regenerated from CORRECTNESS_r15 as the FIRST commit of
-# the round per VERDICT r15 "Next round #2"; tests/test_config.py asserts
+# list is the round-17 window, derived verbatim from that proposal after
+# GATE_HISTORY was regenerated from CORRECTNESS_r16 as the FIRST commit of
+# the round per VERDICT r16 "Next round #1"; tests/test_config.py asserts
 # the window stays consistent with the history):
-#   the 50 entries whose last driver row is r11 — the staleness front
-#   (the 8 entries displaced from r15's window by its registrations lead
-#   this list) — after this round no entry is older than r12-checked.
+#   the 5 entries still r11-checked (displaced from r16's window by its
+#   registrations) lead, followed by the 45 oldest r12-checked entries —
+#   after this round no entry is older than r12-checked and the r12 block
+#   has begun rotating out.
 # RULE (VERDICT r6 #3): any entry registered mid-round is appended to this
 # list IN THE SAME COMMIT (inside the first 50, displacing the newest tail
 # entries) and the final commit of the round re-runs the proposal so the
 # frozen window always contains every never-checked entry — a round must
 # mint zero new never-checked entries.
 _GATE_PRIORITY = [
-    "join_bucketed_colocated",
-    "text_top_tokens",
-    "text_token_stats",
-    "text_mixed_lang_windows",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_fingerprint_groups",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_jaccard_pairs",
-    "validate_split_leakage",
-    "dedup_simhash_near_pairs",
-    "sim_topk_cosine",
-    "sim_lsh_ann_topk",
-    "sim_ivf_topk",
-    "sim_embedding_near_pairs",
-    "sim_embedding_near_pairs_lsh",
-    "multimodal_media_summary",
-    "multimodal_feature_extract",
-    "vector_column_stats",
-    "dedup_exact_rows",
-    "multimodal_frame_sample",
-    "multimodal_wav_decode",
-    "multimodal_pgm_decode",
-    "multimodal_png_decode",
-    "multimodal_video_decode",
-    "copy_incremental_diff",
-    "copy_merge_upsert",
-    "select_stratified_sample",
-    "select_token_budget",
-    "dedup_survivor_docs",
-    "sim_quantized_topk",
-    "sim_ann_recall_report",
-    "pipeline_curate_report",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_user_totals",
-    "text_bigram_pmi",
-    "cluster_silhouette_report",
-    "ml_linear_probe",
-    "vector_dim_profile",
-    "events_level_shift_detect",
-    "events_scd2_intervals",
-    "events_first_touch_attribution",
-    # r16 registrations (the RULE below): each displaces the newest
-    # tail entry of the r11-stale block (displaced so far:
-    # events_debounce, text_pii_scan_redact, text_pii_email_ip_redact,
-    # select_length_bucketed_batches, select_curriculum_order — they
-    # lead r17's window).
-    "multimodal_jpeg_prog_decode",
-    "sim_ivfpq_refine_topk",
-    "graph_triangle_estimate",
-    "multimodal_jpeg422_decode",
-    "sim_residual_refine_topk",
+    "events_debounce",
+    "text_pii_scan_redact",
+    "text_pii_email_ip_redact",
+    "select_length_bucketed_batches",
+    "select_curriculum_order",
+    "flagship_revenue_by_nation",
+    "s8_cardinality_probes",
+    "w6_delete_strategy_probe",
+    "p1_explicit_projection",
+    "p2_pk_only_projection",
+    "p4_composite_pk_range_scan",
+    "w5_ranged_delete_survivors",
+    "o1_o2_pk_ordered_chunk",
+    "o3_offset_pagination",
+    "a4_row_size_estimate",
+    "q1_pricing_summary",
+    "agg_distinct_custs_per_priority",
+    "rollup_lineitem_status",
+    "join_order_counts_per_customer",
+    "join_anti_customers_without_recent_orders",
+    "join_semi_suppliers_with_shipments",
+    "join_full_outer_part_lineitem_brands",
+    "setops_customer_segments",
+    "window_top3_orders_per_segment",
+    "scalar_function_surface",
+    "q3_unshipped_topk",
+    "q10_returned_revenue",
+    "q17_small_quantity_revenue",
+    "s1_catalog_column_scan",
+    "window_event_interarrival",
+    "cube_returnflag_status",
+    "exists_suppliers_of_large_orders",
+    "q2_min_acctbal_supplier_per_part",
+    "q4_priority_with_returns",
+    "q5_regional_supplier_volume",
+    "q6_revenue_forecast",
+    "agg_sampled_quantiles",
+    "string_functions_extended",
+    "multimodal_audio_spectrum",
+    "dedup_lsh_operating_report",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "validate_schema_drift",
+    "cluster_pca2_coords",
+    "cluster_power_iteration_pc1",
+    "text_textrank_keywords",
+    "events_pattern_match",
+    "events_rfm_segments",
+    "text_pii_ccn_luhn_redact",
+    "select_quantile_normalize",
 ]
 
 
