@@ -193,6 +193,38 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
     return wedges.join(und, ["t1", "t2"]).select("s", "t1", "t2")
 
 
+def triangle_closure(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE exact closure both triangle surfaces consume: returns
+    ``(e, per_node)`` — the canonical undirected edge frame (checkpointed;
+    it feeds degree, both wedge sides, the closing membership join, and
+    the estimate's md5 keep filter) and the |V|-bounded per-node
+    triangle participation counts from a single oriented wedge closure.
+    ``triangle_counts`` and ``triangle_estimate`` are wrappers; callers
+    that need BOTH surfaces on one graph (the corpus's coeffs/estimate
+    pair) build this once, persist ``per_node`` (it is |V|-sized, never
+    the triangle stream itself), and hand the pieces to the ``*_from``
+    assemblers below — the O(m^{3/2}) closure runs once per session,
+    not once per entry (VERDICT r16 "Next round #2")."""
+    e = _canonical_undirected(edges, src_col, dst_col)
+    return e, _per_node_triangles(e)
+
+
+def _per_node_triangles(e: DataFrame) -> DataFrame:
+    """(node, n_triangles) over nodes in ≥1 triangle — one pass over
+    the triangle stream (a union of three selects would re-run the
+    wedge join once per branch; Spark does not dedupe common subplans
+    across union legs — measured 12 min vs 4 min on the 10x part
+    graph)."""
+    tris = _oriented_triangles(e, _degree_frame(e))
+    return (
+        tris.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -220,21 +252,17 @@ def triangle_counts(
     2T / (deg·(deg−1)), ONE double division rounded to 6 (r15: the
     graph_triangle_coeffs surface; one implementation, two shapes).
     """
-    # Materialize the canonical edge frame ONCE — it feeds four branches
-    # (degree, both wedge sides, the closing membership join); without
-    # the cut each branch re-runs the full upstream edge derivation.
-    e = _canonical_undirected(edges, src_col, dst_col)
+    e, per_node = triangle_closure(edges, src_col, dst_col)
+    return triangle_counts_from(e, per_node, with_clustering=with_clustering)
+
+
+def triangle_counts_from(
+    e: DataFrame, per_node: DataFrame, with_clustering: bool = False
+) -> DataFrame:
+    """Assemble the :func:`triangle_counts` output from a precomputed
+    :func:`triangle_closure` — only a |V|-sized degree groupBy and the
+    output join remain; the wedge closure is NOT re-run."""
     deg = _degree_frame(e)
-    tris = _oriented_triangles(e, deg)
-    # ONE pass over the triangle stream: a union of three selects would
-    # re-run the (potentially hundreds-of-millions-of-rows) wedge join
-    # once per branch — Spark does not dedupe common subplans across
-    # union legs (measured 12 min vs 4 min on the 10x part graph).
-    per_node = (
-        tris.select(F.explode(F.array("s", "t1", "t2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
     if with_clustering:
         return (
             deg.filter(F.col("deg") >= 2)
@@ -449,17 +477,32 @@ def triangle_estimate(
     triangle-free graph).  The exact count rides the SAME oriented
     closure the estimate sparsifies, so the report grades the
     estimator against its own exact twin."""
+    e, per_node = triangle_closure(edges, src_col, dst_col)
+    return triangle_estimate_from(e, per_node, p_inv=p_inv, seed_tag=seed_tag)
+
+
+def triangle_estimate_from(
+    e: DataFrame,
+    per_node: DataFrame,
+    p_inv: int = DOULION_P_INV,
+    seed_tag: str = "doulion",
+) -> DataFrame:
+    """Assemble the :func:`triangle_estimate` report from a precomputed
+    :func:`triangle_closure`: the exact global count is Σ per-node
+    participation / 3 (each triangle lands at its three vertices), so
+    only the SPARSIFIED closure runs here — the exact O(m^{3/2}) wedge
+    join is paid once and shared with :func:`triangle_counts_from`."""
     from spanner_jdbc_converter_spark.functions.hashing import md5_long
 
-    e = _canonical_undirected(edges, src_col, dst_col)
     kept = e.filter(
         md5_long(F.concat_ws(":", F.lit(seed_tag), F.col("u"), F.col("v")))
         % p_inv
         == 0
     ).localCheckpoint()
-    exact = (
-        _oriented_triangles(e, _degree_frame(e))
-        .agg(F.count(F.lit(1)).alias("exact_triangles"))
+    exact = per_node.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("exact_triangles")
     )
     sampled = (
         _oriented_triangles(kept, _degree_frame(kept))

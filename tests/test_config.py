@@ -179,10 +179,15 @@ def test_cache_primer_registry_covers_every_session_store():
     round removed."""
     import spanner_jdbc_converter_spark.plans  # noqa: F401 — load all corpus modules
 
-    from spanner_jdbc_converter_spark.plans import etl, extensions, mining
+    from spanner_jdbc_converter_spark.plans import etl, extensions, features, mining
     from spanner_jdbc_converter_spark.plans.registry import CACHE_PRIMERS
 
-    for mod, modname in ((etl, "etl"), (extensions, "extensions"), (mining, "mining")):
+    for mod, modname in (
+        (etl, "etl"),
+        (extensions, "extensions"),
+        (mining, "mining"),
+        (features, "features"),
+    ):
         stores = [
             a
             for a in vars(mod)
@@ -194,7 +199,7 @@ def test_cache_primer_registry_covers_every_session_store():
     unknown = [
         k
         for k in CACHE_PRIMERS
-        if k.split(".", 1)[0] not in ("etl", "extensions", "mining")
+        if k.split(".", 1)[0] not in ("etl", "extensions", "mining", "features")
     ]
     assert not unknown, f"primers for unknown modules: {unknown}"
 
@@ -205,7 +210,7 @@ def test_prime_session_caches_populates_every_store(spark, sf_dir):
     holding the (appId, sf_dir) key its entries will hit."""
     import os
 
-    from spanner_jdbc_converter_spark.plans import etl, extensions, mining
+    from spanner_jdbc_converter_spark.plans import etl, extensions, features, mining
     from spanner_jdbc_converter_spark.plans.registry import (
         CACHE_PRIMERS,
         prime_session_caches,
@@ -214,7 +219,7 @@ def test_prime_session_caches_populates_every_store(spark, sf_dir):
     primed = prime_session_caches(spark, sf_dir)
     assert sorted(primed) == sorted(CACHE_PRIMERS)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    mods = {"etl": etl, "extensions": extensions, "mining": mining}
+    mods = {"etl": etl, "extensions": extensions, "mining": mining, "features": features}
     for store_name in CACHE_PRIMERS:
         modname, attr = store_name.split(".", 1)
         store = getattr(mods[modname], attr)

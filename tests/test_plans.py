@@ -1152,3 +1152,15 @@ def test_ivfpq_refine_adds_only_broadcasts_and_one_rank_exchange(spark, sf_dir):
     ref_shuffles, ref_bx = counts("sim_ivfpq_refine_topk")
     assert ref_shuffles == base_shuffles + 1
     assert ref_bx == base_bx + 2
+
+
+def test_triangle_estimate_reuses_cached_closure(spark, sf_dir):
+    """The estimate entry's exact side must read the session-cached
+    per-node closure (InMemoryTableScan), never re-run the exact wedge
+    join: with the cache warm, the only join-shaped closure in the plan
+    is the SPARSIFIED one (VERDICT r16 "Next round #2")."""
+    QUERIES["graph_triangle_coeffs"](spark, sf_dir).count()  # warm the cache
+    plan = _plan(spark, "graph_triangle_estimate", sf_dir)
+    head = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in head
+    assert "CartesianProduct" not in head
