@@ -119,6 +119,13 @@ def main() -> None:
             ),
             reverse=True,
         )
+        # ADVICE r16: an entry that regressed into FAILURE (-1) or
+        # vanished from the new record must surface, not silently drop
+        # out of the isolation worklist.
+        failed = sorted(
+            n for n in set(base_raw) & set(new_raw) if new_raw[n] <= 0
+        )
+        missing_new = sorted(n for n in base_raw if n not in new_raw)
         print(
             f"# RAW ratios {os.path.basename(baseline)} ->"
             f" {os.path.basename(newest)}; entries >2.0x needing"
@@ -126,7 +133,15 @@ def main() -> None:
         )
         for ratio, o, n, name in work:
             print(f"{ratio:7.2f}x  {o:8.2f} -> {n:8.2f}  {name}")
-        sys.exit(1 if work else 0)
+        if failed:
+            print(f"# FAILED in new record (ran in baseline): {len(failed)}")
+            for name in failed:
+                print(f"   FAIL  {base_raw[name]:8.2f} ->    -1.00  {name}")
+        if missing_new:
+            print(f"# MISSING from new record (in baseline): {len(missing_new)}")
+            for name in missing_new:
+                print(f"   MISS  {base_raw[name]:8.2f} ->   absent  {name}")
+        sys.exit(1 if (work or failed or missing_new) else 0)
 
     if args.old and args.new:
         old_path, new_path = args.old, args.new

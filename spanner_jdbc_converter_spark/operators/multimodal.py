@@ -3068,6 +3068,10 @@ def _jpeg_prog_decode(data: bytes):
         if marker == 0xDB:  # DQT (shared parser with baseline)
             _jpeg_parse_dqt(body, qt)
         elif marker == 0xC2:  # SOF2 progressive
+            if comps:  # a second frame header would grow geom/coefs and
+                # desynchronize every index below — reject by name
+                # (ADVICE r16: the >4-component gap's twin)
+                raise ValueError("duplicate SOF in progressive stream")
             h, w, comps = _jpeg_parse_sof(body)
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
@@ -3294,7 +3298,18 @@ def _jpeg_prog_decode(data: bytes):
                                         if r < 0:
                                             break
                                     k += 1
-                                if s and k <= se:
+                                if s:
+                                    if k > se:
+                                        # coded coefficient's zero-run
+                                        # ran past the band: newval has
+                                        # no slot — corrupt stream, and
+                                        # silently dropping it would
+                                        # desynchronize the refinement
+                                        # (ADVICE r16: mirror the
+                                        # first-pass overflow raise)
+                                        raise ValueError(
+                                            "JPEG AC run overflows band"
+                                        )
                                     blk[k] = newval
                                 k += 1
                         if eobrun > 0:

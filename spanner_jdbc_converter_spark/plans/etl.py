@@ -975,17 +975,17 @@ _ANN_RECALL_ORACLE = f"""
 
 @register("sim_ann_recall_report", oracle=_ANN_RECALL_ORACLE)
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of ALL SEVEN approximate similarity paths (hyperplane
-    LSH, IVF, PQ, int8 quantization, IVF+PQ, residual IVF+PQ, and
-    IVF+PQ with the exact refine stage — each at its own entry's
-    parameters, the three hybrids at EQUAL m/ncode/nprobe so the
-    residual refinement's and the exact re-rank's gains are measured)
-    against the exact brute-force top-10 for the probe query set — the
-    tuning number for tables/planes/nprobe that VERDICT r10 #5 flagged
-    as missing.  Every path is oracle-reproducible, so the recall
-    itself is deterministic: the oracle replays all seven pipelines and
-    the same hit-join/ratio.  See
-    operators/similarity.py::ann_recall_report."""
+    """Recall@10 of ALL EIGHT approximate similarity paths (hyperplane
+    LSH, IVF, PQ, int8 quantization, IVF+PQ, residual IVF+PQ, and the
+    two exact-refine hybrids — ivfpq_refine and ivfpq_residual_refine —
+    each at its own entry's parameters, the four hybrids at EQUAL
+    m/ncode/nprobe so the residual refinement's and each exact
+    re-rank's gains are measured) against the exact brute-force top-10
+    for the probe query set — the tuning number for
+    tables/planes/nprobe that VERDICT r10 #5 flagged as missing.
+    Every path is oracle-reproducible, so the recall itself is
+    deterministic: the oracle replays all eight pipelines and the same
+    hit-join/ratio.  See operators/similarity.py::ann_recall_report."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return sim.ann_recall_report(

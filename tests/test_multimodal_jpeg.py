@@ -701,3 +701,63 @@ def test_jpeg_zrl_overflowing_band_rejected():
     broken[entropy_at] = byte
     with pytest.raises(ValueError, match="overflows band|invalid Huffman|truncated"):
         mm._jpeg_decode(bytes(broken))
+
+
+def test_jpeg_progressive_duplicate_sof_rejected():
+    """ADVICE r16 (medium): a second SOF2 segment (here with differing
+    dims) must reject by NAME — before the fix it appended to
+    geom/coefs and desynchronized every component index below,
+    surfacing as IndexError past the ValueError-only contract."""
+    import struct
+
+    good = mm._jpeg_prog_bytes(5)
+    i = 2
+    while True:
+        marker = good[i + 1]
+        (seglen,) = struct.unpack(">H", good[i + 2 : i + 4])
+        if marker == 0xC2:
+            dup_body = bytearray(good[i + 4 : i + 2 + seglen])
+            dup_body[1:3] = struct.pack(">H", 16)  # different height
+            dup = (
+                b"\xff\xc2"
+                + struct.pack(">H", len(dup_body) + 2)
+                + bytes(dup_body)
+            )
+            broken = good[: i + 2 + seglen] + dup + good[i + 2 + seglen :]
+            with pytest.raises(ValueError, match="duplicate SOF"):
+                mm._jpeg_decode(broken)
+            break
+        i += 2 + seglen
+
+
+def test_jpeg_progressive_refinement_run_overflow_rejected():
+    """ADVICE r16 (low): an AC REFINEMENT scan whose coded
+    new-coefficient symbol's zero-run overflows the band must raise —
+    before the fix the coefficient was silently dropped (asymmetric
+    with the AC-first pass's overflow raise), so a corrupt refinement
+    could desynchronize yet pass the final audits with wrong
+    coefficients.  Craft: replace the last AC refinement scan with one
+    emitting five (r=15, s=1) symbols — ≥16 band slots each, 4×16 > 63
+    guarantees the run exits the band with the new value unplaced."""
+    import struct
+
+    good = mm._jpeg_prog_bytes(5)
+    trunc = _drop_scan(good, 8)  # comp-3 AC refinement is the 9th scan
+    assert trunc.endswith(b"\xff\xd9")
+    body = bytes([1, 3, 0x10, 1, 63, (1 << 4) | 0])  # ns=1 comp3 ss=1 se=63 ah=1 al=0
+    hdr = struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+    prog_ac = mm._jpeg_canonical_codes(*mm._JPEG_PROG_AC)
+    code, ln = prog_ac[0xF1]
+    bw = mm._JpegBitWriter()
+    # comp-3 block 0 carries exactly three history (|coef| >= 2) slots in
+    # the band at doc 5; the first symbol's 16-zero run passes all three,
+    # so supply their correction bits to keep the entropy aligned
+    bw.put(code, ln)
+    bw.put(1, 1)
+    bw.put(0, 3)
+    for _ in range(3):
+        bw.put(code, ln)
+        bw.put(1, 1)
+    corrupt = trunc[:-2] + hdr + bw.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="JPEG AC run overflows band"):
+        mm._jpeg_decode(corrupt)
