@@ -82,8 +82,12 @@ _GATE_PRIORITY = [
     "text_textrank_keywords",
     "events_pattern_match",
     "events_rfm_segments",
-    "text_pii_ccn_luhn_redact",
-    "select_quantile_normalize",
+    # r17 registrations (the RULE below): each displaces the newest
+    # tail entry of the r12-stale block (displaced so far:
+    # select_quantile_normalize, text_pii_ccn_luhn_redact — they
+    # lead r18's window after the r12 block).
+    "multimodal_png_adam7_decode",
+    "multimodal_png_palette_decode",
 ]
 
 

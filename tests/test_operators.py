@@ -2573,3 +2573,94 @@ def test_hamming_matches_cross_frame(spark):
         for r in dd.hamming_matches(lf, rf, "dhash", bits=mm.DHASH_BITS).collect()
     }
     assert got == expect
+
+
+def test_png_adam7_reconverges_with_sequential():
+    """The Adam7-interlaced encode of the SAME raster decodes to the
+    identical (w, h, bpp, rows) as the sequential stream — the
+    progressive-JPEG reconvergence discipline applied to PNG (r17).
+    Odd/tiny dims exercise empty and partial passes."""
+    for doc_id in range(8):
+        w, h, rows = mm._synth_rgb_image(doc_id)
+        seq = mm._png_decode(mm._png_bytes(w, h, rows, doc_id))
+        il = mm._png_decode(mm._png_adam7_bytes(w, h, rows, doc_id))
+        assert seq == il == (w, h, 3, rows)
+    for w, h in [(1, 1), (2, 1), (1, 2), (3, 3), (5, 7), (8, 8), (9, 10), (7, 1), (1, 9)]:
+        rows = [
+            bytes((x * 13 + y * 31 + c * 7) % 256 for x in range(w) for c in range(3))
+            for y in range(h)
+        ]
+        assert mm._png_decode(mm._png_adam7_bytes(w, h, rows, 5)) == (w, h, 3, rows)
+
+
+def test_png_palette_trns_round_trip():
+    """Color-type-3 decode: indices map through PLTE, tRNS alphas land
+    in channel 3 (opaque 255 past the tRNS length), output is RGBA."""
+    for doc_id in range(8):
+        w, h, idx_rows, palette, alpha = mm._synth_pal_image(doc_id)
+        dw, dh, bpp, rows = mm._png_decode(mm._png_pal_bytes(doc_id))
+        assert (dw, dh, bpp) == (w, h, 4)
+        for y in range(h):
+            for x in range(w):
+                idx = idx_rows[y][x]
+                want = palette[idx * 3 : idx * 3 + 3] + bytes(
+                    [alpha[idx] if idx < len(alpha) else 255]
+                )
+                assert rows[y][x * 4 : (x + 1) * 4] == want
+
+
+def test_png_decode_rejects_unsupported_color_and_palette_defects():
+    """r17 rejection rows: gray+alpha (4) and RGBA (6) color types stay
+    rejections by name; palette streams missing PLTE, with tRNS longer
+    than the palette, or with out-of-range indices reject; interlaced
+    raster length mismatches reject."""
+    import struct
+    import zlib
+
+    def stream(color, chunks, w=4, h=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+        out = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+        for ctype, body in chunks:
+            out += mm._png_chunk(ctype, body)
+        return out + mm._png_chunk(b"IEND", b"")
+
+    raw = zlib.compress(bytes([0, 1, 2, 3, 0]) + bytes([0, 0, 1, 2, 3]))
+    for color in (4, 6):
+        with pytest.raises(ValueError, match="unsupported"):
+            mm._png_decode(stream(color, [(b"IDAT", raw)]))
+    # palette stream without PLTE
+    with pytest.raises(ValueError, match="missing PLTE"):
+        mm._png_decode(stream(3, [(b"IDAT", raw)]))
+    # tRNS longer than the palette
+    plte2 = bytes(6)
+    with pytest.raises(ValueError, match="tRNS longer"):
+        mm._png_decode(
+            stream(3, [(b"PLTE", plte2), (b"tRNS", bytes(3)), (b"IDAT", raw)])
+        )
+    # index 3 beyond a 2-entry palette
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mm._png_decode(stream(3, [(b"PLTE", plte2), (b"IDAT", raw)]))
+    # duplicate PLTE
+    with pytest.raises(ValueError, match="duplicate PNG PLTE"):
+        mm._png_decode(
+            stream(3, [(b"PLTE", plte2), (b"PLTE", plte2), (b"IDAT", raw)])
+        )
+    # malformed PLTE length
+    with pytest.raises(ValueError, match="malformed PNG PLTE"):
+        mm._png_decode(stream(3, [(b"PLTE", bytes(4)), (b"IDAT", raw)]))
+    # interlaced stream whose inflated raster is the SEQUENTIAL length
+    w, h, rows = mm._synth_rgb_image(3)
+    seq = mm._png_bytes(w, h, rows, 3)
+    body_at = seq.index(b"IHDR") + 4
+    ihdr = bytearray(seq[body_at : body_at + 13])
+    ihdr[12] = 1  # claim Adam7
+    broken = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", bytes(ihdr))
+        + seq[len(mm._PNG_SIG) + 25 :]
+    )
+    with pytest.raises(ValueError, match="raster length mismatch"):
+        mm._png_decode(broken)
+    # unknown interlace method
+    with pytest.raises(ValueError, match="unsupported"):
+        mm._png_decode(stream(2, [(b"IDAT", raw)], interlace=2))
