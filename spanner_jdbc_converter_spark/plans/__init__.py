@@ -81,13 +81,14 @@ _GATE_PRIORITY = [
     "cluster_power_iteration_pc1",
     "text_textrank_keywords",
     "events_pattern_match",
-    "events_rfm_segments",
     # r17 registrations (the RULE below): each displaces the newest
     # tail entry of the r12-stale block (displaced so far:
-    # select_quantile_normalize, text_pii_ccn_luhn_redact — they
-    # lead r18's window after the r12 block).
+    # select_quantile_normalize, text_pii_ccn_luhn_redact,
+    # events_rfm_segments — they lead r18's window after the r12
+    # block).
     "multimodal_png_adam7_decode",
     "multimodal_png_palette_decode",
+    "sim_opq_topk",
 ]
 
 

@@ -2664,3 +2664,84 @@ def test_png_decode_rejects_unsupported_color_and_palette_defects():
     # unknown interlace method
     with pytest.raises(ValueError, match="unsupported"):
         mm._png_decode(stream(2, [(b"IDAT", raw)], interlace=2))
+
+
+def test_opq_rotation_is_orthogonal_and_preserves_cosine(spark):
+    """The two-Householder OPQ-lite rotation is orthogonal: rotated
+    pairwise dots equal the originals to fp tolerance, and with a
+    lossless codebook (ncode >= |corpus|, iters=1) opq_topk equals
+    pq_topk exactly — rotation changes ONLY the quantization error."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rot = sim.opq_rotation(e, m=2, dim=8)
+    assert set(rot) == {"u1", "u1sq", "u2", "u2sq"}
+
+    def apply(rot, x):
+        for u, usq in ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"])):
+            c = 2.0 * sum(ud * xd for ud, xd in zip(u, x)) / usq
+            x = [xd - c * ud for xd, ud in zip(x, u)]
+        return x
+
+    f32 = {i: [float(str(v)) for v in vs] for i, vs in vecs}
+    for i, vi in vecs:
+        for j, vj in vecs:
+            a = apply(rot, [float(x) for x in vi])
+            b = apply(rot, [float(x) for x in vj])
+            d0 = sum(x * y for x, y in zip(vi, vj))
+            d1 = sum(x * y for x, y in zip(a, b))
+            assert math.isclose(d0, d1, rel_tol=1e-9, abs_tol=1e-9)
+    # lossless-codebook equivalence: exact cosine ranking is invariant
+    plain = {
+        (r.query_id, r.rank): (r.match_id, r.score)
+        for r in sim.pq_topk(e, e, k=3, m=2, ncode=6, iters=1, dim=8).collect()
+    }
+    rotated = {
+        (r.query_id, r.rank): (r.match_id, r.score)
+        for r in sim.opq_topk(
+            e, e, k=3, m=2, ncode=6, iters=1, dim=8, rot=rot
+        ).collect()
+    }
+    assert set(plain) == set(rotated)
+    for key, (mid, score) in plain.items():
+        rmid, rscore = rotated[key]
+        assert rmid == mid
+        assert abs(rscore - score) <= 2e-6  # round-6 of fp-equal cosines
+
+
+def test_opq_rotation_aligns_pc1_to_leading_dim(spark):
+    """Data dominated by one direction: after the rotation, that
+    direction's variance concentrates in dimension 0 (the Householder
+    maps pc1 to ±e0)."""
+    import random
+
+    rng = random.Random(3)
+    base = [1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    vecs = []
+    for i in range(24):
+        t = rng.uniform(-3, 3)
+        vecs.append(
+            (i, [t * b + rng.uniform(-0.05, 0.05) for b in base])
+        )
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rot = sim.opq_rotation(e, m=2, dim=8)
+
+    def apply(rot, x):
+        for u, usq in ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"])):
+            c = 2.0 * sum(ud * xd for ud, xd in zip(u, x)) / usq
+            x = [xd - c * ud for xd, ud in zip(x, u)]
+        return x
+
+    rot_vecs = [apply(rot, [float(x) for x in v]) for _, v in vecs]
+    n = len(rot_vecs)
+    mean = [sum(v[d] for v in rot_vecs) / n for d in range(8)]
+    var = [
+        sum((v[d] - mean[d]) ** 2 for v in rot_vecs) / n for d in range(8)
+    ]
+    assert var[0] == max(var)
+    assert var[0] > 0.9 * sum(var)  # the line's variance lands in dim 0

@@ -1164,3 +1164,21 @@ def test_triangle_estimate_reuses_cached_closure(spark, sf_dir):
     head = plan.split("\n\n")[0]
     assert "InMemoryTableScan" in head
     assert "CartesianProduct" not in head
+
+
+def test_opq_topk_rotation_is_codegen_no_extra_shuffle(spark, sf_dir):
+    """OPQ promises (VERDICT r16 #4): the rotation rides as literal
+    doubles inside codegen — no extra UDF stage and no extra exchange
+    over plain PQ.  Same contract as sim_pq_topk: LUT queries broadcast
+    (BNLJ), corpus never shuffled before the per-query rank, Arrow
+    encode is the only Python stage."""
+    plan = _plan(spark, "sim_opq_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2  # the query_id rank exchange (tree + detail line)
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" in plan
+    # exactly ONE Python stage per side: the PQ encode; the rotation
+    # must NOT appear as BatchEvalPython (row-at-a-time) anywhere
+    assert "BatchEvalPython" not in plan
