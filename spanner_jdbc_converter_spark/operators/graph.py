@@ -569,3 +569,147 @@ def triangle_estimate_oracle_sql(
            END AS rel_error
     FROM tri_full f CROSS JOIN tri_kept k
     """
+
+
+# ---------------------------------------------------------------------------
+# k-core onion peel — fixed-round degeneracy layers.
+# ---------------------------------------------------------------------------
+
+
+def kcore_peel_layers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k_offset: int = -25,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peel ("onion" decomposition) over an
+    UNDIRECTED edge list: repeatedly delete every node whose CURRENT
+    degree is below ``k``, labelling each node with the round it was
+    peeled; nodes alive after ``rounds`` rounds carry ``rounds + 1``
+    (the k-core layer).  The fourth classic graph primitive beside
+    connected components, PageRank, and triangle counting — peel depth
+    is the standard coreness/robustness feature (Seidman 1983; the
+    onion variant layers the cascade itself).
+
+    ``k`` is DATA-RELATIVE: ``(2|E| // |V|) + k_offset`` — the integer
+    mean degree of the canonical graph plus a fixed offset, so one
+    entry stays meaningful at every scale factor (integer arithmetic
+    only: every engine derives the identical threshold).  The round
+    count is FIXED so a DuckDB oracle can unroll the peel exactly —
+    the same discipline as :func:`pagerank_fixed`; a fixpoint, if
+    wanted, is the ``rounds`` → diameter limit.
+
+    Scale: each round is one degree groupBy over the live edge frame
+    plus two |V|-sized semi-joins back onto it; the live node frame
+    only shrinks, Spark broadcasts it onto the edge scan when |V| ≪
+    |E|, and ``localCheckpoint`` cuts lineage per round so the plan
+    stays constant-depth (the dedup_groups / pagerank_fixed
+    discipline).  No step is quadratic: peel work is O(rounds · |E|).
+
+    Output: (node, layer) for EVERY node of the canonical graph —
+    layer ∈ [1, rounds] = peel round, rounds + 1 = survived the cascade.
+    """
+    e = _canonical_undirected(edges, src_col, dst_col)
+    return kcore_peel_layers_from(e, k_offset=k_offset, rounds=rounds)
+
+
+def kcore_peel_layers_from(
+    e: DataFrame, k_offset: int = -25, rounds: int = 4
+) -> DataFrame:
+    """Run the :func:`kcore_peel_layers` cascade on a PRE-canonicalized
+    (checkpointed) edge frame — the ``triangle_counts_from`` pattern:
+    callers holding the session-cached part co-purchase frame skip the
+    basket derivation and re-canonicalization entirely.
+
+    Each round's survivor set is the degree frame of the LIVE edges
+    filtered at ``k`` directly — degree-frame nodes are by construction
+    a subset of the previous survivors (every live edge endpoint
+    survived the last cut), so no join against the active set is
+    needed; nodes that lost their last edge simply vanish from the
+    degree frame and fall into that round's anti-join layer."""
+    deg0 = _degree_frame(e)
+    n_edges, n_nodes = e.count(), deg0.count()
+    k = (2 * n_edges) // n_nodes + k_offset
+
+    active = deg0.select("node").localCheckpoint()
+    cur = e
+    layers: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        survivors = (
+            _degree_frame(cur).filter(F.col("deg") >= k).select("node")
+        ).localCheckpoint()
+        peeled = active.join(survivors, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("layer")
+        )
+        layers.append(peeled)
+        cur = (
+            cur.join(survivors.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(survivors.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        active = survivors
+    out = layers[0]
+    for frame in layers[1:]:
+        out = out.unionByName(frame)
+    return out.unionByName(
+        active.select("node", F.lit(rounds + 1).cast("int").alias("layer"))
+    )
+
+
+def kcore_oracle_sql(
+    edges_cte: str, k_offset: int = -25, rounds: int = 4
+) -> str:
+    """DuckDB rendering of :func:`kcore_peel_layers`: the identical
+    canonicalization, data-relative integer threshold, and ``rounds``
+    unrolled peel rounds over ``edges_cte`` (a CTE body producing
+    (src, dst)).  Every per-round CTE is MATERIALIZED: each level is
+    referenced 2-4 times by the next, so DuckDB's default CTE inlining
+    would re-evaluate the chain exponentially in ``rounds`` (measured:
+    non-terminating at rounds=4 on the sf0.001 graph; instant
+    materialized)."""
+    q = [f"WITH raw_edges AS ({edges_cte}),"]
+    q.append(
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM raw_edges WHERE src <> dst),"
+    )
+    q.append(
+        "d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+        "(SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),"
+    )
+    q.append(
+        f"kk AS MATERIALIZED (SELECT (2 * (SELECT COUNT(*) FROM e0)) // "
+        f"(SELECT COUNT(*) FROM d0) + {k_offset} AS k),"
+    )
+    q.append("a0 AS MATERIALIZED (SELECT node FROM d0),")
+    for r in range(1, rounds + 1):
+        p = r - 1
+        if r > 1:
+            q.append(
+                f"d{p} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+                f"(SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}) "
+                "GROUP BY node),"
+            )
+        # survivors come straight off the live degree frame: its nodes
+        # are a subset of a{p} (see kcore_peel_layers_from), so no join
+        # against the active set — identical to the Spark side.
+        q.append(
+            f"a{r} AS MATERIALIZED (SELECT node FROM d{p} "
+            "CROSS JOIN kk WHERE deg >= kk.k),"
+        )
+        q.append(
+            f"p{r} AS MATERIALIZED (SELECT node, {r} AS layer FROM a{p} "
+            f"WHERE node NOT IN (SELECT node FROM a{r})),"
+        )
+        q.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e "
+            f"JOIN a{r} x ON e.u = x.node JOIN a{r} y ON e.v = y.node),"
+        )
+    last = q.pop()
+    q.append(last.rstrip(","))
+    parts = [f"SELECT node, layer FROM p{r}" for r in range(1, rounds + 1)]
+    parts.append(f"SELECT node, {rounds + 1} AS layer FROM a{rounds}")
+    q.append("SELECT node, CAST(layer AS INT) AS layer FROM (")
+    q.append(" UNION ALL ".join(parts))
+    q.append(")")
+    return "\n".join(q)

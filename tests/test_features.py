@@ -310,3 +310,62 @@ class TestTriangleClosureSharing:
             gr.triangle_estimate_from(e, per_node).first()
             == gr.triangle_estimate(edges).first()
         )
+
+
+class TestKCorePeel:
+    def test_cascade_layers_on_hand_graph(self, spark):
+        """K5 clique + a fringe that peels in a CASCADE: node 6 and 8
+        fall in round 1 (degree < 3), which drops node 7 to degree 1 so
+        it falls in round 2; the clique survives all rounds (layer 5).
+        Mean degree = 2*14 // 8 = 3, so k_offset=0 puts k at 3."""
+        clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        fringe = [(5, 6), (5, 7), (6, 7), (7, 8)]
+        df = spark.createDataFrame(clique + fringe, "src long, dst long")
+        got = {
+            r.node: r.layer
+            for r in gr.kcore_peel_layers(df, k_offset=0, rounds=4).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 6: 1, 7: 2, 8: 1}
+
+    def test_canonicalization_and_oracle_agree(self, spark, duck):
+        """Duplicate, reversed, and self-loop edges collapse before the
+        peel, and the unrolled DuckDB oracle replays the identical
+        cascade including the data-relative threshold."""
+        clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        fringe = [(6, 5), (5, 7), (6, 7), (7, 8), (5, 6), (8, 8)]
+        df = spark.createDataFrame(clique + fringe, "src long, dst long")
+        got = sorted(
+            (r.node, r.layer)
+            for r in gr.kcore_peel_layers(df, k_offset=0, rounds=4).collect()
+        )
+        rows = ", ".join(f"({a}, {b})" for a, b in clique + fringe)
+        sql = gr.kcore_oracle_sql(
+            f"SELECT * FROM (VALUES {rows}) AS t(src, dst)",
+            k_offset=0,
+            rounds=4,
+        )
+        assert got == sorted(tuple(r) for r in duck.execute(sql).fetchall())
+
+    def test_kcore_shares_the_session_edge_frame(self, spark, sf_dir, monkeypatch):
+        """The basket derivation + canonicalization must run ONCE per
+        (session, fixture) across kcore and the triangle entries — the
+        _EDGE_STORE level below the closure cache."""
+        from spanner_jdbc_converter_spark.plans import QUERIES
+        from spanner_jdbc_converter_spark.plans import features as ft
+
+        for _e, pn in ft._TRI_STORE.values():
+            pn.unpersist()
+        ft._TRI_STORE.clear()
+        ft._EDGE_STORE.clear()
+        calls: list[int] = []
+        real = ft._copurchase_edges
+
+        def counting(spark, sf_dir):
+            calls.append(1)
+            return real(spark, sf_dir)
+
+        monkeypatch.setattr(ft, "_copurchase_edges", counting)
+        assert QUERIES["graph_kcore_layers"](spark, sf_dir).count() > 0
+        assert len(calls) == 1
+        assert QUERIES["graph_triangle_coeffs"](spark, sf_dir).count() > 0
+        assert len(calls) == 1  # one derivation feeds all three entries
