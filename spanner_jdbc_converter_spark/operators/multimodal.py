@@ -1667,14 +1667,345 @@ def _png_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
     return w, h, bpp, rows
 
 
+def _raster_features(w: int, h: int, bpp: int, rows: list) -> tuple:
+    """The image-family feature reduction shared by every full-raster
+    decode (PNG truecolor/palette/Adam7, GIF): mean brightness over all
+    channel bytes (ONE division rounded 6), channel-wise horizontal
+    gradient energy (exact ints), and the positionally- and
+    channel-weighted checksum of the exact 2×2-block-average
+    thumbnail."""
+    stride = w * bpp
+    total = sum(sum(r) for r in rows)
+    # exact integer half-up rounding of total/(w·h·bpp) to 6
+    # digits: a float round() diverges from the oracle on exact
+    # .5 ties, which the 4-channel palette family actually hits
+    # (power-of-two-heavy denominators); both engines run this
+    # identical integer formula, then one exact int→double /1e6
+    den = w * h * bpp
+    mean = ((2 * total * 10**6 + den) // (2 * den)) / 1e6
+    grad = sum(
+        abs(r[k + bpp] - r[k]) for r in rows for k in range(stride - bpp)
+    )
+    thumb = 0
+    for c in range(bpp):
+        for ty in range(h // 2):
+            top, bot = rows[2 * ty], rows[2 * ty + 1]
+            for tx in range(w // 2):
+                block = (
+                    top[2 * tx * bpp + c]
+                    + top[(2 * tx + 1) * bpp + c]
+                    + bot[2 * tx * bpp + c]
+                    + bot[(2 * tx + 1) * bpp + c]
+                ) // 4
+                thumb += block * (tx + 1) * (ty + 1) * (c + 1)
+    return w, h, bpp, mean, grad, thumb
+
+
 def decode_png_features(df: DataFrame) -> DataFrame:
     """REAL compressed decode: full PNG parse (:func:`_png_decode`) then
-    the image-family features on the recovered raster — mean brightness
-    over all channel bytes (ONE division rounded 6), channel-wise
-    horizontal gradient energy (exact ints), and the positionally- and
-    channel-weighted checksum of the exact 2×2-block-average thumbnail.
-    A hash match against the formula-replay oracle proves DEFLATE
-    round-trip + all five unfilter paths + the feature math end-to-end.
+    the image-family features on the recovered raster
+    (:func:`_raster_features`).  A hash match against the formula-replay
+    oracle proves DEFLATE round-trip + all five unfilter paths + the
+    feature math end-to-end.  Scale: Arrow-batched mapInPandas, constant
+    task memory, payload column only."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def feats(payload: bytes):
+            return _raster_features(*_png_decode(payload))
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_channels": [r[2] for r in rows],
+                    "mean_px": [r[3] for r in rows],
+                    "grad_energy": [r[4] for r in rows],
+                    "thumb_checksum": [r[5] for r in rows],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a — the LZW rung of the real-codec ladder: PNG proved DEFLATE
+# (LZ77 + Huffman), JPEG proved canonical-Huffman entropy coding over DCT
+# coefficients; GIF's variable-width LZW is the third genuinely distinct
+# compression family a web-crawled image corpus carries.  The ENCODER
+# writes a real GIF87a container — logical screen descriptor, 256-entry
+# global color table, image descriptor (every second doc 4-pass
+# INTERLACED), and a spec-conformant LZW stream (9→12-bit growing codes,
+# LSB-first packing, ≤255-byte sub-blocks, leading CLEAR, trailing EOI;
+# the GIFLIB code-size rule pair: encoder widens at next_code ≥ 2^size,
+# the one-entry-behind decoder at next_code > 2^size).  The DECODER is a
+# strict stdlib-free walk that rejects (ValueError) everything it cannot
+# faithfully decode: bad signature, missing global table, local color
+# tables, sub-rectangle placement, out-of-range LZW codes, pixel-count
+# mismatch, a second image descriptor, truncation.  Raster and palette
+# reuse the palette-PNG formula family (minus alpha — GIF87a has none),
+# so the oracle composes index and palette formulas from first
+# principles and never sees the GIF bytes: a hash match proves the LZW
+# round trip, the de-interlace, and the palette expansion end-to-end.
+# ---------------------------------------------------------------------------
+
+#: 4-pass interlace grid (GIF87a spec appendix: rows 0,8,16… then
+#: 4,12,20… then 2,6,10… then 1,3,5…).
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _synth_gif_image(doc_id: int) -> tuple[int, int, list[bytes], bytes]:
+    """Deterministic GIF frame: (w, h, index rows, 768-byte palette) —
+    the palette-PNG formula family (index raster id·5+x·3+y·7, palette
+    entry id·ID[c]+i·X[c]) on GIF-specific even dims."""
+    w = 12 + 2 * (doc_id % 7)
+    h = 10 + 2 * (doc_id % 5)
+    idx_rows = [
+        bytes((doc_id * 5 + x * 3 + y * 7) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    palette = bytes(
+        (doc_id * _PNG_PAL_ID_CO[c] + i * _PNG_PAL_I_CO[c]) % 256
+        for i in range(256)
+        for c in range(3)
+    )
+    return w, h, idx_rows, palette
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-variant LZW over an index stream: variable 9..12-bit codes
+    packed LSB-first, CLEAR emitted first, EOI last, dictionary reset
+    via CLEAR when code 4096 would be assigned.  Code size widens when
+    the NEXT code to assign reaches 2^size (the GIFLIB encoder rule)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, size = eoi + 1, min_code + 1
+
+    def emit(code: int) -> None:
+        # the GIFLIB discipline: the widen check runs after EVERY code
+        # written, against the next code to ASSIGN (pre-assignment) —
+        # both engines count codes, so the pairing stays consistent
+        # through the tail codes that assign no entry (final + EOI)
+        nonlocal acc, nbits, size
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+        if next_code >= (1 << size) and size < 12:
+            size += 1
+
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:  # dictionary full — reset (exercised only at larger dims)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, size = eoi + 1, min_code + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Encode the deterministic palette frame as a REAL GIF87a stream —
+    4-pass interlaced for odd doc_ids (row order permuted before LZW,
+    the container's interlace flag set)."""
+    import struct
+
+    w, h, idx_rows, palette = _synth_gif_image(doc_id)
+    interlaced = doc_id % 2 == 1
+    if interlaced:
+        order = [y for y0, dy in _GIF_INTERLACE for y in range(y0, h, dy)]
+        stream_rows = [idx_rows[y] for y in order]
+    else:
+        stream_rows = idx_rows
+    lzw = _gif_lzw_encode(b"".join(stream_rows))
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global table, 8-bit color, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(8)  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, n_pixels: int, min_code: int = 8) -> bytes:
+    """Strict GIF LZW decode of a de-blocked code stream to exactly
+    ``n_pixels`` indices.  Raises ValueError on out-of-range codes,
+    overrun past ``n_pixels``, or a stream that ends (or hits EOI)
+    short.  The widen rule mirrors the encoder's GIFLIB discipline —
+    a per-CODE counter (reset by CLEAR), widened when it exceeds
+    2^size after each read — so the pairing stays consistent through
+    the tail codes that assign no table entry."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    pos = acc = nbits = 0
+    size = min_code + 1
+    run_code = eoi + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read_code() -> int:
+        nonlocal pos, acc, nbits, run_code, size
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        run_code += 1
+        if run_code > (1 << size) and size < 12:
+            size += 1
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = table[: clear + 2]
+            size = min_code + 1
+            run_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code > len(table) or (code == len(table) and prev is None):
+            raise ValueError("GIF LZW code out of range")
+        if code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            entry = table[code]
+        out += entry
+        if len(out) > n_pixels:
+            raise ValueError("GIF LZW output overruns the raster")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+    if len(out) != n_pixels:
+        raise ValueError("GIF LZW output short of the raster")
+    return bytes(out)
+
+
+def _gif_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse a GIF stream to (w, h, 3, RGB rows).  Verifies the 87a/89a
+    signature, requires a global color table, skips 89a extension
+    blocks, de-blocks and LZW-decodes the single image, undoes 4-pass
+    interlacing, and maps indices through the palette.  Rejects
+    (ValueError) anything this decoder cannot faithfully decode: no
+    global table, a local color table, sub-rectangle placement, a
+    second image descriptor, out-of-range codes, pixel-count mismatch,
+    truncation, missing trailer."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF87a/89a stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        raise ValueError("GIF global color table truncated")
+    pos += 3 * gct_n
+    rows: list[bytes] | None = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream truncated before trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # 89a extension — skip label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("GIF extension truncated")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if rows is not None:
+            raise ValueError("multi-image GIF stream")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("GIF local color table unsupported")
+        if (left, top) != (0, 0) or (iw, ih) != (w, h):
+            raise ValueError("GIF sub-rectangle image unsupported")
+        min_code = data[pos]
+        pos += 1
+        if min_code != 8:
+            raise ValueError("GIF non-8-bit LZW code size unsupported")
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("GIF image data truncated")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += data[pos : pos + n]
+            pos += n
+        idx = _gif_lzw_decode(bytes(lzw), iw * ih, min_code)
+        stream_rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+        if ipacked & 0x40:  # undo the 4-pass interlace
+            order = [y for y0, dy in _GIF_INTERLACE for y in range(y0, ih, dy)]
+            rows = [b""] * ih
+            for src, y in enumerate(order):
+                rows[y] = stream_rows[src]
+        else:
+            rows = stream_rows
+    if rows is None:
+        raise ValueError("GIF stream carries no image")
+    rgb = [
+        bytes(
+            palette[3 * r[x] + c] for x in range(w) for c in range(3)
+        )
+        for r in rows
+    ]
+    return w, h, 3, rgb
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """REAL LZW decode: full GIF87a parse (:func:`_gif_decode`) then the
+    shared image-family reduction (:func:`_raster_features`) over the
+    palette-expanded RGB raster.  A hash match against the
+    formula-replay oracle proves the LZW round trip, the 4-pass
+    de-interlace (odd doc_ids), and the palette expansion end-to-end.
     Scale: Arrow-batched mapInPandas, constant task memory, payload
     column only."""
 
@@ -1682,32 +2013,7 @@ def decode_png_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def feats(payload: bytes):
-            w, h, bpp, rows = _png_decode(payload)
-            stride = w * bpp
-            total = sum(sum(r) for r in rows)
-            # exact integer half-up rounding of total/(w·h·bpp) to 6
-            # digits: a float round() diverges from the oracle on exact
-            # .5 ties, which the 4-channel palette family actually hits
-            # (power-of-two-heavy denominators); both engines run this
-            # identical integer formula, then one exact int→double /1e6
-            den = w * h * bpp
-            mean = ((2 * total * 10**6 + den) // (2 * den)) / 1e6
-            grad = sum(
-                abs(r[k + bpp] - r[k]) for r in rows for k in range(stride - bpp)
-            )
-            thumb = 0
-            for c in range(bpp):
-                for ty in range(h // 2):
-                    top, bot = rows[2 * ty], rows[2 * ty + 1]
-                    for tx in range(w // 2):
-                        block = (
-                            top[2 * tx * bpp + c]
-                            + top[(2 * tx + 1) * bpp + c]
-                            + bot[2 * tx * bpp + c]
-                            + bot[(2 * tx + 1) * bpp + c]
-                        ) // 4
-                        thumb += block * (tx + 1) * (ty + 1) * (c + 1)
-            return w, h, bpp, mean, grad, thumb
+            return _raster_features(*_gif_decode(payload))
 
         for pdf in batches:
             rows = [feats(p) for p in pdf["payload"]]
@@ -1745,8 +2051,9 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 #: payloads for doc_id % 3 == 0 carry DRI/RSTn restart markers; v8: +
 #: jpegprog_payload, the same coefficient field as a progressive SOF2
 #: multi-scan stream; v9: + pngadam7_payload (the png raster Adam7-
-#: interlaced) and pngpal_payload (color-type-3 palette + tRNS)).
-_STORE_VERSION = "v9"
+#: interlaced) and pngpal_payload (color-type-3 palette + tRNS); v10: +
+#: gif_payload (GIF87a LZW, odd doc_ids 4-pass interlaced)).
+_STORE_VERSION = "v10"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -1784,8 +2091,8 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
     y4m_payload, png_payload, wavdup_payload, viddup_payload,
     audioseg_payload, vidscene_payload, jpeg_payload, jpegprog_payload,
-    pngadam7_payload, pngpal_payload — all BinaryType), materializing it
-    on first use.
+    pngadam7_payload, pngpal_payload, gif_payload — all BinaryType),
+    materializing it on first use.
 
     The payloads are the same deterministic doc_id-derived containers the
     attach_* helpers synthesize, so every decode oracle stays valid; the
@@ -1847,6 +2154,9 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             def pngpal(d):
                 return _png_pal_bytes(int(d))
 
+            def gif(d):
+                return _gif_bytes(int(d))
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -1863,6 +2173,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "jpegprog_payload": pdf["doc_id"].map(jpegprog),
                         "pngadam7_payload": pdf["doc_id"].map(pngadam7),
                         "pngpal_payload": pdf["doc_id"].map(pngpal),
+                        "gif_payload": pdf["doc_id"].map(gif),
                     }
                 )
 
@@ -1881,6 +2192,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("jpegprog_payload", T.BinaryType()),
                 T.StructField("pngadam7_payload", T.BinaryType()),
                 T.StructField("pngpal_payload", T.BinaryType()),
+                T.StructField("gif_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -1970,6 +2282,7 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "jpegprog": "jpegprog_payload",
         "pngadam7": "pngadam7_payload",
         "pngpal": "pngpal_payload",
+        "gif": "gif_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))
 

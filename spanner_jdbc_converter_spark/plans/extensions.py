@@ -2811,6 +2811,100 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return mm.decode_png_features(mm.payload_view(spark, sf_dir, "pngpal"))
 
 
+# GIF oracle fragments: the palette-PNG composition minus the alpha
+# branch (GIF87a has none) on GIF-specific dims — index raster
+# idx(x, y) = (id·5 + x·3 + y·7) mod 256 through palette entry
+# channel c = (id·ID[c] + idx·X[c]) mod 256, f-string-generated from
+# the SAME constants the encoder uses (multimodal._synth_gif_image).
+
+
+def _gif_p_sql(ide: str, xe: str, ye: str, ce: str) -> str:
+    idx = f"((({ide}) * 5 + ({xe}) * 3 + ({ye}) * 7) % 256)"
+    return (
+        f"((({ide}) * ({_PNG_ID_SQL})[({ce}) + 1]"
+        f" + {idx} * ({_PNG_X_SQL})[({ce}) + 1]) % 256)"
+    )
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, 12 + 2 * (doc_id % 7) AS w, 10 + 2 * (doc_id % 5) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id, b.w, b.h, g.x, g.y, g.c,
+             {{0}} AS p
+      FROM base b,
+           LATERAL (
+             SELECT gx.x, gy.y, gc.c
+             FROM (SELECT unnest(generate_series(0, b.w - 1)) AS x) gx,
+                  (SELECT unnest(generate_series(0, b.h - 1)) AS y) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) g
+    ),
+    agg AS (
+      SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+             CAST((2 * SUM(p) * 1000000 + MAX(w) * MAX(h) * 3)
+                  // (2 * MAX(w) * MAX(h) * 3) AS DOUBLE) / 1000000
+               AS mean_px,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(({{1}}) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM px GROUP BY doc_id
+    ),
+    thumb AS (
+      SELECT b.doc_id,
+             CAST(SUM((({{2}})
+                 + ({{3}})
+                 + ({{4}})
+                 + ({{5}}))
+                 // 4 * (t.tx + 1) * (t.ty + 1) * (t.c + 1)) AS BIGINT)
+               AS thumb_checksum
+      FROM base b,
+           LATERAL (
+             SELECT gx.tx, gy.ty, gc.c
+             FROM (SELECT unnest(generate_series(0, b.w // 2 - 1)) AS tx) gx,
+                  (SELECT unnest(generate_series(0, b.h // 2 - 1)) AS ty) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) t
+      GROUP BY b.doc_id
+    )
+    SELECT a.doc_id, a.width, a.height, CAST(3 AS BIGINT) AS n_channels,
+           a.mean_px, a.grad_energy, t.thumb_checksum
+    FROM agg a JOIN thumb t USING (doc_id)
+    """.format(
+        _gif_p_sql("b.doc_id", "g.x", "g.y", "g.c"),
+        _gif_p_sql("doc_id", "x + 1", "y", "c"),
+        _gif_p_sql("b.doc_id", "2 * t.tx", "2 * t.ty", "t.c"),
+        _gif_p_sql("b.doc_id", "2 * t.tx + 1", "2 * t.ty", "t.c"),
+        _gif_p_sql("b.doc_id", "2 * t.tx", "2 * t.ty + 1", "t.c"),
+        _gif_p_sql("b.doc_id", "2 * t.tx + 1", "2 * t.ty + 1", "t.c"),
+    ),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a decode — the LZW rung of the real-codec ladder (PNG
+    proved DEFLATE, JPEG canonical Huffman over DCT; variable-width
+    LZW is the third compression family a web crawl carries): the
+    store's gif payloads are REAL GIF87a containers — logical screen
+    descriptor, 256-entry global color table, and a spec-conformant
+    LZW stream (9→12-bit growing codes, LSB-first packing, ≤255-byte
+    sub-blocks, the GIFLIB widen-rule pair), with every ODD doc_id's
+    raster 4-pass interlaced.  The decoder walks the container,
+    de-blocks and LZW-decodes the index stream, undoes the interlace,
+    maps through the palette, and runs the shared image-family
+    reduction (operators/multimodal.py::_gif_decode /
+    decode_gif_features).  The oracle composes the index and palette
+    formulas from first principles — it never sees the GIF bytes — so
+    a hash match proves the LZW round trip, the de-interlace, and the
+    palette expansion end-to-end.  Scale: Arrow-batched mapInPandas,
+    constant task memory."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    return mm.decode_gif_features(mm.payload_view(spark, sf_dir, "gif"))
+
+
 @register(
     "multimodal_video_decode",
     oracle="""

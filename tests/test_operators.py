@@ -2745,3 +2745,87 @@ def test_opq_rotation_aligns_pc1_to_leading_dim(spark):
     ]
     assert var[0] == max(var)
     assert var[0] > 0.9 * sum(var)  # the line's variance lands in dim 0
+
+
+def test_gif_lzw_round_trip_across_size_boundaries():
+    """The GIFLIB widen-rule pair survives every code-size boundary
+    (9→10→11→12), the 4096 dictionary reset, and tail codes that
+    assign no entry — the off-by-one graveyard of LZW
+    implementations."""
+    import random
+
+    rnd = random.Random(7)
+    lengths = [1, 2, 253, 254, 255, 256, 511, 512, 513, 1023, 1024,
+               4095, 4096, 4097, 8192, 20000]
+    for L in lengths:
+        streams = [
+            bytes(rnd.randrange(256) for _ in range(L)),  # dict grows fastest
+            bytes((i // 7) % 3 for i in range(L)),        # long matches
+            bytes(i % 2 for i in range(L)),               # KwKwK-heavy
+        ]
+        for s in streams:
+            assert mm._gif_lzw_decode(mm._gif_lzw_encode(s), L) == s
+
+
+def test_gif_round_trip_and_interlace_reconverge():
+    """Every doc decodes back to the formula raster through the real
+    GIF87a container; the odd (interlaced) and even (sequential) paths
+    produce identical structure for the same raster — the
+    reconvergence discipline of the Adam7/progressive rows."""
+    for doc_id in range(12):
+        w, h, idx_rows, pal = mm._synth_gif_image(doc_id)
+        dw, dh, bpp, rgb = mm._gif_decode(mm._gif_bytes(doc_id))
+        assert (dw, dh, bpp) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                i = idx_rows[y][x]
+                assert rgb[y][3 * x : 3 * x + 3] == pal[3 * i : 3 * i + 3]
+
+
+def test_gif_decode_rejects_malformed():
+    """Rejection contract: every stream this decoder cannot faithfully
+    decode raises ValueError by name — never a wrong raster."""
+    good = mm._gif_bytes(2)  # doc 2: sequential
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._gif_decode(b"GIF90a" + good[6:])
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._gif_decode(good[:10])
+    # clear the global-color-table flag
+    b = bytearray(good)
+    b[10] &= 0x7F
+    with pytest.raises(ValueError, match="global color table"):
+        mm._gif_decode(bytes(b))
+    # truncate inside the image data
+    with pytest.raises(ValueError, match="truncated"):
+        mm._gif_decode(good[:-20])
+    # second image descriptor (fixed layout: 6 header + 7 LSD + 768 GCT
+    # — 0x2C also occurs inside palette bytes, so no index() search)
+    desc_at = 6 + 7 + 768
+    assert good[desc_at] == 0x2C
+    with pytest.raises(ValueError, match="multi-image"):
+        mm._gif_decode(good[:-1] + good[desc_at:])
+    # local color table flag
+    b = bytearray(good)
+    b[desc_at + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color table"):
+        mm._gif_decode(bytes(b))
+    # sub-rectangle placement
+    b = bytearray(good)
+    b[desc_at + 1] = 1  # left = 1
+    with pytest.raises(ValueError, match="sub-rectangle"):
+        mm._gif_decode(bytes(b))
+    # non-8-bit minimum code size
+    b = bytearray(good)
+    b[desc_at + 10] = 7
+    with pytest.raises(ValueError, match="code size"):
+        mm._gif_decode(bytes(b))
+    # corrupt the LZW stream: an out-of-range code early in the data
+    b = bytearray(good)
+    b[desc_at + 12 : desc_at + 16] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="LZW|truncated|raster"):
+        mm._gif_decode(bytes(b))
+    # 89a extensions are SKIPPED, not rejected (real crawls are 89a)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, empty
+    with_ext = good[:desc_at] + ext + good[desc_at:]
+    assert mm._gif_decode(with_ext) == mm._gif_decode(good)
