@@ -713,3 +713,95 @@ def kcore_oracle_sql(
     q.append(" UNION ALL ".join(parts))
     q.append(")")
     return "\n".join(q)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — fixed-round synchronous community detection.
+# ---------------------------------------------------------------------------
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    FIXED iteration count over an undirected edge list: every node
+    starts labelled with its own id; each round EVERY node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label.  Deterministic by construction
+    (no sequential update order, no random tie-break), so a DuckDB
+    oracle unrolls the identical rounds — the pagerank_fixed /
+    kcore_peel_layers discipline; synchronous LPA may oscillate on
+    bipartite structure, which a fixed round count simply snapshots.
+
+    Scale: one canonical distinct + a both-directions neighbor frame up
+    front; each round is an equi-join of the |V|-sized label frame onto
+    the neighbor list (broadcast when |V| ≪ |E|), a map-side-combined
+    (node, label) count, and one deterministic max_by argmax — all
+    keyed shuffles, lineage cut per round with ``localCheckpoint``.
+
+    Output: (node, community) for every node with ≥ 1 edge."""
+    e = _canonical_undirected(edges, src_col, dst_col)
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    ).localCheckpoint()
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        counted = (
+            nbr.join(
+                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # deterministic argmax: highest count, then smallest label —
+        # the (c, -lbl) struct is unique per node group, so max_by
+        # cannot tie
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB rendering of :func:`label_propagation_fixed`: identical
+    canonicalization, neighbor symmetrization, and unrolled synchronous
+    rounds with the (count DESC, label ASC) argmax.  Per-round CTEs are
+    MATERIALIZED (the kcore lesson: inlined CTE chains re-evaluate
+    exponentially)."""
+    q = [f"WITH raw_edges AS ({edges_cte}),"]
+    q.append(
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM raw_edges WHERE src <> dst),"
+    )
+    q.append(
+        "nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM ce "
+        "UNION ALL SELECT v, u FROM ce),"
+    )
+    q.append(
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM nbr),"
+    )
+    for i in range(iterations):
+        q.append(
+            f"c{i} AS MATERIALIZED (SELECT n.node, l.lbl, COUNT(*) AS c "
+            f"FROM nbr n JOIN l{i} l ON n.nb = l.node GROUP BY n.node, l.lbl),"
+        )
+        q.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM c{i}) WHERE rn = 1),"
+        )
+    last = q.pop()
+    q.append(last.rstrip(","))
+    q.append(f"SELECT node, lbl AS community FROM l{iterations}")
+    return "\n".join(q)

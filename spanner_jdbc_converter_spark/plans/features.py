@@ -1094,6 +1094,61 @@ def graph_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.kcore_peel_layers_from(_canonical_copurchase(spark, sf_dir))
 
 
+#: Support-≥2 part co-purchase edges (pairs sharing at least two
+#: orders): the ONE-shared-order graph is near-complete noise at every
+#: SF (mean degree ~115 at sf0.01), where synchronous LPA collapses to
+#: a single giant label; requiring repeat co-purchase keeps only
+#: systematic assortment pairs and yields real community structure
+#: (~440 communities at sf0.01 after 3 rounds, measured).
+_PART_EDGES2_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=gr.label_propagation_oracle_sql(_PART_EDGES2_SQL),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the support-≥2 part co-purchase graph — the fifth classic
+    graph primitive in the corpus (components, PageRank, triangles,
+    k-core): every part starts as its own label and adopts its
+    neighbors' plurality label for 3 fixed synchronous rounds, ties to
+    the smallest label, partitioning the assortment into co-purchase
+    communities with no randomness and no sequential order dependence.
+
+    Scale: the basket pair expansion is the triangle entries' shape
+    with a groupBy count instead of distinct (support filter ≥ 2
+    prunes ~97% of edges before any iteration); each round is one
+    |V|-sized label join onto the neighbor list plus a
+    map-side-combined (node, label) count and a deterministic max_by
+    argmax — O(rounds·|E|) keyed shuffles, lineage cut per round
+    (operators/graph.py::label_propagation_fixed).  The oracle unrolls
+    the identical rounds."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_list = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        baskets.select(F.explode(pair_list).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return gr.label_propagation_fixed(edges)
+
+
 # ---------------------------------------------------------------------------
 # Session-cache primers (VERDICT r14 "Next round #1" — see plans/registry.py
 # CACHE_PRIMERS): build the shared triangle closure untimed before a bench
@@ -1105,3 +1160,10 @@ from spanner_jdbc_converter_spark.plans.registry import register_cache_primer  #
 @register_cache_primer("features._TRI_STORE")
 def _prime_tri_store(spark: SparkSession, sf_dir: str) -> None:
     _tri_closure(spark, sf_dir)
+
+
+@register_cache_primer("features._EDGE_STORE")
+def _prime_edge_store(spark: SparkSession, sf_dir: str) -> None:
+    # _tri_closure's primer fills this transitively; an explicit primer
+    # keeps the edge frame warm even when the closure primer is skipped
+    _canonical_copurchase(spark, sf_dir)

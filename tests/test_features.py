@@ -369,3 +369,36 @@ class TestKCorePeel:
         assert len(calls) == 1
         assert QUERIES["graph_triangle_coeffs"](spark, sf_dir).count() > 0
         assert len(calls) == 1  # one derivation feeds all three entries
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_a_bridge(self, spark):
+        """Two K4 cliques joined by one bridge edge: LPA must label each
+        clique with its minimum id and the bridge must not merge them
+        (each endpoint's plurality stays inside its own clique)."""
+        c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+        df = spark.createDataFrame(c1 + c2 + [(4, 11)], "src long, dst long")
+        got = {
+            r.node: r.community
+            for r in gr.label_propagation_fixed(df, iterations=3).collect()
+        }
+        assert {got[n] for n in range(1, 5)} == {1}
+        assert {got[n] for n in range(11, 15)} == {11}
+
+    def test_oracle_agrees_with_ties_and_duplicates(self, spark, duck):
+        """Duplicate/reversed edges collapse; the (count DESC, label
+        ASC) tie-break matches the unrolled oracle on a star whose
+        leaves tie (every leaf sees only the hub, the hub sees an
+        all-singleton tie broken by the smallest leaf)."""
+        edges = [(5, 1), (1, 5), (5, 2), (5, 3), (5, 4), (2, 5), (1, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            (r.node, r.community)
+            for r in gr.label_propagation_fixed(df, iterations=2).collect()
+        )
+        rows = ", ".join(f"({a}, {b})" for a, b in edges)
+        sql = gr.label_propagation_oracle_sql(
+            f"SELECT * FROM (VALUES {rows}) AS t(src, dst)", iterations=2
+        )
+        assert got == sorted(tuple(r) for r in duck.execute(sql).fetchall())
