@@ -2033,6 +2033,234 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BMP (BI_RGB + BI_RLE8) — the RUN-LENGTH rung of the real-codec ladder:
+# DEFLATE (PNG), canonical Huffman over DCT (JPEG), variable-width LZW
+# (GIF), and now RLE — the fourth genuinely distinct compression family,
+# still the format screenshots and scanned-document crawls carry.  EVEN
+# doc_ids store uncompressed BI_RGB (bottom-up rows, 4-byte padding);
+# ODD doc_ids store BI_RLE8 with both encoded modes exercised by
+# construction: the raster formula gives even rows 4-pixel runs
+# (encoded-run mode) and odd rows per-pixel change (absolute mode).
+# The strict decoder walks BITMAPFILEHEADER → BITMAPINFOHEADER → the
+# 256-entry BGRA palette → raster, and rejects (ValueError) everything
+# it cannot faithfully decode: wrong magic, non-8-bit depth, unknown
+# compression, RLE delta escapes, row/column overruns, truncation.
+# ---------------------------------------------------------------------------
+
+
+def _synth_bmp_image(doc_id: int) -> tuple[int, int, list[bytes], bytes]:
+    """Deterministic BMP frame: (w, h, index rows, 1024-byte BGRA
+    palette).  Even rows step the index every 4 pixels (RLE run mode);
+    odd rows step every pixel (absolute mode); the palette reuses the
+    palette-image coefficient family."""
+    w = 14 + 2 * (doc_id % 5)
+    h = 10 + 2 * (doc_id % 6)
+    idx_rows = [
+        bytes(
+            (doc_id * 5 + ((x // 4 if y % 2 == 0 else x)) * 3 + y * 7) % 256
+            for x in range(w)
+        )
+        for y in range(h)
+    ]
+    palette = b"".join(
+        bytes(
+            [
+                (doc_id * _PNG_PAL_ID_CO[2] + i * _PNG_PAL_I_CO[2]) % 256,  # B
+                (doc_id * _PNG_PAL_ID_CO[1] + i * _PNG_PAL_I_CO[1]) % 256,  # G
+                (doc_id * _PNG_PAL_ID_CO[0] + i * _PNG_PAL_I_CO[0]) % 256,  # R
+                0,
+            ]
+        )
+        for i in range(256)
+    )
+    return w, h, idx_rows, palette
+
+
+def _bmp_rle8_encode_row(row: bytes) -> bytes:
+    """BI_RLE8 one row: greedy maximal runs (encoded mode) with ≥3
+    isolated literals grouped into absolute blocks (padded to even),
+    shorter literal stretches as length-1 runs.  No delta escapes."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 255 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([run, row[i]])
+            i += run
+            continue
+        # literal stretch: until the next ≥3-run or 255 cap
+        j = i
+        while j < n and n - j > 0 and (j - i) < 255:
+            r2 = 1
+            while j + r2 < n and r2 < 3 and row[j + r2] == row[j]:
+                r2 += 1
+            if r2 >= 3:
+                break
+            j += 1
+        lits = row[i:j]
+        if len(lits) >= 3:
+            out += bytes([0, len(lits)]) + lits
+            if len(lits) % 2:
+                out.append(0)  # absolute mode pads to a word boundary
+        else:
+            for b in lits:
+                out += bytes([1, b])
+        i = j
+    return bytes(out)
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """Encode the deterministic frame as a REAL 8-bit BMP — BI_RGB
+    (even doc_ids: bottom-up padded rows) or BI_RLE8 (odd doc_ids:
+    per-row encoded/absolute modes + EOL escapes + EOB)."""
+    import struct
+
+    w, h, idx_rows, palette = _synth_bmp_image(doc_id)
+    rle = doc_id % 2 == 1
+    if rle:
+        body = bytearray()
+        for row in reversed(idx_rows):  # BMP rasters are bottom-up
+            body += _bmp_rle8_encode_row(row)
+            body += b"\x00\x00"  # EOL
+        body += b"\x00\x01"  # EOB
+        raster = bytes(body)
+    else:
+        pad = (-w) % 4
+        raster = b"".join(bytes(r) + bytes(pad) for r in reversed(idx_rows))
+    off = 14 + 40 + 1024
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1 if rle else 0, len(raster),
+        2835, 2835, 256, 0,
+    )
+    return header + info + palette + raster
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an 8-bit BMP stream to (w, h, 3, RGB rows).  Supports
+    BI_RGB and BI_RLE8 (encoded runs, absolute mode, EOL/EOB escapes);
+    rejects (ValueError) wrong magic, non-BITMAPINFOHEADER sizes,
+    non-8-bit depth, unknown compression, top-down BI_RLE8, RLE delta
+    escapes, row/column overruns, truncation, and rasters that do not
+    cover the full grid."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = struct.unpack("<I", data[10:14])[0]
+    hsize, w, h, planes, depth, comp = struct.unpack("<IiiHHI", data[14:34])
+    if hsize != 40:
+        raise ValueError("BMP non-BITMAPINFOHEADER header unsupported")
+    if planes != 1 or depth != 8:
+        raise ValueError("BMP non-8-bit depth unsupported")
+    top_down = h < 0
+    if top_down:
+        h = -h
+    if w <= 0 or h <= 0:
+        raise ValueError("BMP degenerate dimensions")
+    n_colors = struct.unpack("<I", data[46:50])[0] or 256
+    pal_at = 14 + hsize
+    palette = data[pal_at : pal_at + 4 * n_colors]
+    if len(palette) < 4 * n_colors:
+        raise ValueError("BMP palette truncated")
+    if comp == 0:  # BI_RGB
+        stride = w + ((-w) % 4)
+        need = stride * h
+        raw = data[off : off + need]
+        if len(raw) < need:
+            raise ValueError("BMP raster truncated")
+        stored = [raw[y * stride : y * stride + w] for y in range(h)]
+    elif comp == 1:  # BI_RLE8
+        if top_down:
+            raise ValueError("top-down BI_RLE8 is invalid BMP")
+        stored = []
+        cur = bytearray()
+        pos = off
+        x = 0
+        while True:
+            if pos + 2 > len(data):
+                raise ValueError("BMP RLE stream truncated")
+            c, v = data[pos], data[pos + 1]
+            pos += 2
+            if c > 0:  # encoded run
+                if x + c > w:
+                    raise ValueError("BMP RLE run overruns the row")
+                cur += bytes([v]) * c
+                x += c
+            elif v == 0:  # EOL
+                if x != w:
+                    raise ValueError("BMP RLE row short of the width")
+                stored.append(bytes(cur))
+                cur = bytearray()
+                x = 0
+                if len(stored) > h:
+                    raise ValueError("BMP RLE rows overrun the height")
+            elif v == 1:  # EOB
+                if cur:
+                    raise ValueError("BMP RLE EOB inside a row")
+                break
+            elif v == 2:
+                raise ValueError("BMP RLE delta escape unsupported")
+            else:  # absolute mode
+                if x + v > w:
+                    raise ValueError("BMP RLE absolute run overruns the row")
+                end = pos + v + (v % 2)
+                if end > len(data):
+                    raise ValueError("BMP RLE absolute block truncated")
+                cur += data[pos : pos + v]
+                pos = end
+                x += v
+        if len(stored) != h:
+            raise ValueError("BMP RLE raster short of the height")
+    else:
+        raise ValueError(f"BMP compression {comp} unsupported")
+    if not top_down:
+        stored = stored[::-1]
+    rgb = [
+        bytes(
+            palette[4 * r[x] + (2 - c)]  # stored BGRA → emitted RGB
+            for x in range(w)
+            for c in range(3)
+        )
+        for r in stored
+    ]
+    return w, h, 3, rgb
+
+
+def decode_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL RLE decode: full BMP parse (:func:`_bmp_decode`) then the
+    shared image-family reduction (:func:`_raster_features`).  A hash
+    match against the formula-replay oracle proves the BI_RGB padding
+    walk, both BI_RLE8 modes, the bottom-up flip, and the palette
+    expansion end-to-end.  Scale: Arrow-batched mapInPandas, constant
+    task memory."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def feats(payload: bytes):
+            return _raster_features(*_bmp_decode(payload))
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_channels": [r[2] for r in rows],
+                    "mean_px": [r[3] for r in rows],
+                    "grad_energy": [r[4] for r in rows],
+                    "thumb_checksum": [r[5] for r in rows],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Fixture-borne media store — the decode entries above synthesize their
 # payloads inside the query plan; a 100 TB store keeps media as BinaryType
 # parquet columns on disk and scans them.  media_store() materializes the
@@ -2052,8 +2280,9 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
 #: jpegprog_payload, the same coefficient field as a progressive SOF2
 #: multi-scan stream; v9: + pngadam7_payload (the png raster Adam7-
 #: interlaced) and pngpal_payload (color-type-3 palette + tRNS); v10: +
-#: gif_payload (GIF87a LZW, odd doc_ids 4-pass interlaced)).
-_STORE_VERSION = "v10"
+#: gif_payload (GIF87a LZW, odd doc_ids 4-pass interlaced); v11: +
+#: bmp_payload (8-bit BMP, even doc_ids BI_RGB / odd BI_RLE8)).
+_STORE_VERSION = "v11"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -2091,8 +2320,8 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
     y4m_payload, png_payload, wavdup_payload, viddup_payload,
     audioseg_payload, vidscene_payload, jpeg_payload, jpegprog_payload,
-    pngadam7_payload, pngpal_payload, gif_payload — all BinaryType),
-    materializing it on first use.
+    pngadam7_payload, pngpal_payload, gif_payload, bmp_payload — all
+    BinaryType), materializing it on first use.
 
     The payloads are the same deterministic doc_id-derived containers the
     attach_* helpers synthesize, so every decode oracle stays valid; the
@@ -2157,6 +2386,9 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             def gif(d):
                 return _gif_bytes(int(d))
 
+            def bmp(d):
+                return _bmp_bytes(int(d))
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -2174,6 +2406,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "pngadam7_payload": pdf["doc_id"].map(pngadam7),
                         "pngpal_payload": pdf["doc_id"].map(pngpal),
                         "gif_payload": pdf["doc_id"].map(gif),
+                        "bmp_payload": pdf["doc_id"].map(bmp),
                     }
                 )
 
@@ -2193,6 +2426,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("pngadam7_payload", T.BinaryType()),
                 T.StructField("pngpal_payload", T.BinaryType()),
                 T.StructField("gif_payload", T.BinaryType()),
+                T.StructField("bmp_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -2283,6 +2517,7 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "pngadam7": "pngadam7_payload",
         "pngpal": "pngpal_payload",
         "gif": "gif_payload",
+        "bmp": "bmp_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))
 

@@ -2905,6 +2905,100 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_gif_features(mm.payload_view(spark, sf_dir, "gif"))
 
 
+# BMP oracle fragments: the GIF palette composition over the BMP index
+# raster — idx(x, y) = (id·5 + step·3 + y·7) mod 256 with step = x//4
+# on even rows (RLE run mode by construction) and x on odd rows
+# (absolute mode); emitted-RGB channel c = (id·ID[c] + idx·X[c]) mod
+# 256 — f-string-generated from the constants _synth_bmp_image uses.
+
+
+def _bmp_p_sql(ide: str, xe: str, ye: str, ce: str) -> str:
+    step = f"(CASE WHEN ({ye}) % 2 = 0 THEN ({xe}) // 4 ELSE ({xe}) END)"
+    idx = f"((({ide}) * 5 + {step} * 3 + ({ye}) * 7) % 256)"
+    return (
+        f"((({ide}) * ({_PNG_ID_SQL})[({ce}) + 1]"
+        f" + {idx} * ({_PNG_X_SQL})[({ce}) + 1]) % 256)"
+    )
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 14 + 2 * (doc_id % 5) AS w, 10 + 2 * (doc_id % 6) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id, b.w, b.h, g.x, g.y, g.c,
+             {0} AS p
+      FROM base b,
+           LATERAL (
+             SELECT gx.x, gy.y, gc.c
+             FROM (SELECT unnest(generate_series(0, b.w - 1)) AS x) gx,
+                  (SELECT unnest(generate_series(0, b.h - 1)) AS y) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) g
+    ),
+    agg AS (
+      SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+             CAST((2 * SUM(p) * 1000000 + MAX(w) * MAX(h) * 3)
+                  // (2 * MAX(w) * MAX(h) * 3) AS DOUBLE) / 1000000
+               AS mean_px,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(({1}) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM px GROUP BY doc_id
+    ),
+    thumb AS (
+      SELECT b.doc_id,
+             CAST(SUM((({2})
+                 + ({3})
+                 + ({4})
+                 + ({5}))
+                 // 4 * (t.tx + 1) * (t.ty + 1) * (t.c + 1)) AS BIGINT)
+               AS thumb_checksum
+      FROM base b,
+           LATERAL (
+             SELECT gx.tx, gy.ty, gc.c
+             FROM (SELECT unnest(generate_series(0, b.w // 2 - 1)) AS tx) gx,
+                  (SELECT unnest(generate_series(0, b.h // 2 - 1)) AS ty) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) t
+      GROUP BY b.doc_id
+    )
+    SELECT a.doc_id, a.width, a.height, CAST(3 AS BIGINT) AS n_channels,
+           a.mean_px, a.grad_energy, t.thumb_checksum
+    FROM agg a JOIN thumb t USING (doc_id)
+    """.format(
+        _bmp_p_sql("b.doc_id", "g.x", "g.y", "g.c"),
+        _bmp_p_sql("doc_id", "x + 1", "y", "c"),
+        _bmp_p_sql("b.doc_id", "2 * t.tx", "2 * t.ty", "t.c"),
+        _bmp_p_sql("b.doc_id", "2 * t.tx + 1", "2 * t.ty", "t.c"),
+        _bmp_p_sql("b.doc_id", "2 * t.tx", "2 * t.ty + 1", "t.c"),
+        _bmp_p_sql("b.doc_id", "2 * t.tx + 1", "2 * t.ty + 1", "t.c"),
+    ),
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit BMP decode — the RUN-LENGTH rung of the real-codec ladder
+    (DEFLATE, Huffman+DCT, LZW, now RLE — the fourth genuinely distinct
+    compression family; screenshots and scanned-document crawls still
+    carry it): the store's bmp payloads are REAL BMPs — file + info
+    headers, 256-entry BGRA palette, bottom-up raster — with even
+    doc_ids BI_RGB (4-byte row padding) and odd doc_ids BI_RLE8, whose
+    raster formula forces BOTH encoded modes (even rows 4-pixel runs →
+    run mode; odd rows per-pixel change → absolute mode with word
+    padding).  The decoder walks headers and palette, undoes padding or
+    RLE, flips to top-down, expands BGRA→RGB, and runs the shared
+    image-family reduction (operators/multimodal.py::_bmp_decode /
+    decode_bmp_features).  The oracle composes the index and palette
+    formulas from first principles — it never sees the BMP bytes — so
+    a hash match proves both raster walks end-to-end.  Scale:
+    Arrow-batched mapInPandas, constant task memory."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    return mm.decode_bmp_features(mm.payload_view(spark, sf_dir, "bmp"))
+
+
 @register(
     "multimodal_video_decode",
     oracle="""

@@ -2829,3 +2829,69 @@ def test_gif_decode_rejects_malformed():
     ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, empty
     with_ext = good[:desc_at] + ext + good[desc_at:]
     assert mm._gif_decode(with_ext) == mm._gif_decode(good)
+
+
+def test_bmp_round_trip_both_compressions():
+    """Even docs (BI_RGB, padded bottom-up rows) and odd docs (BI_RLE8)
+    decode back to the formula raster; the RLE raster formula forces
+    both encoded modes (even rows run-mode, odd rows absolute-mode)."""
+    for doc_id in range(12):
+        w, h, idx_rows, pal = mm._synth_bmp_image(doc_id)
+        dw, dh, bpp, rgb = mm._bmp_decode(mm._bmp_bytes(doc_id))
+        assert (dw, dh, bpp) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                i = idx_rows[y][x]
+                want = bytes([pal[4 * i + 2], pal[4 * i + 1], pal[4 * i]])
+                assert rgb[y][3 * x : 3 * x + 3] == want
+    # mode coverage: an odd payload must contain BOTH run and absolute
+    p = mm._bmp_bytes(1)
+    i, has_run, has_abs = 14 + 40 + 1024, False, False
+    while i + 2 <= len(p):
+        c, v = p[i], p[i + 1]
+        if c >= 2:
+            has_run, i = True, i + 2
+        elif c == 1:
+            i += 2
+        elif v >= 3:
+            has_abs, i = True, i + 2 + v + (v % 2)
+        elif v == 1:
+            break
+        else:
+            i += 2
+    assert has_run and has_abs
+
+
+def test_bmp_decode_rejects_malformed():
+    """Rejection contract: wrong magic, bad depth, unknown compression,
+    delta escapes, row overruns, truncation — ValueError by name."""
+    import struct
+
+    good_rle = mm._bmp_bytes(1)
+    good_rgb = mm._bmp_bytes(2)
+    off = 14 + 40 + 1024
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm._bmp_decode(b"MB" + good_rgb[2:])
+    b = bytearray(good_rgb)
+    struct.pack_into("<H", b, 28, 24)  # depth 24
+    with pytest.raises(ValueError, match="non-8-bit"):
+        mm._bmp_decode(bytes(b))
+    b = bytearray(good_rgb)
+    struct.pack_into("<I", b, 30, 2)  # BI_RLE4
+    with pytest.raises(ValueError, match="compression 2"):
+        mm._bmp_decode(bytes(b))
+    with pytest.raises(ValueError, match="raster truncated"):
+        mm._bmp_decode(good_rgb[:-8])
+    with pytest.raises(ValueError, match="RLE stream truncated"):
+        mm._bmp_decode(good_rle[:-4])
+    # splice a delta escape (00 02 dx dy) at the start of the RLE data
+    b = good_rle[:off] + b"\x00\x02\x01\x01" + good_rle[off:]
+    b = bytearray(b)
+    struct.pack_into("<I", b, 34, len(b) - off)
+    with pytest.raises(ValueError, match="delta"):
+        mm._bmp_decode(bytes(b))
+    # an oversized run overruns the row
+    b = good_rle[:off] + b"\xff\x07" + good_rle[off:]
+    with pytest.raises(ValueError, match="overruns the row"):
+        mm._bmp_decode(bytes(b))
