@@ -1206,3 +1206,95 @@ def test_crossdoc_scrub_at_100x_corpus(spark):
     assert by[True].n_survivors_with_spans == 0
     assert by[False].n_survivors_with_spans > 0
     assert wall < 1500, f"crossdoc scrub at 100x took {wall:.0f}s"
+
+
+def _copurchase_scaled(spark, support: int = 1):
+    """(base_edges, scaled_edges): the sf0.1 part co-purchase graph and
+    its 10x block-diagonal lift (disjoint shifted copies)."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_list = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    pairs = baskets.select(F.explode(pair_list).alias("pr")).select(
+        F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst")
+    )
+    if support > 1:
+        edges = (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= support)
+            .select("src", "dst")
+        )
+    else:
+        edges = pairs.distinct()
+    n = edges.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0] + 1
+    scaled = (
+        spark.range(COPIES)
+        .crossJoin(edges)
+        .select(
+            (F.col("src") + F.col("id") * n).alias("src"),
+            (F.col("dst") + F.col("id") * n).alias("dst"),
+        )
+    )
+    return edges, scaled
+
+
+def test_kcore_layers_at_10x_graph(spark):
+    """k-core onion peel at 10x the co-purchase graph: the
+    block-diagonal lift preserves the data-relative threshold
+    (2·10E // 10V = 2E // V), so each copy peels identically and the
+    per-layer histogram must scale EXACTLY 10x — the linearity proof
+    for the O(rounds·m) claim."""
+    from spanner_jdbc_converter_spark.operators import graph as gr
+
+    edges, scaled = _copurchase_scaled(spark)
+    base = {
+        r.layer: r.n
+        for r in gr.kcore_peel_layers(edges)
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t0 = time.time()
+    got = {
+        r.layer: r.n
+        for r in gr.kcore_peel_layers(scaled)
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wall = time.time() - t0
+    assert got == {k: COPIES * v for k, v in base.items()}
+    assert wall < 300, f"k-core peel at 10x took {wall:.0f}s"
+
+
+def test_label_propagation_at_10x_graph(spark):
+    """Synchronous LPA at 10x the support-≥2 co-purchase graph: the
+    disjoint lift propagates labels inside each copy independently, so
+    the community-size histogram scales EXACTLY 10x (labels shift,
+    structure does not)."""
+    from spanner_jdbc_converter_spark.operators import graph as gr
+
+    edges, scaled = _copurchase_scaled(spark, support=2)
+
+    def size_hist(df):
+        return {
+            r.sz: r.n
+            for r in df.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    base = size_hist(gr.label_propagation_fixed(edges))
+    t0 = time.time()
+    got = size_hist(gr.label_propagation_fixed(scaled))
+    wall = time.time() - t0
+    assert got == {k: COPIES * v for k, v in base.items()}
+    assert wall < 180, f"label propagation at 10x took {wall:.0f}s"
