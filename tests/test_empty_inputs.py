@@ -387,7 +387,7 @@ def test_ann_recall_report_empty_corpus(spark):
     rows = sim.ann_recall_report(empty, empty, k=5).orderBy("method").collect()
     assert [r.method for r in rows] == [
         "ivf", "ivfpq", "ivfpq_refine", "ivfpq_residual",
-        "ivfpq_residual_refine", "lsh", "pq", "quantized",
+        "ivfpq_residual_refine", "lsh", "opq", "pq", "quantized",
     ]
     assert all((r.n_exact, r.n_hits, r.recall) == (0, 0, 0.0) for r in rows)
 
