@@ -722,6 +722,46 @@ def _pi_rounds(
     return v, eigval
 
 
+def _centered_pi2(
+    x: DataFrame,
+    iters: int,
+    dim: int,
+    _debug_rounds: list | None = None,
+) -> tuple[list, int, list, float, list, float] | None:
+    """The ONE centering + two-direction power-iteration chain both
+    pca2 surfaces consume (review r17 — previously duplicated verbatim,
+    and these folds are oracle-pinned, so a tweak applied to one copy
+    silently broke the other's parity): the posexplode DECIMAL-mean
+    per-position stats on a persisted ``__x`` frame, then v1 and the
+    deflated v2 via :func:`_pi_rounds`.  Returns (mu, n, v1, eig1, v2,
+    eig2), or None on empty input."""
+    stats = (
+        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+        .select("pos", F.col("__v").cast("double").alias("__v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        return None
+    mu = [0.0] * dim
+    n = 0
+    for r in stats:
+        mu[int(r["pos"])] = float(r["mu"])
+        n = int(r["n"])
+    v1, eig1 = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
+    v2, eig2 = _pi_rounds(
+        x, mu, n, iters, dim, v1=v1, _debug_rounds=_debug_rounds
+    )
+    return mu, n, v1, eig1, v2, eig2
+
+
 def pca2_coords(
     emb: DataFrame,
     iters: int = PC1_ITERS,
@@ -762,31 +802,11 @@ def pca2_coords(
     x = emb.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__x")
     ).persist()
-    stats = (
-        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
-        .select("pos", F.col("__v").cast("double").alias("__v"))
-        .groupBy("pos")
-        .agg(
-            (
-                F.sum(F.col("__v").cast(_DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
-    if not stats:
+    res = _centered_pi2(x, iters, dim, _debug_rounds=_debug_rounds)
+    if res is None:
         x.unpersist()
         return spark.createDataFrame([], out_schema)
-    mu = [0.0] * dim
-    n = 0
-    for r in stats:
-        mu[int(r["pos"])] = float(r["mu"])
-        n = int(r["n"])
-    v1, eig1 = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
-    v2, eig2 = _pi_rounds(
-        x, mu, n, iters, dim, v1=v1, _debug_rounds=_debug_rounds
-    )
+    mu, _n, v1, eig1, v2, eig2 = res
 
     def proj(vk: list) -> F.Column:
         ck = 0.0
@@ -834,28 +854,9 @@ def pca2_directions(
     recurrence, same fold-order contracts, so the pca2 oracle CTEs
     replay these exact doubles.  Empty input returns ([], [])."""
     x = emb.select(F.col(vec_col).alias("__x")).persist()
-    stats = (
-        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
-        .select("pos", F.col("__v").cast("double").alias("__v"))
-        .groupBy("pos")
-        .agg(
-            (
-                F.sum(F.col("__v").cast(_DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
-    if not stats:
-        x.unpersist()
-        return [], []
-    mu = [0.0] * dim
-    n = 0
-    for r in stats:
-        mu[int(r["pos"])] = float(r["mu"])
-        n = int(r["n"])
-    v1, _eig1 = _pi_rounds(x, mu, n, iters, dim)
-    v2, _eig2 = _pi_rounds(x, mu, n, iters, dim, v1=v1)
+    res = _centered_pi2(x, iters, dim)
     x.unpersist()
+    if res is None:
+        return [], []
+    _mu, _n, v1, _eig1, v2, _eig2 = res
     return v1, v2

@@ -627,18 +627,30 @@ def kcore_peel_layers_from(
     a subset of the previous survivors (every live edge endpoint
     survived the last cut), so no join against the active set is
     needed; nodes that lost their last edge simply vanish from the
-    degree frame and fall into that round's anti-join layer."""
-    deg0 = _degree_frame(e)
-    n_edges, n_nodes = e.count(), deg0.count()
+    degree frame and fall into that round's anti-join layer.
+
+    The initial degree frame is checkpointed and serves three uses in
+    ONE pass over the edges (review r17): the node count, the edge
+    count (Σdeg / 2), and round 1's survivor filter."""
+    deg0 = _degree_frame(e).localCheckpoint()
+    n_nodes = deg0.count()
+    if n_nodes == 0:  # empty / all-self-loop input: empty layer frame
+        return deg0.select(
+            "node", F.lit(None).cast("int").alias("layer")
+        )
+    n_edges = deg0.agg(F.sum("deg")).first()[0] // 2
     k = (2 * n_edges) // n_nodes + k_offset
 
-    active = deg0.select("node").localCheckpoint()
-    cur = e
+    active = deg0.select("node")
+    cur, deg = e, deg0
     layers: list[DataFrame] = []
     for r in range(1, rounds + 1):
+        if deg is None:
+            deg = _degree_frame(cur)
         survivors = (
-            _degree_frame(cur).filter(F.col("deg") >= k).select("node")
+            deg.filter(F.col("deg") >= k).select("node")
         ).localCheckpoint()
+        deg = None
         peeled = active.join(survivors, "node", "left_anti").select(
             "node", F.lit(r).cast("int").alias("layer")
         )
@@ -678,8 +690,11 @@ def kcore_oracle_sql(
         "(SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),"
     )
     q.append(
+        # NULLIF: an empty canonical graph yields k = NULL, every >= k
+        # comparison is false, and the layer output is empty — the same
+        # contract as the Spark side's empty-input early return
         f"kk AS MATERIALIZED (SELECT (2 * (SELECT COUNT(*) FROM e0)) // "
-        f"(SELECT COUNT(*) FROM d0) + {k_offset} AS k),"
+        f"NULLIF((SELECT COUNT(*) FROM d0), 0) + {k_offset} AS k),"
     )
     q.append("a0 AS MATERIALIZED (SELECT node FROM d0),")
     for r in range(1, rounds + 1):

@@ -1610,6 +1610,11 @@ def _png_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
         i += 12 + length
     if w is None or bpp is None or not ended:
         raise ValueError("PNG missing IHDR or IEND")
+    if trns is not None and color != 3:
+        # the legal 2-/6-byte transparent-color form on gray/truecolor:
+        # decoding WITHOUT honoring it would be an unfaithful
+        # alpha-blind raster, so it rejects like gray+alpha/RGBA do
+        raise ValueError("PNG tRNS on non-palette color type unsupported")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -1701,22 +1706,17 @@ def _raster_features(w: int, h: int, bpp: int, rows: list) -> tuple:
     return w, h, bpp, mean, grad, thumb
 
 
-def decode_png_features(df: DataFrame) -> DataFrame:
-    """REAL compressed decode: full PNG parse (:func:`_png_decode`) then
-    the image-family features on the recovered raster
-    (:func:`_raster_features`).  A hash match against the formula-replay
-    oracle proves DEFLATE round-trip + all five unfilter paths + the
-    feature math end-to-end.  Scale: Arrow-batched mapInPandas, constant
-    task memory, payload column only."""
+def _decode_features(df: DataFrame, decode_fn) -> DataFrame:
+    """Shared mapInPandas harness for the full-raster decode entries:
+    ``decode_fn(payload) -> (w, h, bpp, rows)`` composed with
+    :func:`_raster_features` into the 7-column image-feature frame.
+    Arrow-batched, constant task memory, payload column only."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def feats(payload: bytes):
-            return _raster_features(*_png_decode(payload))
-
         for pdf in batches:
-            rows = [feats(p) for p in pdf["payload"]]
+            rows = [_raster_features(*decode_fn(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1730,6 +1730,16 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL compressed decode: full PNG parse (:func:`_png_decode`) then
+    the image-family features on the recovered raster
+    (:func:`_raster_features`).  A hash match against the formula-replay
+    oracle proves DEFLATE round-trip + all five unfilter paths + the
+    feature math end-to-end.  Scale: Arrow-batched mapInPandas, constant
+    task memory, payload column only."""
+    return _decode_features(df, _png_decode)
 
 
 # ---------------------------------------------------------------------------
@@ -1960,6 +1970,8 @@ def _gif_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         if rows is not None:
             raise ValueError("multi-image GIF stream")
+        if pos + 9 > len(data):
+            raise ValueError("GIF image descriptor truncated")
         left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
         if ipacked & 0x80:
@@ -1991,6 +2003,8 @@ def _gif_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
             rows = stream_rows
     if rows is None:
         raise ValueError("GIF stream carries no image")
+    if any(r[x] >= gct_n for r in rows for x in range(w)):
+        raise ValueError("GIF palette index out of range")
     rgb = [
         bytes(
             palette[3 * r[x] + c] for x in range(w) for c in range(3)
@@ -2008,28 +2022,7 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
     de-interlace (odd doc_ids), and the palette expansion end-to-end.
     Scale: Arrow-batched mapInPandas, constant task memory, payload
     column only."""
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def feats(payload: bytes):
-            return _raster_features(*_gif_decode(payload))
-
-        for pdf in batches:
-            rows = [feats(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "n_channels": [r[2] for r in rows],
-                    "mean_px": [r[3] for r in rows],
-                    "grad_energy": [r[4] for r in rows],
-                    "thumb_checksum": [r[5] for r in rows],
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+    return _decode_features(df, _gif_decode)
 
 
 # ---------------------------------------------------------------------------
@@ -2218,6 +2211,8 @@ def _bmp_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError(f"BMP compression {comp} unsupported")
     if not top_down:
         stored = stored[::-1]
+    if any(r[x] >= n_colors for r in stored for x in range(w)):
+        raise ValueError("BMP palette index out of range")
     rgb = [
         bytes(
             palette[4 * r[x] + (2 - c)]  # stored BGRA → emitted RGB
@@ -2236,28 +2231,7 @@ def decode_bmp_features(df: DataFrame) -> DataFrame:
     walk, both BI_RLE8 modes, the bottom-up flip, and the palette
     expansion end-to-end.  Scale: Arrow-batched mapInPandas, constant
     task memory."""
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        def feats(payload: bytes):
-            return _raster_features(*_bmp_decode(payload))
-
-        for pdf in batches:
-            rows = [feats(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "n_channels": [r[2] for r in rows],
-                    "mean_px": [r[3] for r in rows],
-                    "grad_energy": [r[4] for r in rows],
-                    "thumb_checksum": [r[5] for r in rows],
-                }
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(run, PNG_FEATURE_SCHEMA)
+    return _decode_features(df, _bmp_decode)
 
 
 # ---------------------------------------------------------------------------

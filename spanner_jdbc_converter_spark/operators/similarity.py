@@ -726,17 +726,37 @@ def opq_rotation(
     return {"u1": u1, "u1sq": u1sq, "u2": u2, "u2sq": u2sq}
 
 
-def opq_rotate_col(col, rot: dict) -> "F.Column":
-    """The rotation as a pure codegen expression: two chained
-    Householder applications, each ONE left-fold dot against a literal
-    u plus a zip_with — no UDF, no shuffle, the rotation rides as
-    4·dim literal doubles."""
-    x = F.transform(col, lambda a: a.cast("double"))
-    for u, usq in ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"])):
+def opq_rotated(
+    df: DataFrame, vec_col: str, rot: dict, out_col: str = "__rot"
+) -> DataFrame:
+    """Attach the rotated vector as ``out_col``: two chained Householder
+    applications, each ONE left-fold dot against a literal u plus a
+    zip_with — no UDF, no shuffle, the rotation rides as 4·dim literal
+    doubles.
+
+    DataFrame-level (review r17) so each step's scalar coefficient c =
+    2⟨x, u⟩/‖u‖² is HOISTED into its own projection: embedded in the
+    zip_with lambda it re-evaluates once per OUTPUT ELEMENT (higher-
+    order-function lambdas are interpreted, no cross-element CSE) —
+    ~2·dim² instead of ~2·dim multiplications per row, measured 68 s →
+    1.6 s over the sf0.1 corpus.  Catalyst keeps the intermediate
+    column as a separate Project (verified on the optimized plan)."""
+    df = df.withColumn(
+        out_col, F.transform(F.col(vec_col), lambda a: a.cast("double"))
+    )
+    for i, (u, usq) in enumerate(
+        ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"]))
+    ):
         u_lit = F.array(*[F.lit(t) for t in u])
-        c = (F.lit(2.0) * dot(x, u_lit)) / F.lit(usq)
-        x = F.zip_with(x, u_lit, lambda a, b: a - c * b)
-    return x
+        cname = f"__opq_c{i}"
+        df = df.withColumn(
+            cname, (F.lit(2.0) * dot(F.col(out_col), u_lit)) / F.lit(usq)
+        )
+        c = F.col(cname)
+        df = df.withColumn(
+            out_col, F.zip_with(F.col(out_col), u_lit, lambda a, b: a - c * b)
+        ).drop(cname)
+    return df
 
 
 def opq_topk(
@@ -767,8 +787,8 @@ def opq_topk(
         return pq_topk(
             queries, corpus, k, m, ncode, iters, dim, vec_col, id_col, books
         )
-    q_r = queries.withColumn("__rot", opq_rotate_col(F.col(vec_col), rot))
-    c_r = corpus.withColumn("__rot", opq_rotate_col(F.col(vec_col), rot))
+    q_r = opq_rotated(queries, vec_col, rot)
+    c_r = opq_rotated(corpus, vec_col, rot)
     return pq_topk(q_r, c_r, k, m, ncode, iters, dim, "__rot", id_col, books)
 
 

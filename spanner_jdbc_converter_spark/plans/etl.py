@@ -927,8 +927,8 @@ def _opq_model_for(spark: SparkSession, sf_dir: str) -> dict:
     rot = sim.opq_rotation(emb)
     books: dict = {}
     if rot:
-        nz = emb.filter(norm(F.col("embedding")) > 0).withColumn(
-            "__rot", sim.opq_rotate_col(F.col("embedding"), rot)
+        nz = sim.opq_rotated(
+            emb.filter(norm(F.col("embedding")) > 0), "embedding", rot
         )
         books = sim._pq_train(
             nz, sim.PQ_M, sim.PQ_NCODE, sim.PQ_ITERS, 64, "__rot", "vec_id"

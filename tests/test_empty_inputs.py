@@ -1015,3 +1015,20 @@ def test_weighted_reservoir_semantics_and_edges(spark):
     # empty input
     empty = spark.createDataFrame([], "doc_id long, source string, w double")
     assert sel.weighted_reservoir(empty, "source", "doc_id", "w", k=3).count() == 0
+
+
+def test_kcore_and_label_propagation_empty_edges(spark):
+    """Empty (or all-self-loop) edge frames return empty results with
+    the operator schemas — never a ZeroDivisionError from the
+    data-relative threshold (review r17)."""
+    from spanner_jdbc_converter_spark.operators import graph as gr
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    for edges in (empty, loops):
+        out = gr.kcore_peel_layers(edges)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["node", "layer"]
+        lp = gr.label_propagation_fixed(edges)
+        assert lp.count() == 0
+        assert [f.name for f in lp.schema.fields] == ["node", "community"]

@@ -2895,3 +2895,44 @@ def test_bmp_decode_rejects_malformed():
     b = good_rle[:off] + b"\xff\x07" + good_rle[off:]
     with pytest.raises(ValueError, match="overruns the row"):
         mm._bmp_decode(bytes(b))
+
+
+def test_codec_rejection_contract_review_fixes():
+    """Review r17 fixes: previously non-ValueError escapes now reject by
+    name — GIF palette index past a small global table, GIF stream cut
+    inside the image descriptor, BMP raster index past biClrUsed, and
+    tRNS on a non-palette PNG (alpha-blind decode would be unfaithful)."""
+    import struct
+    import zlib
+
+    good = mm._gif_bytes(2)
+    desc_at = 6 + 7 + 768
+    # shrink the declared global table to 2 entries (size bits 0); the
+    # 8-bit LZW stream's indices then fall past the palette
+    b = bytearray(good)
+    b[10] = (b[10] & 0xF8) | 0x00
+    small = bytes(b[: 13 + 6]) + good[13 + 768 :]
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mm._gif_decode(small)
+    with pytest.raises(ValueError, match="image descriptor truncated"):
+        mm._gif_decode(good[: desc_at + 4])
+
+    bmp = bytearray(mm._bmp_bytes(2))
+    struct.pack_into("<I", bmp, 46, 2)  # biClrUsed = 2
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mm._bmp_decode(bytes(bmp))
+
+    w, h = 4, 2
+    rows = [bytes((x * 13 + y * 31 + c * 7) % 256 for x in range(w) for c in range(3))
+            for y in range(h)]
+    filtered = b"".join(b"\x00" + r for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"tRNS", bytes(6))
+        + mm._png_chunk(b"IDAT", zlib.compress(filtered))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="tRNS on non-palette"):
+        mm._png_decode(png)
