@@ -238,3 +238,160 @@ def cms_estimates_sql(table_sql: str, key_expr: str) -> str:
     FROM kc JOIN cells USING (seed, cell)
     GROUP BY k
     """
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket quantile sketch — HDR-histogram-style, integer-exact.
+# ---------------------------------------------------------------------------
+
+#: Sub-bucket bits per octave: 2^QSK_SUBBITS log-linear cells between
+#: consecutive powers of two, so the bucket lower bound underestimates
+#: the true value by a relative error < 2^-QSK_SUBBITS (6.25%).
+QSK_SUBBITS = 4
+
+#: Default report quantiles.
+QSK_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+#: (exp, sub) of a positive BIGINT column named __u: exp = bit length
+#: (exact via the binary-string rendering — no libm log anywhere), sub =
+#: the QSK_SUBBITS bits after the leading bit (the value itself when it
+#: has fewer bits).  SQL-expression form: the shift amount is itself a
+#: column, which the F.shiftright/F.shiftleft python wrappers reject.
+_QSK_EXP = "length(bin(__u))"
+_QSK_SUB = (
+    f"shiftright(__u, greatest({_QSK_EXP} - 1 - {QSK_SUBBITS}, 0))"
+)
+#: Bucket lower bound from (exp, sub) columns — exact integers.
+_QSK_LB = (
+    f"shiftleft(cast(sub AS bigint), greatest(exp - 1 - {QSK_SUBBITS}, 0))"
+)
+
+
+def logbucket_quantiles(
+    df: DataFrame,
+    units: Column,
+    probs: tuple = QSK_PROBS,
+) -> DataFrame:
+    """Quantiles from a fixed-size LOG-BUCKET histogram sketch, graded
+    beside the exact quantile in one report row per probability — the
+    sketch-beside-exact discipline (HLL distincts, CMS frequencies,
+    DOULION triangles) applied to rank statistics, the HdrHistogram /
+    DDSketch idea with integer-exact bucketing both engines replay:
+    ``units`` must be a positive BIGINT (pre-scaled money/latency);
+    bucket = (bit length, next QSK_SUBBITS bits), i.e. log-linear cells
+    with relative width 2^-QSK_SUBBITS, and the estimate is the lower
+    bound of the first bucket whose cumulative count reaches the target
+    rank floor(q·(n−1)) + 1.
+
+    Scale: the sketch is ONE map-side-combinable groupBy onto ≤
+    64·2^QSK_SUBBITS cells — mergeable across partitions, days, and
+    tables by adding counts; the cumulative walk and rank probe happen
+    on the cell frame (driver-scale).  The EXACT side is the audit: a
+    full sort via one ROW_NUMBER window — the cost a production
+    pipeline pays only when grading the sketch, exactly like the
+    triangle estimate's exact twin.
+
+    Output: (q, n, est_units, exact_units, rel_error) — rel_error =
+    round((exact − est) / exact, 6), guaranteed ∈ [0, 2^-QSK_SUBBITS).
+    """
+    from pyspark.sql import Window
+
+    u = units.cast("long").alias("__u")
+    vals = df.select(u).filter(F.col("__u") > 0)
+    cells = (
+        vals.select(
+            F.expr(_QSK_EXP).alias("exp"), F.expr(_QSK_SUB).alias("sub")
+        )
+        .groupBy("exp", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("exp", "sub").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "exp",
+        "sub",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    spark = df.sparkSession
+    qf = spark.createDataFrame([(float(q),) for q in probs], "q double")
+    rank = (F.floor(F.col("q") * (F.col("n") - 1)) + 1).alias("rank")
+    est = (
+        cum.crossJoin(F.broadcast(qf))
+        .select("q", "n", F.expr(_QSK_LB).alias("lb"), F.col("cum"), rank)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "n")
+        .agg(F.min("lb").alias("est_units"))
+    )
+    wr = Window.orderBy("__u")
+    ranked = vals.select("__u", F.row_number().over(wr).alias("__r"))
+    exact = (
+        ranked.crossJoin(F.broadcast(qf.join(est.select("q", "n"), "q")))
+        .filter(F.col("__r") == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+        .select("q", F.col("__u").alias("exact_units"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "n",
+            "est_units",
+            "exact_units",
+            F.round(
+                (F.col("exact_units") - F.col("est_units"))
+                / F.col("exact_units").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("q")
+    )
+
+
+def logbucket_quantiles_sql(
+    table_sql: str, units_expr: str, probs: tuple = QSK_PROBS
+) -> str:
+    """DuckDB rendering of :func:`logbucket_quantiles` — identical
+    bit-length bucketing (length(bin(u))), cumulative walk, rank
+    convention, and rounding."""
+    probs_rows = ", ".join(f"({float(q)!r})" for q in probs)
+    return f"""
+    WITH vals AS (
+      SELECT CAST({units_expr} AS BIGINT) AS u FROM {table_sql}
+      WHERE CAST({units_expr} AS BIGINT) > 0
+    ),
+    parts AS (
+      SELECT u, LENGTH(BIN(u)) AS exp,
+             u >> GREATEST(LENGTH(BIN(u)) - 1 - {QSK_SUBBITS}, 0) AS sub
+      FROM vals
+    ),
+    cells AS (SELECT exp, sub, COUNT(*) AS cnt FROM parts GROUP BY exp, sub),
+    cum AS (
+      SELECT exp, sub,
+             CAST(SUM(cnt) OVER (ORDER BY exp, sub
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {probs_rows}) AS t(q)),
+    est AS (
+      SELECT q, n, MIN(CAST(sub AS BIGINT)
+                       << GREATEST(exp - 1 - {QSK_SUBBITS}, 0)) AS est_units
+      FROM cum CROSS JOIN qs
+      WHERE cum >= FLOOR(q * (n - 1)) + 1
+      GROUP BY q, n
+    ),
+    ranked AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS r FROM vals),
+    exact AS (
+      SELECT e.q, v.u AS exact_units
+      FROM est e JOIN ranked v ON v.r = FLOOR(e.q * (e.n - 1)) + 1
+    )
+    SELECT e.q, e.n, e.est_units, x.exact_units,
+           ROUND((x.exact_units - e.est_units)
+                 / CAST(x.exact_units AS DOUBLE), 6) AS rel_error
+    FROM est e JOIN exact x ON e.q = x.q
+    ORDER BY e.q
+    """

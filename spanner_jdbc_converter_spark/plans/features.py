@@ -1167,3 +1167,33 @@ def _prime_edge_store(spark: SparkSession, sf_dir: str) -> None:
     # _tri_closure's primer fills this transitively; an explicit primer
     # keeps the edge frame warm even when the closure primer is skipped
     _canonical_copurchase(spark, sf_dir)
+
+
+@register(
+    "agg_logbucket_quantiles",
+    oracle=sk.logbucket_quantiles_sql(
+        "lineitem",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
+    ),
+)
+def agg_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles from the fixed-size log-bucket histogram sketch,
+    graded beside the exact quantile per probability — the
+    sketch-beside-exact discipline (HLL, CMS, DOULION) applied to rank
+    statistics (HdrHistogram/DDSketch idea,
+    operators/sketches.py::logbucket_quantiles): prices scale to exact
+    integer cents, buckets are (bit length, next 4 bits) — log-linear
+    cells with guaranteed relative error < 2^-4 — and the report pins
+    estimate, exact, and realized rel_error for each of five
+    quantiles.
+
+    Scale: the sketch side is ONE map-side-combinable groupBy onto ≤
+    1024 cells (mergeable across partitions/days/tables by adding
+    counts — the 100 TB path); the exact side is the AUDIT, a full
+    sort paid only when grading, like the triangle estimate's exact
+    twin.  The oracle replays bucketing (LENGTH(BIN(u))), the
+    cumulative walk, the floor(q·(n−1))+1 rank convention, and the
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units = F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    return sk.logbucket_quantiles(li, units)

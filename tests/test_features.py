@@ -402,3 +402,41 @@ class TestLabelPropagation:
             f"SELECT * FROM (VALUES {rows}) AS t(src, dst)", iterations=2
         )
         assert got == sorted(tuple(r) for r in duck.execute(sql).fetchall())
+
+
+class TestLogbucketQuantiles:
+    def test_error_guarantee_and_exact_small_values(self, spark):
+        """rel_error stays under the 2^-QSK_SUBBITS bound on a
+        log-uniform-ish synthetic, and values small enough to fit the
+        sub-bucket bits are estimated EXACTLY (their bucket is the
+        value)."""
+        from pyspark.sql import Row
+
+        big = spark.createDataFrame(
+            [Row(v=(7 ** i) % 999_983 + 1) for i in range(2000)]
+        )
+        out = sk.logbucket_quantiles(big, F.col("v")).collect()
+        assert len(out) == len(sk.QSK_PROBS)
+        for r in out:
+            assert 0 <= r.rel_error < 2 ** -sk.QSK_SUBBITS
+            assert r.est_units <= r.exact_units
+        small = spark.createDataFrame([Row(v=i) for i in range(1, 32)])
+        for r in sk.logbucket_quantiles(small, F.col("v")).collect():
+            assert r.est_units == r.exact_units  # <= SUBBITS+1 bits: exact
+
+    def test_sql_twin_agrees_on_edge_shapes(self, spark, duck):
+        """Oracle replay on shapes the fixture may not hit: a single
+        value, all-equal values, and a power-of-two boundary pile."""
+        from pyspark.sql import Row
+
+        for vals in ([5], [16] * 50, [255, 256, 257] * 20, [1, 2**40]):
+            df = spark.createDataFrame([Row(v=int(v)) for v in vals])
+            got = sorted(
+                tuple(r) for r in sk.logbucket_quantiles(df, F.col("v")).collect()
+            )
+            rows = ", ".join(f"({v})" for v in vals)
+            sql = sk.logbucket_quantiles_sql(
+                f"(SELECT * FROM (VALUES {rows}) AS t(v))", "v"
+            )
+            want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+            assert got == want
