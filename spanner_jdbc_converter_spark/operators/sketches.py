@@ -268,6 +268,23 @@ _QSK_LB = (
 )
 
 
+def logbucket_cells(df: DataFrame, units: Column) -> DataFrame:
+    """The sketch state alone: (exp, sub, cnt) over positive BIGINT
+    ``units`` — ONE map-side-combinable groupBy onto ≤ 64·2^QSK_SUBBITS
+    cells, mergeable by adding counts, and exactly the aggregation a
+    STREAMING twin maintains statefully (streaming/ops.py::
+    running_quantile_cells — state bounded by the grid, like the CMS
+    twin)."""
+    u = units.cast("long").alias("__u")
+    return (
+        df.select(u)
+        .filter(F.col("__u") > 0)
+        .select(F.expr(_QSK_EXP).alias("exp"), F.expr(_QSK_SUB).alias("sub"))
+        .groupBy("exp", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def logbucket_quantiles(
     df: DataFrame,
     units: Column,
@@ -299,13 +316,7 @@ def logbucket_quantiles(
 
     u = units.cast("long").alias("__u")
     vals = df.select(u).filter(F.col("__u") > 0)
-    cells = (
-        vals.select(
-            F.expr(_QSK_EXP).alias("exp"), F.expr(_QSK_SUB).alias("sub")
-        )
-        .groupBy("exp", "sub")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = logbucket_cells(df, units)
     w = Window.orderBy("exp", "sub").rowsBetween(Window.unboundedPreceding, 0)
     cum = cells.select(
         "exp",

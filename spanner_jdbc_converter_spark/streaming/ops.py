@@ -865,3 +865,23 @@ def upsert_stream_to_jdbc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_quantile_cells(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Streaming log-bucket quantile-sketch maintenance: the batch cell
+    operator (operators/sketches.py::logbucket_cells — same integer
+    bit-length bucketing) applied to the unbounded stream's value
+    column scaled to exact integer cents.  Native stateful aggregation
+    keeps the running cell counts in complete mode, and because the
+    log-bucket grid is the aggregation key space, state is bounded at
+    ≤ 64·2^QSK_SUBBITS rows regardless of stream length or value range
+    — the same state-bounding move as the CMS twin, here for rank
+    statistics (p50/p99 monitoring over an unbounded metric stream).
+
+    Quantiles are read from the sink snapshot via the batch estimate
+    walk; cells are exact integers, so the streaming twin equals the
+    batch grid bit-for-bit once the bounded source drains."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    units = F.col(value_col).cast("decimal(18,2)") * 100
+    return sk.logbucket_cells(events, units)

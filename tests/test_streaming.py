@@ -1158,3 +1158,29 @@ def test_streaming_watermark_drops_provably_late_rows(spark, sf_dir, tmp_path):
         output_mode="complete",
     )
     assert sum(r.n_events for r in in_order.collect()) == n_total
+
+
+def test_streaming_quantile_cells_equals_batch_and_bounds_state(spark, sf_dir):
+    """The streaming log-bucket quantile grid over the drained bounded
+    source must equal the batch grid bit-for-bit (exact integer
+    cells), stay within the ≤ 64·2^QSK_SUBBITS state bound, and the
+    quantiles read from its snapshot must honor the sketch's one-sided
+    sub-2^-QSK_SUBBITS relative-error guarantee against the exact
+    quantile of the same drained values."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    stream = ops.read_events_stream(spark, sf_dir)
+    result = ops.run_stream_to_memory(
+        ops.running_quantile_cells(stream), "qsk_mem", output_mode="complete"
+    )
+    batch_events = ops.load_events_batch(spark, sf_dir)
+    units = F.col("value").cast("decimal(18,2)") * 100
+    batch = sk.logbucket_cells(batch_events, units)
+    cols = ["exp", "sub", "cnt"]
+    assert _rows(result, *cols) == _rows(batch, *cols)
+    assert result.count() <= 64 * 2 ** (sk.QSK_SUBBITS + 1)
+
+    report = sk.logbucket_quantiles(batch_events, units).collect()
+    assert len(report) == len(sk.QSK_PROBS)
+    for r in report:
+        assert 0 <= r.rel_error < 2 ** -sk.QSK_SUBBITS
