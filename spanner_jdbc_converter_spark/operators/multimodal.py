@@ -1926,6 +1926,47 @@ def _gif_lzw_decode(data: bytes, n_pixels: int, min_code: int = 8) -> bytes:
     return bytes(out)
 
 
+def _gif_read_frame(
+    data: bytes, pos: int, w: int, h: int
+) -> tuple[list[bytes], int]:
+    """One full-rect frame after its 0x2C introducer: descriptor, LZW
+    sub-blocks, de-interlace.  Shared by the single-image and the
+    animation decoders; every rejection is a ValueError by name."""
+    import struct
+
+    if pos + 9 > len(data):
+        raise ValueError("GIF image descriptor truncated")
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+    pos += 9
+    if ipacked & 0x80:
+        raise ValueError("GIF local color table unsupported")
+    if (left, top) != (0, 0) or (iw, ih) != (w, h):
+        raise ValueError("GIF sub-rectangle image unsupported")
+    min_code = data[pos] if pos < len(data) else None
+    pos += 1
+    if min_code != 8:
+        raise ValueError("GIF non-8-bit LZW code size unsupported")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF image data truncated")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += data[pos : pos + n]
+        pos += n
+    idx = _gif_lzw_decode(bytes(lzw), iw * ih, min_code)
+    stream_rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+    if ipacked & 0x40:  # undo the 4-pass interlace
+        order = [y for y0, dy in _GIF_INTERLACE for y in range(y0, ih, dy)]
+        rows = [b""] * ih
+        for src, y in enumerate(order):
+            rows[y] = stream_rows[src]
+        return rows, pos
+    return stream_rows, pos
+
+
 def _gif_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse a GIF stream to (w, h, 3, RGB rows).  Verifies the 87a/89a
     signature, requires a global color table, skips 89a extension
@@ -1970,37 +2011,7 @@ def _gif_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         if rows is not None:
             raise ValueError("multi-image GIF stream")
-        if pos + 9 > len(data):
-            raise ValueError("GIF image descriptor truncated")
-        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
-        pos += 9
-        if ipacked & 0x80:
-            raise ValueError("GIF local color table unsupported")
-        if (left, top) != (0, 0) or (iw, ih) != (w, h):
-            raise ValueError("GIF sub-rectangle image unsupported")
-        min_code = data[pos]
-        pos += 1
-        if min_code != 8:
-            raise ValueError("GIF non-8-bit LZW code size unsupported")
-        lzw = bytearray()
-        while True:
-            if pos >= len(data):
-                raise ValueError("GIF image data truncated")
-            n = data[pos]
-            pos += 1
-            if n == 0:
-                break
-            lzw += data[pos : pos + n]
-            pos += n
-        idx = _gif_lzw_decode(bytes(lzw), iw * ih, min_code)
-        stream_rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
-        if ipacked & 0x40:  # undo the 4-pass interlace
-            order = [y for y0, dy in _GIF_INTERLACE for y in range(y0, ih, dy)]
-            rows = [b""] * ih
-            for src, y in enumerate(order):
-                rows[y] = stream_rows[src]
-        else:
-            rows = stream_rows
+        rows, pos = _gif_read_frame(data, pos, w, h)
     if rows is None:
         raise ValueError("GIF stream carries no image")
     if any(r[x] >= gct_n for r in rows for x in range(w)):
@@ -2023,6 +2034,184 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
     Scale: Arrow-batched mapInPandas, constant task memory, payload
     column only."""
     return _decode_features(df, _gif_decode)
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation — multi-frame LZW streams, the animated-crawl shape:
+# one global palette, a NETSCAPE2.0 loop extension, and per frame a
+# Graphic Control Extension + full-rect image.  The decoder walks every
+# frame (shared _gif_read_frame), rejecting what it cannot faithfully
+# decode: transparency flags and non-zero disposal (compositing
+# semantics this full-frame decoder does not implement), sub-rects,
+# local tables, truncation.  Per-frame rasters use a (doc, frame, x, y)
+# index formula through the shared palette family, so the oracle
+# replays every frame from first principles — the video-decode
+# discipline applied to the GIF container.
+# ---------------------------------------------------------------------------
+
+
+def _synth_gif_anim(doc_id: int) -> tuple[int, int, int, list[list[bytes]], bytes]:
+    """Deterministic animation: (w, h, n_frames, per-frame index rows,
+    768-byte palette).  idx(f, x, y) = (id·5 + f·11 + x·3 + y·7) mod
+    256 — the GIF index family with the video family's frame term."""
+    w = 12 + 2 * (doc_id % 4)
+    h = 10 + 2 * (doc_id % 6)
+    nf = 3 + doc_id % 4
+    frames = [
+        [
+            bytes(
+                (doc_id * 5 + f * 11 + x * 3 + y * 7) % 256 for x in range(w)
+            )
+            for y in range(h)
+        ]
+        for f in range(nf)
+    ]
+    palette = bytes(
+        (doc_id * _PNG_PAL_ID_CO[c] + i * _PNG_PAL_I_CO[c]) % 256
+        for i in range(256)
+        for c in range(3)
+    )
+    return w, h, nf, frames, palette
+
+
+def _gif_anim_bytes(doc_id: int) -> bytes:
+    """Encode the deterministic animation as a REAL GIF89a stream —
+    NETSCAPE2.0 infinite-loop application extension, then per frame a
+    GCE (disposal 0, 4/100 s delay, no transparency) + full-rect
+    image with its own LZW stream."""
+    import struct
+
+    w, h, nf, frames, palette = _synth_gif_anim(doc_id)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for rows in frames:
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: no disposal/trans
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(8)
+        lzw = _gif_lzw_encode(b"".join(rows))
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_anim_decode(data: bytes) -> tuple[int, int, int, list[list[bytes]]]:
+    """Parse a GIF89a animation to (w, h, n_frames, per-frame RGB
+    rows).  Walks GCE/application extensions and every full-rect
+    frame; rejects (ValueError) transparency flags and non-zero
+    disposal methods (this full-frame decoder implements no
+    compositing), plus everything the single-frame walk rejects."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF87a/89a stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        raise ValueError("GIF global color table truncated")
+    pos += 3 * gct_n
+    frames: list[list[bytes]] = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream truncated before trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos] if pos < len(data) else None
+            pos += 1
+            if label == 0xF9:  # GCE: enforce no compositing semantics
+                if pos + 6 > len(data):
+                    raise ValueError("GIF extension truncated")
+                size, flags = data[pos], data[pos + 1]
+                if size != 4:
+                    raise ValueError("malformed GIF graphic control block")
+                if flags & 0x01:
+                    raise ValueError("GIF transparency unsupported")
+                if (flags >> 2) & 0x07 not in (0, 1):
+                    raise ValueError("GIF disposal method unsupported")
+            while True:
+                if pos >= len(data):
+                    raise ValueError("GIF extension truncated")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        rows, pos = _gif_read_frame(data, pos, w, h)
+        if any(r[x] >= gct_n for r in rows for x in range(w)):
+            raise ValueError("GIF palette index out of range")
+        frames.append(
+            [
+                bytes(palette[3 * r[x] + c] for x in range(w) for c in range(3))
+                for r in rows
+            ]
+        )
+    if not frames:
+        raise ValueError("GIF stream carries no image")
+    return w, h, len(frames), frames
+
+
+def decode_gif_anim_features(df: DataFrame) -> DataFrame:
+    """REAL animated decode: full GIF89a multi-frame parse
+    (:func:`_gif_anim_decode`) then the shared image-family reduction
+    PER FRAME — one output row per (doc, frame), the video-decode
+    shape over the GIF container.  A hash match against the
+    formula-replay oracle proves every frame's LZW round trip and
+    palette expansion.  Scale: Arrow-batched mapInPandas, constant
+    task memory."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        out: dict = {
+            "doc_id": [], "f": [], "n_frames": [], "width": [],
+            "height": [], "mean_px": [], "grad_energy": [],
+            "thumb_checksum": [],
+        }
+        for pdf in batches:
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nf, frames = _gif_anim_decode(payload)
+                for f, rgb in enumerate(frames):
+                    _w, _h, _bpp, mean, grad, thumb = _raster_features(
+                        w, h, 3, rgb
+                    )
+                    out["doc_id"].append(d)
+                    out["f"].append(f)
+                    out["n_frames"].append(nf)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_px"].append(mean)
+                    out["grad_energy"].append(grad)
+                    out["thumb_checksum"].append(thumb)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("f", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("grad_energy", T.LongType()),
+            T.StructField("thumb_checksum", T.LongType()),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2255,8 +2444,9 @@ def decode_bmp_features(df: DataFrame) -> DataFrame:
 #: multi-scan stream; v9: + pngadam7_payload (the png raster Adam7-
 #: interlaced) and pngpal_payload (color-type-3 palette + tRNS); v10: +
 #: gif_payload (GIF87a LZW, odd doc_ids 4-pass interlaced); v11: +
-#: bmp_payload (8-bit BMP, even doc_ids BI_RGB / odd BI_RLE8)).
-_STORE_VERSION = "v11"
+#: bmp_payload (8-bit BMP, even doc_ids BI_RGB / odd BI_RLE8); v12: +
+#: gifanim_payload (GIF89a multi-frame animation, NETSCAPE loop + GCEs)).
+_STORE_VERSION = "v12"
 
 
 def media_store_path(sf_dir: str) -> str:
@@ -2294,8 +2484,8 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     """Return the on-disk media table (doc_id, wav_payload, pgm_payload,
     y4m_payload, png_payload, wavdup_payload, viddup_payload,
     audioseg_payload, vidscene_payload, jpeg_payload, jpegprog_payload,
-    pngadam7_payload, pngpal_payload, gif_payload, bmp_payload — all
-    BinaryType), materializing it on first use.
+    pngadam7_payload, pngpal_payload, gif_payload, bmp_payload,
+    gifanim_payload — all BinaryType), materializing it on first use.
 
     The payloads are the same deterministic doc_id-derived containers the
     attach_* helpers synthesize, so every decode oracle stays valid; the
@@ -2363,6 +2553,9 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
             def bmp(d):
                 return _bmp_bytes(int(d))
 
+            def gifanim(d):
+                return _gif_anim_bytes(int(d))
+
             for pdf in batches:
                 yield pd.DataFrame(
                     {
@@ -2381,6 +2574,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                         "pngpal_payload": pdf["doc_id"].map(pngpal),
                         "gif_payload": pdf["doc_id"].map(gif),
                         "bmp_payload": pdf["doc_id"].map(bmp),
+                        "gifanim_payload": pdf["doc_id"].map(gifanim),
                     }
                 )
 
@@ -2401,6 +2595,7 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 T.StructField("pngpal_payload", T.BinaryType()),
                 T.StructField("gif_payload", T.BinaryType()),
                 T.StructField("bmp_payload", T.BinaryType()),
+                T.StructField("gifanim_payload", T.BinaryType()),
             ]
         )
         # Sweep tmp dirs a CRASHED earlier build left behind — but only
@@ -2492,6 +2687,7 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "pngpal": "pngpal_payload",
         "gif": "gif_payload",
         "bmp": "bmp_payload",
+        "gifanim": "gifanim_payload",
     }[kind]
     return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))
 

@@ -75,14 +75,13 @@ _GATE_PRIORITY = [
     "multimodal_audio_spectrum",
     "dedup_lsh_operating_report",
     "sim_pq_topk",
-    "sim_ivfpq_topk",
     # r17 registrations (the RULE below): each displaces the newest
     # tail entry of the r12-stale block (displaced so far:
     # select_quantile_normalize, text_pii_ccn_luhn_redact,
     # events_rfm_segments, events_pattern_match, text_textrank_keywords,
     # cluster_power_iteration_pc1, cluster_pca2_coords,
-    # validate_schema_drift — they lead r18's window after the r12
-    # block).
+    # validate_schema_drift, sim_ivfpq_topk — they lead r18's window
+    # after the r12 block).
     "multimodal_png_adam7_decode",
     "multimodal_png_palette_decode",
     "sim_opq_topk",
@@ -91,6 +90,7 @@ _GATE_PRIORITY = [
     "graph_label_propagation",
     "multimodal_bmp_decode",
     "agg_logbucket_quantiles",
+    "multimodal_gif_anim_decode",
 ]
 
 

@@ -2905,6 +2905,101 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_gif_features(mm.payload_view(spark, sf_dir, "gif"))
 
 
+# GIF-animation oracle fragments: per-frame index idx(f, x, y) =
+# (id·5 + f·11 + x·3 + y·7) mod 256 through the shared palette family.
+
+
+def _gif_anim_p_sql(ide: str, fe: str, xe: str, ye: str, ce: str) -> str:
+    idx = (
+        f"((({ide}) * 5 + ({fe}) * 11 + ({xe}) * 3 + ({ye}) * 7) % 256)"
+    )
+    return (
+        f"((({ide}) * ({_PNG_ID_SQL})[({ce}) + 1]"
+        f" + {idx} * ({_PNG_X_SQL})[({ce}) + 1]) % 256)"
+    )
+
+
+@register(
+    "multimodal_gif_anim_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 12 + 2 * (doc_id % 4) AS w, 10 + 2 * (doc_id % 6) AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id, g.f, b.w, b.h, b.nf, g.x, g.y, g.c,
+             {0} AS p
+      FROM base b,
+           LATERAL (
+             SELECT gf.f, gx.x, gy.y, gc.c
+             FROM (SELECT unnest(generate_series(0, b.nf - 1)) AS f) gf,
+                  (SELECT unnest(generate_series(0, b.w - 1)) AS x) gx,
+                  (SELECT unnest(generate_series(0, b.h - 1)) AS y) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) g
+    ),
+    agg AS (
+      SELECT doc_id, f, MAX(nf) AS n_frames, MAX(w) AS width,
+             MAX(h) AS height,
+             CAST((2 * SUM(p) * 1000000 + MAX(w) * MAX(h) * 3)
+                  // (2 * MAX(w) * MAX(h) * 3) AS DOUBLE) / 1000000
+               AS mean_px,
+             CAST(SUM(CASE WHEN x < w - 1 THEN
+               ABS(({1}) - p)
+               ELSE 0 END) AS BIGINT) AS grad_energy
+      FROM px GROUP BY doc_id, f
+    ),
+    thumb AS (
+      SELECT b.doc_id, t.f,
+             CAST(SUM((({2})
+                 + ({3})
+                 + ({4})
+                 + ({5}))
+                 // 4 * (t.tx + 1) * (t.ty + 1) * (t.c + 1)) AS BIGINT)
+               AS thumb_checksum
+      FROM base b,
+           LATERAL (
+             SELECT gf.f, gx.tx, gy.ty, gc.c
+             FROM (SELECT unnest(generate_series(0, b.nf - 1)) AS f) gf,
+                  (SELECT unnest(generate_series(0, b.w // 2 - 1)) AS tx) gx,
+                  (SELECT unnest(generate_series(0, b.h // 2 - 1)) AS ty) gy,
+                  (SELECT unnest([0, 1, 2]) AS c) gc
+           ) t
+      GROUP BY b.doc_id, t.f
+    )
+    SELECT a.doc_id, CAST(a.f AS BIGINT) AS f,
+           CAST(a.n_frames AS BIGINT) AS n_frames, a.width, a.height,
+           a.mean_px, a.grad_energy, t.thumb_checksum
+    FROM agg a JOIN thumb t ON a.doc_id = t.doc_id AND a.f = t.f
+    """.format(
+        _gif_anim_p_sql("b.doc_id", "g.f", "g.x", "g.y", "g.c"),
+        _gif_anim_p_sql("doc_id", "f", "x + 1", "y", "c"),
+        _gif_anim_p_sql("b.doc_id", "t.f", "2 * t.tx", "2 * t.ty", "t.c"),
+        _gif_anim_p_sql("b.doc_id", "t.f", "2 * t.tx + 1", "2 * t.ty", "t.c"),
+        _gif_anim_p_sql("b.doc_id", "t.f", "2 * t.tx", "2 * t.ty + 1", "t.c"),
+        _gif_anim_p_sql("b.doc_id", "t.f", "2 * t.tx + 1", "2 * t.ty + 1", "t.c"),
+    ),
+)
+def multimodal_gif_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a ANIMATION decode — the multi-frame rung of the GIF
+    ladder (the video-decode discipline applied to the GIF container):
+    the store's gifanim payloads are real animations — NETSCAPE2.0
+    loop extension, per frame a Graphic Control Extension (no
+    transparency, no disposal) and a full-rect image with its own LZW
+    stream over one global palette.  The decoder walks every frame and
+    emits one image-family feature row per (doc, frame); the oracle
+    replays the (doc, frame, x, y) index formula through the palette
+    from first principles, so a hash match proves every frame's LZW
+    round trip and the extension walk end-to-end.  Strict rejection:
+    transparency flags and non-zero disposal raise by name (this
+    full-frame decoder implements no compositing).  Scale:
+    Arrow-batched mapInPandas, constant task memory."""
+    from spanner_jdbc_converter_spark.operators import multimodal as mm
+
+    return mm.decode_gif_anim_features(mm.payload_view(spark, sf_dir, "gifanim"))
+
+
 # BMP oracle fragments: the GIF palette composition over the BMP index
 # raster — idx(x, y) = (id·5 + step·3 + y·7) mod 256 with step = x//4
 # on even rows (RLE run mode by construction) and x on odd rows

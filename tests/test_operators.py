@@ -2936,3 +2936,35 @@ def test_codec_rejection_contract_review_fixes():
     )
     with pytest.raises(ValueError, match="tRNS on non-palette"):
         mm._png_decode(png)
+
+
+def test_gif_anim_round_trip_and_rejections():
+    """Every frame decodes back to its formula raster through the real
+    GIF89a container (NETSCAPE loop + GCEs walked); transparency flags
+    and disposal methods beyond none/keep reject by name."""
+    for doc_id in range(8):
+        w, h, nf, frames = mm._gif_anim_decode(mm._gif_anim_bytes(doc_id))
+        ew, eh, enf, idx_frames, pal = mm._synth_gif_anim(doc_id)
+        assert (w, h, nf) == (ew, eh, enf)
+        for f in range(nf):
+            exp = [
+                bytes(pal[3 * r[x] + c] for x in range(ew) for c in range(3))
+                for r in idx_frames[f]
+            ]
+            assert frames[f] == exp
+
+    good = mm._gif_anim_bytes(2)
+    gce_at = good.index(b"\x21\xf9\x04")
+    b = bytearray(good)
+    b[gce_at + 3] |= 0x01  # transparency flag
+    with pytest.raises(ValueError, match="transparency"):
+        mm._gif_anim_decode(bytes(b))
+    b = bytearray(good)
+    b[gce_at + 3] |= 0x08  # disposal = 2 (restore to background)
+    with pytest.raises(ValueError, match="disposal"):
+        mm._gif_anim_decode(bytes(b))
+    with pytest.raises(ValueError, match="truncated"):
+        mm._gif_anim_decode(good[:-10])
+    # the single-frame decoder still rejects the animation by name
+    with pytest.raises(ValueError, match="multi-image"):
+        mm._gif_decode(good)
