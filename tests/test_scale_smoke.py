@@ -1298,3 +1298,25 @@ def test_label_propagation_at_10x_graph(spark):
     wall = time.time() - t0
     assert got == {k: COPIES * v for k, v in base.items()}
     assert wall < 180, f"label propagation at 10x took {wall:.0f}s"
+
+
+def test_logbucket_cells_at_10x_values(spark):
+    """Log-bucket quantile sketch at 10x the sf0.1 lineitem values: the
+    cell GRID is volume-invariant (same (exp, sub) set) and every count
+    scales EXACTLY 10x — the mergeability/linearity proof that the
+    sketch state stays <= 1024 cells no matter the input volume."""
+    from spanner_jdbc_converter_spark.operators import sketches as sk
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_extendedprice")
+    units = F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    base = {(r.exp, r.sub): r.cnt for r in sk.logbucket_cells(li, units).collect()}
+    scaled = spark.range(COPIES).crossJoin(li)
+    t0 = time.time()
+    got = {
+        (r.exp, r.sub): r.cnt
+        for r in sk.logbucket_cells(scaled, units).collect()
+    }
+    wall = time.time() - t0
+    assert got == {k: COPIES * v for k, v in base.items()}
+    assert len(got) <= 64 * 2 ** (sk.QSK_SUBBITS + 1)
+    assert wall < 120, f"logbucket cells at 10x took {wall:.0f}s"
