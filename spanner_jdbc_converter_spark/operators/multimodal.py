@@ -2669,9 +2669,30 @@ def media_store(spark: "SparkSession", sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _decode_width(spark: "SparkSession") -> int:
+    """Partition width for the spread-before-CPU-bound-decode exchange —
+    the session's configured shuffle width (scale-adaptive: the conf is
+    the per-cluster knob, locally the core count), falling back to the
+    cluster default parallelism when the conf is non-integer under some
+    AQE managers (same contract as plans/extensions._shuffle_width)."""
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
+    return session_shuffle_width(spark)
+
+
 def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
     """(doc_id, payload) projection of ONE media column from the store —
-    the scan a decode query starts from."""
+    the scan a decode query starts from.
+
+    The projection is hash-spread by doc_id to the session shuffle
+    width BEFORE any decode consumes it (optimization r17, guide §2.6):
+    the store is a small number of parquet files, so the scan alone
+    yields far fewer splits than the cluster has cores, and every
+    Python decode stage placed directly on it ran at scan-split
+    parallelism — serial at fixture scale, scan-bound at cluster scale.
+    One explicit exchange of (id, payload) rows — the bytes move ONCE,
+    exactly the move the decode tasks need (guide §8) — and AQE cannot
+    coalesce the CPU-bound decode stage away (REPARTITION_BY_NUM)."""
     col = {
         "wav": "wav_payload",
         "pgm": "pgm_payload",
@@ -2689,7 +2710,11 @@ def payload_view(spark: "SparkSession", sf_dir: str, kind: str) -> DataFrame:
         "bmp": "bmp_payload",
         "gifanim": "gifanim_payload",
     }[kind]
-    return media_store(spark, sf_dir).select("doc_id", F.col(col).alias("payload"))
+    return (
+        media_store(spark, sf_dir)
+        .select("doc_id", F.col(col).alias("payload"))
+        .repartition(_decode_width(spark), "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -240,10 +240,17 @@ def pack_token_sequences(
             }
         )
 
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
     t = df.select(group_col, id_col, tokens_col).withColumn(
         "shard", (md5_long(F.col(id_col).cast("string")) % shards).cast("int")
     )
-    return t.groupBy(group_col, "shard").applyInPandas(_pack, schema)
+    # explicit-width spread before the CPU-bound packing walk (one
+    # exchange — the groupBy reuses the pinned partitioning; opt r17)
+    spread = t.repartition(
+        session_shuffle_width(df.sparkSession), group_col, "shard"
+    )
+    return spread.groupBy(group_col, "shard").applyInPandas(_pack, schema)
 
 
 def banded_rank(

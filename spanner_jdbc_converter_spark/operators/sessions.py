@@ -242,8 +242,19 @@ def cusum_alarms(
             }
         )
 
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
     cols = [id_col, event_col, ts_col, value_col, k_col, h_col]
-    return events.select(*cols).groupBy(id_col).applyInPandas(_walk, schema)
+    # Explicit-width spread before the group walk: the groupBy's own
+    # exchange is AQE-coalesced by BYTES (near-serial on a few-MB
+    # input) while the walk is CPU-bound Python — pin the exchange to
+    # the session shuffle width instead; the groupBy reuses the
+    # partitioning, so the plan still carries exactly ONE exchange
+    # (guide §2.4/§2.6; optimization r17).
+    spread = events.select(*cols).repartition(
+        session_shuffle_width(events.sparkSession), id_col
+    )
+    return spread.groupBy(id_col).applyInPandas(_walk, schema)
 
 
 def scd2_intervals(
@@ -350,7 +361,15 @@ def debounce_events(
             }
         )
 
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
     prepped = events.select(
         id_col, type_col, seq_col, F.unix_micros(F.col(ts_col)).alias("__us")
     )
-    return prepped.groupBy(id_col).applyInPandas(_walk, schema)
+    # Explicit-width spread before the CPU-bound group walk — same
+    # single-exchange contract as cusum_alarms (measured r17: 4.26 s on
+    # 2 AQE-coalesced partitions vs 1.21 s on the session width).
+    spread = prepped.repartition(
+        session_shuffle_width(events.sparkSession), id_col
+    )
+    return spread.groupBy(id_col).applyInPandas(_walk, schema)

@@ -1282,7 +1282,17 @@ def mmr_rerank(
             ],
         )
 
-    return withvec.groupBy("query_id").applyInPandas(_greedy, schema)
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
+    # explicit-width spread before the CPU-bound greedy walk (one
+    # exchange — the groupBy reuses the pinned partitioning; opt r17)
+    return (
+        withvec.repartition(
+            session_shuffle_width(withvec.sparkSession), "query_id"
+        )
+        .groupBy("query_id")
+        .applyInPandas(_greedy, schema)
+    )
 
 
 def ann_recall_report(

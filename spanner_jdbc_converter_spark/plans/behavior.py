@@ -1421,8 +1421,15 @@ def validate_stream_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
 
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
     dual = _stage_checkpoint(
         base.crossJoin(khb)
+        # explicit-width spread before the CPU-bound dual walk: the
+        # groupBy reuses the pinned partitioning (one exchange), and
+        # AQE can no longer coalesce the walk near-serial (opt r17 —
+        # the sessions.py::cusum_alarms measurement)
+        .repartition(session_shuffle_width(spark), "user_id")
         .groupBy("user_id")
         .applyInPandas(_dual_walk, dual_schema)
         .filter(F.col("alarm_t") | F.col("alarm_d"))

@@ -3686,10 +3686,9 @@ def _shuffle_width(spark: SparkSession) -> int:
     repo may carry a non-integer conf value ("auto" under some AQE
     managers) — fall back to the cluster's default parallelism then
     (ADVICE r15)."""
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        return spark.sparkContext.defaultParallelism
+    from spanner_jdbc_converter_spark.session import session_shuffle_width
+
+    return session_shuffle_width(spark)
 
 
 #: Literal per-axis IDCT basis rows (only u∈{0,1,2} carry synthetic
@@ -3833,11 +3832,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     width is pinned explicitly (session shuffle width): AQE would
     coalesce a 3 MB exchange to one partition, which is right for
     shuffle cost but wrong for a CPU-bound decode stage."""
-    return mm.decode_jpeg_features(
-        mm.payload_view(spark, sf_dir, "jpeg").repartition(
-            _shuffle_width(spark), "doc_id"
-        )
-    )
+    return mm.decode_jpeg_features(mm.payload_view(spark, sf_dir, "jpeg"))
 
 
 _JPEG_DHASH_CTES = f"""{_jpeg_pixel_ctes()},
@@ -3904,11 +3899,7 @@ def dedup_jpeg_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join never re-runs the Huffman+IDCT work per side; the bucket
     join shuffles (id, 8-byte hash) rows only."""
     hashes = dd._stage_checkpoint(
-        mm.decode_jpeg_dhash(
-            mm.payload_view(spark, sf_dir, "jpeg").repartition(
-                _shuffle_width(spark), "doc_id"
-            )
-        )
+        mm.decode_jpeg_dhash(mm.payload_view(spark, sf_dir, "jpeg"))
     )
     return dd.hamming_band_pairs(
         hashes, "dhash", "doc_id", max_hamming=3, bands=4, bits=mm.DHASH_BITS
@@ -4064,11 +4055,16 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to the 4:4:4 entry — one Arrow decode pass over
     the payload column, hash-spread to the session shuffle width."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    payloads = mm.attach_jpeg420_payload(d).repartition(
-        _shuffle_width(spark), "doc_id"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # spread the IDS before the CPU-bound synth+decode chain: the
+        # exchange carries 8-byte ids instead of synthesized payloads
+        # (guide §2.3/§8), and the synth stage no longer runs at the
+        # tiny scan's split count (serial at fixture scale — opt r17)
+        .repartition(_shuffle_width(spark), "doc_id")
     )
-    return mm.decode_jpeg_features(payloads)
+    return mm.decode_jpeg_features(mm.attach_jpeg420_payload(d))
 
 
 @register("multimodal_jpeg422_decode", oracle=_JPEG422_DECODE_ORACLE)
@@ -4085,11 +4081,13 @@ def multimodal_jpeg422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     x-only replication join (gx//2, gy) — the vsub-parameterized
     rendering of the 4:2:0 oracle.  Scale: identical one-Arrow-pass
     shape to the other JPEG entries."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    payloads = mm.attach_jpeg422_payload(d).repartition(
-        _shuffle_width(spark), "doc_id"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # ids-before-synth spread — see the 4:2:0 entry (opt r17)
+        .repartition(_shuffle_width(spark), "doc_id")
     )
-    return mm.decode_jpeg_features(payloads)
+    return mm.decode_jpeg_features(mm.attach_jpeg422_payload(d))
 
 
 @register("multimodal_jpeg_prog_decode", oracle=_JPEG_DECODE_ORACLE)
@@ -4117,8 +4115,4 @@ def multimodal_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical physical shape to the baseline entry — one binary
     column scan, hash-spread to the session shuffle width, one
     Arrow-batched constant-memory decode pass."""
-    return mm.decode_jpeg_features(
-        mm.payload_view(spark, sf_dir, "jpegprog").repartition(
-            _shuffle_width(spark), "doc_id"
-        )
-    )
+    return mm.decode_jpeg_features(mm.payload_view(spark, sf_dir, "jpegprog"))

@@ -32,6 +32,28 @@ def _default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def session_shuffle_width(spark: SparkSession) -> int:
+    """The session's configured shuffle width — the explicit partition
+    count for spreading CPU-bound Python stages (Arrow decode passes,
+    applyInPandas group walks) ahead of their exchange.
+
+    Why explicit: AQE's coalescing is BYTE-sized (advisory partition
+    size), which is right for shuffle cost but wrong for a CPU-bound
+    stage — at fixture scale a few-MB exchange coalesces to 1-2
+    partitions and the Python stage runs near-serial (measured r17:
+    the debounce walk 4.26 s on 2 AQE-coalesced partitions vs 1.21 s
+    on the explicit width).  The conf is the per-cluster knob
+    (~2-3× total cores in production; the local default is the core
+    count), so the spread stays scale-adaptive rather than tuned to
+    either environment.  Falls back to the cluster default parallelism
+    when a foreign session carries a non-integer conf value ("auto"
+    under some AQE managers — ADVICE r15)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "spanner-jdbc-converter-spark",
     master: str | None = None,

@@ -1182,3 +1182,62 @@ def test_opq_topk_rotation_is_codegen_no_extra_shuffle(spark, sf_dir):
     # exactly ONE Python stage per side: the PQ encode; the rotation
     # must NOT appear as BatchEvalPython (row-at-a-time) anywhere
     assert "BatchEvalPython" not in plan
+
+
+def test_store_decode_spread_below_python_stage(spark, sf_dir):
+    """Optimization r17: every media-store decode rides an explicit
+    REPARTITION_BY_NUM exchange BELOW the Arrow decode pass
+    (payload_view spreads to the session shuffle width), so the
+    CPU-bound Python stage runs at cluster width, not at the store's
+    scan-split count (serial at fixture scale before the fix)."""
+    for entry in ("multimodal_png_decode", "multimodal_gif_anim_decode"):
+        head = _plan(spark, entry, sf_dir).split("\n\n")[0]
+        assert "REPARTITION_BY_NUM" not in head  # tag lives in details
+        plan = _plan(spark, entry, sf_dir)
+        assert "REPARTITION_BY_NUM" in plan, entry
+        tree = plan.split("\n\n")[0].splitlines()
+        decode_idx = min(
+            i for i, ln in enumerate(tree) if "MapInPandas" in ln
+        )
+        exch_idx = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+        # at least one exchange strictly below (deeper than) the decode
+        assert any(i > decode_idx for i in exch_idx), entry
+
+
+def test_synth_decode_shuffles_ids_not_payloads(spark, sf_dir):
+    """Optimization r17 (guide §2.3/§8): the 4:2:0 / 4:2:2 entries
+    synthesize payloads in Python — the spread exchange must sit below
+    BOTH Python stages and carry only the 8-byte ids; the synthesized
+    payloads never shuffle."""
+    for entry in ("multimodal_jpeg420_decode", "multimodal_jpeg422_decode"):
+        plan = _plan(spark, entry, sf_dir)
+        tree = plan.split("\n\n")[0].splitlines()
+        py_idx = [i for i, ln in enumerate(tree) if "MapInPandas" in ln]
+        exch_idx = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+        assert len(py_idx) == 2, entry  # synth + decode, fused stage
+        assert all(i > max(py_idx) for i in exch_idx), entry
+        # the exchange input is the bare id column
+        for seg in plan.split("\n\n"):
+            if seg.startswith("(") and "Exchange" in seg.splitlines()[0]:
+                assert "payload" not in seg, entry
+
+
+def test_group_walks_pinned_single_exchange(spark, sf_dir):
+    """Optimization r17: the applyInPandas group walks (CUSUM, debounce)
+    pre-spread to the session shuffle width and the groupBy REUSES that
+    partitioning — exactly one shuffle exchange, pinned REPARTITION_BY_NUM
+    so AQE cannot coalesce the CPU-bound walk near-serial (measured:
+    debounce 4.26 s on 2 coalesced partitions vs 1.21 s at width)."""
+    # cusum carries one extra SinglePartition exchange for the one-row
+    # k/h stats aggregate; the WALK itself must ride exactly one pinned
+    # exchange in both entries
+    for entry, max_shuffles in (
+        ("events_cusum_alarms", 2),
+        ("events_debounce", 1),
+    ):
+        plan = _plan(spark, entry, sf_dir)
+        head = plan.split("\n\n")[0]
+        shuffles = head.count("Exchange") - head.count("BroadcastExchange")
+        assert shuffles <= max_shuffles, entry
+        assert plan.count("REPARTITION_BY_NUM") == 1, entry
+        assert "FlatMapGroupsInPandas" in head, entry
