@@ -16,14 +16,66 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# -- SQL-text builders (optimization r17, guide §1.2 "per-task work" on
+# the DRIVER): every Column-API call is one or more py4j round trips,
+# and literal-heavy expression trees (a codebook dot is ~90 round trips
+# via zip_with/aggregate lambda construction) made QUERY BUILD time the
+# dominant cost of the whole similarity family (profiled: 41k round
+# trips ≈ 13 s building sim_ann_recall_report alone).  Composing the
+# identical expression as ONE SQL string parsed by a single F.expr call
+# produces the same resolved Catalyst tree — bit-identical results,
+# verified value-for-value on fixture embeddings — at ~2 round trips
+# per column.  repr(float) round-trips exactly through the SQL double
+# literal ('<repr>D'), so literals are bit-exact too.
+
+
+def dlit(v: float) -> str:
+    """Exact SQL double literal: repr round-trips float64 exactly."""
+    return repr(float(v)) + "D"
+
+
+def vec_sql(vals) -> str:
+    """SQL array<double> literal for a Python float sequence."""
+    return "array(" + ",".join(dlit(v) for v in vals) + ")"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two array-SQL snippets — the same
+    left-to-right zip_with/aggregate fold, term for term."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
+        f" CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL text of :func:`norm` over an array-SQL snippet."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) *"
+        f" CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _ident(name: str) -> str:
+    return f"`{name}`"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right dot-product fold.  String args are column NAMES and
+    take the one-round-trip SQL-text path; Column args keep the
+    Column-API construction (identical resolved expression)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(_ident(a), _ident(b)))
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def norm(a: Column | str) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
+    """Euclidean norm fold; string args take the SQL-text path (see
+    :func:`dot`)."""
+    if isinstance(a, str):
+        return F.expr(norm_sql(_ident(a)))
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
@@ -92,11 +144,30 @@ def cosine_rounded(a: Column | str, b: Column | str, digits: int = 6) -> Column:
 INT8_LEVELS = 127
 
 
+def quantize_scale_sql(a: str) -> str:
+    """SQL text of :func:`quantize_scale` over an array-SQL snippet."""
+    return (
+        f"array_max(transform({a}, x -> abs(CAST(x AS DOUBLE))))"
+        f" / {dlit(float(INT8_LEVELS))}"
+    )
+
+
 def quantize_scale(a: Column | str) -> Column:
-    """Per-vector symmetric scale max|x| / 127 (0.0 for all-zero vectors)."""
-    a = F.col(a) if isinstance(a, str) else a
+    """Per-vector symmetric scale max|x| / 127 (0.0 for all-zero vectors).
+    String args take the SQL-text path (see :func:`dot`)."""
+    if isinstance(a, str):
+        return F.expr(quantize_scale_sql(_ident(a)))
     return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(
         float(INT8_LEVELS)
+    )
+
+
+def quantize_int8_sql(a: str, scale_sql: str) -> str:
+    """SQL text of :func:`quantize_int8`; ``scale_sql`` is a SQL snippet
+    (re-evaluated per element exactly like the captured Column was)."""
+    return (
+        f"transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) / ({scale_sql})"
+        f" + 0.5D) AS BIGINT))"
     )
 
 
@@ -108,8 +179,19 @@ def quantize_int8(a: Column | str, scale: Column) -> Column:
     return F.transform(a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long"))
 
 
-def int_dot(qa: Column, qb: Column) -> Column:
+def int_dot_sql(qa: str, qb: str) -> str:
+    """SQL text of :func:`int_dot` over two code-array snippets."""
+    return (
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def int_dot(qa: Column | str, qb: Column | str) -> Column:
     """Exact integer dot product of two code arrays (≤ 64·127² ≈ 1.03e6
-    for 64-dim int8 — no overflow anywhere near bigint)."""
+    for 64-dim int8 — no overflow anywhere near bigint).  String args
+    take the SQL-text path (see :func:`dot`)."""
+    if isinstance(qa, str) and isinstance(qb, str):
+        return F.expr(int_dot_sql(_ident(qa), _ident(qb)))
     prods = F.zip_with(qa, qb, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)

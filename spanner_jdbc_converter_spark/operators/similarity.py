@@ -19,7 +19,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spanner_jdbc_converter_spark.functions.vector import dot, norm
+from spanner_jdbc_converter_spark.functions.vector import (
+    dlit,
+    dot,
+    dot_sql,
+    norm,
+    vec_sql,
+)
+
+
+def _cosine_expr(
+    a_vec: str, b_vec: str, a_nrm: str, b_nrm: str
+) -> "F.Column":
+    """round(dot(a,b)/(‖a‖·‖b‖), 6) over NAMED columns, composed as one
+    SQL string (optimization r17 — one py4j round trip instead of ~90;
+    the parsed tree is the identical fold, bit-verified)."""
+    return F.expr(
+        f"round({dot_sql(f'`{a_vec}`', f'`{b_vec}`')}"
+        f" / (`{a_nrm}` * `{b_nrm}`), 6)"
+    )
 
 
 def cosine_topk(
@@ -39,18 +57,14 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        norm(F.col(vec_col)).alias("query_nrm"),
+        norm(vec_col).alias("query_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("match_vec"),
-        norm(F.col(vec_col)).alias("match_nrm"),
+        norm(vec_col).alias("match_nrm"),
     )
-    cos = F.round(
-        dot(F.col("query_vec"), F.col("match_vec"))
-        / (F.col("query_nrm") * F.col("match_nrm")),
-        6,
-    )
+    cos = _cosine_expr("query_vec", "match_vec", "query_nrm", "match_nrm")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -184,7 +198,7 @@ def lsh_ann_topk(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+            norm(vec_col).alias(f"{role}_nrm"),
         )
 
     candidates = (
@@ -194,11 +208,7 @@ def lsh_ann_topk(
         .select("query_id", "match_id")
         .dropDuplicates(["query_id", "match_id"])
     )
-    cos = F.round(
-        dot(F.col("query_vec"), F.col("match_vec"))
-        / (F.col("query_nrm") * F.col("match_nrm")),
-        6,
-    )
+    cos = _cosine_expr("query_vec", "match_vec", "query_nrm", "match_nrm")
     scored = (
         candidates.join(F.broadcast(side(queries, "query")), on="query_id")
         .join(side(corpus, "match"), on="match_id")
@@ -237,7 +247,7 @@ def _ivf_cents(corpus, centroid_stride, vec_col, id_col) -> DataFrame:
     return corpus.filter((F.col(id_col) % centroid_stride) == 1).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
-        norm(F.col(vec_col)).alias("cent_nrm"),
+        norm(vec_col).alias("cent_nrm"),
     )
 
 
@@ -251,13 +261,9 @@ def _ivf_assign(
     base = df.select(
         F.col(id_col).alias(f"{role}_id"),
         F.col(vec_col).alias(f"{role}_vec"),
-        norm(F.col(vec_col)).alias(f"{role}_nrm"),
+        norm(vec_col).alias(f"{role}_nrm"),
     )
-    cos = F.round(
-        dot(F.col(f"{role}_vec"), F.col("cent_vec"))
-        / (F.col(f"{role}_nrm") * F.col("cent_nrm")),
-        6,
-    )
+    cos = _cosine_expr(f"{role}_vec", "cent_vec", f"{role}_nrm", "cent_nrm")
     w = Window.partitionBy(f"{role}_id").orderBy(
         F.desc("__ccos"), F.asc("cent_id")
     )
@@ -297,17 +303,13 @@ def ivf_topk(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_nrm"),
+            norm(vec_col).alias(f"{role}_nrm"),
         )
 
     candidates = ivf_candidates(
         queries, corpus, nprobe, centroid_stride, vec_col, id_col
     )
-    cos = F.round(
-        dot(F.col("query_vec"), F.col("match_vec"))
-        / (F.col("query_nrm") * F.col("match_nrm")),
-        6,
-    )
+    cos = _cosine_expr("query_vec", "match_vec", "query_nrm", "match_nrm")
     scored = (
         candidates.join(F.broadcast(side(queries, "query")), on="query_id")
         .join(side(corpus, "match"), on="match_id")
@@ -325,7 +327,7 @@ def pairwise_dot_matrix(df: DataFrame, vec_col: str = "embedding", id_col: str =
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot(F.col("va"), F.col("vb")), 6).alias("dot"))
+        .select("id_a", "id_b", F.round(dot("va", "vb"), 6).alias("dot"))
     )
 
 
@@ -348,25 +350,31 @@ def quantized_topk(
 
     Output: query_id, match_id, qdot (exact int), score, rank.
     All-zero vectors (scale 0) must be excluded by the caller."""
-    from spanner_jdbc_converter_spark.functions.vector import int_dot, quantize_int8, quantize_scale
+    from spanner_jdbc_converter_spark.functions.vector import (
+        int_dot,
+        int_dot_sql,
+        norm_sql,
+        quantize_int8_sql,
+        quantize_scale_sql,
+    )
 
     def prep(df: DataFrame, role: str) -> DataFrame:
-        s = quantize_scale(vec_col)
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            quantize_int8(vec_col, s).alias(f"{role}_q"),
-            s.alias(f"{role}_s"),
-            norm(F.col(vec_col)).alias(f"{role}_l2"),
+        # one selectExpr — SQL-text forms of quantize/norm (opt r17)
+        s_sql = quantize_scale_sql(f"`{vec_col}`")
+        return df.selectExpr(
+            f"`{id_col}` AS {role}_id",
+            f"{quantize_int8_sql(f'`{vec_col}`', s_sql)} AS {role}_q",
+            f"{s_sql} AS {role}_s",
+            f"{norm_sql(f'`{vec_col}`')} AS {role}_l2",
         )
 
     q, c = prep(queries, "query"), prep(corpus, "match")
-    qdot = int_dot(F.col("query_q"), F.col("match_q"))
+    qdot = int_dot("query_q", "match_q")
     # multiplication order is part of the contract (oracle mirrors it):
     # double(qdot) * s_q * s_m / (l2_q * l2_m), then round 6
-    score = F.round(
-        qdot.cast("double") * F.col("query_s") * F.col("match_s")
-        / (F.col("query_l2") * F.col("match_l2")),
-        6,
+    score = F.expr(
+        f"round(CAST({int_dot_sql('query_q', 'match_q')} AS DOUBLE)"
+        f" * query_s * match_s / (query_l2 * match_l2), 6)"
     )
     scored = (
         F.broadcast(q)
@@ -629,45 +637,49 @@ def _pq_codes_frame(corpus, books, subdim, vec_col, id_col) -> DataFrame:
     """(match_id, match_l2, __code0..m-1) — the encoded corpus."""
     return corpus.select(
         F.col(id_col).alias("match_id"),
-        norm(F.col(vec_col)).alias("match_l2"),
+        norm(vec_col).alias("match_l2"),
         *_pq_code_cols(books, vec_col, subdim),
     )
 
 
 def _pq_lut_frame(queries, books, m, subdim, vec_col, id_col) -> DataFrame:
     """(query_id, query_l2, __lut0..m-1) — per-query ADC lookup tables,
-    one exact-fold dot per (subspace, code), computed ONCE per query."""
+    one exact-fold dot per (subspace, code), computed ONCE per query.
+
+    Each lut column is composed as ONE SQL string (optimization r17):
+    the Column-API loop cost ~90 py4j round trips per codebook dot —
+    m·ncode of them dominated the whole entry's build time.  The parsed
+    tree is the identical slice × literal-centroid fold, bit-verified."""
     lut_cols = []
     for j in range(m):
-        keys = F.array(*[F.lit(c).cast("long") for c, _ in books[j]])
-        vals = F.array(
-            *[
-                dot(_pq_sub_slice(F.col(vec_col), j, subdim), _pq_lit_vec(cv))
-                for _, cv in books[j]
-            ]
+        keys = ",".join(f"CAST({c} AS BIGINT)" for c, _ in books[j])
+        slice_sql = f"slice(`{vec_col}`, {j * subdim + 1}, {subdim})"
+        vals = ",".join(
+            dot_sql(slice_sql, vec_sql(cv)) for _, cv in books[j]
         )
-        lut_cols.append(F.map_from_arrays(keys, vals).alias(f"__lut{j}"))
+        lut_cols.append(
+            F.expr(
+                f"map_from_arrays(array({keys}), array({vals}))"
+            ).alias(f"__lut{j}")
+        )
     return queries.select(
         F.col(id_col).alias("query_id"),
-        norm(F.col(vec_col)).alias("query_l2"),
+        norm(vec_col).alias("query_l2"),
         *lut_cols,
     )
 
 
-def _pq_adc_cols(m: int, base: F.Column | None = None) -> list:
+def _pq_adc_cols(m: int, base: str | None = None) -> list:
     """adot (fixed-order j = 0..m-1 LUT sum, rounded 6) and score.
     With ``base`` given, the sum folds FROM it — (((base + l0) + l1)…)
     — the residual-IVFPQ ⟨q, c_list⟩ anchor term, order-pinned so the
     oracle's left-associative ``+`` chain replays it exactly."""
-    from functools import reduce
-    from operator import add
-
-    terms = [
-        F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}")) for j in range(m)
+    terms = " + ".join(f"element_at(__lut{j}, __code{j})" for j in range(m))
+    adot = terms if base is None else f"{base} + {terms}"
+    return [
+        F.expr(f"round({adot}, 6)").alias("adot"),
+        F.expr(f"round(({adot}) / (query_l2 * match_l2), 6)").alias("score"),
     ]
-    adot = reduce(add, terms) if base is None else reduce(add, terms, base)
-    score = F.round(adot / (F.col("query_l2") * F.col("match_l2")), 6)
-    return [F.round(adot, 6).alias("adot"), score.alias("score")]
 
 
 def opq_rotation(
@@ -741,20 +753,24 @@ def opq_rotated(
     ~2·dim² instead of ~2·dim multiplications per row, measured 68 s →
     1.6 s over the sf0.1 corpus.  Catalyst keeps the intermediate
     column as a separate Project (verified on the optimized plan)."""
+    # SQL-text composition (opt r17): the two u-vector literals cost
+    # ~600 py4j round trips via per-element F.lit; each step is now two
+    # one-round-trip exprs with the identical parsed tree.
     df = df.withColumn(
-        out_col, F.transform(F.col(vec_col), lambda a: a.cast("double"))
+        out_col, F.expr(f"transform(`{vec_col}`, a -> CAST(a AS DOUBLE))")
     )
     for i, (u, usq) in enumerate(
         ((rot["u1"], rot["u1sq"]), (rot["u2"], rot["u2sq"]))
     ):
-        u_lit = F.array(*[F.lit(t) for t in u])
+        u_sql = vec_sql(u)
         cname = f"__opq_c{i}"
         df = df.withColumn(
-            cname, (F.lit(2.0) * dot(F.col(out_col), u_lit)) / F.lit(usq)
+            cname,
+            F.expr(f"(2.0D * {dot_sql(f'`{out_col}`', u_sql)}) / {dlit(usq)}"),
         )
-        c = F.col(cname)
         df = df.withColumn(
-            out_col, F.zip_with(F.col(out_col), u_lit, lambda a, b: a - c * b)
+            out_col,
+            F.expr(f"zip_with(`{out_col}`, {u_sql}, (a, b) -> a - {cname} * b)"),
         ).drop(cname)
     return df
 
@@ -871,8 +887,9 @@ def _residual_frame(
             "match_id",
             "cent_id",
             "__xv",
-            F.zip_with(
-                "__xv", "cent_vec", lambda a, b: a.cast("double") - b.cast("double")
+            F.expr(
+                "zip_with(__xv, cent_vec, (a, b) -> CAST(a AS DOUBLE)"
+                " - CAST(b AS DOUBLE))"
             ).alias("__res"),
         )
     )
@@ -962,7 +979,7 @@ def residual_ivfpq_topk(
     codes = res.select(
         "match_id",
         "cent_id",
-        norm(F.col("__xv")).alias("match_l2"),
+        norm("__xv").alias("match_l2"),
         *_pq_code_cols(books, "__res", subdim),
     )
     probes = _ivf_assign(queries, cents, "query", nprobe, vec_col, id_col)
@@ -977,7 +994,7 @@ def residual_ivfpq_topk(
         .select(
             "query_id",
             "cent_id",
-            dot(F.col("__qv"), F.col("cent_vec")).alias("__qcdot"),
+            dot("__qv", "cent_vec").alias("__qcdot"),
         )
         .join(_pq_lut_frame(queries, books, m, subdim, vec_col, id_col), "query_id")
     )
@@ -985,7 +1002,7 @@ def residual_ivfpq_topk(
         codes.join(F.broadcast(qside), "cent_id")
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
-            "query_id", "match_id", *_pq_adc_cols(m, base=F.col("__qcdot"))
+            "query_id", "match_id", *_pq_adc_cols(m, base="__qcdot")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
@@ -1092,18 +1109,14 @@ def exact_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        norm(F.col(vec_col)).alias("query_nrm"),
+        norm(vec_col).alias("query_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("match_vec"),
-        norm(F.col(vec_col)).alias("match_nrm"),
+        norm(vec_col).alias("match_nrm"),
     )
-    cos = F.round(
-        dot(F.col("query_vec"), F.col("match_vec"))
-        / (F.col("query_nrm") * F.col("match_nrm")),
-        6,
-    )
+    cos = _cosine_expr("query_vec", "match_vec", "query_nrm", "match_nrm")
     scored = (
         c.join(F.broadcast(cand), "match_id")
         .join(F.broadcast(q), "query_id")
@@ -1140,19 +1153,15 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).cast("long").alias("query_label"),
         F.col(vec_col).alias("query_vec"),
-        norm(F.col(vec_col)).alias("query_nrm"),
+        norm(vec_col).alias("query_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(label_col).cast("long").alias("match_label"),
         F.col(vec_col).alias("match_vec"),
-        norm(F.col(vec_col)).alias("match_nrm"),
+        norm(vec_col).alias("match_nrm"),
     )
-    cos = F.round(
-        dot(F.col("query_vec"), F.col("match_vec"))
-        / (F.col("query_nrm") * F.col("match_nrm")),
-        6,
-    )
+    cos = _cosine_expr("query_vec", "match_vec", "query_nrm", "match_nrm")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1346,8 +1355,8 @@ def ann_recall_report(
     )
     if materialize:
         exact = _stage_checkpoint(exact)
-    nz_q = queries.filter(norm(F.col(vec_col)) > 0)
-    nz_c = corpus.filter(norm(F.col(vec_col)) > 0)
+    nz_q = queries.filter(norm(vec_col) > 0)
+    nz_c = corpus.filter(norm(vec_col) > 0)
     # ONE ADC scan serves both hybrid rows: the ivfpq row is its top-k
     # prefix, the refine row exact-re-ranks its top-REFINE_N — without
     # the shared (and, under materialize, checkpointed: union legs do
