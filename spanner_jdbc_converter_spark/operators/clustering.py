@@ -277,6 +277,17 @@ def kcenter_coreset(
     0.0 for the seed; raw IEEE doubles, deterministic).  k larger than
     the corpus returns one row per point; an empty corpus returns an
     empty frame."""
+    from spanner_jdbc_converter_spark.functions.vector import vec_sql
+
+    def _sq_dist_lit(arr_sql: str) -> F.Column:
+        # one-F.expr SQL text of _sq_dist vs a literal center (opt r17):
+        # the same (x - c)*(x - c) left fold, literal side pre-double
+        return F.expr(
+            f"aggregate(zip_with(`{vec_col}`, {arr_sql},"
+            f" (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            f" 0.0D, (acc, t) -> acc + t)"
+        )
+
     spark = emb.sparkSession
     schema = f"{id_col} long, center_rank long, mindist double"
     pts = emb.select(F.col(id_col), F.col(vec_col))
@@ -284,38 +295,44 @@ def kcenter_coreset(
     if seed is None:
         return spark.createDataFrame([], schema)
     centers = [(int(seed[id_col]), 1, 0.0)]
-    cvec = F.array(*[F.lit(float(x)) for x in seed[vec_col]])
     cur = (
         pts.filter(F.col(id_col) != seed[id_col])
-        .withColumn("mind", _sq_dist(F.col(vec_col), cvec))
+        .withColumn("mind", _sq_dist_lit(vec_sql(seed[vec_col])))
         .persist()
     )
+    from spanner_jdbc_converter_spark.session import planning_scale_rounds
+
     prev: DataFrame | None = None
     try:
-        for t in range(2, k + 1):
-            if _debug_rounds is not None:
-                jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+        with planning_scale_rounds(spark):
+            for t in range(2, k + 1):
+                if _debug_rounds is not None:
+                    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: E501
+                        "formatted"
+                    )
+                    _debug_rounds.append(
+                        cur._jdf.queryExecution().explainString(jmode)
+                    )
+                # TakeOrdered touches every partition, so this action fully
+                # populates cur's cache — the predecessor is then safe to drop.
+                row = cur.orderBy(F.desc("mind"), F.asc(id_col)).first()
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
+                if row is None:
+                    break
+                centers.append((int(row[id_col]), t, float(row["mind"])))
+                prev = cur
+                cur = (
+                    cur.filter(F.col(id_col) != row[id_col])
+                    .withColumn(
+                        "mind",
+                        F.least(
+                            F.col("mind"), _sq_dist_lit(vec_sql(row[vec_col]))
+                        ),
+                    )
+                    .persist()
                 )
-                _debug_rounds.append(cur._jdf.queryExecution().explainString(jmode))
-            # TakeOrdered touches every partition, so this action fully
-            # populates cur's cache — the predecessor is then safe to drop.
-            row = cur.orderBy(F.desc("mind"), F.asc(id_col)).first()
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if row is None:
-                break
-            centers.append((int(row[id_col]), t, float(row["mind"])))
-            cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
-            prev = cur
-            cur = (
-                cur.filter(F.col(id_col) != row[id_col])
-                .withColumn(
-                    "mind", F.least(F.col("mind"), _sq_dist(F.col(vec_col), cvec))
-                )
-                .persist()
-            )
     finally:
         if prev is not None:
             prev.unpersist()
@@ -429,7 +446,9 @@ def perceptron_probe(
     all-misclassified by construction: w₀ = 0 gives margin 0), plus a
     final row t = iters+1 under the trained weights —
     (iter, n_mis, error_rate rounded 6)."""
-    from spanner_jdbc_converter_spark.functions.vector import dot
+    from spanner_jdbc_converter_spark.functions.vector import dot_sql, vec_sql
+
+    from spanner_jdbc_converter_spark.session import planning_scale_rounds
 
     spark = emb.sparkSession
     y = F.when(F.col(label_col) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
@@ -437,35 +456,42 @@ def perceptron_probe(
     try:
         w = [0.0] * dim
         rows: list[tuple[int, int, int]] = []
-        for t in range(1, iters + 2):
-            w_arr = F.array(*[F.lit(v) for v in w])
-            mis = (F.col("__y") * dot(F.col("__x"), w_arr)) <= 0
-            n_mis, n = pts.agg(
-                F.coalesce(F.sum(mis.cast("long")), F.lit(0)).alias("m"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
-            rows.append((t, int(n_mis), int(n)))
-            if t > iters:
-                break
-            grad = {
-                r["__pos"]: r["__g"]
-                for r in (
-                    pts.filter(mis)
-                    .select(
-                        F.col("__y"), F.posexplode(F.col("__x")).alias("__pos", "__v")
-                    )
-                    .groupBy("__pos")
-                    .agg(
-                        F.sum(
-                            (F.col("__y") * F.col("__v").cast("double")).cast(_DEC)
-                        )
-                        .cast("double")
-                        .alias("__g")
-                    )
-                    .collect()
+        with planning_scale_rounds(spark):
+            for t in range(1, iters + 2):
+                # one-F.expr SQL text per round (opt r17): the same
+                # margin fold as vector.dot vs the literal weight array
+                mis = F.expr(
+                    f"(__y * ({dot_sql('__x', vec_sql(w))})) <= 0"
                 )
-            }
-            w = [w[d] + grad.get(d, 0.0) for d in range(dim)]
+                n_mis, n = pts.agg(
+                    F.coalesce(F.sum(mis.cast("long")), F.lit(0)).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                ).first()
+                rows.append((t, int(n_mis), int(n)))
+                if t > iters:
+                    break
+                grad = {
+                    r["__pos"]: r["__g"]
+                    for r in (
+                        pts.filter(mis)
+                        .select(
+                            F.col("__y"),
+                            F.posexplode(F.col("__x")).alias("__pos", "__v"),
+                        )
+                        .groupBy("__pos")
+                        .agg(
+                            F.sum(
+                                (
+                                    F.col("__y") * F.col("__v").cast("double")
+                                ).cast(_DEC)
+                            )
+                            .cast("double")
+                            .alias("__g")
+                        )
+                        .collect()
+                    )
+                }
+                w = [w[d] + grad.get(d, 0.0) for d in range(dim)]
     finally:
         pts.unpersist()
     rep = spark.createDataFrame(rows, "iter long, n_mis long, __n long")
@@ -586,33 +612,36 @@ def power_iteration_pc1(
     along pc1, already /N), constant across rows.  Empty input returns
     an empty frame; a zero matvec (single point / all-constant corpus)
     reports pc1 = 0.0 per dimension with eigval 0.0."""
+    from spanner_jdbc_converter_spark.session import planning_scale_rounds
+
     spark = emb.sparkSession
     out_schema = (
         "pos long, mu double, pc1 double, eigval double, n_vecs long"
     )
     x = emb.select(F.col(vec_col).alias("__x")).persist()
-    stats = (
-        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
-        .select("pos", F.col("__v").cast("double").alias("__v"))
-        .groupBy("pos")
-        .agg(
-            (
-                F.sum(F.col("__v").cast(_DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu"),
-            F.count(F.lit(1)).alias("n"),
+    with planning_scale_rounds(spark):
+        stats = (
+            x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+            .select("pos", F.col("__v").cast("double").alias("__v"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    if not stats:
-        x.unpersist()
-        return spark.createDataFrame([], out_schema)
-    mu = [0.0] * dim
-    n = 0
-    for r in stats:
-        mu[int(r["pos"])] = float(r["mu"])
-        n = int(r["n"])
-    v, eigval = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
+        if not stats:
+            x.unpersist()
+            return spark.createDataFrame([], out_schema)
+        mu = [0.0] * dim
+        n = 0
+        for r in stats:
+            mu[int(r["pos"])] = float(r["mu"])
+            n = int(r["n"])
+        v, eigval = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
     x.unpersist()
     out = spark.createDataFrame(
         [(d, mu[d], v[d], eigval, n) for d in range(dim)], out_schema
@@ -623,6 +652,16 @@ def power_iteration_pc1(
         F.round("pc1", 6).alias("pc1"),
         F.round("eigval", 6).alias("eigval"),
         "n_vecs",
+    )
+
+
+def _fold_sql(arr_sql: str) -> str:
+    """SQL text of the matvec fold over the persisted ``__x`` column —
+    the identical left-to-right zip_with/aggregate tree as the Column
+    form it replaced (a is cast, the literal side is already double)."""
+    return (
+        f"aggregate(zip_with(__x, {arr_sql}, (a, b) -> CAST(a AS DOUBLE)"
+        f" * b), 0.0D, (acc, t) -> acc + t)"
     )
 
 
@@ -641,13 +680,23 @@ def _pi_rounds(
     X' = Xc(I − v1·v1ᵀ), so the loop converges to the SECOND component
     — same fold-order contracts as :func:`power_iteration_pc1` (which
     see), with the per-row deflation term s_i −= proj1_i·(v1·v) and the
-    update term (x_id − μ_d) − proj1_i·v1_d, both order-pinned."""
+    update term (x_id − μ_d) − proj1_i·v1_d, both order-pinned.
+
+    Expressions are composed as SQL text (optimization r17, guide §7.3):
+    each round previously built three 64-literal arrays plus two
+    zip_with/aggregate folds through the Column API — hundreds of py4j
+    round trips per round made the driver-side BUILD the entry's
+    dominant cost (profiled: 6,548 round trips ≈ 5.7 s of the pca2
+    build).  The SQL strings parse to the identical Catalyst trees
+    (dlit round-trips doubles exactly)."""
     import math
 
-    mu_lit = F.array(*[F.lit(m) for m in mu])
+    from spanner_jdbc_converter_spark.functions.vector import dlit, vec_sql
+
+    mu_sql = vec_sql(mu)
     v = [0.125] * dim
     eigval = 0.0
-    v1_lit = F.array(*[F.lit(t) for t in v1]) if v1 is not None else None
+    v1_sql = vec_sql(v1) if v1 is not None else None
     c1 = 0.0
     if v1 is not None:
         for d in range(dim):
@@ -656,37 +705,32 @@ def _pi_rounds(
         c = 0.0
         for d in range(dim):
             c = c + mu[d] * v[d]
-        v_lit = F.array(*[F.lit(t) for t in v])
+        v_sql = vec_sql(v)
 
-        def fold(vec_lit):
-            return F.aggregate(
-                F.zip_with(
-                    F.col("__x"), vec_lit, lambda a, b: a.cast("double") * b
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-
-        s = fold(v_lit) - F.lit(c)
-        cols = [(s / F.lit(float(n))).alias("__s"), F.col("__x")]
+        s_sql = f"({_fold_sql(v_sql)}) - {dlit(c)}"
+        cols = [
+            F.expr(f"(({s_sql})) / {dlit(float(n))}").alias("__s"),
+            F.col("__x"),
+        ]
         if v1 is not None:
             dconst = 0.0
             for d in range(dim):
                 dconst = dconst + v1[d] * v[d]
-            proj1 = fold(v1_lit) - F.lit(c1)
+            proj1_sql = f"({_fold_sql(v1_sql)}) - {dlit(c1)}"
             cols = [
-                (
-                    (s - proj1 * F.lit(dconst)) / F.lit(float(n))
+                F.expr(
+                    f"(({s_sql}) - ({proj1_sql}) * {dlit(dconst)})"
+                    f" / {dlit(float(n))}"
                 ).alias("__s"),
-                proj1.alias("__p1"),
+                F.expr(proj1_sql).alias("__p1"),
                 F.col("__x"),
             ]
-        centered = F.col("__v").cast("double") - F.element_at(
-            mu_lit, F.col("pos") + 1
+        centered_sql = (
+            f"CAST(__v AS DOUBLE) - element_at({mu_sql}, pos + 1)"
         )
         if v1 is not None:
-            centered = centered - F.col("__p1") * F.element_at(
-                v1_lit, F.col("pos") + 1
+            centered_sql = (
+                f"({centered_sql}) - __p1 * element_at({v1_sql}, pos + 1)"
             )
         base = x.select(*cols).select(
             "__s",
@@ -694,7 +738,9 @@ def _pi_rounds(
             F.posexplode(F.col("__x")).alias("pos", "__v"),
         )
         upd = (
-            base.select("pos", (F.col("__s") * centered).alias("__t"))
+            base.select(
+                "pos", F.expr(f"__s * ({centered_sql})").alias("__t")
+            )
             .groupBy("pos")
             .agg(F.sum(F.col("__t").cast(_DEC)).cast("double").alias("w"))
         )
@@ -735,30 +781,33 @@ def _centered_pi2(
     per-position stats on a persisted ``__x`` frame, then v1 and the
     deflated v2 via :func:`_pi_rounds`.  Returns (mu, n, v1, eig1, v2,
     eig2), or None on empty input."""
-    stats = (
-        x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
-        .select("pos", F.col("__v").cast("double").alias("__v"))
-        .groupBy("pos")
-        .agg(
-            (
-                F.sum(F.col("__v").cast(_DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu"),
-            F.count(F.lit(1)).alias("n"),
+    from spanner_jdbc_converter_spark.session import planning_scale_rounds
+
+    with planning_scale_rounds(x.sparkSession):
+        stats = (
+            x.select(F.posexplode(F.col("__x")).alias("pos", "__v"))
+            .select("pos", F.col("__v").cast("double").alias("__v"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    if not stats:
-        return None
-    mu = [0.0] * dim
-    n = 0
-    for r in stats:
-        mu[int(r["pos"])] = float(r["mu"])
-        n = int(r["n"])
-    v1, eig1 = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
-    v2, eig2 = _pi_rounds(
-        x, mu, n, iters, dim, v1=v1, _debug_rounds=_debug_rounds
-    )
+        if not stats:
+            return None
+        mu = [0.0] * dim
+        n = 0
+        for r in stats:
+            mu[int(r["pos"])] = float(r["mu"])
+            n = int(r["n"])
+        v1, eig1 = _pi_rounds(x, mu, n, iters, dim, _debug_rounds=_debug_rounds)
+        v2, eig2 = _pi_rounds(
+            x, mu, n, iters, dim, v1=v1, _debug_rounds=_debug_rounds
+        )
     return mu, n, v1, eig1, v2, eig2
 
 
@@ -809,20 +858,13 @@ def pca2_coords(
     mu, _n, v1, eig1, v2, eig2 = res
 
     def proj(vk: list) -> F.Column:
+        # one-F.expr SQL text (opt r17) — identical fold, see _pi_rounds
+        from spanner_jdbc_converter_spark.functions.vector import dlit, vec_sql
+
         ck = 0.0
         for d in range(dim):
             ck = ck + mu[d] * vk[d]
-        vk_lit = F.array(*[F.lit(t) for t in vk])
-        return (
-            F.aggregate(
-                F.zip_with(
-                    F.col("__x"), vk_lit, lambda a, b: a.cast("double") * b
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            - F.lit(ck)
-        )
+        return F.expr(f"({_fold_sql(vec_sql(vk))}) - {dlit(ck)}")
 
     from spanner_jdbc_converter_spark.operators.dedup import (
         _stats_reset_checkpoint,

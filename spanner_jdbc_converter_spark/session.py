@@ -54,6 +54,34 @@ def session_shuffle_width(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def planning_scale_rounds(spark: SparkSession):
+    """Scope for the driver-side ROUND jobs of iterative operators
+    (power iteration, perceptron, farthest-point sampling): disable AQE
+    for the duration and restore it on exit.
+
+    Why (optimization r17, guide §1.2 step 3 after steps 1-2 were
+    measured clean): these rounds end in a fixed ≤dim-key aggregate —
+    map-side partial aggregation reduces each scan partition to ≤dim
+    rows, so the reduce side is metadata-sized BY CONSTRUCTION at any
+    corpus scale, skew is impossible (fixed key domain), and there is
+    nothing for AQE to adapt.  What AQE does cost is a driver-side
+    replan between every stage pair: measured 1.02 s vs 0.56 s per
+    round job on the 64-dim fixture (×6-9 rounds per entry).  The scan
+    stage underneath is unchanged — its split sizing does not come
+    from AQE.  Data-scale pipelines (joins, banding, window passes)
+    keep AQE; this scope is only for the planning-scale recurrences."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def get_spark(
     app_name: str = "spanner-jdbc-converter-spark",
     master: str | None = None,
