@@ -88,3 +88,15 @@ def seeded_rehash_sql(expr: str, seed: int) -> str:
     """DuckDB rendering of :func:`seeded_rehash` (same constants)."""
     a, b = MIX_CONSTANTS[seed]
     return f"({a} * xor({expr} >> 30, {expr} & {MIX_MASK}) + {b}) % {MIX_PRIME}"
+
+
+def seeded_rehash_spark_sql(expr: str, seed: int) -> str:
+    """Spark-SQL text of :func:`seeded_rehash` — the identical
+    fold/multiply/mod tree composed as one string (optimization r17,
+    guide §7.3: the Column form costs ~10 py4j round trips per seed and
+    MinHash builds K of them per signature chain)."""
+    a, b = MIX_CONSTANTS[seed]
+    return (
+        f"(({a} * (shiftright({expr}, 30) ^ ({expr} & {MIX_MASK})) + {b})"
+        f" % {MIX_PRIME})"
+    )

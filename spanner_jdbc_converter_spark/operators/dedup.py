@@ -163,22 +163,52 @@ def minhash_signatures(
     MIN aggregation of the K rehashes → one shuffle carrying K longs per
     (doc, partition).  Whole pipeline is WholeStageCodegen — no
     interpreted array lambdas, no data skew (md5 keys are uniform)."""
+    from spanner_jdbc_converter_spark.functions.hashing import (
+        seeded_rehash_spark_sql,
+    )
+
     hashed = shingle_hashes(df, text_col, id_col)
-    aggs = [F.min(seeded_rehash(F.col("__h"), i)).alias(f"__m{i}") for i in range(k)]
+    # one-F.expr SQL text per seed (optimization r17): identical rehash
+    # trees, ~2 round trips per aggregate instead of ~10
+    aggs = [
+        F.expr(f"min({seeded_rehash_spark_sql('__h', i)})").alias(f"__m{i}")
+        for i in range(k)
+    ]
+    sig = "array(" + ",".join(f"__m{i}" for i in range(k)) + ")"
     return (
         hashed.groupBy(id_col)
         .agg(*aggs)
-        .select(F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
+        .select(F.col(id_col), F.expr(sig).alias("sig"))
     )
 
 
-def lsh_band_keys(sig_col: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[Column]:
-    """One join key per band: 'b<band>,<r0>,<r1>,...' string signature."""
+def lsh_band_keys(
+    sig_col: Column | str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> list[Column]:
+    """One join key per band: 'b<band>,<r0>,<r1>,...' string signature.
+    A string argument is a column NAME and takes the one-F.expr-per-band
+    SQL-text path (optimization r17) — the parsed trees are identical."""
+    if isinstance(sig_col, str):
+        return [
+            F.expr(s) for s in _lsh_band_key_sqls(f"`{sig_col}`", bands, rows)
+        ]
     keys = []
     for b in range(bands):
         parts = [F.element_at(sig_col, b * rows + r + 1).cast("string") for r in range(rows)]
         keys.append(F.concat_ws(",", F.lit(f"b{b}"), *parts))
     return keys
+
+
+def _lsh_band_key_sqls(sig_expr: str, bands: int, rows: int) -> list[str]:
+    """Spark-SQL texts of :func:`lsh_band_keys` over a sig expression."""
+    out = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"CAST(element_at({sig_expr}, {b * rows + r + 1}) AS STRING)"
+            for r in range(rows)
+        )
+        out.append(f"concat_ws(',', 'b{b}', {parts})")
+    return out
 
 
 def lsh_candidate_pairs(
@@ -196,7 +226,7 @@ def lsh_candidate_pairs(
     this is the 100 TB-safe path.
     """
     sigs = minhash_signatures(df, text_col, id_col, k)
-    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    keys = lsh_band_keys("sig", bands, rows)
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
     )
@@ -1950,7 +1980,7 @@ def incremental_near_dedup(
         exact_surv.select(F.col(id_col), F.col(text_col))
     )
     sigs = _increment_signatures(union, exact_surv, corpus_state, text_col, id_col, k)
-    keys = lsh_band_keys(F.col("sig"), bands, rows)
+    keys = lsh_band_keys("sig", bands, rows)
     banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
     batch_ids = exact_surv.select(F.col(id_col).alias("__bid"))
     banded_batch = banded.join(
