@@ -854,13 +854,39 @@ def scrub_spans(
 
 
 def _span_pos_hashes(df, text_col, id_col, ngram):
-    """(id, __pos, __h) — one row per span occurrence, md5-hashed."""
-    from spanner_jdbc_converter_spark.functions.hashing import md5_long
-    from spanner_jdbc_converter_spark.operators.dedup import shingle_rows
+    """(id, __pos, __h) — one row per span occurrence.
 
-    return shingle_rows(
-        df, text_col, id_col, ngram, fallback_to_text=False, keep_pos=True
-    ).select(F.col(id_col), F.col("__pos"), md5_long(F.col("__s")).alias("__h"))
+    The hash is ENGINE-INTERNAL to the three scrubs (grouped MIN /
+    df-count / first-occurrence window — only hash EQUALITY is ever
+    consumed, no hash value reaches any output), so it need not be the
+    oracle-portable md5: xxhash64 over the ``ngram`` lead columns
+    directly (optimization r17) skips materializing the joined span
+    string — previously ~ngram× the corpus text bytes built per
+    position just to be hashed and dropped (measured 2.04 s → 1.31 s
+    for the 32-gram hash stage at sf0.1).  Equivalence classes are
+    identical: tokens are whitespace-free, so the token TUPLE and the
+    space-joined string partition spans the same way, and a trailing
+    NULL lead (span past the end) is filtered exactly like the NULL
+    concat was."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    leads = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w) for j in range(1, ngram)
+    ]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.xxhash64(*leads).alias("__h"),
+            leads[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
 
 
 def _boiler_starts(df, boiler, text_col, id_col, ngram):
