@@ -1241,3 +1241,61 @@ def test_group_walks_pinned_single_exchange(spark, sf_dir):
         assert shuffles <= max_shuffles, entry
         assert plan.count("REPARTITION_BY_NUM") == 1, entry
         assert "FlatMapGroupsInPandas" in head, entry
+
+
+def test_scrub_span_hash_is_direct_no_span_string(spark, sf_dir):
+    """Optimization r17: the three span scrubs hash the n-gram lead
+    columns directly (xxhash64) instead of materializing the joined
+    span string and md5-ing it — the hash is engine-internal (equality
+    only), so no md5/concat chain may reappear in these plans, while
+    the winnowing path (whose md5 fingerprint VALUES are part of the
+    declared output and the oracle contract) must keep md5."""
+    for entry in (
+        "text_crossdoc_scrub",
+        "text_boilerplate_scrub",
+        "text_intradoc_scrub",
+    ):
+        plan = _plan(spark, entry, sf_dir)
+        assert "xxhash64" in plan, entry
+        assert "md5" not in plan, entry
+    assert "md5" in _plan(spark, "dedup_winnow_fingerprints", sf_dir)
+
+
+def test_planning_scale_rounds_restores_aqe(spark):
+    """The AQE-off scope of the iterative round loops must restore the
+    session conf on both the clean and the raising path — a leaked
+    'false' would silently change every later query of the session."""
+    from spanner_jdbc_converter_spark.session import planning_scale_rounds
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with planning_scale_rounds(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+    try:
+        with planning_scale_rounds(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+
+def test_minhash_sql_text_matches_column_form(spark):
+    """The SQL-text rehash aggregates (optimization r17) must resolve
+    to the same values as the Column-API construction they replaced."""
+    from pyspark.sql import functions as F
+
+    from spanner_jdbc_converter_spark.functions.hashing import (
+        seeded_rehash,
+        seeded_rehash_spark_sql,
+    )
+
+    df = spark.range(0, 50).select(
+        (F.col("id") * 982451653 % (1 << 60)).alias("__h")
+    )
+    for seed in (0, 3, 15):
+        got = df.select(
+            seeded_rehash(F.col("__h"), seed).alias("a"),
+            F.expr(seeded_rehash_spark_sql("__h", seed)).alias("b"),
+        ).collect()
+        assert all(r["a"] == r["b"] for r in got), seed
