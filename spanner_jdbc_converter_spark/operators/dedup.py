@@ -1749,6 +1749,29 @@ def _stage_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _stage_checkpoints_overlapped(
+    *dfs: DataFrame, reliable: bool = False
+) -> tuple[DataFrame, ...]:
+    """Materialize INDEPENDENT stage frames concurrently.
+
+    An eager checkpoint is a driver-blocking action; running several
+    back-to-back serializes their jobs and leaves the cluster idle
+    through every job's straggler tail.  When the frames do not depend
+    on one another, submitting the checkpoints from a small thread pool
+    lets the scheduler run them at once (FIFO — later jobs back-fill
+    executors freed by earlier tails, guide §2.6), so the wall is the
+    slowest job rather than the sum.  Callers must guarantee
+    independence: a frame that reads another's checkpoint would
+    deadlock-free but re-derive it, losing the point."""
+    if len(dfs) == 1:
+        return (_stage_checkpoint(dfs[0], reliable),)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futures = [pool.submit(_stage_checkpoint, df, reliable) for df in dfs]
+        return tuple(f.result() for f in futures)
+
+
 def signature_state(
     df: DataFrame,
     text_col: str = "text",

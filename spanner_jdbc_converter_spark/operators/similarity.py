@@ -1348,13 +1348,13 @@ def ann_recall_report(
     with zero hits still reports (recall 0.0)."""
     from functools import reduce
 
-    from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        _stage_checkpoints_overlapped,
+    )
 
     exact = cosine_topk(queries, corpus, k, vec_col, id_col).select(
         "query_id", "match_id"
     )
-    if materialize:
-        exact = _stage_checkpoint(exact)
     nz_q = queries.filter(norm(vec_col) > 0)
     nz_c = corpus.filter(norm(vec_col) > 0)
     # ONE ADC scan serves both hybrid rows: the ivfpq row is its top-k
@@ -1370,8 +1370,12 @@ def ann_recall_report(
         nz_q, nz_c, REFINE_N, vec_col=vec_col, id_col=id_col, books=res_books
     ).select("query_id", "match_id", "rank")
     if materialize:
-        adc = _stage_checkpoint(adc)
-        res_adc = _stage_checkpoint(res_adc)
+        # The three materialized frames are INDEPENDENT subtrees (exact
+        # brute-force set, PQ ADC scan, residual ADC scan): overlap
+        # their eager checkpoint jobs so the wall is the slowest one,
+        # not the sum, and each job's straggler tail back-fills with the
+        # next job's tasks (guide §2.6).
+        exact, adc, res_adc = _stage_checkpoints_overlapped(exact, adc, res_adc)
     paths = [
         ("ivf", ivf_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),
         ("lsh", lsh_ann_topk(queries, corpus, k, vec_col=vec_col, id_col=id_col)),

@@ -859,33 +859,49 @@ def _span_pos_hashes(df, text_col, id_col, ngram):
     The hash is ENGINE-INTERNAL to the three scrubs (grouped MIN /
     df-count / first-occurrence window — only hash EQUALITY is ever
     consumed, no hash value reaches any output), so it need not be the
-    oracle-portable md5: xxhash64 over the ``ngram`` lead columns
-    directly (optimization r17) skips materializing the joined span
-    string — previously ~ngram× the corpus text bytes built per
-    position just to be hashed and dropped (measured 2.04 s → 1.31 s
-    for the 32-gram hash stage at sf0.1).  Equivalence classes are
-    identical: tokens are whitespace-free, so the token TUPLE and the
-    space-joined string partition spans the same way, and a trailing
-    NULL lead (span past the end) is filtered exactly like the NULL
-    concat was."""
-    from pyspark.sql import Window
+    oracle-portable md5: xxhash64 over the ``ngram`` tokens directly
+    (optimization r17) skips materializing the joined span string
+    (tokens are whitespace-free, so the token TUPLE and the space-joined
+    string partition spans the same way).
 
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    Hashing happens INSIDE the per-row token array (``transform`` over
+    the valid start positions, ``get`` for the window of tokens) rather
+    than via posexplode + ``lead`` window functions (optimization r17,
+    second pass; guide §2.4 "remove shuffles outright"): the window
+    form forced an Exchange(id) + Sort of every token occurrence —
+    corpus-text-sized STRING rows shuffled just to line spans up —
+    while the array form computes every span hash where the document
+    row already sits and explodes only (pos, hash) pairs: 8 bytes per
+    span reach the downstream hash-keyed exchange, never the tokens.
+    Measured at sf0.1/32 cpus (isolated ×5 bench medians):
+    crossdoc_scrub (ngram=32) 2.21 → 1.53 s, row sets bit-identical.
+    At small ngram the interpreted transform lambda costs slightly
+    more than the codegen'd leads locally (boilerplate ngram=4
+    1.32 → 1.46 s interleaved A/B; intradoc ngram=3 flat) — kept
+    uniform anyway because the removed exchange carries the WHOLE
+    tokenized corpus text: on a cluster that is network bytes, and the
+    local[32] loopback shuffle that makes the window form look cheap
+    at ngram<=4 is exactly the cost a 100 TB run pays for real.
+
+    Two correctness notes.  The token array is STAGED in its own
+    projection (multiply-referenced non-cheap aliases survive
+    CollapseProject) so the tokenizer runs once per row, not once per
+    ``get``.  And the hash arguments are exactly the old lead columns —
+    token[i+j] for j in 0..ngram-1 — so hash VALUES, not just equality
+    classes, match the previous form; spans past the end (the old
+    trailing-NULL-lead filter) never exist because the sequence stops
+    at size-ngram, and docs with < ngram tokens take the empty-array
+    branch (sequence() would count DOWNWARD for a negative span count,
+    fabricating spans)."""
+    gets = ", ".join(f"get(__toks, i+{j})" for j in range(ngram))
+    spans_sql = (
+        f"CASE WHEN size(__toks) >= {ngram} THEN "
+        f"transform(sequence(0, size(__toks)-{ngram}), i -> xxhash64({gets})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    leads = [F.col("__tok")] + [
-        F.lead("__tok", j).over(w) for j in range(1, ngram)
-    ]
-    return (
-        toks.select(
-            F.col(id_col),
-            F.col("__pos"),
-            F.xxhash64(*leads).alias("__h"),
-            leads[-1].isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .drop("__full")
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return staged.select(
+        F.col(id_col), F.posexplode(F.expr(spans_sql)).alias("__pos", "__h")
     )
 
 

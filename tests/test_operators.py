@@ -1757,6 +1757,79 @@ def test_boilerplate_scrub_df_below_threshold_keeps_text(spark):
     assert out[0].clean_text == "p q r s t"
 
 
+def test_span_pos_hashes_match_window_reference(spark):
+    """The exchange-free array span kernel (r17 optimization) must emit
+    the IDENTICAL (id, __pos, __h) row set as the window-lead reference
+    it replaced — same hash VALUES, not just equality classes, since
+    both feed xxhash64 the same per-position token arguments.  Edge
+    cases pinned: doc shorter than ngram (no rows), doc exactly ngram
+    (one row), trailing/run whitespace (tokenizer drops empties), mixed
+    case, empty text, NULL text."""
+    from pyspark.sql import Window
+
+    rows = [
+        (0, "a b x1 x2 x3 x4 c"),
+        (1, "short doc"),
+        (2, "w x y z"),
+        (3, "  Mixed   CASE  spacing\there now  "),
+        (4, ""),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def reference(df, text_col, id_col, ngram):
+        toks = df.select(
+            F.col(id_col), F.posexplode(tx.tokens(text_col)).alias("__pos", "__tok")
+        )
+        w = Window.partitionBy(id_col).orderBy("__pos")
+        leads = [F.col("__tok")] + [
+            F.lead("__tok", j).over(w) for j in range(1, ngram)
+        ]
+        return (
+            toks.select(
+                F.col(id_col),
+                F.col("__pos"),
+                F.xxhash64(*leads).alias("__h"),
+                leads[-1].isNotNull().alias("__full"),
+            )
+            .filter(F.col("__full"))
+            .drop("__full")
+        )
+
+    for ngram in (3, 4, 32):
+        got = sorted(
+            tuple(r) for r in tx._span_pos_hashes(d, "text", "doc_id", ngram).collect()
+        )
+        want = sorted(
+            tuple(r) for r in reference(d, "text", "doc_id", ngram).collect()
+        )
+        assert got == want, f"ngram={ngram}"
+        if ngram == 4:
+            assert len(got) > 0  # fixture actually exercises the kernel
+
+
+def test_overlapped_checkpoints_match_sequential(spark):
+    """_stage_checkpoints_overlapped materializes INDEPENDENT frames
+    concurrently (r17: the recall report's exact/ADC/residual barriers)
+    — contents must match the inputs exactly, lineage must be truncated
+    to a checkpoint scan, and the single-frame fast path must hold."""
+    from spanner_jdbc_converter_spark.operators.dedup import (
+        _stage_checkpoints_overlapped,
+    )
+
+    a = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    b = spark.range(0, 50).selectExpr("id", "id % 7 AS w")
+    c = spark.range(0, 10).selectExpr("id")
+    ca, cb, cc = _stage_checkpoints_overlapped(a, b, c)
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, a.collect()))
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, b.collect()))
+    assert sorted(map(tuple, cc.collect())) == sorted(map(tuple, c.collect()))
+    for chk in (ca, cb, cc):
+        assert "Scan ExistingRDD" in chk._jdf.queryExecution().executedPlan().toString()
+    (only,) = _stage_checkpoints_overlapped(a)
+    assert only.count() == 100
+
+
 # -- bigram surprisal + hard negatives ---------------------------------------
 
 
