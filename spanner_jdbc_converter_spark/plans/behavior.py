@@ -1398,25 +1398,50 @@ def validate_stream_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _dual_walk(pdf):
+        # The two sequential CUSUM folds are inherently per-row Python
+        # (the recurrence's IEEE rounding order IS the contract — a
+        # prefix-sum closed form rounds differently and breaks oracle
+        # parity), but everything AROUND them is vectorized (opt r17,
+        # guide §4.2): loop over raw numpy doubles, preallocate the
+        # alarm arrays, reindex the in-order alarms onto the permuted
+        # order with one pandas take instead of a per-row dict, and
+        # assemble the output from columns, not a list of row tuples.
+        # float(v) on a numpy float64 is the identical double, and the
+        # fold ops run in the identical order, so alarms are unchanged
+        # (oracle-checked).
+        import numpy as np
         import pandas as pd
 
         k = float(pdf["_k"].iloc[0])
         h = float(pdf["_h"].iloc[0])
         uid = int(pdf["user_id"].iloc[0])
-        in_order = {}
         t = pdf.sort_values(["us", "event_id"])
+        vals_t = t["value"].to_numpy(dtype="float64")
+        alarm_t = np.empty(len(vals_t), dtype=bool)
         sacc = 0.0
-        for eid, v in zip(t["event_id"], t["value"]):
-            sacc = max(0.0, sacc + float(v) - k)
-            in_order[int(eid)] = sacc > h
+        for i in range(len(vals_t)):
+            sacc = max(0.0, sacc + float(vals_t[i]) - k)
+            alarm_t[i] = sacc > h
         d = pdf.sort_values(["__b", "us", "event_id"])
+        vals_d = d["value"].to_numpy(dtype="float64")
+        alarm_d = np.empty(len(vals_d), dtype=bool)
         sacc = 0.0
-        out = []
-        for eid, v in zip(d["event_id"], d["value"]):
-            sacc = max(0.0, sacc + float(v) - k)
-            out.append((uid, int(eid), in_order[int(eid)], sacc > h))
+        for i in range(len(vals_d)):
+            sacc = max(0.0, sacc + float(vals_d[i]) - k)
+            alarm_d[i] = sacc > h
+        eid_d = d["event_id"].to_numpy()
+        alarm_t_for_d = (
+            pd.Series(alarm_t, index=t["event_id"].to_numpy())
+            .loc[eid_d]
+            .to_numpy()
+        )
         return pd.DataFrame(
-            out, columns=["user_id", "event_id", "alarm_t", "alarm_d"]
+            {
+                "user_id": np.full(len(eid_d), uid, dtype="int64"),
+                "event_id": eid_d,
+                "alarm_t": alarm_t_for_d,
+                "alarm_d": alarm_d,
+            }
         )
 
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
@@ -1424,7 +1449,13 @@ def validate_stream_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spanner_jdbc_converter_spark.session import session_shuffle_width
 
     dual = _stage_checkpoint(
-        base.crossJoin(khb)
+        # project to the walk's columns BEFORE the exchange (guide
+        # §2.3/§4.1): the opaque applyInPandas defeats column pruning,
+        # so without the explicit select the unused event_type strings
+        # — the widest column — would ride the shuffle AND the Arrow
+        # boundary
+        base.select("user_id", "event_id", "value", "us", "__b")
+        .crossJoin(khb)
         # explicit-width spread before the CPU-bound dual walk: the
         # groupBy reuses the pinned partitioning (one exchange), and
         # AQE can no longer coalesce the walk near-serial (opt r17 —
