@@ -49,7 +49,14 @@ def main() -> None:
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
             fh.write(plan)
         counts = {
-            "exch": len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobin|\bExchange SinglePartition", plan)),
+            # formatted plans print the node as "(N) Exchange" with the
+            # partitioning on the following Arguments: line, so count
+            # the node header (BroadcastExchange does not match — the
+            # literal ") Exchange" requires the bare node name); the
+            # one-line "== Physical Plan ==" tree echoes the node as
+            # "+- Exchange hashpartitioning(...)" only in non-formatted
+            # mode, which this audit does not use
+            "exch": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
             "bcast": len(re.findall(r"BroadcastExchange", plan)),
             "smj": len(re.findall(r"SortMergeJoin", plan)),
             "shj": len(re.findall(r"ShuffledHashJoin", plan)),
