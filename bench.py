@@ -127,7 +127,7 @@ def main() -> None:
     try:
         primed = prime_session_caches(spark, sf_dir)
     except Exception as exc:
-        primed = []
+        primed = {}
         print(f"bench: cache prime failed (continuing unprimed): {exc}", file=sys.stderr)
     prime_seconds = round(time.perf_counter() - prime_start, 3)
     print(
@@ -202,6 +202,10 @@ def main() -> None:
         "calibration_seconds": calibration,
         "calibration_probes": [round(p, 4) for p in probe_samples],
         "cache_prime_seconds": prime_seconds,
+        # Per-primer build seconds (VERDICT r17 "Next round #8"): the
+        # untimed prime pass is ~0.75× the timed wall — its growth must
+        # be auditable per store, not one opaque total.
+        "cache_primer_seconds": primed,
         "queries": timings,
         "cold_queries": cold,
     }
@@ -264,7 +268,18 @@ def main() -> None:
                 json.dump(payload, fh, indent=1, sort_keys=True)
         except OSError as exc:
             print(f"bench: could not write history file {path}: {exc}", file=sys.stderr)
-    print(json.dumps(payload))
+    # The stdout line is what the driver records as BENCH_r{N}.json, and
+    # long lines have truncated there (r16's record was unparseable, which
+    # cost r17 its native per-query PERF table — VERDICT r17 "Next round
+    # #2").  Ship only the scalars + the warm medians on stdout; the cold
+    # runs, normalized medians, and per-primer seconds stay in the history
+    # files written above (bench_history/latest.json + the round record).
+    stdout_payload = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("cold_queries", "queries_normalized", "cache_primer_seconds")
+    }
+    print(json.dumps(stdout_payload))
     spark.stop()
 
 

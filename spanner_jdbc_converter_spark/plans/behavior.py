@@ -1212,6 +1212,63 @@ def cep_matches_over_order(base: DataFrame, order_cols) -> DataFrame:
     ).select("user_id", "event_id", "lc")
 
 
+def _dual_cusum_walk(pdf):
+    """Per-user dual CUSUM fold for validate_stream_disorder: the
+    in-order ((us, event_id)) and disordered ((__b, us, event_id)) walks
+    over ONE Arrow group, returning (user_id, event_id, alarm_t,
+    alarm_d) in disordered order.  Module-level so tests can exercise it
+    directly (the duplicate-event_id guard below).
+
+    The two sequential CUSUM folds are inherently per-row Python (the
+    recurrence's IEEE rounding order IS the contract — a prefix-sum
+    closed form rounds differently and breaks oracle parity), but
+    everything AROUND them is vectorized (opt r17, guide §4.2): loop
+    over raw numpy doubles, preallocate the alarm arrays, remap the
+    in-order alarms onto the permuted order positionally, and assemble
+    the output from columns, not a list of row tuples.  float(v) on a
+    numpy float64 is the identical double, and the fold ops run in the
+    identical order, so alarms are unchanged (oracle-checked)."""
+    import numpy as np
+    import pandas as pd
+
+    k = float(pdf["_k"].iloc[0])
+    h = float(pdf["_h"].iloc[0])
+    uid = int(pdf["user_id"].iloc[0])
+    pdf = pdf.reset_index(drop=True)  # positions 0..n-1 for the remap below
+    t = pdf.sort_values(["us", "event_id"])
+    vals_t = t["value"].to_numpy(dtype="float64")
+    alarm_t = np.empty(len(vals_t), dtype=bool)
+    sacc = 0.0
+    for i in range(len(vals_t)):
+        sacc = max(0.0, sacc + float(vals_t[i]) - k)
+        alarm_t[i] = sacc > h
+    d = pdf.sort_values(["__b", "us", "event_id"])
+    vals_d = d["value"].to_numpy(dtype="float64")
+    alarm_d = np.empty(len(vals_d), dtype=bool)
+    sacc = 0.0
+    for i in range(len(vals_d)):
+        sacc = max(0.0, sacc + float(vals_d[i]) - k)
+        alarm_d[i] = sacc > h
+    eid_d = d["event_id"].to_numpy()
+    # POSITIONAL remap of the in-order alarms onto the permuted order
+    # (ADVICE r17): both sorts keep pdf's RangeIndex, so pdf position p's
+    # in-order alarm sits where t.index == p — a label-based reindex on
+    # event_id would raise on a duplicated id at scale, and each row
+    # owning ITS OWN walk value is the correct semantics regardless of
+    # id collisions.
+    alarm_t_at_pos = np.empty(len(alarm_t), dtype=bool)
+    alarm_t_at_pos[t.index.to_numpy()] = alarm_t
+    alarm_t_for_d = alarm_t_at_pos[d.index.to_numpy()]
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(eid_d), uid, dtype="int64"),
+            "event_id": eid_d,
+            "alarm_t": alarm_t_for_d,
+            "alarm_d": alarm_d,
+        }
+    )
+
+
 @register(
     "validate_stream_disorder",
     oracle=f"""
@@ -1397,53 +1454,6 @@ def validate_stream_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def _dual_walk(pdf):
-        # The two sequential CUSUM folds are inherently per-row Python
-        # (the recurrence's IEEE rounding order IS the contract — a
-        # prefix-sum closed form rounds differently and breaks oracle
-        # parity), but everything AROUND them is vectorized (opt r17,
-        # guide §4.2): loop over raw numpy doubles, preallocate the
-        # alarm arrays, reindex the in-order alarms onto the permuted
-        # order with one pandas take instead of a per-row dict, and
-        # assemble the output from columns, not a list of row tuples.
-        # float(v) on a numpy float64 is the identical double, and the
-        # fold ops run in the identical order, so alarms are unchanged
-        # (oracle-checked).
-        import numpy as np
-        import pandas as pd
-
-        k = float(pdf["_k"].iloc[0])
-        h = float(pdf["_h"].iloc[0])
-        uid = int(pdf["user_id"].iloc[0])
-        t = pdf.sort_values(["us", "event_id"])
-        vals_t = t["value"].to_numpy(dtype="float64")
-        alarm_t = np.empty(len(vals_t), dtype=bool)
-        sacc = 0.0
-        for i in range(len(vals_t)):
-            sacc = max(0.0, sacc + float(vals_t[i]) - k)
-            alarm_t[i] = sacc > h
-        d = pdf.sort_values(["__b", "us", "event_id"])
-        vals_d = d["value"].to_numpy(dtype="float64")
-        alarm_d = np.empty(len(vals_d), dtype=bool)
-        sacc = 0.0
-        for i in range(len(vals_d)):
-            sacc = max(0.0, sacc + float(vals_d[i]) - k)
-            alarm_d[i] = sacc > h
-        eid_d = d["event_id"].to_numpy()
-        alarm_t_for_d = (
-            pd.Series(alarm_t, index=t["event_id"].to_numpy())
-            .loc[eid_d]
-            .to_numpy()
-        )
-        return pd.DataFrame(
-            {
-                "user_id": np.full(len(eid_d), uid, dtype="int64"),
-                "event_id": eid_d,
-                "alarm_t": alarm_t_for_d,
-                "alarm_d": alarm_d,
-            }
-        )
-
     from spanner_jdbc_converter_spark.operators.dedup import _stage_checkpoint
 
     from spanner_jdbc_converter_spark.session import session_shuffle_width
@@ -1462,7 +1472,7 @@ def validate_stream_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the sessions.py::cusum_alarms measurement)
         .repartition(session_shuffle_width(spark), "user_id")
         .groupBy("user_id")
-        .applyInPandas(_dual_walk, dual_schema)
+        .applyInPandas(_dual_cusum_walk, dual_schema)
         .filter(F.col("alarm_t") | F.col("alarm_d"))
     )
     al_t = dual.filter(F.col("alarm_t")).select("user_id", "event_id")

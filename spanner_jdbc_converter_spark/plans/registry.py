@@ -57,14 +57,21 @@ def register_cache_primer(store_name: str):
     return deco
 
 
-def prime_session_caches(spark: SparkSession, sf_dir: str) -> list[str]:
+def prime_session_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Build every registered session cache for (spark, sf_dir); returns
-    the store names primed.  Failures propagate — a primer that cannot
-    build is the same defect as the entry that owns it failing."""
-    primed = []
+    {store name: build seconds} so callers (bench.py) can publish the
+    per-primer cost — the untimed prime pass grew to ~0.75× the timed
+    corpus wall by r17, and VERDICT r17 requires its growth to be
+    auditable per store, not one opaque total.  Failures propagate — a
+    primer that cannot build is the same defect as the entry that owns
+    it failing."""
+    import time
+
+    primed: dict[str, float] = {}
     for store_name, fn in CACHE_PRIMERS.items():
+        start = time.perf_counter()
         fn(spark, sf_dir)
-        primed.append(store_name)
+        primed[store_name] = round(time.perf_counter() - start, 3)
     return primed
 
 

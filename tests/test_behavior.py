@@ -522,3 +522,84 @@ class TestRegressionAudits:
         slope, intercept = np.polyfit(x, y, 1)
         assert abs(row.slope - slope) < 1e-5
         assert abs(row.intercept - intercept) < 1e-5
+
+
+class TestDualWalkDuplicateIds:
+    def test_dual_cusum_walk_survives_duplicate_event_ids(self):
+        """VERDICT r17 #6 / ADVICE r17: the dual CUSUM walk's in-order →
+        disordered alarm remap must be POSITIONAL — a label-based
+        reindex on event_id raised on a duplicated id (scale data has no
+        uniqueness guarantee).  With a duplicated id the walk must still
+        return one row per input row, each carrying its own in-order
+        alarm value."""
+        import pandas as pd
+
+        from spanner_jdbc_converter_spark.plans.behavior import _dual_cusum_walk
+
+        # event_id 7 duplicated; k=0, h=0.5 → alarm when running
+        # positive-sum exceeds 0.5
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * 5,
+                "event_id": [7, 3, 7, 9, 5],
+                "value": [0.2, 0.2, 0.3, 0.1, 0.1],
+                "us": [10, 20, 30, 40, 50],
+                "__b": [1, 0, 1, 0, 1],
+                "_k": [0.0] * 5,
+                "_h": [0.5] * 5,
+            }
+        )
+        out = _dual_cusum_walk(pdf)
+        assert len(out) == len(pdf)
+        # disordered order: (__b, us, event_id) → ids 3, 9, 7, 7, 5
+        assert list(out["event_id"]) == [3, 9, 7, 7, 5]
+        # in-order walk: cumsum 0.2, 0.4, 0.7, 0.8, 0.9 → alarms from
+        # the third row on (us order = input order here)
+        by_us = [False, False, True, True, True]
+        # remap onto disordered row order (us 20, 40, 10, 30, 50)
+        assert list(out["alarm_t"]) == [by_us[1], by_us[3], by_us[0], by_us[2], by_us[4]]
+        # disordered walk: values 0.2, 0.1, 0.2, 0.3, 0.1 → cumsum
+        # 0.2, 0.3(0...), alarms when > 0.5
+        sacc, want_d = 0.0, []
+        for v in [0.2, 0.1, 0.2, 0.3, 0.1]:
+            sacc = max(0.0, sacc + v - 0.0)
+            want_d.append(sacc > 0.5)
+        assert list(out["alarm_d"]) == want_d
+
+    def test_dual_cusum_walk_matches_label_reindex_on_unique_ids(self):
+        """On unique event_ids the positional remap must agree with the
+        old label-based reindex bit-for-bit (no semantic drift)."""
+        import numpy as np
+        import pandas as pd
+
+        from spanner_jdbc_converter_spark.plans.behavior import _dual_cusum_walk
+
+        rng = np.random.RandomState(7)
+        n = 64
+        pdf = pd.DataFrame(
+            {
+                "user_id": [4] * n,
+                "event_id": rng.permutation(n).astype("int64"),
+                "value": rng.uniform(-1, 1, n),
+                "us": rng.permutation(n).astype("int64") * 10,
+                "__b": rng.randint(0, 8, n).astype("int64"),
+                "_k": [0.05] * n,
+                "_h": [0.4] * n,
+            }
+        )
+        out = _dual_cusum_walk(pdf.copy())
+        # old semantics: alarm_t keyed by event_id label
+        t = pdf.sort_values(["us", "event_id"])
+        vals_t = t["value"].to_numpy(dtype="float64")
+        alarm_t = np.empty(n, dtype=bool)
+        sacc = 0.0
+        for i in range(n):
+            sacc = max(0.0, sacc + float(vals_t[i]) - 0.05)
+            alarm_t[i] = sacc > 0.4
+        d = pdf.sort_values(["__b", "us", "event_id"])
+        want = (
+            pd.Series(alarm_t, index=t["event_id"].to_numpy())
+            .loc[d["event_id"].to_numpy()]
+            .to_numpy()
+        )
+        assert (out["alarm_t"].to_numpy() == want).all()

@@ -941,18 +941,21 @@ def test_residual_ivfpq_candidate_sized_joins_arrow_encode(spark, sf_dir):
 
 
 def test_banding_frontier_never_rescans_corpus(spark, sf_dir):
-    """The frontier consumes the session-cached 6-row operating report
-    — it must never re-run LSH or rescan the documents parquet; all its
-    own work is metadata-sized (one-row broadcast argmax crosses, no
-    data-keyed shuffle)."""
+    """The frontier consumes the session-cached STAGE frames (exact
+    pairs + LSH candidates, checkpointed) — it must never re-run LSH or
+    rescan the documents parquet.  r18 (VERDICT r17 "Next round #3"):
+    the report aggregation itself now runs in the entry's plan (over the
+    pair-frame-sized checkpoints), so pair-keyed exchanges ARE expected;
+    what must never appear is a corpus rescan or a pair-space cross."""
     # prime the session cache the entry path uses
-    from spanner_jdbc_converter_spark.plans.extensions import _op_report_for
+    from spanner_jdbc_converter_spark.plans.extensions import _oprep_stages_for
 
-    _op_report_for(spark, sf_dir)
+    _oprep_stages_for(spark, sf_dir)
     plan = _plan(spark, "dedup_lsh_banding_frontier", sf_dir)
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
-    assert "hashpartitioning" not in plan  # nothing data-sized shuffles
+    # the inputs are the materialized stage checkpoints, nothing else
+    assert "Scan ExistingRDD" in plan
 
 
 def test_unigram_pieces_served_from_session_cache(spark, sf_dir):
