@@ -827,14 +827,15 @@ def join_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist each reduction would re-scan lineitem.  Totals and the
     order count are metadata-sized broadcasts; output ≤ |brands|² rows.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
-        .persist()
-    )
+    # r18: the basket frame is the SESSION-CACHED checkpoint shared with
+    # graph_pagerank_brands / graph_triangle_brands (features.py
+    # _BRAND_BASKET_STORE) — the dim join + l_orderkey shuffle run once
+    # per corpus pass, and the per-call persist() (which re-materialized
+    # the same frame every run) is gone; the three reductions below read
+    # the checkpoint blocks directly.
+    from spanner_jdbc_converter_spark.plans.features import _brand_baskets
+
+    baskets = _brand_baskets(spark, sf_dir)
     pair_list = F.expr(
         "flatten(transform(brands, (x, i) -> "
         "transform(slice(brands, i + 2, size(brands)), "

@@ -58,6 +58,24 @@ class TestPageRank:
         total = sum(r.rank for r in gr.pagerank_fixed(e, iterations=4).collect())
         assert total == pytest.approx(1.0, abs=1e-9)
 
+    def test_planning_scale_rounds_bit_identical_and_aqe_restored(self, spark):
+        """r18: planning_scale=True fuses the rounds into ONE AQE-off
+        checkpoint job — the recurrence is unchanged, so ranks must be
+        BIT-identical to the per-round-checkpoint default on an
+        asymmetric graph, and the session's AQE conf must be restored."""
+        pairs = [("a", "z"), ("b", "z"), ("c", "z"), ("z", "a"), ("a", "b")]
+        e = self._edges(spark, pairs)
+        want = {r.node: r.rank for r in gr.pagerank_fixed(e, iterations=3).collect()}
+        before = spark.conf.get("spark.sql.adaptive.enabled")
+        got = {
+            r.node: r.rank
+            for r in gr.pagerank_fixed(
+                e, iterations=3, planning_scale=True
+            ).collect()
+        }
+        assert got == want  # exact equality — same IEEE/DECIMAL recurrence
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
 
 class TestWeightedPageRank:
     def test_weights_shift_mass_and_uniform_weights_match_unweighted(self, spark):
@@ -358,20 +376,89 @@ class TestKCorePeel:
         ft._TRI_STORE.clear()
         ft._EDGE_STORE.clear()
         calls: list[int] = []
-        real = ft._copurchase_edges
+        real = ft._copurchase_pairs
 
         def counting(spark, sf_dir):
             calls.append(1)
             return real(spark, sf_dir)
 
-        monkeypatch.setattr(ft, "_copurchase_edges", counting)
+        monkeypatch.setattr(ft, "_copurchase_pairs", counting)
         assert QUERIES["graph_kcore_layers"](spark, sf_dir).count() > 0
         assert len(calls) == 1
         assert QUERIES["graph_triangle_coeffs"](spark, sf_dir).count() > 0
-        assert len(calls) == 1  # one derivation feeds all three entries
+        assert len(calls) == 1
+        # r18: label propagation consumes the same derivation (the
+        # support-≥2 filter over the pair-count frame)
+        assert QUERIES["graph_label_propagation"](spark, sf_dir).count() > 0
+        assert len(calls) == 1  # one derivation feeds all four entries
+
+
+class TestBrandBasketSharing:
+    def test_brand_pair_counts_match_inline_derivation(self, spark, sf_dir):
+        """r18: the session-cached brand pair-count frame must equal the
+        old inline derivation (directed y != x counts are symmetric, so
+        the x < y count frame carries the identical support statistic),
+        and the pagerank/triangle support-≥5 subgraphs read from it must
+        equal the old directed/oriented edge sets."""
+        from pyspark.sql import functions as F
+
+        from spanner_jdbc_converter_spark.catalog import load_table
+        from spanner_jdbc_converter_spark.plans import features as ft
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        baskets = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        )
+        directed = F.expr(
+            "flatten(transform(brands, x -> transform("
+            "filter(brands, y -> y != x), y -> struct(x AS src, y AS dst))))"
+        )
+        old_edges = {
+            (r.src, r.dst)
+            for r in (
+                baskets.select(F.explode(directed).alias("e"))
+                .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= 5)
+                .select("src", "dst")
+                .collect()
+            )
+        }
+        half = (
+            ft._brand_pair_counts(spark, sf_dir)
+            .filter(F.col("n") >= 5)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        )
+        new_edges = {(r.src, r.dst) for r in half.collect()}
+        new_edges |= {(b, a) for a, b in new_edges}
+        assert new_edges == old_edges
 
 
 class TestLabelPropagation:
+    def test_label_propagation_from_matches_fixed(self, spark):
+        """r18: the _from variant over a pre-canonical frame (and its
+        lazy initial-label frame) must reproduce label_propagation_fixed
+        exactly."""
+        c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+        edges = c1 + c2 + [(4, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = sorted(
+            (r.node, r.community)
+            for r in gr.label_propagation_fixed(df, iterations=3).collect()
+        )
+        ce = gr._canonical_undirected(df, "src", "dst")
+        got = sorted(
+            (r.node, r.community)
+            for r in gr.label_propagation_from(ce, iterations=3).collect()
+        )
+        assert got == want
+
     def test_two_cliques_with_a_bridge(self, spark):
         """Two K4 cliques joined by one bridge edge: LPA must label each
         clique with its minimum id and the bridge must not merge them

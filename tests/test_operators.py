@@ -576,6 +576,114 @@ def test_connected_groups_deep_chain(spark):
     assert {r.group_id for r in out} == {0}
 
 
+def test_fused_round_probe_equivalence(spark):
+    """r18 (VERDICT r17 "Next round #5"): the fused large+small-star
+    round keeps ONE probe per round; it must converge in the SAME round
+    count and produce the SAME groups as the two-probe (per-phase
+    checkpoint) form — the squeeze argument (count non-increasing
+    through each phase, sum delta pure-rewrite ≤ 0 when no merge)
+    makes the mid-round probe redundant, exercised here on the shapes
+    the proof worries about: a deep id-monotone chain, NEGATIVE ids
+    where a merge could remove a negative term, and duplicate/reversed
+    edges."""
+    from pyspark.sql import Observation
+
+    probe_sum = F.sum(
+        F.col("a").cast("decimal(38,0)") + F.col("b").cast("decimal(38,0)")
+    ).alias("s")
+    probe_cnt = F.count(F.lit(1)).alias("n")
+
+    def two_probe_reference(pairs, max_iters=60):
+        def _ckpt(df):
+            obs = Observation()
+            out = dd._stats_reset_checkpoint(
+                df.observe(obs, probe_sum, probe_cnt)
+            )
+            got = obs.get
+            return out, (got["s"], got["n"])
+
+        edges, prev_sum = _ckpt(
+            pairs.select(
+                F.greatest(F.col("id_a"), F.col("id_b")).alias("a"),
+                F.least(F.col("id_a"), F.col("id_b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        nodes = edges.select(
+            F.explode(F.array("a", "b")).alias("doc_id")
+        ).distinct()
+        for i in range(max_iters):
+            sym = edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    )
+                ).alias("e")
+            ).select("e.u", "e.v")
+            lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+            large = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(lmins, "u")
+                .select(
+                    F.col("v").alias("a"),
+                    F.least(F.col("mv"), F.col("u")).alias("b"),
+                )
+                .distinct()
+            )
+            edges, sum_l = _ckpt(large)
+            smins = edges.groupBy("a").agg(F.min("b").alias("m"))
+            small = (
+                edges.join(smins, "a")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                            F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                        )
+                    ).alias("e")
+                )
+                .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            edges, sum_s = _ckpt(small)
+            if sum_s == prev_sum and sum_l == prev_sum:
+                return (
+                    nodes.join(
+                        edges.withColumnRenamed("a", "doc_id"), "doc_id", "left"
+                    ).select(
+                        "doc_id",
+                        F.coalesce(F.col("b"), F.col("doc_id")).alias("group_id"),
+                    ),
+                    i + 1,
+                )
+            prev_sum = sum_s
+        raise AssertionError("reference did not converge")
+
+    cases = {
+        "chain64": [(i, i + 1) for i in range(1, 64)],
+        "negative_ids": [
+            (-5, -9), (-9, 3), (3, 7), (100, -100), (-100, 50),
+            (8, 8), (2, 6), (6, 2),
+        ],
+        "dups_and_reversals": [
+            (1, 2), (2, 1), (2, 3), (10, 11), (11, 12), (12, 10), (10, 12),
+        ],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        ref, ref_rounds = two_probe_reference(df)
+        want = sorted(map(tuple, ref.collect()))
+        got = sorted(map(tuple, dd.connected_groups(df).collect()))
+        assert got == want, name
+        assert dd._LAST_CC_ROUNDS == ref_rounds, (
+            f"{name}: fused round count {dd._LAST_CC_ROUNDS} != "
+            f"two-probe reference {ref_rounds}"
+        )
+
+
 def test_connected_groups_two_deep_chains_stay_separate(spark):
     """Two disjoint 20-node chains: pointer jumping must not leak labels
     across components — each chain converges to its own min id."""

@@ -1264,6 +1264,34 @@ def test_scrub_span_hash_is_direct_no_span_string(spark, sf_dir):
     assert "md5" in _plan(spark, "dedup_winnow_fingerprints", sf_dir)
 
 
+def test_scrub_tokenizes_once_per_row(spark, sf_dir):
+    """ADVICE r17: the span kernel stages the token array in its own
+    projection (`__toks`) and relies on CollapseProject DECLINING to
+    merge a multiply-referenced non-cheap alias — optimizer-version-
+    dependent behavior.  If a future Spark collapses it, tokens() (a
+    filter(split(...)) chain) re-runs once per get(), up to
+    ngram × size per row.  Pin the assumption: each scrub plan must
+    contain the tokenizer's split() only at its legitimate sites (the
+    staged __toks projections, the rebuild's kept-token filter, the
+    df-side pass, and the session stores' nested plan displays — 5-6
+    today).  A collapse inlines __toks into EVERY get() of the hash
+    lambda, multiplying split() by ngram at that site (+2 for
+    intradoc's ngram=3, +3 for boilerplate's 4, +31 for crossdoc's
+    32), so a ceiling just above today's count catches it."""
+    for entry, max_splits in (
+        ("text_crossdoc_scrub", 7),     # collapse → ≥ 37
+        ("text_boilerplate_scrub", 7),  # collapse → ≥ 9
+        ("text_intradoc_scrub", 6),     # collapse → ≥ 7
+    ):
+        plan = _plan(spark, entry, sf_dir)
+        n_split = plan.count("split(")
+        assert 0 < n_split <= max_splits, (
+            f"{entry}: tokenizer split() appears {n_split}× — the "
+            "staged __toks projection collapsed and tokens() re-runs "
+            "per get()"
+        )
+
+
 def test_planning_scale_rounds_restores_aqe(spark):
     """The AQE-off scope of the iterative round loops must restore the
     session conf on both the clean and the raising path — a leaked
